@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's tuned defaults.
+  *
+  * Sized for local[N] testing but configured the way a 1000-executor
+  * cluster job would be: AQE on (runtime re-plan, skew-join splitting,
+  * partition coalescing), UTC session time, broadcast threshold left at
+  * default so dimension tables (region/nation/...) broadcast
+  * automatically. `spark.sql.shuffle.partitions` matches local cores
+  * here; on a real cluster it should be ~2-3x total executor cores and
+  * AQE coalescing trims the rest.
+  */
+object GraftSession {
+  def builder(cores: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  /** Default local session: cores from SPARK_GRAFT_CPUS (driver contract). */
+  def local(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = builder(cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,431 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** General relational operator surface (SURVEY §2.3–§2.6).
+  *
+  * The reference delegates all of this to hand-written loops
+  * (/root/reference/src/scripts/run-etl.ts:26–54) or simply lacks it;
+  * here it is the stock Catalyst surface: hash/sort aggregates, broadcast
+  * + sort-merge joins, windows, set ops, rollup/cube. Every query reads
+  * through `Tables` (plain parquet scans) so filter pushdown and column
+  * pruning reach the scan.
+  *
+  * Oracle-exactness convention: per-row scalar double math is IEEE-
+  * deterministic across engines, but aggregation ORDER is not — so every
+  * SUM over doubles casts its per-row value to DECIMAL first (exact,
+  * order-independent); AVG stays double + round (error shrinks as 1/n).
+  */
+object Relational {
+
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  private def dec4(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 4))
+
+  /** TPC-H Q1 flavor: scan → filter → hash aggregate (map-side partials). */
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(dec2($"l_quantity")).as("sum_qty"),
+        sum(dec2($"l_extendedprice")).as("sum_base_price"),
+        sum(dec4($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("sum_disc_price"),
+        sum(dec4($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"))).cast(DecimalType(28, 4)).as("sum_charge"),
+        round(avg($"l_quantity"), 2).as("avg_qty"),
+        round(avg($"l_extendedprice"), 2).as("avg_price"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+      |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_charge,
+      |  round(avg(l_quantity), 2) AS avg_qty,
+      |  round(avg(l_extendedprice), 2) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q6 flavor: tight filter + global sum — exercises parquet
+    * predicate pushdown (all three predicates reach the scan). */
+  def q6FilterSum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+              $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+              $"l_quantity" < 24)
+      .agg(sum(dec4($"l_extendedprice" * $"l_discount")).as("revenue"),
+           count(lit(1)).as("n_rows"))
+  }
+
+  val q6FilterSumSql: String =
+    """SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS revenue,
+      |       count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q3 flavor: fact-fact sort-merge join (lineitem ⋈ orders) with a
+    * broadcast dimension filter (customer segment). Top-10 revenue. */
+  def q3Join(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+    val ord  = Tables.orders(s, dir)
+      .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+    val li   = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" > lit("1998-01-01").cast("timestamp"))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(sum(dec4($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey".asc)
+      .limit(10)
+  }
+
+  val q3JoinSql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  /** Multi-dim star join: region→nation→customer→orders, dims broadcast. */
+  def q5StarJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dims = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+    Tables.orders(s, dir)
+      .join(broadcast(dims), $"o_custkey" === $"c_custkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(sum(dec2($"o_totalprice")).as("total_price"),
+           count(lit(1)).as("n_orders"))
+  }
+
+  val q5StarJoinSql: String =
+    """SELECT r_name, n_name,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price,
+      |  count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  /** Left semi join (EXISTS): customers having at least one urgent order. */
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val urgent = Tables.orders(s, dir).filter($"o_orderpriority" === "1-URGENT")
+    Tables.customer(s, dir)
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+           sum(dec2($"c_acctbal")).as("total_bal"))
+  }
+
+  val qSemiJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers,
+      |  sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** Left anti join (NOT EXISTS): customers with no urgent orders. */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val urgent = Tables.orders(s, dir).filter($"o_orderpriority" === "1-URGENT")
+    Tables.customer(s, dir)
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  val qAntiJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** Window functions: rank + running sum per customer's order history. */
+  def qWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w  = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    val ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_spend", sum(dec2($"o_totalprice")).over(ws))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"rn", $"running_spend")
+  }
+
+  val qWindowSql: String =
+    """SELECT o_custkey, o_orderkey, rn, running_spend FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    row_number() OVER w AS rn,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS running_spend
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |) WHERE rn <= 3""".stripMargin
+
+  /** Top-k: highest-value orders (TakeOrderedAndProject, no full sort). */
+  def qTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", dec2($"o_totalprice").as("o_totalprice"))
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(25)
+  }
+
+  val qTopKSql: String =
+    """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""".stripMargin
+
+  /** Distinct + count-distinct aggregations (SURVEY A3). */
+  def qDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("n_orders"),
+           countDistinct($"l_partkey").as("n_parts"),
+           count(lit(1)).as("n_rows"))
+  }
+
+  val qDistinctSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+      |  count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** ROLLUP hierarchy totals (status → priority → grand total). */
+  def qRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(dec2($"o_totalprice")).as("total"))
+  }
+
+  val qRollupSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** CUBE over two dims. */
+  def qCube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), sum(dec2($"l_quantity")).as("qty"))
+  }
+
+  val qCubeSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  /** Set ops: customers in segment A minus those with open orders, plus
+    * intersection — EXCEPT/INTERSECT on key projections. */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val building = Tables.customer(s, dir)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val openCust = Tables.orders(s, dir)
+      .filter($"o_orderstatus" === "O").select($"o_custkey".as("c_custkey"))
+    val except    = building.except(openCust)
+      .withColumn("op", lit("except"))
+    val intersect = building.intersect(openCust)
+      .withColumn("op", lit("intersect"))
+    except.unionByName(intersect)
+      .groupBy($"op").agg(count(lit(1)).as("n"), sum($"c_custkey").as("key_sum"))
+  }
+
+  val qSetOpsSql: String =
+    """WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |     open_cust AS (SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'),
+      |     both_ops AS (
+      |       SELECT c_custkey, 'except' AS op FROM (SELECT * FROM building EXCEPT SELECT * FROM open_cust)
+      |       UNION ALL
+      |       SELECT c_custkey, 'intersect' AS op FROM (SELECT * FROM building INTERSECT SELECT * FROM open_cust))
+      |SELECT op, count(*) AS n, sum(c_custkey) AS key_sum FROM both_ops GROUP BY op""".stripMargin
+
+  /** Conditional aggregation (sum(CASE WHEN ...)) — pivot-style counts. */
+  def qCaseAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        sum(when($"o_orderstatus" === "F", 1L).otherwise(0L)).as("n_f"),
+        sum(when($"o_orderstatus" === "O", 1L).otherwise(0L)).as("n_o"),
+        sum(when($"o_orderstatus" === "P", 1L).otherwise(0L)).as("n_p"),
+        sum(when($"o_totalprice" > 200000.0, dec2($"o_totalprice"))).as("big_total"))
+  }
+
+  val qCaseAggSql: String =
+    """SELECT o_orderpriority,
+      |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+      |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+      |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+      |  sum(CASE WHEN o_totalprice > 200000.0 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS big_total
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  /** Date bucketing: monthly order volume (SURVEY §2.6 date functions). */
+  def qDateAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy(year($"o_orderdate").cast("long").as("yr"),
+               month($"o_orderdate").cast("long").as("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(dec2($"o_totalprice")).as("total"))
+  }
+
+  val qDateAggSql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |       CAST(month(o_orderdate) AS BIGINT) AS mo,
+      |       count(*) AS n_orders,
+      |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |FROM orders GROUP BY 1, 2""".stripMargin
+
+  /** Exact percentiles via sort-based percentile (deterministic, matches
+    * DuckDB quantile_cont) + min/max. */
+  def qPercentile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("median_price"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95_price"),
+        min(dec2($"l_extendedprice")).as("min_price"),
+        max(dec2($"l_extendedprice")).as("max_price"))
+  }
+
+  val qPercentileSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
+      |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price,
+      |  min(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price,
+      |  max(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_price
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Scalar string/regex function surface over part (SURVEY §2.6). */
+  def qStringFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .select(
+        $"p_partkey",
+        lower($"p_name").as("lname"),
+        upper($"p_brand").as("ubrand"),
+        length($"p_name").cast("long").as("name_len"),
+        regexp_extract($"p_brand", "Brand#(\\d+)", 1).as("brand_num"),
+        regexp_replace($"p_type", "\\s+", "_").as("type_slug"),
+        substring($"p_type", 1, 5).as("type_pfx"),
+        concat_ws("|", $"p_brand", $"p_type").as("brand_type"),
+        lpad($"p_size".cast("string"), 4, "0").as("size_pad"),
+        trim(lit("  x  ")).as("trimmed"))
+      .filter($"p_name".startsWith("a") || $"p_name".endsWith("e"))
+  }
+
+  val qStringFuncsSql: String =
+    """SELECT p_partkey, lower(p_name) AS lname, upper(p_brand) AS ubrand,
+      |  CAST(length(p_name) AS BIGINT) AS name_len,
+      |  regexp_extract(p_brand, 'Brand#(\d+)', 1) AS brand_num,
+      |  regexp_replace(p_type, '\s+', '_', 'g') AS type_slug,
+      |  substring(p_type, 1, 5) AS type_pfx,
+      |  concat_ws('|', p_brand, p_type) AS brand_type,
+      |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+      |  trim('  x  ') AS trimmed
+      |FROM part
+      |WHERE p_name LIKE 'a%' OR p_name LIKE '%e'""".stripMargin
+
+  /** IN-subquery (converted to semi join by Catalyst) + NOT IN guard. */
+  def qInSubquery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bigParts = Tables.part(s, dir).filter($"p_size" >= 40).select($"p_partkey")
+    Tables.lineitem(s, dir)
+      .join(bigParts, $"l_partkey" === $"p_partkey", "left_semi")
+      .agg(count(lit(1)).as("n"), sum(dec2($"l_quantity")).as("qty"))
+  }
+
+  val qInSubquerySql: String =
+    """SELECT count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      |FROM lineitem
+      |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)""".stripMargin
+
+  /** Scalar subquery: orders above the global average price. */
+  def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, dir)
+    // Broadcast the single-row aggregate instead of collecting to driver.
+    val avgPrice = ord.agg(avg($"o_totalprice").as("avg_price"))
+    ord.join(broadcast(avgPrice))
+      .filter($"o_totalprice" > $"avg_price")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_above_avg"))
+  }
+
+  val qScalarSubquerySql: String =
+    """SELECT o_orderstatus, count(*) AS n_above_avg
+      |FROM orders
+      |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      |GROUP BY o_orderstatus""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"           -> (q1Agg _),
+    "q6_filter_sum"    -> (q6FilterSum _),
+    "q3_join_topk"     -> (q3Join _),
+    "q5_star_join"     -> (q5StarJoin _),
+    "q_semi_join"      -> (qSemiJoin _),
+    "q_anti_join"      -> (qAntiJoin _),
+    "q_window"         -> (qWindow _),
+    "q_topk"           -> (qTopK _),
+    "q_distinct"       -> (qDistinct _),
+    "q_rollup"         -> (qRollup _),
+    "q_cube"           -> (qCube _),
+    "q_setops"         -> (qSetOps _),
+    "q_case_agg"       -> (qCaseAgg _),
+    "q_date_agg"       -> (qDateAgg _),
+    "q_percentile"     -> (qPercentile _),
+    "q_string_funcs"   -> (qStringFuncs _),
+    "q_in_subquery"    -> (qInSubquery _),
+    "q_scalar_subquery"-> (qScalarSubquery _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_agg"            -> q1AggSql,
+    "q6_filter_sum"     -> q6FilterSumSql,
+    "q3_join_topk"      -> q3JoinSql,
+    "q5_star_join"      -> q5StarJoinSql,
+    "q_semi_join"       -> qSemiJoinSql,
+    "q_anti_join"       -> qAntiJoinSql,
+    "q_window"          -> qWindowSql,
+    "q_topk"            -> qTopKSql,
+    "q_distinct"        -> qDistinctSql,
+    "q_rollup"          -> qRollupSql,
+    "q_cube"            -> qCubeSql,
+    "q_setops"          -> qSetOpsSql,
+    "q_case_agg"        -> qCaseAggSql,
+    "q_date_agg"        -> qDateAggSql,
+    "q_percentile"      -> qPercentileSql,
+    "q_string_funcs"    -> qStringFuncsSql,
+    "q_in_subquery"     -> qInSubquerySql,
+    "q_scalar_subquery" -> qScalarSubquerySql,
+  )
+}
