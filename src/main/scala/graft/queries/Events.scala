@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Event-stream analytics over the `events` table: the batch shapes of the
+  * reference's streaming concerns (SURVEY §2.7) — windowed aggregation,
+  * sessionization, JSON payload extraction. The Structured Streaming
+  * equivalents live in graft.streaming; these batch forms are what the
+  * DuckDB oracle can check.
+  */
+object Events {
+
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** Tumbling 1-hour windowed aggregation (A1-flavor at event-time). */
+  def qEvHourly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+           sum(dec2($"value")).as("total_value"),
+           countDistinct($"user_id").as("n_users"))
+      .select($"window.start".as("hour_ts"), $"event_type", $"n", $"total_value", $"n_users")
+  }
+
+  val qEvHourlySql: String =
+    """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour_ts, event_type,
+      |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total_value,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Sessionization: a session breaks after a >30-min silence per user.
+    * Second-granularity gap (floor-of-epoch on both engines) keeps the
+    * boundary deterministic. Windows shuffle once on user_id; the
+    * aggregation reuses that partitioning. */
+  def qEvSession(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("prev_s", lag($"ts".cast("long"), 1).over(byUser))
+      .withColumn("is_new",
+        when($"prev_s".isNull || $"ts".cast("long") - $"prev_s" > 1800L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum($"is_new").over(run))
+      .groupBy($"user_id", $"session_idx")
+      .agg(min($"ts".cast("long")).as("session_start_s"),
+           count(lit(1)).as("n_events"),
+           sum(dec2($"value")).as("total_value"))
+  }
+
+  val qEvSessionSql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    epoch_us(ts) // 1000000 AS sec,
+      |    lag(epoch_us(ts) // 1000000) OVER w AS prev_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |flagged AS (
+      |  SELECT *, CASE WHEN prev_s IS NULL OR sec - prev_s > 1800 THEN 1 ELSE 0 END AS is_new
+      |  FROM ordered),
+      |sessions AS (
+      |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      |  FROM flagged)
+      |SELECT user_id, session_idx, min(sec) AS session_start_s,
+      |  count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2))) AS total_value
+      |FROM sessions GROUP BY 1, 2""".stripMargin
+
+  /** JSON payload extraction + aggregation (SURVEY §2.6 from_json surface). */
+  def qEvJson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+           sum($"k").as("sum_k"),
+           max($"k").as("max_k"),
+           countDistinct($"user_id").as("n_users"))
+  }
+
+  val qEvJsonSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Event funnel: per user, did view precede click precede purchase
+    * (first-timestamp ordering)? Conditional agg + self-measure without
+    * self-joins — one shuffle on user_id. */
+  def qEvFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val firsts = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(min(when($"event_type" === "view", $"ts")).as("t_view"),
+           min(when($"event_type" === "click", $"ts")).as("t_click"),
+           min(when($"event_type" === "purchase", $"ts")).as("t_purchase"))
+    firsts.agg(
+      count(lit(1)).as("n_users"),
+      sum(when($"t_view".isNotNull, 1L).otherwise(0L)).as("n_view"),
+      sum(when($"t_view" < $"t_click", 1L).otherwise(0L)).as("n_view_click"),
+      sum(when($"t_view" < $"t_click" && $"t_click" < $"t_purchase", 1L).otherwise(0L))
+        .as("n_full_funnel"))
+  }
+
+  val qEvFunnelSql: String =
+    """WITH firsts AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+      |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      |  FROM events GROUP BY user_id)
+      |SELECT count(*) AS n_users,
+      |  CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      |  CAST(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+      |  CAST(sum(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+      |FROM firsts""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ev_hourly"  -> (qEvHourly _),
+    "q_ev_session" -> (qEvSession _),
+    "q_ev_json"    -> (qEvJson _),
+    "q_ev_funnel"  -> (qEvFunnel _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_ev_hourly"  -> qEvHourlySql,
+    "q_ev_session" -> qEvSessionSql,
+    "q_ev_json"    -> qEvJsonSql,
+    "q_ev_funnel"  -> qEvFunnelSql,
+  )
+}

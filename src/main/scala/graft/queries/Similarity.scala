@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions.cosine
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (SURVEY §7 north-star extensions; absent from the reference).
+  *
+  * Two paths:
+  *  - brute: exact cosine top-k. The query set is broadcast, the corpus
+  *    streams map-side, and only (n_queries x n_vectors) scored rows reach
+  *    the per-query top-k — at cluster scale this is the "scoring is
+  *    embarrassingly parallel, k is small" pattern.
+  *  - ivf: two-level IVF — a deterministic centroid subset acts as the
+  *    coarse quantizer; every vector is assigned to its nearest centroid
+  *    (inverted lists), queries probe the nprobe nearest lists and re-rank
+  *    exactly within them. The probe join hits only ~nprobe/n_centroids of
+  *    the corpus, which is what survives a 100x scale-up.
+  */
+object Similarity {
+
+  private val TopK = 10
+  private val NProbe = 3
+
+  /** vec_id, v(double[]) — cast once so all math is float64 like the oracle. */
+  private def vectors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+  }
+
+  /** Exact cosine top-10 for queries (vec_id % 100 == 0), self excluded. */
+  def qAnnBrute(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = vectors(s, dir)
+    val q = v.filter($"vec_id" % 100 === 0).select($"vec_id".as("q_id"), $"v".as("qv"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
+    v.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"), cosine($"qv", $"v").as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TopK)
+  }
+
+  val qAnnBruteSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id % 100 = 0),
+       |scored AS (
+       |  SELECT q_id, vec_id AS neighbor_id, list_cosine_similarity(qv, v) AS cos_sim,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY list_cosine_similarity(qv, v) DESC, vec_id ASC) AS rank
+       |  FROM q JOIN v ON vec_id <> q_id)
+       |SELECT q_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+       |FROM scored WHERE rank <= $TopK""".stripMargin
+
+  /** IVF top-10: centroids = vec_id % 25 == 0; assign → probe → re-rank. */
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = vectors(s, dir)
+    val cents = v.filter($"vec_id" % 25 === 0).select($"vec_id".as("c_id"), $"v".as("cv"))
+
+    // Inverted lists: nearest centroid per vector (ties → lowest c_id).
+    val aw = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"c_id".asc)
+    val lists = v.crossJoin(broadcast(cents))
+      .select($"vec_id", $"v", $"c_id", cosine($"v", $"cv").as("c_cos"))
+      .withColumn("rn", row_number().over(aw))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"v", $"c_id")
+
+    // Queries probe their NProbe nearest centroids.
+    val q = v.filter($"vec_id" % 100 === 0).select($"vec_id".as("q_id"), $"v".as("qv"))
+    val pw = Window.partitionBy($"q_id").orderBy($"p_cos".desc, $"c_id".asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .select($"q_id", $"qv", $"c_id", cosine($"qv", $"cv").as("p_cos"))
+      .withColumn("pr", row_number().over(pw))
+      .filter($"pr" <= NProbe)
+      .select($"q_id", $"qv", $"c_id")
+
+    // Exact re-rank within the probed lists only.
+    val rw = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
+    probes.join(lists, Seq("c_id"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"), cosine($"qv", $"v").as("cos_sim"))
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter($"rank" <= TopK)
+  }
+
+  val qAnnIvfSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c AS (SELECT vec_id AS c_id, v AS cv FROM v WHERE vec_id % 25 = 0),
+       |assign AS (
+       |  SELECT vec_id, v, c_id, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY list_cosine_similarity(v, cv) DESC, c_id ASC) AS rn
+       |  FROM v CROSS JOIN c),
+       |lists AS (SELECT vec_id, v, c_id FROM assign WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id % 100 = 0),
+       |probes AS (
+       |  SELECT q_id, qv, c_id, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY list_cosine_similarity(qv, cv) DESC, c_id ASC) AS pr
+       |  FROM q CROSS JOIN c),
+       |cand AS (
+       |  SELECT p.q_id, p.qv, l.vec_id, l.v
+       |  FROM (SELECT q_id, qv, c_id FROM probes WHERE pr <= $NProbe) p
+       |  JOIN lists l ON l.c_id = p.c_id AND l.vec_id <> p.q_id),
+       |scored AS (
+       |  SELECT q_id, vec_id AS neighbor_id, list_cosine_similarity(qv, v) AS cos_sim,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY list_cosine_similarity(qv, v) DESC, vec_id ASC) AS rank
+       |  FROM cand)
+       |SELECT q_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+       |FROM scored WHERE rank <= $TopK""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_brute" -> (qAnnBrute _),
+    "q_ann_ivf"   -> (qAnnIvf _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_ann_brute" -> qAnnBruteSql,
+    "q_ann_ivf"   -> qAnnIvfSql,
+  )
+}

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over `documents` (SURVEY §7 north-star
+  * extensions): quality scoring, language-ID heuristic, token counting,
+  * content fingerprinting. All are per-row column expressions (map-side,
+  * no shuffle except the final aggregation), so they scale linearly.
+  */
+object TextAnalysis {
+
+  /** Per-doc quality metrics: token counts, type-token ratio, punctuation
+    * ratio, and a bounded composite quality score. */
+  def qTextStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    Tables.documents(s, dir)
+      .select(
+        $"doc_id",
+        length($"text").cast("long").as("len_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        length(regexp_replace($"text", "[a-z0-9 ]", "")).cast("long").as("n_punct"))
+      .withColumn("ttr", $"n_distinct" / when($"n_tokens" > 0, $"n_tokens"))
+      .withColumn("punct_ratio", $"n_punct" / when($"len_chars" > 0, $"len_chars"))
+      .withColumn("quality",
+        least(lit(1.0), $"n_tokens" / 50.0) * coalesce($"ttr", lit(0.0)))
+  }
+
+  val qTextStatsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, length(text) AS len_chars,
+      |    list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '') AS t,
+      |    length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct
+      |  FROM documents)
+      |SELECT doc_id, len_chars, len(t)::BIGINT AS n_tokens,
+      |  len(list_distinct(t))::BIGINT AS n_distinct, n_punct,
+      |  len(list_distinct(t)) / nullif(len(t), 0) AS ttr,
+      |  n_punct / nullif(len_chars, 0) AS punct_ratio,
+      |  least(1.0, len(t) / 50.0) * coalesce(len(list_distinct(t)) / nullif(len(t), 0), 0.0) AS quality
+      |FROM toks""".stripMargin
+
+  /** Stopword-marker language-ID heuristic, cross-tabbed against the actual
+    * `lang` label: predicted = argmax of per-language marker hit counts
+    * (fixed preference order en > es > de > fr on ties, 'und' when no hits). */
+  def qTextLangid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    def score(words: String*) = size(filter(toks, x => x.isin(words.map(lit): _*)))
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang",
+        score("the", "a").as("s_en"), score("el", "la", "de").as("s_es"),
+        score("der", "die", "und").as("s_de"), score("le", "les", "et").as("s_fr"))
+      .withColumn("predicted",
+        when($"s_en" > 0 && $"s_en" >= $"s_es" && $"s_en" >= $"s_de" && $"s_en" >= $"s_fr", "en")
+          .when($"s_es" > 0 && $"s_es" >= $"s_de" && $"s_es" >= $"s_fr", "es")
+          .when($"s_de" > 0 && $"s_de" >= $"s_fr", "de")
+          .when($"s_fr" > 0, "fr")
+          .otherwise("und"))
+      .groupBy($"predicted", $"lang")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val qTextLangidSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |scores AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(t, x -> x IN ('the', 'a'))) AS s_en,
+      |    len(list_filter(t, x -> x IN ('el', 'la', 'de'))) AS s_es,
+      |    len(list_filter(t, x -> x IN ('der', 'die', 'und'))) AS s_de,
+      |    len(list_filter(t, x -> x IN ('le', 'les', 'et'))) AS s_fr
+      |  FROM toks)
+      |SELECT CASE
+      |    WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+      |    WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+      |    WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
+      |    WHEN s_fr > 0 THEN 'fr'
+      |    ELSE 'und' END AS predicted,
+      |  lang, count(*) AS n
+      |FROM scores GROUP BY 1, 2""".stripMargin
+
+  /** Token counting per source: whitespace tokens, regex (BPE-ish
+    * word/number/symbol) tokens, and a subword estimate (ceil(len/4)). */
+  def qTextTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val reToks = regexp_extract_all($"text", lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+    val subwords = aggregate(toks, lit(0L),
+      (acc, t) => acc + ceil(length(t) / 4.0).cast("long"))
+    Tables.documents(s, dir)
+      .select($"source", size(toks).as("nt"), size(reToks).as("nr"), subwords.as("nsw"))
+      .groupBy($"source")
+      .agg(sum($"nt").as("sum_ws_tokens"),
+           sum($"nr").as("sum_re_tokens"),
+           sum($"nsw").as("sum_subwords"),
+           (sum($"nt") / count(lit(1))).as("avg_tokens_per_doc"))
+  }
+
+  val qTextTokensSql: String =
+    """WITH toks AS (
+      |  SELECT source,
+      |    list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '') AS t,
+      |    regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]') AS r
+      |  FROM documents)
+      |SELECT source,
+      |  CAST(sum(len(t)) AS BIGINT) AS sum_ws_tokens,
+      |  CAST(sum(len(r)) AS BIGINT) AS sum_re_tokens,
+      |  CAST(sum(list_sum(list_transform(t, x -> CAST(ceil(length(x) / 4.0) AS BIGINT)))) AS BIGINT) AS sum_subwords,
+      |  sum(len(t)) / count(*) AS avg_tokens_per_doc
+      |FROM toks GROUP BY source""".stripMargin
+
+  /** Order-insensitive content fingerprint per doc (md5 of sorted distinct
+    * token bag) + distinct-token count — catches shuffled/duplicated-token
+    * rewrites that exact hashing misses. */
+  def qTextFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    Tables.documents(s, dir)
+      .select($"doc_id", bagFingerprint(toks).as("fingerprint"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+  }
+
+  val qTextFingerprintSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+      |  FROM documents)
+      |SELECT doc_id, md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fingerprint,
+      |  len(list_distinct(t))::BIGINT AS n_distinct
+      |FROM toks""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats"       -> (qTextStats _),
+    "q_text_langid"      -> (qTextLangid _),
+    "q_text_tokens"      -> (qTextTokens _),
+    "q_text_fingerprint" -> (qTextFingerprint _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_text_stats"       -> qTextStatsSql,
+    "q_text_langid"      -> qTextLangidSql,
+    "q_text_tokens"      -> qTextTokensSql,
+    "q_text_fingerprint" -> qTextFingerprintSql,
+  )
+}

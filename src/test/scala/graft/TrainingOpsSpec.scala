@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions._
+
+/** Invariants for the dedup / similarity / text / events operator families
+  * beyond what the DuckDB oracle checks. */
+class TrainingOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("minhash LSH pairs equal the exact inverted-index jaccard pairs") {
+    val exact = SparkEntry.queries("q_dedup_jaccard")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash of a doc against itself has hamming 0; near-dups bounded") {
+    import spark.implicits._
+    val df = Seq(
+      ("a b c d e f g h i j", "a b c d e f g h i j"),
+      ("a b c d e f g h i j", "a b c d e f g h i Z")).toDF("t1", "t2")
+    val r = df.select(
+      simhash60(array_distinct(shingles3(tokens($"t1")))).as("s1"),
+      simhash60(array_distinct(shingles3(tokens($"t2")))).as("s2"))
+      .select(call_function("bit_count", $"s1".bitwiseXOR($"s2")).as("hd"))
+      .collect().map(_.getInt(0))
+    assert(r(0) == 0)
+    assert(r(1) > 0 && r(1) < 30) // one-token edit moves few bits
+  }
+
+  test("bag fingerprint is order- and duplication-insensitive") {
+    import spark.implicits._
+    val df = Seq("x y z w", "w z y x x y", "x y q w").toDF("t")
+    val fps = df.select(bagFingerprint(tokens($"t"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("IVF ANN achieves high recall vs brute force") {
+    val brute = SparkEntry.queries("q_ann_brute")(spark, sf)
+      .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("q_ann_ivf")(spark, sf)
+      .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall too low") // nprobe=3 of 20 lists
+  }
+
+  test("sessions partition all events; funnel counts are monotone") {
+    val nEvents = Tables.events(spark, sf).count()
+    val sessioned = SparkEntry.queries("q_ev_session")(spark, sf)
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    assert(sessioned == nEvents)
+    val f = SparkEntry.queries("q_ev_funnel")(spark, sf).collect()(0)
+    val Seq(nu, nv, nvc, nf) = Seq("n_users", "n_view", "n_view_click", "n_full_funnel")
+      .map(c => f.getAs[Long](c))
+    assert(nu >= nv && nv >= nvc && nvc >= nf)
+  }
+
+  test("text stats quality is bounded [0,1] and ttr null only for empty docs") {
+    val stats = SparkEntry.queries("q_text_stats")(spark, sf)
+    assert(stats.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
+    assert(stats.filter(col("ttr").isNull && col("n_tokens") > 0).count() == 0)
+  }
+}
