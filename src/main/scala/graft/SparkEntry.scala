@@ -8,6 +8,7 @@ object SparkEntry {
     (graft.queries.Similarity.queries, graft.queries.Similarity.oracles),
     (graft.queries.TextAnalysis.queries, graft.queries.TextAnalysis.oracles),
     (graft.queries.Events.queries, graft.queries.Events.oracles),
+    (graft.queries.Etl.queries, graft.queries.Etl.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

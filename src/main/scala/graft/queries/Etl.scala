@@ -1,0 +1,187 @@
+package graft.queries
+
+import java.io.{File, FileOutputStream}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.sources.{Dbc, Dbf, DatasusEtl}
+
+/** End-to-end DATASUS-shaped ETL queries (SURVEY §2.1 S5/S7, §2.2 P5/P7,
+  * §2.3 A4/A5) gated by the DuckDB oracle.
+  *
+  * The driver fixtures are parquet, so [[EtlFixtures]] deterministically
+  * re-encodes the `orders`/`documents` tables as real `.dbc` archives, a
+  * `.zip`, and an NDJSON envelope under /tmp — then the queries run the
+  * genuine binary pipeline (zip-explode → blast-decompress → DBF-parse →
+  * string records → aggregate) and the oracle checks the same answer
+  * computed straight from parquet. Any decoder bug breaks the hash match.
+  */
+object EtlFixtures {
+
+  /** Priority bucket → UF code used in the synthetic DATASUS file names. */
+  val ufOf: Map[String, String] =
+    Map("1" -> "PE", "2" -> "SP", "3" -> "RJ", "4" -> "MG", "5" -> "BA")
+
+  val ufCaseSql: String =
+    """CASE substr(o_orderpriority, 1, 1)
+      | WHEN '1' THEN 'PE' WHEN '2' THEN 'SP' WHEN '3' THEN 'RJ'
+      | WHEN '4' THEN 'MG' ELSE 'BA' END""".stripMargin
+
+  val dbfCols = Seq("orderkey", "custkey", "status", "total", "orderdate", "priority")
+
+  /** Build (once per sf dir) the binary fixtures; returns the fixture dir. */
+  def ensure(s: SparkSession, dir: String): String = synchronized {
+    import s.implicits._
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = new File(s"/tmp/graft_fixtures/$key")
+    val marker = new File(base, "_OK")
+    if (marker.exists()) return base.getPath
+    base.mkdirs()
+
+    val rows = Tables.orders(s, dir)
+      .select(
+        $"o_orderkey".cast("string"),
+        $"o_custkey".cast("string"),
+        $"o_orderstatus",
+        $"o_totalprice".cast(DecimalType(18, 2)).cast("string"),
+        $"o_orderdate".cast("date").cast("string"),
+        $"o_orderpriority")
+      .collect()
+      .map(r => (0 until 6).map(r.getString))
+      .sortBy(r => r(0).toLong) // deterministic file contents
+
+    val dbcFiles = rows.groupBy(r => ufOf(r(5).substring(0, 1))).toSeq.sortBy(_._1).map {
+      case (uf, rs) =>
+        val dbf = Dbf.write(dbfCols, rs)
+        val dbc = Dbc.fromDbf(dbf)
+        val f = new File(base, s"RD${uf}2501.dbc")
+        val out = new FileOutputStream(f)
+        try out.write(dbc) finally out.close()
+        f
+    }
+
+    val zip = new ZipOutputStream(new FileOutputStream(new File(base, "archive.zip")))
+    try dbcFiles.foreach { f =>
+      val e = new ZipEntry(f.getName)
+      e.setTime(0L) // deterministic archive bytes
+      zip.putNextEntry(e)
+      zip.write(java.nio.file.Files.readAllBytes(f.toPath))
+      zip.closeEntry()
+    } finally zip.close()
+
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .collect()
+      .sortBy(_.getLong(0))
+    val nd = new StringBuilder()
+    nd ++= s"""{"tipo":"metadados","total_registros":${docs.length},"colunas":["doc_id","lang","source","n_chars"]}\n"""
+    docs.foreach { r =>
+      nd ++= s"""{"tipo":"registro","dados":{"doc_id":${r.getLong(0)},"lang":"${r.getString(1)}","source":"${r.getString(2)}","n_chars":${r.getLong(3)}}}\n"""
+    }
+    java.nio.file.Files.write(new File(base, "docs.ndjson").toPath,
+      nd.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+    base.getPath
+  }
+}
+
+object Etl {
+
+  /** S7+P7: scan .dbc files through the blast/DBF decoder, derive
+    * (tipo, uf, competencia) from file names, aggregate typed casts of the
+    * all-string records. */
+  def qDbcScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = EtlFixtures.ensure(s, dir)
+    val df = DatasusEtl.withFileMeta(DatasusEtl.readDbc(s, s"$base/RD*.dbc"))
+    df.groupBy($"tipo_arquivo", $"uf", $"competencia")
+      .agg(count(lit(1)).as("n"),
+           sum($"orderkey".cast("long")).as("sum_key"),
+           sum($"total".cast(DecimalType(18, 2))).as("total_price"))
+  }
+
+  val qDbcScanSql: String =
+    s"""SELECT 'RD' AS tipo_arquivo, ${EtlFixtures.ufCaseSql} AS uf,
+       | '2501' AS competencia, count(*) AS n,
+       | CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+       | sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+       |FROM orders GROUP BY 2""".stripMargin
+
+  /** S5+S7: explode a ZIP of .dbc members, decode each, count per member. */
+  def qZipDbc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = EtlFixtures.ensure(s, dir)
+    val members = DatasusEtl.zipExplode(s, s"$base/archive.zip")
+    DatasusEtl.decodeMembers(members, EtlFixtures.dbfCols)
+      .groupBy($"_path".as("arquivo"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val qZipDbcSql: String =
+    s"""SELECT 'RD' || ${EtlFixtures.ufCaseSql} || '2501.dbc' AS arquivo, count(*) AS n
+       |FROM orders GROUP BY 1""".stripMargin
+
+  /** A4+A5: the run-etl.ts:26-54 load report + _indice rollup — per-table
+    * totals, file count, mean records/file, and the per-file array
+    * (ESTRUTURA_DADOS_PROCESSADOS.md:37-72) — as one hash aggregate +
+    * collect_list, replacing the reference's O(T·N) nested loops. */
+  def qEtlReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = EtlFixtures.ensure(s, dir)
+    val perFile = DatasusEtl.withFileMeta(DatasusEtl.readDbc(s, s"$base/RD*.dbc"))
+      .groupBy($"tipo_arquivo", $"arquivo")
+      .agg(count(lit(1)).as("registros"))
+    perFile.groupBy($"tipo_arquivo".as("tabela"))
+      .agg(sum($"registros").as("total_registros"),
+           count(lit(1)).as("n_arquivos"),
+           (sum($"registros") / count(lit(1))).as("media_registros"),
+           sort_array(collect_list(struct($"arquivo", $"registros"))).as("arquivos"))
+  }
+
+  val qEtlReportSql: String =
+    s"""WITH per_file AS (
+       |  SELECT 'RD' || ${EtlFixtures.ufCaseSql} || '2501.dbc' AS arquivo,
+       |         count(*) AS registros
+       |  FROM orders GROUP BY 1)
+       |SELECT 'RD' AS tabela, CAST(sum(registros) AS BIGINT) AS total_registros,
+       |  count(*) AS n_arquivos,
+       |  sum(registros) / count(*) AS media_registros,
+       |  list(struct_pack(arquivo := arquivo, registros := registros) ORDER BY arquivo) AS arquivos
+       |FROM per_file""".stripMargin
+
+  /** S8: NDJSON envelope source — metadata first line + registro lines
+    * (NDJSON_IMPLEMENTADO.md:141-156) is Spark's native JSON-lines format;
+    * the envelope collapses to filter + nested select. */
+  def qNdjson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = EtlFixtures.ensure(s, dir)
+    s.read.json(s"$base/docs.ndjson")
+      .filter($"tipo" === "registro")
+      .select($"dados.*")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n"), sum($"n_chars").as("sum_chars"))
+  }
+
+  val qNdjsonSql: String =
+    """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dbc_scan"   -> (qDbcScan _),
+    "q_zip_dbc"    -> (qZipDbc _),
+    "q_etl_report" -> (qEtlReport _),
+    "q_ndjson"     -> (qNdjson _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_dbc_scan"   -> qDbcScanSql,
+    "q_zip_dbc"    -> qZipDbcSql,
+    "q_etl_report" -> qEtlReportSql,
+    "q_ndjson"     -> qNdjsonSql,
+  )
+}

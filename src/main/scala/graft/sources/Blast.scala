@@ -1,0 +1,205 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+
+/** PKWare DCL "implode" stream decompressor (the compression used by
+  * DATASUS `.dbc` bodies — reference behavior:
+  * /root/reference/OTIMIZACAO_API_PYTHON.md:196-204 ships files to a
+  * Python `dbc2dbf`; we decode in-engine instead).
+  *
+  * Scala implementation of the public-domain PKWare DCL format as
+  * documented by Mark Adler's blast (zlib contrib, public domain): fixed
+  * canonical Huffman tables, LSB-first bit stream with inverted code bits,
+  * literal/length-distance items, end-of-stream at length symbol 519.
+  *
+  * Stream layout:
+  *  - byte 0: literal mode (0 = raw 8-bit literals, 1 = Huffman-coded)
+  *  - byte 1: log2(dictionary size) - 6, valid 4..6 (1K/2K/4K window)
+  *  - then items, LSB-first bits:
+  *      0 bit  -> literal (raw or coded per mode)
+  *      1 bit  -> length/distance: coded length symbol (base+extra bits);
+  *                length 519 terminates; distance = coded high bits ++
+  *                raw low bits (2 low bits when length == 2, else dict log2),
+  *                copy `length` bytes from `distance+1` back.
+  */
+object Blast {
+
+  /** Huffman table in canonical compact form: each byte holds
+    * (repeat-1) << 4 | code-length; symbols are assigned in order. */
+  final class Huffman(rep: Array[Int], nsym: Int) {
+    val count = new Array[Int](16) // number of codes of each length
+    val symbol = new Array[Int](nsym) // canonically ordered symbols
+
+    {
+      val lengths = new Array[Int](nsym)
+      var sym = 0
+      rep.foreach { r =>
+        val len = r & 15
+        var n = (r >> 4) + 1
+        while (n > 0) { lengths(sym) = len; sym += 1; n -= 1 }
+      }
+      require(sym == nsym, s"table covers $sym of $nsym symbols")
+      lengths.foreach(l => count(l) += 1)
+      // offsets into symbol table per length, then place symbols
+      val offs = new Array[Int](16)
+      var l = 1
+      while (l < 15) { offs(l + 1) = offs(l) + count(l); l += 1 }
+      var s = 0
+      while (s < nsym) {
+        if (lengths(s) != 0) { symbol(offs(lengths(s))) = s; offs(lengths(s)) += 1 }
+        s += 1
+      }
+    }
+  }
+
+  // Canonical PKWare DCL tables (compact form per public blast spec).
+  private val litcode = new Huffman(Array(
+    11, 124, 8, 7, 28, 7, 188, 13, 76, 4, 10, 8, 12, 10, 12, 10, 8, 23, 8,
+    9, 7, 6, 7, 8, 7, 6, 55, 8, 23, 24, 12, 11, 7, 9, 11, 12, 6, 7, 22, 5,
+    7, 24, 6, 11, 9, 6, 7, 22, 7, 11, 38, 7, 9, 8, 25, 11, 8, 11, 9, 12,
+    8, 12, 5, 38, 5, 38, 5, 11, 7, 5, 6, 21, 6, 10, 53, 8, 7, 24, 10, 27,
+    44, 253, 253, 253, 252, 252, 252, 13, 12, 45, 12, 45, 12, 61, 12, 45,
+    44, 173), 256)
+  private val lencode = new Huffman(Array(2, 35, 36, 53, 38, 23), 16)
+  private val distcode = new Huffman(Array(2, 20, 53, 230, 247, 151, 248), 64)
+
+  private val lenBase = Array(3, 2, 4, 5, 6, 7, 8, 9, 10, 12, 16, 24, 40, 72, 136, 264)
+  private val lenExtra = Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8)
+
+  private final class BitReader(in: Array[Byte], var pos: Int) {
+    private var bitbuf = 0
+    private var bitcnt = 0
+
+    def bits(need: Int): Int = {
+      var v = bitbuf
+      while (bitcnt < need) {
+        if (pos >= in.length) throw new IllegalArgumentException("blast: input exhausted")
+        v |= (in(pos) & 0xFF) << bitcnt
+        pos += 1
+        bitcnt += 8
+      }
+      bitbuf = v >> need
+      bitcnt -= need
+      v & ((1 << need) - 1)
+    }
+
+    /** Canonical Huffman decode; PKWare stores code bits inverted. */
+    def decode(h: Huffman): Int = {
+      var code = 0; var first = 0; var index = 0
+      var len = 1
+      while (len <= 15) {
+        code |= bits(1) ^ 1
+        val cnt = h.count(len)
+        if (code - cnt < first) return h.symbol(index + (code - first))
+        index += cnt
+        first = (first + cnt) << 1
+        code <<= 1
+        len += 1
+      }
+      throw new IllegalArgumentException("blast: invalid code")
+    }
+  }
+
+  /** Decompress a DCL-imploded stream; `maxOut` guards runaway streams. */
+  def explode(in: Array[Byte], offset: Int = 0, maxOut: Int = 1 << 30): Array[Byte] = {
+    require(in.length - offset >= 2, "blast: truncated header")
+    val coded = in(offset) & 0xFF
+    val dictLog = in(offset + 1) & 0xFF
+    require(coded <= 1, s"blast: bad literal mode $coded")
+    require(dictLog >= 4 && dictLog <= 6, s"blast: bad dict size $dictLog")
+
+    val br = new BitReader(in, offset + 2)
+    // matches copy from earlier output, so the whole output doubles as the
+    // sliding window (dict is at most 4K back — always in range)
+    val buf = new scala.collection.mutable.ArrayBuffer[Byte](64 * 1024)
+
+    while (true) {
+      if (br.bits(1) == 1) { // length/distance pair
+        val sym = br.decode(lencode)
+        val len = lenBase(sym) + br.bits(lenExtra(sym))
+        if (len == 519) { // end marker
+          return buf.toArray
+        }
+        val nlow = if (len == 2) 2 else dictLog
+        val dist = (br.decode(distcode) << nlow) + br.bits(nlow) + 1
+        if (dist > buf.length)
+          throw new IllegalArgumentException(s"blast: distance $dist beyond output ${buf.length}")
+        var i = 0
+        val from = buf.length - dist
+        while (i < len) { buf += buf(from + i); i += 1 }
+      } else { // literal
+        val lit = if (coded == 1) br.decode(litcode) else br.bits(8)
+        buf += lit.toByte
+      }
+      if (buf.length > maxOut) throw new IllegalArgumentException("blast: output too large")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  // --- minimal imploder (test support) -------------------------------------
+
+  private final class BitWriter {
+    private val out = new ByteArrayOutputStream()
+    private var bitbuf = 0
+    private var bitcnt = 0
+    def put(v: Int, n: Int): Unit = {
+      bitbuf |= (v & ((1 << n) - 1)) << bitcnt
+      bitcnt += n
+      while (bitcnt >= 8) { out.write(bitbuf & 0xFF); bitbuf >>>= 8; bitcnt -= 8 }
+    }
+    def bytes(): Array[Byte] = {
+      if (bitcnt > 0) { out.write(bitbuf & 0xFF); bitbuf = 0; bitcnt = 0 }
+      out.toByteArray
+    }
+  }
+
+  /** Huffman encoder side of a compact table: symbol -> (codeBits, len),
+    * emitting inverted bits LSB-first like the format requires. */
+  private def encoderFor(h: Huffman, nsym: Int): Array[(Int, Int)] = {
+    val enc = new Array[(Int, Int)](nsym)
+    var code = 0
+    var index = 0
+    var len = 1
+    while (len <= 15) {
+      var i = 0
+      while (i < h.count(len)) {
+        enc(h.symbol(index + i)) = (code + i, len)
+        i += 1
+      }
+      index += h.count(len)
+      code = (code + h.count(len)) << 1
+      len += 1
+    }
+    enc
+  }
+
+  private lazy val lenEnc = encoderFor(lencode, 16)
+
+  private def putCode(bw: BitWriter, codeLen: (Int, Int)): Unit = {
+    val (code, len) = codeLen
+    // emit MSB-first, inverted — mirrors the decoder's bit-at-a-time walk
+    var i = len - 1
+    while (i >= 0) { bw.put(((code >> i) & 1) ^ 1, 1); i -= 1 }
+  }
+
+  /** Minimal valid imploder: raw-literal mode, no matches — every byte a
+    * literal, terminated by length symbol 15 + extra 255 (= 519). Used by
+    * tests and the synthetic .dbc fixture writer; real compression ratio
+    * is 9/8 (it exists to exercise the decode path, not to compress). */
+  def implodeStored(data: Array[Byte], dictLog: Int = 4): Array[Byte] = {
+    val bw = new BitWriter()
+    data.foreach { b =>
+      bw.put(0, 1) // literal flag
+      bw.put(b & 0xFF, 8)
+    }
+    bw.put(1, 1) // length/distance flag
+    putCode(bw, lenEnc(15)) // symbol 15: base 264
+    bw.put(255, 8) // extra 8 bits: 264 + 255 = 519 = end
+    val body = bw.bytes()
+    val out = new Array[Byte](2 + body.length)
+    out(0) = 0 // uncoded literals
+    out(1) = dictLog.toByte
+    System.arraycopy(body, 0, out, 2, body.length)
+    out
+  }
+}

@@ -1,0 +1,158 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.ISO_8859_1
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** dBASE III/IV (.dbf) reader + writer.
+  *
+  * Mirrors the reference converter's semantics (dbfread with
+  * encoding='latin1', /root/reference/OTIMIZACAO_API_PYTHON.md:197-204;
+  * all values stringified per DIAGNOSTICO_TAMANHO_JSON.md:246-251): every
+  * field is decoded latin1, trimmed, and surfaced as a nullable string —
+  * typed projection is a downstream `cast`, exactly like the reference's
+  * all-TEXT Postgres tables (ESTRUTURA_DADOS_PROCESSADOS.md:179-187).
+  *
+  * Layout (public dBASE spec): 32-byte header (record count at 4, header
+  * size at 8, record size at 10, all LE), then 32-byte field descriptors
+  * (name 11B NUL-padded, type 1B, length at 16, decimals at 17) until the
+  * 0x0D terminator; records are fixed-width, each prefixed by a deletion
+  * flag (0x20 live, 0x2A deleted).
+  */
+object Dbf {
+
+  final case class Field(name: String, ftype: Char, length: Int, decimals: Int)
+  final case class Header(nRecords: Int, headerSize: Int, recordSize: Int, fields: Seq[Field])
+
+  def parseHeader(bytes: Array[Byte]): Header = {
+    require(bytes.length >= 32, "dbf: truncated header")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val nRecords = bb.getInt(4)
+    val headerSize = bb.getShort(8) & 0xFFFF
+    val recordSize = bb.getShort(10) & 0xFFFF
+    val fields = Seq.newBuilder[Field]
+    var off = 32
+    while (off + 32 <= bytes.length && off < headerSize && (bytes(off) & 0xFF) != 0x0D) {
+      val nameEnd = {
+        var i = 0
+        while (i < 11 && bytes(off + i) != 0) i += 1
+        i
+      }
+      val name = new String(bytes, off, nameEnd, ISO_8859_1)
+      val ftype = (bytes(off + 11) & 0xFF).toChar
+      val len = bytes(off + 16) & 0xFF
+      val dec = bytes(off + 17) & 0xFF
+      fields += Field(name, ftype, len, dec)
+      off += 32
+    }
+    Header(nRecords, headerSize, recordSize, fields.result())
+  }
+
+  /** Iterate live records as trimmed latin1 strings (null for blank). */
+  def records(bytes: Array[Byte]): Iterator[Array[String]] = {
+    val h = parseHeader(bytes)
+    val widths = h.fields.map(_.length).toArray
+    new Iterator[Array[String]] {
+      private var off = h.headerSize
+      private var emitted = 0
+      private var nextRow: Array[String] = null
+
+      private def advance(): Unit = {
+        nextRow = null
+        while (nextRow == null && emitted < h.nRecords && off + h.recordSize <= bytes.length) {
+          val deleted = (bytes(off) & 0xFF) == 0x2A
+          if (!deleted) {
+            val row = new Array[String](widths.length)
+            var fo = off + 1
+            var i = 0
+            while (i < widths.length) {
+              val s = new String(bytes, fo, widths(i), ISO_8859_1).trim
+              row(i) = if (s.isEmpty) null else s
+              fo += widths(i)
+              i += 1
+            }
+            nextRow = row
+          }
+          off += h.recordSize
+          emitted += 1
+        }
+      }
+
+      advance()
+      def hasNext: Boolean = nextRow != null
+      def next(): Array[String] = { val r = nextRow; advance(); r }
+    }
+  }
+
+  /** Write rows as a minimal dBASE III file (type C fields, latin1).
+    * Test/fixture support — the engine's sink side is parquet/JDBC. */
+  def write(fieldNames: Seq[String], rows: Seq[Seq[String]]): Array[Byte] = {
+    val widths = fieldNames.zipWithIndex.map { case (_, i) =>
+      math.max(1, rows.iterator.map(r => Option(r(i)).fold(0)(_.getBytes(ISO_8859_1).length)).maxOption.getOrElse(1))
+    }
+    require(widths.forall(_ <= 254), "dbf: field too wide")
+    val headerSize = 32 + 32 * fieldNames.length + 1
+    val recordSize = 1 + widths.sum
+    val out = new ByteArrayOutputStream()
+    val head = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
+    head.put(0, 0x03.toByte) // dBASE III, no memo
+    head.put(1, 24.toByte); head.put(2, 1.toByte); head.put(3, 1.toByte) // YMD
+    head.putInt(4, rows.length)
+    head.putShort(8, headerSize.toShort)
+    head.putShort(10, recordSize.toShort)
+    out.write(head.array())
+    fieldNames.zip(widths).foreach { case (name, w) =>
+      val fd = new Array[Byte](32)
+      val nb = name.getBytes(ISO_8859_1)
+      require(nb.length <= 10, s"dbf: field name too long: $name")
+      System.arraycopy(nb, 0, fd, 0, nb.length)
+      fd(11) = 'C'.toByte
+      fd(16) = w.toByte
+      out.write(fd)
+    }
+    out.write(0x0D)
+    rows.foreach { r =>
+      out.write(0x20)
+      r.zip(widths).foreach { case (v, w) =>
+        val b = Option(v).getOrElse("").getBytes(ISO_8859_1)
+        out.write(b, 0, math.min(b.length, w))
+        var pad = w - math.min(b.length, w)
+        while (pad > 0) { out.write(0x20); pad -= 1 }
+      }
+    }
+    out.write(0x1A) // EOF
+    out.toByteArray
+  }
+}
+
+/** DATASUS .dbc = uncompressed DBF header + 4 unused bytes (CRC) + PKWare
+  * DCL-imploded DBF body (schema per the public dbc2dbf tools the reference
+  * converter wraps, /root/reference/FLUXO_DBC.md:93-95). */
+object Dbc {
+
+  /** Decode a .dbc byte array into the equivalent .dbf byte array. */
+  def toDbf(dbc: Array[Byte]): Array[Byte] = {
+    require(dbc.length >= 12, "dbc: truncated")
+    val headerSize = ((dbc(8) & 0xFF) | ((dbc(9) & 0xFF) << 8))
+    require(headerSize > 0 && headerSize + 4 <= dbc.length, s"dbc: bad header size $headerSize")
+    val body = Blast.explode(dbc, headerSize + 4)
+    val out = new Array[Byte](headerSize + body.length)
+    System.arraycopy(dbc, 0, out, 0, headerSize)
+    System.arraycopy(body, 0, out, headerSize, body.length)
+    out
+  }
+
+  /** Encode a .dbf byte array as .dbc (test/fixture support; uses the
+    * minimal stored-literal imploder). */
+  def fromDbf(dbf: Array[Byte]): Array[Byte] = {
+    val h = Dbf.parseHeader(dbf)
+    val body = new Array[Byte](dbf.length - h.headerSize)
+    System.arraycopy(dbf, h.headerSize, body, 0, body.length)
+    val imploded = Blast.implodeStored(body)
+    val out = new ByteArrayOutputStream()
+    out.write(dbf, 0, h.headerSize)
+    out.write(Array[Byte](0, 0, 0, 0)) // CRC slot (unchecked, like the tools)
+    out.write(imploded)
+    out.toByteArray
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Blast, Dbc, Dbf}
+
+/** Decoder-level tests for the DBF reader and PKWare DCL (blast) codec —
+  * SURVEY §5's property-test plan for the one hard custom piece (§7 risk 1).
+  * Property cases use a fixed-seed generator (no scalatestplus bridge in
+  * the offline cache). */
+class DbcSpec extends AnyFunSuite {
+
+  private def rng = new scala.util.Random(42)
+
+  test("blast round-trips arbitrary bytes through the stored-literal imploder") {
+    val r = rng
+    (0 until 50).foreach { _ =>
+      val data = Array.fill(r.nextInt(2000))(r.nextInt(256).toByte)
+      assert(Blast.explode(Blast.implodeStored(data)).sameElements(data))
+    }
+  }
+
+  private def canonical(rep: Array[Int], nsym: Int): Map[Int, (Int, Int)] = {
+    val lengths = new Array[Int](nsym)
+    var sym = 0
+    rep.foreach { rb =>
+      val len = rb & 15
+      (0 to (rb >> 4)).foreach { _ => lengths(sym) = len; sym += 1 }
+    }
+    val count = new Array[Int](16)
+    lengths.foreach(l => count(l) += 1)
+    val enc = scala.collection.mutable.Map[Int, (Int, Int)]()
+    var code = 0
+    (1 to 15).foreach { len =>
+      var i = 0
+      (0 until nsym).filter(lengths(_) == len).foreach { s =>
+        enc(s) = (code + i, len); i += 1
+      }
+      code = (code + count(len)) << 1
+    }
+    enc.toMap
+  }
+
+  test("blast decodes a hand-built length/distance stream (copy semantics)") {
+    // Raw-literal mode, dict log 4: emit "AB", then a match of length 4 at
+    // distance 2 -> "ABABAB". Length 4 = symbol 2 (base 4, no extra bits).
+    val bw = new java.io.ByteArrayOutputStream()
+    var bitbuf = 0
+    var bitcnt = 0
+    def put(v: Int, n: Int): Unit = {
+      bitbuf |= (v & ((1 << n) - 1)) << bitcnt; bitcnt += n
+      while (bitcnt >= 8) { bw.write(bitbuf & 0xFF); bitbuf >>>= 8; bitcnt -= 8 }
+    }
+    def putInvMsb(code: Int, len: Int): Unit =
+      (len - 1) to 0 by -1 foreach { i => put(((code >> i) & 1) ^ 1, 1) }
+    val lenCanon = canonical(Array(2, 35, 36, 53, 38, 23), 16)
+    val distCanon = canonical(Array(2, 20, 53, 230, 247, 151, 248), 64)
+    put(0, 1); put('A'.toInt, 8)
+    put(0, 1); put('B'.toInt, 8)
+    put(1, 1)
+    val (c2, l2) = lenCanon(2)
+    putInvMsb(c2, l2)
+    val (d0, dl0) = distCanon(0) // distance high bits = 0
+    putInvMsb(d0, dl0)
+    put(1, 4) // low 4 bits = 1 -> distance = 0*16 + 1 + 1 = 2
+    val (c15, l15) = lenCanon(15)
+    put(1, 1); putInvMsb(c15, l15); put(255, 8) // 264 + 255 = 519 = end
+    if (bitcnt > 0) bw.write(bitbuf & 0xFF)
+    val stream = Array[Byte](0, 4) ++ bw.toByteArray
+    assert(new String(Blast.explode(stream), "ISO-8859-1") == "ABABAB")
+  }
+
+  test("dbf write/read round-trip with nulls, padding, and latin1") {
+    val cols = Seq("NOME", "VALOR", "OBS")
+    val rows = Seq(
+      Seq("São Paulo", "0123", null),
+      Seq("X", null, "café com açúcar"),
+      Seq(null, "99", ""))
+    val got = Dbf.records(Dbf.write(cols, rows)).toSeq.map(_.toSeq)
+    // "" and null both decode to null (blank-trim semantics, P5)
+    assert(got == Seq(
+      Seq("São Paulo", "0123", null),
+      Seq("X", null, "café com açúcar"),
+      Seq(null, "99", null)))
+  }
+
+  test("dbf skips records flagged deleted") {
+    val bytes = Dbf.write(Seq("A"), Seq(Seq("1"), Seq("2"), Seq("3")))
+    val h = Dbf.parseHeader(bytes)
+    bytes(h.headerSize + h.recordSize) = 0x2A // delete record 2
+    assert(Dbf.records(bytes).map(_(0)).toSeq == Seq("1", "3"))
+  }
+
+  test("dbc wraps and unwraps a dbf byte-for-byte") {
+    val r = rng
+    (0 until 20).foreach { _ =>
+      val n = r.nextInt(40)
+      val rows = (0 until n).map(i => Seq(s"r$i", (i * 7).toString))
+      val dbf = Dbf.write(Seq("ID", "VAL"), rows)
+      assert(Dbc.toDbf(Dbc.fromDbf(dbf)).sameElements(dbf))
+    }
+  }
+
+  test("dbf round-trips arbitrary printable latin1 tables") {
+    val r = rng
+    (0 until 40).foreach { _ =>
+      val nCols = 1 + r.nextInt(5)
+      val nRows = r.nextInt(20)
+      val rows = (0 until nRows).map { _ =>
+        (0 until nCols).map { _ =>
+          if (r.nextInt(4) == 0) null
+          else new String(Array.fill(r.nextInt(6))((' ' + r.nextInt('þ' - ' ')).toChar))
+        }
+      }
+      val cols = (0 until nCols).map(i => s"C$i")
+      val got = Dbf.records(Dbf.write(cols, rows)).toSeq.map(_.toSeq)
+      val expect = rows.map(_.map(v => Option(v).map(_.trim).filter(_.nonEmpty).orNull))
+      assert(got == expect)
+    }
+  }
+}
