@@ -1,0 +1,264 @@
+// Lives under org.apache.spark.sql so the expressions can use the
+// private[sql] ExpectsInputTypes/AbstractDataType/ExpressionUtils surface —
+// the standard packaging for out-of-tree native Catalyst expressions.
+package org.apache.spark.sql.graft
+
+import java.security.MessageDigest
+
+import graft.functions.TextFunctions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the similarity/dedup hot paths.
+  *
+  * The first implementations used Catalyst higher-order functions
+  * (aggregate/zip_with/transform); correct, but HOF lambdas evaluate
+  * interpreted per element — sf0.1 bench showed 80-110 s per dedup query,
+  * almost all of it lambda-walking. These expressions do the same math in
+  * one compiled call per row (prompt preference order (b): native
+  * Expression > UDF): 10-100x on the hot path, identical results.
+  */
+object NativeExprs {
+
+  /** Cosine similarity of two double arrays: dot / sqrt(|a|² * |b|²),
+    * sequential accumulation — bit-identical to both the HOF formulation
+    * and DuckDB's list_cosine_similarity. Whole-stage-codegen'd: emits a
+    * fused loop straight into the generated Java. */
+  case class ArrayCosine(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "array_cosine"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = x.getDouble(i); val yv = y.getDouble(i)
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+        i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val xv = ctx.freshName("xv")
+        val yv = ctx.freshName("yv")
+        s"""
+          |int $n = Math.min($a.numElements(), $b.numElements());
+          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+          |for (int $i = 0; $i < $n; $i++) {
+          |  double $xv = $a.getDouble($i);
+          |  double $yv = $b.getDouble($i);
+          |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+          |}
+          |${ev.value} = $dot / Math.sqrt($na * $nb);
+        """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Distinct token n-gram shingles of a text column in one compiled pass:
+    * trim → split on whitespace runs → join n consecutive tokens with a
+    * single space → first-occurrence-distinct. Byte-level UTF-8 scan
+    * (ASCII whitespace only — matching Java/RE2 `\s`), zero intermediate
+    * arrays. Replaces the trim/split/filter/transform/array_distinct HOF
+    * chain that cost ~12 s per evaluation at sf0.1. */
+  case class TokenShingles(child: Expression, n: Int = 3)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "token_shingles"
+
+    private def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
+
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      // token boundaries
+      val starts = new scala.collection.mutable.ArrayBuffer[Int](64)
+      val ends = new scala.collection.mutable.ArrayBuffer[Int](64)
+      var i = 0
+      while (i < bytes.length) {
+        while (i < bytes.length && isWs(bytes(i))) i += 1
+        if (i < bytes.length) {
+          starts += i
+          while (i < bytes.length && !isWs(bytes(i))) i += 1
+          ends += i
+        }
+      }
+      val nTok = starts.length
+      if (nTok < n) return new GenericArrayData(Array.empty[Any])
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      var t = 0
+      while (t <= nTok - n) {
+        val len = (ends(t + n - 1) - starts(t))
+        val out = new Array[Byte](len)
+        // copy the raw span, then normalize any whitespace run to one ' '
+        var w = 0
+        var k = starts(t)
+        var lastWs = false
+        while (k < ends(t + n - 1)) {
+          val b = bytes(k)
+          if (isWs(b)) {
+            if (!lastWs) { out(w) = ' '; w += 1 }
+            lastWs = true
+          } else { out(w) = b; w += 1; lastWs = false }
+          k += 1
+        }
+        seen.add(UTF8String.fromBytes(java.util.Arrays.copyOf(out, w)))
+        t += 1
+      }
+      val arr = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { arr(j) = it.next(); j += 1 }
+      new GenericArrayData(arr)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** MinHash signature over a string array: nPerms minima of (a*h+b) mod P
+    * permutations of a 64-bit base hash folded into [0, P). One compiled
+    * pass per row (the HOF version walked 128 x |set| lambda evals). Base
+    * hash is engine-internal (candidates are exactly verified downstream). */
+  case class MinHashSig(child: Expression, nPerms: Int = 128)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "minhash_sig"
+
+    @transient private lazy val perms = TextFunctions.minhashPerms(nPerms).toArray
+    private val P = TextFunctions.MinhashP
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val sig = Array.fill(nPerms)(Long.MaxValue)
+      var j = 0
+      while (j < m) {
+        val s = arr.getUTF8String(j)
+        // splitmix-style avalanche of a 31+31 polynomial fold
+        var h = 1125899906842597L
+        val bytes = s.getBytes
+        var k = 0
+        while (k < bytes.length) { h = h * 31 + bytes(k); k += 1 }
+        h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+        val base = java.lang.Long.remainderUnsigned(h, P)
+        var p = 0
+        while (p < nPerms) {
+          val (a, b) = perms(p)
+          val v = (a * base + b) % P
+          if (v < sig(p)) sig(p) = v
+          p += 1
+        }
+        j += 1
+      }
+      new GenericArrayData(sig)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** 60-bit SimHash over a string array, using the shared md5-low-60-bit
+    * hash — bit-identical to the DuckDB oracle's SQL formulation (and to
+    * the original HOF expression), one compiled pass per row. */
+  case class SimHash60(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "simhash60"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val weights = new Array[Int](60)
+      val md = MessageDigest.getInstance("MD5")
+      var j = 0
+      while (j < m) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(j).getBytes)
+        // low 60 bits of the hex digest = low nibble of byte 8 ++ bytes 9..15
+        var h = (d(8) & 0x0FL)
+        var k = 9
+        while (k < 16) { h = (h << 8) | (d(k) & 0xFFL); k += 1 }
+        var i = 0
+        while (i < 60) {
+          weights(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
+          i += 1
+        }
+        j += 1
+      }
+      var sim = 0L
+      var i = 0
+      while (i < 60) {
+        if (weights(i) > 0) sim |= 1L << i
+        i += 1
+      }
+      sim
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Exact set-Jaccard of two string arrays (inputs assumed distinct), one
+    * hash-set pass per pair instead of array_intersect + two sizes. */
+  case class ArrayJaccard(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(StringType), ArrayType(StringType))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "array_jaccard"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val nx = x.numElements(); val ny = y.numElements()
+      val set = new java.util.HashSet[UTF8String](nx * 2)
+      var i = 0
+      while (i < nx) { set.add(x.getUTF8String(i)); i += 1 }
+      var inter = 0
+      i = 0
+      while (i < ny) { if (set.contains(y.getUTF8String(i))) inter += 1; i += 1 }
+      inter.toDouble / (nx + ny - inter)
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  // Column-level wrappers
+  def tokenShingles(text: Column, n: Int = 3): Column =
+    ExpressionUtils.column(TokenShingles(ExpressionUtils.expression(text), n))
+  def arrayCosine(a: Column, b: Column): Column =
+    ExpressionUtils.column(ArrayCosine(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def minhashSig(sh: Column, nPerms: Int = 128): Column =
+    ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(sh), nPerms))
+  def simhash60(sh: Column): Column =
+    ExpressionUtils.column(SimHash60(ExpressionUtils.expression(sh)))
+  def arrayJaccard(a: Column, b: Column): Column =
+    ExpressionUtils.column(ArrayJaccard(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.NativeExprs
 import org.apache.spark.sql.types.{ArrayType, StringType}
 
 /** Column-expression library for text dedup / analysis (SURVEY §7 north-star
@@ -25,7 +26,12 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(regexp_replace(trim(text), "\\s+", " "), " "), t => t =!= "")
 
-  /** Token 3-gram shingles ("w1 w2 w3"); empty array for docs under 3 tokens. */
+  /** Distinct token 3-gram shingle set of a text column — native
+    * single-pass expression; semantically array_distinct(shingles3(tokens)). */
+  def shingleSet(text: Column): Column = NativeExprs.tokenShingles(text, 3)
+
+  /** Token 3-gram shingles ("w1 w2 w3"); empty array for docs under 3 tokens.
+    * HOF formulation, kept as the executable spec for [[shingleSet]]. */
   def shingles3(toks: Column): Column =
     when(size(toks) >= 3,
       transform(sequence(lit(0), size(toks) - 3), i =>
@@ -44,10 +50,12 @@ object TextFunctions {
 
   /** 60-bit SimHash over a shingle-set column: bit i of the signature is the
     * sign of sum over shingles of (2*bit_i(hash60(shingle)) - 1).
-    * Pure higher-order-function implementation — one pass over the array per
-    * row, no explode/shuffle. At cluster scale the same expression runs
-    * map-side inside whole-stage projection. */
-  def simhash60(shingleSet: Column): Column = {
+    * Delegates to the native Catalyst expression (one compiled pass per
+    * row); [[simhash60Hof]] keeps the original higher-order-function
+    * formulation as an executable specification for cross-checking. */
+  def simhash60(shingleSet: Column): Column = NativeExprs.simhash60(shingleSet)
+
+  private[graft] def simhash60Hof(shingleSet: Column): Column = {
     val hashes = transform(shingleSet, s => hash60(s))
     val weights = aggregate(
       hashes,
@@ -79,17 +87,11 @@ object TextFunctions {
     }
   }
 
-  /** MinHash signature (array of n minima) over a shingle-set column.
-    * Base hash = xxhash64 (codegen'd) folded into [0, P); each permutation is
-    * (a*x+b) mod P. Signature entries are null-free only for non-empty sets —
-    * callers filter `size(sh) > 0` first. */
-  def minhashSig(shingleSet: Column, n: Int = 128): Column = {
-    val base = transform(shingleSet, s => pmod(xxhash64(s), lit(MinhashP)))
-    val mins = minhashPerms(n).map { case (a, b) =>
-      array_min(transform(base, x => pmod(x * a + b, lit(MinhashP))))
-    }
-    array(mins: _*)
-  }
+  /** MinHash signature (array of n minima) over a shingle-set column —
+    * native expression, one compiled pass per row. Callers filter
+    * `size(sh) > 0` first (empty sets yield degenerate signatures). */
+  def minhashSig(shingleSet: Column, n: Int = 128): Column =
+    NativeExprs.minhashSig(shingleSet, n)
 
   /** LSH band keys for a MinHash signature: `bands` hashes of `rowsPerBand`
     * consecutive signature entries, as array<struct<band:int, bkey:long>>.
@@ -113,20 +115,14 @@ object TextFunctions {
     }: _*)
   }
 
-  /** Exact set-Jaccard between two array columns (assumed distinct). */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b))
-    inter / (size(a) + size(b) - inter)
-  }
+  /** Exact set-Jaccard between two array columns (assumed distinct) —
+    * native single-pass hash-set expression. */
+  def jaccard(a: Column, b: Column): Column = NativeExprs.arrayJaccard(a, b)
 
   /** Cosine similarity between two double-array columns, computed as
-    * dot / sqrt(|a|^2 * |b|^2) — matches DuckDB's list_cosine_similarity. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
-    val na = aggregate(transform(a, x => x * x), lit(0.0), (s, v) => s + v)
-    val nb = aggregate(transform(b, x => x * x), lit(0.0), (s, v) => s + v)
-    dot / sqrt(na * nb)
-  }
+    * dot / sqrt(|a|^2 * |b|^2) — matches DuckDB's list_cosine_similarity.
+    * Native expression with whole-stage codegen (fused loop). */
+  def cosine(a: Column, b: Column): Column = NativeExprs.arrayCosine(a, b)
 
   /** Order-insensitive content fingerprint: md5 of the sorted distinct token
     * bag. Identical token-sets collide regardless of ordering/duplication. */

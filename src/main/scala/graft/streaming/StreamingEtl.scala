@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming equivalents of the reference's incremental
+  * semantics (SURVEY §2.7): monthly competência files arriving over time,
+  * consumed as micro-batches with catch-up (`Trigger.AvailableNow`),
+  * checkpointed state, and idempotent sinks — replacing the reference's
+  * Bull/Redis queues, hand retries, and duplicate-append behavior
+  * (/root/reference/src/datasus/datasus.module.ts:16-21,
+  * src/datasus/datasus.service.ts:33).
+  */
+object StreamingEtl {
+
+  /** File-source JSON stream with an explicit schema (schema inference is a
+    * batch-only convenience; streams must pin their contract). */
+  def jsonStream(spark: SparkSession, inputDir: String, schema: StructType,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foldLeft(r)((b, n) => b.option("maxFilesPerTrigger", n))
+      .json(inputDir)
+  }
+
+  /** Tumbling event-time windowed counts with a watermark bounding state:
+    * late rows beyond `lateness` are dropped, and window state is evicted
+    * once the watermark passes — constant memory on an unbounded stream
+    * (the property the reference got from NDJSON line-streaming,
+    * NDJSON_IMPLEMENTADO.md:190-196, here with event-time correctness). */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+                     lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Streaming exact dedup by key with watermark-bounded state — the
+    * idempotence the reference lacks (duplicate competência appends). */
+  def dedupStream(events: DataFrame, keys: Seq[String], lateness: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Native session windows (30-min gap): the streaming sessionization of
+    * queries.Events.qEvSession. Works identically in batch. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+        col("n_events"), col("total_value"))
+
+  /** Run a streaming DataFrame to completion over the currently-available
+    * input (catch-up semantics) into an in-memory table; returns when idle.
+    * Complete mode keeps the full result (test/inspection use). */
+  def runToMemory(df: DataFrame, queryName: String, checkpoint: String,
+                  outputMode: String = "complete"): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Idempotent lake sink: each micro-batch dynamically overwrites exactly
+    * the (partition-column) partitions it carries — re-running a month is
+    * an overwrite, not a duplicate append (fixes SURVEY §7 risk 4). */
+  def runToPartitionedParquet(df: DataFrame, outDir: String, checkpoint: String,
+                              partitionCols: Seq[String]): Unit = {
+    val q = df.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch.write
+          .mode("overwrite")
+          .partitionBy(partitionCols: _*)
+          .parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+}

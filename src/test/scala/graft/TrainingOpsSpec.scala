@@ -18,6 +18,28 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("native shingleSet equals the HOF array_distinct(shingles3(tokens)) spec") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(200)
+    val diff = docs.select(
+        shingleSet($"text").as("native"),
+        array_distinct(shingles3(tokens($"text"))).as("hof"))
+      .filter(not($"native" <=> $"hof"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("native simhash60 equals the HOF bit-walk spec") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(spark, sf).limit(200)
+      .select(shingleSet($"text").as("sh")).filter(size($"sh") > 0)
+    val diff = docs.select(simhash60($"sh").as("native"),
+        TextFunctions.simhash60Hof($"sh").as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(diff == 0)
+  }
+
   test("simhash of a doc against itself has hamming 0; near-dups bounded") {
     import spark.implicits._
     val df = Seq(
