@@ -9,6 +9,7 @@ object SparkEntry {
     (graft.queries.TextAnalysis.queries, graft.queries.TextAnalysis.oracles),
     (graft.queries.Events.queries, graft.queries.Events.oracles),
     (graft.queries.Etl.queries, graft.queries.Etl.oracles),
+    (graft.queries.Multimodal.queries, graft.queries.Multimodal.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
