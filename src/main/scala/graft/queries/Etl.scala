@@ -92,13 +92,15 @@ object EtlFixtures {
 
 object Etl {
 
-  /** S7+P7: scan .dbc files through the blast/DBF decoder, derive
-    * (tipo, uf, competencia) from file names, aggregate typed casts of the
-    * all-string records. */
+  /** S7+P7: scan .dbc files through the DSv2 "dbc" format (column pruning
+    * + _file metadata column), derive (tipo, uf, competencia) from file
+    * names, aggregate typed casts of the all-string records. */
   def qDbcScan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = EtlFixtures.ensure(s, dir)
-    val df = DatasusEtl.withFileMeta(DatasusEtl.readDbc(s, s"$base/RD*.dbc"))
+    val df = DatasusEtl.withFileMeta(
+      s.read.format("dbc").load(s"$base/RD*.dbc")
+        .select($"_file".as("_path"), $"orderkey", $"total"))
     df.groupBy($"tipo_arquivo", $"uf", $"competencia")
       .agg(count(lit(1)).as("n"),
            sum($"orderkey".cast("long")).as("sum_key"),
@@ -133,7 +135,8 @@ object Etl {
   def qEtlReport(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = EtlFixtures.ensure(s, dir)
-    val perFile = DatasusEtl.withFileMeta(DatasusEtl.readDbc(s, s"$base/RD*.dbc"))
+    val perFile = DatasusEtl.withFileMeta(
+        s.read.format("dbc").load(s"$base/RD*.dbc").select($"_file".as("_path")))
       .groupBy($"tipo_arquivo", $"arquivo")
       .agg(count(lit(1)).as("registros"))
     perFile.groupBy($"tipo_arquivo".as("tabela"))

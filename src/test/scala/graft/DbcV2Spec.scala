@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.EtlFixtures
+
+/** DSv2 "dbc" format: discovery by short name, schema from the
+  * uncompressed header, column pruning, and the _file metadata column. */
+class DbcV2Spec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val base = EtlFixtures.ensure(spark, sf)
+
+  test("format(\"dbc\") reads the same rows as the library reader") {
+    val v2 = spark.read.format("dbc").load(s"$base/RD*.dbc")
+    assert(v2.schema.fieldNames.toSeq == EtlFixtures.dbfCols)
+    assert(v2.schema.fields.forall(_.dataType.typeName == "string"))
+    val lib = graft.sources.DatasusEtl.readDbc(spark, s"$base/RD*.dbc")
+    assert(v2.count() == lib.count())
+    val a = v2.agg(sum(col("orderkey").cast("long"))).collect()(0).getLong(0)
+    val b = lib.agg(sum(col("orderkey").cast("long"))).collect()(0).getLong(0)
+    assert(a == b)
+  }
+
+  test("column pruning reaches the scan (ReadSchema analog)") {
+    val df = spark.read.format("dbc").load(s"$base/RD*.dbc").select("status")
+    val scans = df.queryExecution.executedPlan.collectLeaves()
+    assert(scans.exists(_.toString.contains("DbcScan[status]")),
+      s"pruned scan missing in:\n${df.queryExecution.executedPlan}")
+    assert(df.distinct().count() > 0)
+  }
+
+  test("_file metadata column supports P7 partition derivation") {
+    val df = spark.read.format("dbc").load(s"$base/RD*.dbc")
+      .select(col("_file"), col("orderkey"))
+      .withColumn("uf", regexp_extract(element_at(split(col("_file"), "/"), -1),
+        "^([A-Z]+?)([A-Z]{2})(\\d{4})\\.", 2))
+    val ufs = df.select("uf").distinct().collect().map(_.getString(0)).toSet
+    assert(ufs == EtlFixtures.ufOf.values.toSet)
+  }
+
+  test("one partition per file (executor-grain parallelism)") {
+    val df = spark.read.format("dbc").load(s"$base/RD*.dbc")
+    assert(df.rdd.getNumPartitions == 5)
+  }
+}
