@@ -174,17 +174,70 @@ object Etl {
     """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY lang""".stripMargin
 
+  /** P8: the competência (month) sequence as a relational query — calendar
+    * walk from a fixed anchor, newest first, zero-padded (the reference's
+    * getCompetence loop, datasus.service.ts:73-97). */
+  def qCompet(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.range(12).select(
+      $"id".cast("long").as("idx"),
+      date_format(add_months(lit("2025-06-01").cast("date"), -$"id"), "yyyy").as("ano"),
+      date_format(add_months(lit("2025-06-01").cast("date"), -$"id"), "MM").as("mes"))
+  }
+
+  val qCompetSql: String =
+    """SELECT i AS idx,
+      |  strftime(DATE '2025-06-01' - i * INTERVAL 1 MONTH, '%Y') AS ano,
+      |  strftime(DATE '2025-06-01' - i * INTERVAL 1 MONTH, '%m') AS mes
+      |FROM range(0, 12) r(i)""".stripMargin
+
+  /** P10+P3: polymorphic link-resolution normalization as pure column
+    * logic over the reference's observed response shapes
+    * (datasus.service.ts:186-206). */
+  def qLinkResolve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bodies = Seq(
+      (1L, """["https://x/a.zip"]"""),
+      (2L, """{"link": "https://x/b.zip"}"""),
+      (3L, """see https://x/c.zip for data"""),
+      (4L, """no link here"""),
+      (5L, """{"other": 1}"""),
+      (6L, """["ftp://not-http/d.zip"]""")).toDF("id", "body")
+    bodies.select($"id", graft.sources.DatasusCatalog.resolveLink($"body").as("url"))
+  }
+
+  val qLinkResolveSql: String =
+    """WITH bodies(id, body) AS (VALUES
+      |  (1::BIGINT, '["https://x/a.zip"]'),
+      |  (2::BIGINT, '{"link": "https://x/b.zip"}'),
+      |  (3::BIGINT, 'see https://x/c.zip for data'),
+      |  (4::BIGINT, 'no link here'),
+      |  (5::BIGINT, '{"other": 1}'),
+      |  (6::BIGINT, '["ftp://not-http/d.zip"]')),
+      |resolved AS (
+      |  SELECT id, coalesce(
+      |    CASE WHEN json_valid(body) THEN json_extract_string(body, '$[0]') END,
+      |    CASE WHEN json_valid(body) THEN json_extract_string(body, '$.link') END,
+      |    CASE WHEN regexp_extract(body, 'https?:[^"\s\]]+\.zip') <> ''
+      |         THEN regexp_extract(body, 'https?:[^"\s\]]+\.zip') END) AS url
+      |  FROM bodies)
+      |SELECT id, CASE WHEN url LIKE 'http%' THEN url END AS url FROM resolved""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_dbc_scan"   -> (qDbcScan _),
-    "q_zip_dbc"    -> (qZipDbc _),
-    "q_etl_report" -> (qEtlReport _),
-    "q_ndjson"     -> (qNdjson _),
+    "q_dbc_scan"     -> (qDbcScan _),
+    "q_zip_dbc"      -> (qZipDbc _),
+    "q_etl_report"   -> (qEtlReport _),
+    "q_ndjson"       -> (qNdjson _),
+    "q_compet"       -> (qCompet _),
+    "q_link_resolve" -> (qLinkResolve _),
   )
 
   def oracles: Map[String, String] = Map(
-    "q_dbc_scan"   -> qDbcScanSql,
-    "q_zip_dbc"    -> qZipDbcSql,
-    "q_etl_report" -> qEtlReportSql,
-    "q_ndjson"     -> qNdjsonSql,
+    "q_dbc_scan"     -> qDbcScanSql,
+    "q_zip_dbc"      -> qZipDbcSql,
+    "q_etl_report"   -> qEtlReportSql,
+    "q_ndjson"       -> qNdjsonSql,
+    "q_compet"       -> qCompetSql,
+    "q_link_resolve" -> qLinkResolveSql,
   )
 }

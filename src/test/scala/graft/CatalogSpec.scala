@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.DatasusCatalog
+import graft.sources.DatasusCatalog.{CatalogItem, CatalogQuery}
+import graft.sources.Sinks
+
+/** Driver-side connector logic (S1-S4 seams) and sink option plumbing. */
+class CatalogSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val q = CatalogQuery(
+    tipoArquivo = Seq("PA"), modalidade = Seq("1"), fonte = Seq("SIASUS"),
+    ano = Seq("2025"), mes = Seq("01", "02"), uf = Seq("PE"))
+
+  test("P9 form encoding: key[]=v pairs, multi-valued, ordered") {
+    assert(DatasusCatalog.encodeForm(q) ==
+      "tipo_arquivo[]=PA&modalidade[]=1&fonte[]=SIASUS&ano[]=2025&mes[]=01&mes[]=02&uf[]=PE")
+  }
+
+  test("P8 competences walk back across a year boundary, zero-padded, newest first") {
+    val c = DatasusCatalog.competences(2025, 2, 4)
+    assert(c == Seq(("2025", "02"), ("2025", "01"), ("2024", "12"), ("2024", "11")))
+    assert(DatasusCatalog.competences(2025, 6).length == 12)
+  }
+
+  test("S2 monthly fan-out issues one query per month and flattens null-safely") {
+    var seen = Vector.empty[(String, String)]
+    val items = DatasusCatalog.monthlyFanOut(q, 2025, 2, 3) { cq =>
+      seen :+= ((cq.ano.head, cq.mes.head))
+      if (cq.mes.head == "01") null // null page, reference-observed
+      else Seq(CatalogItem("SIASUS", "1", s"PA${cq.mes.head}", "l", "e"))
+    }
+    assert(seen == Vector(("2025", "02"), ("2025", "01"), ("2024", "12")))
+    assert(items.map(_.arquivo) == Seq("PA02", "PA12"))
+  }
+
+  test("P2 valid-item guard drops blank arquivo/endereco rows") {
+    val df = DatasusCatalog.toDF(spark, Seq(
+      CatalogItem("f", "1", "A.zip", "l", "addr"),
+      CatalogItem("f", "1", "  ", "l", "addr"),
+      CatalogItem("f", "1", "B.zip", "l", " ")))
+    assert(DatasusCatalog.validItems(df).count() == 1)
+  }
+
+  test("S10 jdbc options pin all-TEXT DDL and batching") {
+    val df = Tables.nation(spark, sf)
+    val opts = Sinks.jdbcOptions(df)
+    assert(opts("createTableColumnTypes") ==
+      df.schema.fieldNames.map(f => s"$f TEXT").mkString(", "))
+    assert(opts("createTableColumnTypes").endsWith("n_regionkey TEXT"))
+    assert(opts("batchsize") == "10000")
+  }
+
+  test("lake sink batch re-write of same partitions is idempotent") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_lake").toFile.getPath + "/lake"
+    val df = Tables.orders(spark, sf)
+      .withColumn("tipo_arquivo", lit("RD"))
+      .withColumn("uf", substring(col("o_orderpriority"), 1, 1))
+      .withColumn("competencia", lit("2501"))
+    Sinks.writeLake(df, out)
+    val n1 = spark.read.parquet(out).count()
+    Sinks.writeLake(df, out) // re-load same competência: overwrite, not append
+    assert(spark.read.parquet(out).count() == n1)
+  }
+}
