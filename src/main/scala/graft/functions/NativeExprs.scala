@@ -224,6 +224,71 @@ object NativeExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Winnowing document fingerprint (Schleimer, Wilkerson & Aiken, SIGMOD
+    * 2003): rolling hashes of token k-grams; in every window of w
+    * consecutive hashes keep the minimum (rightmost on ties) — a
+    * position-robust fingerprint subset with guaranteed coverage of any
+    * match of length >= w + k - 1 tokens. Returns the sorted distinct
+    * selected hashes. */
+  case class WinnowFingerprint(child: Expression, k: Int = 4, w: Int = 4)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "winnow_fingerprint"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n < k) return new GenericArrayData(Array.empty[Any])
+      // per-token hash, then k-gram rolling combination
+      val tok = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val bytes = arr.getUTF8String(i).getBytes
+        var h = 1125899906842597L
+        var j = 0
+        while (j < bytes.length) { h = h * 31 + bytes(j); j += 1 }
+        h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+        tok(i) = h
+        i += 1
+      }
+      val nGrams = n - k + 1
+      val gram = new Array[Long](nGrams)
+      i = 0
+      while (i < nGrams) {
+        var h = 0L
+        var j = 0
+        while (j < k) { h = h * 0x100000001B3L + tok(i + j); j += 1 }
+        gram(i) = h
+        i += 1
+      }
+      val selected = new java.util.TreeSet[java.lang.Long]()
+      if (nGrams <= w) {
+        var min = 0
+        i = 1
+        while (i < nGrams) { if (gram(i) <= gram(min)) min = i; i += 1 }
+        selected.add(gram(min))
+      } else {
+        var start = 0
+        while (start + w <= nGrams) {
+          var min = start
+          i = start + 1
+          while (i < start + w) { if (gram(i) <= gram(min)) min = i; i += 1 }
+          selected.add(gram(min))
+          start += 1
+        }
+      }
+      val out = new Array[Any](selected.size)
+      val it = selected.iterator()
+      i = 0
+      while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Exact set-Jaccard of two string arrays (inputs assumed distinct), one
     * hash-set pass per pair instead of array_intersect + two sizes. */
   case class ArrayJaccard(left: Expression, right: Expression)
@@ -261,4 +326,6 @@ object NativeExprs {
     ExpressionUtils.column(SimHash60(ExpressionUtils.expression(sh)))
   def arrayJaccard(a: Column, b: Column): Column =
     ExpressionUtils.column(ArrayJaccard(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def winnowFingerprint(toks: Column, k: Int = 4, w: Int = 4): Column =
+    ExpressionUtils.column(WinnowFingerprint(ExpressionUtils.expression(toks), k, w))
 }

@@ -137,13 +137,14 @@ object Etl {
     val base = EtlFixtures.ensure(s, dir)
     val perFile = DatasusEtl.withFileMeta(
         s.read.format("dbc").load(s"$base/RD*.dbc").select($"_file".as("_path")))
-      .groupBy($"tipo_arquivo", $"arquivo")
+      .groupBy($"tipo_arquivo", $"arquivo", $"competencia")
       .agg(count(lit(1)).as("registros"))
     perFile.groupBy($"tipo_arquivo".as("tabela"))
       .agg(sum($"registros").as("total_registros"),
            count(lit(1)).as("n_arquivos"),
            (sum($"registros") / count(lit(1))).as("media_registros"),
-           sort_array(collect_list(struct($"arquivo", $"registros"))).as("arquivos"))
+           sort_array(collect_list(struct($"arquivo", $"registros"))).as("arquivos"),
+           sort_array(collect_set($"competencia")).as("competencias_existentes"))
   }
 
   val qEtlReportSql: String =
@@ -154,7 +155,8 @@ object Etl {
        |SELECT 'RD' AS tabela, CAST(sum(registros) AS BIGINT) AS total_registros,
        |  count(*) AS n_arquivos,
        |  sum(registros) / count(*) AS media_registros,
-       |  list(struct_pack(arquivo := arquivo, registros := registros) ORDER BY arquivo) AS arquivos
+       |  list(struct_pack(arquivo := arquivo, registros := registros) ORDER BY arquivo) AS arquivos,
+       |  ['2501'] AS competencias_existentes
        |FROM per_file""".stripMargin
 
   /** S8: NDJSON envelope source — metadata first line + registro lines

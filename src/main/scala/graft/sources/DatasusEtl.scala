@@ -84,6 +84,16 @@ object DatasusEtl {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Schema-drift merge (SURVEY §7 risk 2): monthly DATASUS files drift
+    * between 87 and 92 columns (ESTRUTURA_DADOS_PROCESSADOS.md:44-59).
+    * Specified semantics: union by column NAME, absent columns null —
+    * exactly `unionByName(allowMissingColumns = true)` folded over the
+    * per-schema-group reads. */
+  def unionWithDrift(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "unionWithDrift: no inputs")
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** S5: explode ZIP archives (binaryFile rows) into (zip_path, member
     * name, bytes), keeping only `.dbc` members (P1 extension filter,
     * reference src/datasus/datasus.service.ts:398-401). Runs inside tasks;

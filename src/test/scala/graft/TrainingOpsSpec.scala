@@ -81,6 +81,30 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(nu >= nv && nv >= nvc && nvc >= nf)
   }
 
+  test("winnowing fingerprints: identity, edit-robustness, discrimination, drift merge") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.NativeExprs
+    val doc = (1 to 60).map(i => s"w${i % 37}").mkString(" ")
+    val edited = doc.replace("w5 ", "zz ") // single-token edit
+    val other = (1 to 60).map(i => s"q$i").mkString(" ")
+    val df = Seq(doc, doc, edited, other).toDF("t")
+      .select(NativeExprs.winnowFingerprint(tokens($"t")).as("fp"))
+    val fps = df.collect().map(_.getSeq[Long](0).toSet)
+    assert(fps(0) == fps(1)) // deterministic
+    val overlapEdit = (fps(0) & fps(2)).size.toDouble / fps(0).size
+    val overlapOther = (fps(0) & fps(3)).size.toDouble / fps(0).size
+    assert(overlapEdit > 0.5, s"edit overlap $overlapEdit") // local edit, most survive
+    assert(overlapOther == 0.0)
+
+    // schema drift union (SURVEY §7 risk 2)
+    val a = Seq(("1", "x")).toDF("c1", "c2")
+    val b = Seq(("2", "y")).toDF("c1", "c3")
+    val merged = graft.sources.DatasusEtl.unionWithDrift(Seq(a, b))
+    assert(merged.columns.toSeq == Seq("c1", "c2", "c3"))
+    assert(merged.count() == 2)
+    assert(merged.filter(col("c2").isNull).count() == 1)
+  }
+
   test("text stats quality is bounded [0,1] and ttr null only for empty docs") {
     val stats = SparkEntry.queries("q_text_stats")(spark, sf)
     assert(stats.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
