@@ -225,7 +225,37 @@ object Etl {
       |  FROM bodies)
       |SELECT id, CASE WHEN url LIKE 'http%' THEN url END AS url FROM resolved""".stripMargin
 
+  /** §2.6 DATASUS scalar surface in one query: zero-pad, month arithmetic,
+    * base64 round-trip, byte→MB formatting, and the regex-over-payload
+    * `total_registros` extraction the reference does on response bodies
+    * (STREAMING_JSON_IMPLEMENTADO.md:143-146). */
+  def qEtlScalar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .filter($"o_orderkey" % 1000 === 0)
+      .select(
+        $"o_orderkey",
+        lpad(month($"o_orderdate").cast("string"), 2, "0").as("mes_pad"),
+        date_format(add_months($"o_orderdate".cast("date"), -1), "yyyy-MM").as("prev_month"),
+        unbase64(base64($"o_orderpriority".cast("binary"))).cast("string").as("b64_roundtrip"),
+        round(($"o_totalprice" / 1048576.0).cast(DecimalType(18, 6)), 2).as("mb"),
+        regexp_extract(
+          concat(lit("{\"total_registros\": "), $"o_orderkey", lit("}")),
+          "\"total_registros\":\\s*(\\d+)", 1).cast("long").as("extracted"))
+  }
+
+  val qEtlScalarSql: String =
+    """SELECT o_orderkey,
+      |  lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0') AS mes_pad,
+      |  strftime(CAST(o_orderdate AS DATE) - INTERVAL 1 MONTH, '%Y-%m') AS prev_month,
+      |  CAST(from_base64(to_base64(o_orderpriority::BLOB)) AS VARCHAR) AS b64_roundtrip,
+      |  round(CAST(o_totalprice / 1048576.0 AS DECIMAL(18,6)), 2) AS mb,
+      |  CAST(regexp_extract('{"total_registros": ' || o_orderkey || '}',
+      |       '"total_registros":\s*(\d+)', 1) AS BIGINT) AS extracted
+      |FROM orders WHERE o_orderkey % 1000 = 0""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_etl_scalar"   -> (qEtlScalar _),
     "q_dbc_scan"     -> (qDbcScan _),
     "q_zip_dbc"      -> (qZipDbc _),
     "q_etl_report"   -> (qEtlReport _),
@@ -235,6 +265,7 @@ object Etl {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_etl_scalar"   -> qEtlScalarSql,
     "q_dbc_scan"     -> qDbcScanSql,
     "q_zip_dbc"      -> qZipDbcSql,
     "q_etl_report"   -> qEtlReportSql,

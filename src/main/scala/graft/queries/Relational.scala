@@ -387,7 +387,51 @@ object Relational {
       |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
       |GROUP BY o_orderstatus""".stripMargin
 
+  /** Explode/lateral: token frequency top-20 over documents (array ops +
+    * generate + top-k — the §2.2 table-valued surface as a query). */
+  def qExplode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(explode(graft.functions.TextFunctions.tokens($"text")).as("tok"))
+      .groupBy($"tok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"tok".asc)
+      .limit(20)
+  }
+
+  val qExplodeSql: String =
+    """WITH toks AS (
+      |  SELECT list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+      |  FROM documents)
+      |SELECT tok, count(*) AS n FROM toks, unnest(t) u(tok)
+      |GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 20""".stripMargin
+
+  /** Unpivot/melt: wide per-flag aggregates to long (measure, value) rows. */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(sum(dec2($"l_quantity")).as("qty"),
+           sum(dec2($"l_extendedprice")).as("price"),
+           sum(dec2($"l_discount")).as("disc"))
+      .unpivot(Array($"l_returnflag"), Array($"qty", $"price", $"disc"),
+        "measure", "value")
+  }
+
+  val qUnpivotSql: String =
+    """WITH w AS (
+      |  SELECT l_returnflag,
+      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS price,
+      |    sum(CAST(l_discount AS DECIMAL(18,2))) AS disc
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, 'qty' AS measure, qty AS value FROM w
+      |UNION ALL SELECT l_returnflag, 'price', price FROM w
+      |UNION ALL SELECT l_returnflag, 'disc', disc FROM w""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_explode"        -> (qExplode _),
+    "q_unpivot"        -> (qUnpivot _),
     "q1_agg"           -> (q1Agg _),
     "q6_filter_sum"    -> (q6FilterSum _),
     "q3_join_topk"     -> (q3Join _),
@@ -409,6 +453,8 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_explode"         -> qExplodeSql,
+    "q_unpivot"         -> qUnpivotSql,
     "q1_agg"            -> q1AggSql,
     "q6_filter_sum"     -> q6FilterSumSql,
     "q3_join_topk"      -> q3JoinSql,

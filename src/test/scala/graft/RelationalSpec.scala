@@ -5,7 +5,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 object SparkTestSession {
   lazy val spark: SparkSession = {
-    val s = GraftSession.builder("4").appName("graft-test").getOrCreate()
+    val s = GraftSession.builder("4").appName("graft-test")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }

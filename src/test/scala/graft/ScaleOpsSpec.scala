@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Skew
+
+/** Scale-path mechanics: salted skew joins, bucketed co-located joins,
+  * approximate distinct, decoder robustness. */
+class ScaleOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("salted join result equals the plain equi-join") {
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_orderpriority")
+    val lineitem = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"), col("l_linenumber"))
+    val plain = lineitem.join(orders, Seq("o_orderkey"))
+    val salted = Skew.saltedJoin(lineitem, orders, "o_orderkey", salt = 8,
+      probeSaltBy = Seq("o_orderkey", "l_linenumber"))
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      val d = new java.io.File(s"/tmp/graft_warehouse/$t")
+      if (d.exists()) org.apache.commons.io.FileUtils.deleteDirectory(d)
+    }
+    Tables.orders(spark, sf).write
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_b")
+    Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity")).write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("lineitem_b")
+    val joined = spark.table("lineitem_b")
+      .join(spark.table("orders_b").hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("q"))
+    val plan = joined.queryExecution.executedPlan.toString
+    val shufflesBeforeJoin = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // bucketed-on-key scan-merge-join: only the final groupBy may exchange
+    assert(shufflesBeforeJoin <= 1, s"unexpected shuffles:\n$plan")
+    assert(joined.count() == 5)
+  }
+
+  test("approx_count_distinct tracks exact distinct (3-sigma of default rsd)") {
+    val exact = Tables.lineitem(spark, sf)
+      .agg(countDistinct(col("l_orderkey"))).collect()(0).getLong(0)
+    val approx = Tables.lineitem(spark, sf)
+      .agg(approx_count_distinct(col("l_orderkey"))).collect()(0).getLong(0)
+    // default rsd = 5% is a standard deviation, not a bound — allow 3 sigma
+    assert(math.abs(approx - exact).toDouble / exact < 0.15)
+  }
+
+  test("decoders fail cleanly on corrupt input") {
+    import graft.sources.{Blast, Dbc, Dbf}
+    assertThrows[IllegalArgumentException](Dbc.toDbf(Array[Byte](1, 2, 3)))
+    assertThrows[IllegalArgumentException](Blast.explode(Array[Byte](9, 4, 0)))
+    assertThrows[IllegalArgumentException](Blast.explode(Array[Byte](0, 9, 0)))
+    val good = Dbf.write(Seq("A"), Seq(Seq("1")))
+    // truncated record section yields no rows rather than garbage
+    assert(Dbf.records(good.take(Dbf.parseHeader(good).headerSize)).isEmpty)
+  }
+}
