@@ -121,11 +121,45 @@ object Events {
       |  CAST(sum(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
       |FROM firsts""".stripMargin
 
+  /** As-of join: each purchase matched to the user's most recent prior (or
+    * simultaneous) view — graft.operators.AsOfJoin (union trick, one
+    * shuffle) vs DuckDB's native ASOF JOIN as the oracle. Output uses
+    * floored epoch seconds (engine-neutral timestamp precision). */
+  def qEvAsof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", dec2($"value").as("purchase_value"))
+    // unique per (user_id, ts): keep the highest event_id
+    val viewW = Window.partitionBy($"user_id", $"ts").orderBy($"view_id".desc)
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts", $"event_id".as("view_id"))
+      .withColumn("rn", row_number().over(viewW)).filter($"rn" === 1).drop("rn")
+    graft.operators.AsOfJoin.joinAsOf(
+        purchases, views, keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts", payload = Seq("view_id" -> "view_id"))
+      .select($"user_id", $"event_id", $"ts".cast("long").as("purchase_s"),
+        $"purchase_value", $"view_id")
+  }
+
+  val qEvAsofSql: String =
+    """WITH v AS (
+      |  SELECT user_id, ts, event_id AS view_id FROM events
+      |  WHERE event_type = 'view'
+      |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1),
+      |p AS (
+      |  SELECT user_id, ts, event_id, CAST(value AS DECIMAL(18,2)) AS purchase_value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.user_id, p.event_id, epoch_us(p.ts) // 1000000 AS purchase_s,
+      |  p.purchase_value, v.view_id
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ev_hourly"  -> (qEvHourly _),
     "q_ev_session" -> (qEvSession _),
     "q_ev_json"    -> (qEvJson _),
     "q_ev_funnel"  -> (qEvFunnel _),
+    "q_ev_asof"    -> (qEvAsof _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -133,5 +167,6 @@ object Events {
     "q_ev_session" -> qEvSessionSql,
     "q_ev_json"    -> qEvJsonSql,
     "q_ev_funnel"  -> qEvFunnelSql,
+    "q_ev_asof"    -> qEvAsofSql,
   )
 }

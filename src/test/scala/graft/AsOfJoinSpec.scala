@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsOfJoin
+
+/** As-of join edge semantics + SQL registration of native functions. */
+class AsOfJoinSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of picks latest right <= left; ties match; no-prior yields null") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "p1"),
+      (1L, ts("2024-01-01 12:00:00"), "p2"),
+      (1L, ts("2024-01-01 09:00:00"), "p0"), // before any right row
+      (2L, ts("2024-01-01 10:30:00"), "p3")
+    ).toDF("k", "t", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 100L),
+      (1L, ts("2024-01-01 10:00:00"), 200L), // tie with p1 -> matches
+      (1L, ts("2024-01-01 11:59:59"), 300L),
+      (2L, ts("2024-01-01 10:00:00"), 400L)
+    ).toDF("k", "t", "v")
+    val out = AsOfJoin.joinAsOf(left, right, Seq("k"), "t", "t", Seq("v" -> "v"))
+      .collect().map(r => (r.getAs[String]("name"), Option(r.getAs[java.lang.Long]("v")))).toMap
+    assert(out("p0").isEmpty)
+    assert(out("p1").contains(200L))
+    assert(out("p2").contains(300L))
+    assert(out("p3").contains(400L))
+  }
+
+  test("as-of join plan has exactly one shuffle (union trick, no range join)") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "x")).toDF("k", "t", "name")
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), 5L)).toDF("k", "t", "v")
+    val plan = AsOfJoin.joinAsOf(left, right, Seq("k"), "t", "t", Seq("v" -> "v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"range-join explosion:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected 1 shuffle, plan:\n$plan")
+  }
+
+  test("native functions callable from SQL after registration") {
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT array_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+        |  size(token_shingles('a b c d')) AS ns,
+        |  simhash60(token_shingles('a b c d')) AS sh,
+        |  array_jaccard(array('x', 'y'), array('y', 'z')) AS j
+        |""".stripMargin).collect()(0)
+    assert(r.getAs[Double]("c") == 1.0)
+    assert(r.getAs[Int]("ns") == 2)
+    assert(r.getAs[Long]("sh") != 0L)
+    assert(math.abs(r.getAs[Double]("j") - 1.0 / 3.0) < 1e-12)
+    // and the extensions class itself applies cleanly
+    new org.apache.spark.sql.graft.GraftExtensions()(
+      new org.apache.spark.sql.SparkSessionExtensions)
+  }
+}
