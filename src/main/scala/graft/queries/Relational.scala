@@ -429,7 +429,57 @@ object Relational {
       |UNION ALL SELECT l_returnflag, 'price', price FROM w
       |UNION ALL SELECT l_returnflag, 'disc', disc FROM w""".stripMargin
 
+  /** Pivot: status counts spread to columns per priority (groupBy.pivot
+    * with explicit values — plan-stable, no extra distinct pass). */
+  def qPivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+  }
+
+  val qPivotSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  /** Range join: purchases joined to the 1-hour activity window opened by
+    * each signup of the same user — implemented the scalable way: equi-join
+    * on a coarse time bucket (plus neighbor bucket) then exact filter,
+    * instead of a raw inequality join. */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"ts".as("s_ts"), $"event_id".as("signup_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"), $"event_id".as("purchase_id"))
+    // bucket = epoch hour; a [s, s+1h) window spans at most 2 buckets
+    val sb = signups.withColumn("bucket",
+      explode(array(($"s_ts".cast("long") / 3600L).cast("long"),
+        ($"s_ts".cast("long") / 3600L).cast("long") + 1)))
+    val pb = purchases.withColumn("bucket", ($"p_ts".cast("long") / 3600L).cast("long"))
+    pb.join(sb, Seq("user_id", "bucket"))
+      .filter($"p_ts" >= $"s_ts" && $"p_ts" < $"s_ts" + expr("INTERVAL 1 HOUR"))
+      .select($"user_id", $"signup_id", $"purchase_id",
+        ($"p_ts".cast("long") - $"s_ts".cast("long")).as("delay_s"))
+  }
+
+  val qRangeJoinSql: String =
+    """SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id,
+      |  epoch_us(p.ts) // 1000000 - epoch_us(s.ts) // 1000000 AS delay_s
+      |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+      |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON p.user_id = s.user_id AND p.ts >= s.ts
+      | AND p.ts < s.ts + INTERVAL 1 HOUR""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot"          -> (qPivot _),
+    "q_range_join"     -> (qRangeJoin _),
     "q_explode"        -> (qExplode _),
     "q_unpivot"        -> (qUnpivot _),
     "q1_agg"           -> (q1Agg _),
@@ -453,6 +503,8 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_pivot"           -> qPivotSql,
+    "q_range_join"      -> qRangeJoinSql,
     "q_explode"         -> qExplodeSql,
     "q_unpivot"         -> qUnpivotSql,
     "q1_agg"            -> q1AggSql,
