@@ -224,6 +224,46 @@ object NativeExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Random-hyperplane LSH band keys for cosine similarity (Charikar,
+    * STOC 2002): bit (i) = sign of v · h_i with h_i a fixed ±1 hyperplane
+    * (deterministic splitmix-derived), grouped into `bands` keys of
+    * `rowsPerBand` bits. Two vectors land in the same band bucket with
+    * probability (1 - θ/π)^rowsPerBand — candidates are exactly verified
+    * downstream, so the signature is engine-internal. */
+  case class CosineBandKeys(child: Expression, bands: Int = 32, rowsPerBand: Int = 4)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "cosine_band_keys"
+
+    private def planeSign(bit: Int, dim: Int): Double = {
+      var z = (bit.toLong << 32 | dim.toLong) + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      if ((z & 1L) == 0L) 1.0 else -1.0
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val n = v.numElements()
+      val nBits = bands * rowsPerBand
+      val keys = new Array[Long](bands)
+      var bit = 0
+      while (bit < nBits) {
+        var dot = 0.0
+        var j = 0
+        while (j < n) { dot += v.getDouble(j) * planeSign(bit, j); j += 1 }
+        if (dot > 0) keys(bit / rowsPerBand) |= 1L << (bit % rowsPerBand)
+        bit += 1
+      }
+      new GenericArrayData(keys)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Winnowing document fingerprint (Schleimer, Wilkerson & Aiken, SIGMOD
     * 2003): rolling hashes of token k-grams; in every window of w
     * consecutive hashes keep the minimum (rightmost on ties) — a
@@ -328,4 +368,6 @@ object NativeExprs {
     ExpressionUtils.column(ArrayJaccard(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def winnowFingerprint(toks: Column, k: Int = 4, w: Int = 4): Column =
     ExpressionUtils.column(WinnowFingerprint(ExpressionUtils.expression(toks), k, w))
+  def cosineBandKeys(v: Column, bands: Int = 32, rowsPerBand: Int = 4): Column =
+    ExpressionUtils.column(CosineBandKeys(ExpressionUtils.expression(v), bands, rowsPerBand))
 }
