@@ -21,8 +21,11 @@ object ConnectedComponents {
   def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val u = edges.columns(0)
     val v = edges.columns(1)
+    // materialize once: every iteration re-reads the edge list, and its
+    // upstream (e.g. a similarity-join pipeline) must not replay per pass
     val sym = edges.select(col(u).as("src"), col(v).as("dst"))
       .union(edges.select(col(v).as("src"), col(u).as("dst")))
+      .localCheckpoint(true)
 
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
