@@ -51,7 +51,19 @@ object Dbf {
   /** Iterate live records as trimmed latin1 strings (null for blank). */
   def records(bytes: Array[Byte]): Iterator[Array[String]] = {
     val h = parseHeader(bytes)
+    recordsPruned(bytes, h, h.fields.indices.toArray)
+  }
+
+  /** Pruned record iteration: materialize only `fieldIdx` (in that order).
+    * Wide DATASUS files are ~92 columns (DIAGNOSTICO_TAMANHO_JSON.md:99-103);
+    * a 3-column projection should decode 3 columns — this is the
+    * row-format half of the DSv2 column pruning contract. */
+  def recordsPruned(bytes: Array[Byte], h: Header, fieldIdx: Array[Int]): Iterator[Array[String]] = {
     val widths = h.fields.map(_.length).toArray
+    val offsets = new Array[Int](widths.length)
+    var acc = 1 // skip deletion flag
+    var fi = 0
+    while (fi < widths.length) { offsets(fi) = acc; acc += widths(fi); fi += 1 }
     new Iterator[Array[String]] {
       private var off = h.headerSize
       private var emitted = 0
@@ -62,13 +74,12 @@ object Dbf {
         while (nextRow == null && emitted < h.nRecords && off + h.recordSize <= bytes.length) {
           val deleted = (bytes(off) & 0xFF) == 0x2A
           if (!deleted) {
-            val row = new Array[String](widths.length)
-            var fo = off + 1
+            val row = new Array[String](fieldIdx.length)
             var i = 0
-            while (i < widths.length) {
-              val s = new String(bytes, fo, widths(i), ISO_8859_1).trim
+            while (i < fieldIdx.length) {
+              val f = fieldIdx(i)
+              val s = new String(bytes, off + offsets(f), widths(f), ISO_8859_1).trim
               row(i) = if (s.isEmpty) null else s
-              fo += widths(i)
               i += 1
             }
             nextRow = row

@@ -137,10 +137,15 @@ class DbcReaderFactory(allCols: Array[String], requiredCols: Array[String])
 class DbcPartitionReader(path: String, allCols: Array[String], requiredCols: Array[String])
     extends PartitionReader[InternalRow] {
 
-  // requested output position -> source field index (-1 = _file metadata)
-  private val srcIdx: Array[Int] = requiredCols.map {
-    case DbcTable.FileColumn => -1
-    case c => allCols.indexOf(c)
+  // requested output position -> (-1 = _file metadata) or position within
+  // the PRUNED record array — only required fields are ever decoded
+  private val dataCols = requiredCols.filter(_ != DbcTable.FileColumn)
+  private val outIdx: Array[Int] = {
+    var p = -1
+    requiredCols.map {
+      case DbcTable.FileColumn => -1
+      case _ => { p += 1; p }
+    }
   }
   private val pathUtf8 = UTF8String.fromString(path)
 
@@ -155,7 +160,8 @@ class DbcPartitionReader(path: String, allCols: Array[String], requiredCols: Arr
       buf
     } finally in.close()
     val dbf = if (path.toLowerCase.endsWith(".dbc")) Dbc.toDbf(bytes) else bytes
-    Dbf.records(dbf)
+    val header = Dbf.parseHeader(dbf)
+    Dbf.recordsPruned(dbf, header, dataCols.map(c => allCols.indexOf(c)))
   }
 
   private var current: Array[String] = _
@@ -165,10 +171,10 @@ class DbcPartitionReader(path: String, allCols: Array[String], requiredCols: Arr
   }
 
   override def get(): InternalRow = {
-    val vals = new Array[Any](srcIdx.length)
+    val vals = new Array[Any](outIdx.length)
     var i = 0
-    while (i < srcIdx.length) {
-      vals(i) = srcIdx(i) match {
+    while (i < outIdx.length) {
+      vals(i) = outIdx(i) match {
         case -1 => pathUtf8
         case j => if (current(j) == null) null else UTF8String.fromString(current(j))
       }

@@ -53,6 +53,30 @@ object StreamingEtl {
       .select(col("session_window.start").as("session_start"), col("user_id"),
         col("n_events"), col("total_value"))
 
+  /** Custom streaming state via mapGroupsWithState: per-user running
+    * (event count, value total), emitted each micro-batch in update mode.
+    * The arbitrary-state escape hatch for aggregations the built-in
+    * windowed operators can't express. */
+  final case class RunningTotal(n: Long, total: Double)
+
+  def runningUserTotals(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[RunningTotal, (Long, Long, Double)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          val prev = state.getOption.getOrElse(RunningTotal(0L, 0.0))
+          val next = rows.foldLeft(prev) { case (acc, (_, v)) =>
+            RunningTotal(acc.n + 1, acc.total + v)
+          }
+          state.update(next)
+          (user, next.n, next.total)
+      }
+      .toDF("user_id", "n_events", "total_value")
+  }
+
   /** Run a streaming DataFrame to completion over the currently-available
     * input (catch-up semantics) into an in-memory table; returns when idle.
     * Complete mode keeps the full result (test/inspection use). */

@@ -76,6 +76,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("mapGroupsWithState running totals converge to the batch aggregation") {
+    StreamingEtl.runToMemory(
+      StreamingEtl.runningUserTotals(streamDf()), "running", s"$tmp/cp_run",
+      outputMode = "update")
+    // update mode emits one row per user per micro-batch: keep the last
+    val finalRows = spark.table("running")
+      .groupBy(col("user_id")).agg(max(col("n_events")).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(finalRows == batch)
+  }
+
+  test("S4 fetch honors file:// and the byte cap") {
+    import graft.sources.HttpFetch
+    val f = java.nio.file.Files.createTempFile("graft_fetch", ".bin")
+    java.nio.file.Files.write(f, Array.fill(1024)(7.toByte))
+    val got = HttpFetch.fetchBytes(f.toUri.toString)
+    assert(got.length == 1024 && got.forall(_ == 7))
+    assertThrows[IllegalArgumentException](
+      HttpFetch.fetchBytes(f.toUri.toString,
+        HttpFetch.FetchLimits(maxBytes = 100)))
+    assertThrows[IllegalArgumentException](
+      HttpFetch.fetchBytes("ftp://nope/x.zip"))
+  }
+
   test("partitioned parquet sink is idempotent on re-run (dynamic overwrite)") {
     val out = s"$tmp/lake"
     val agg = StreamingEtl.windowedCounts(streamDf())
