@@ -477,7 +477,57 @@ object Relational {
       |  ON p.user_id = s.user_id AND p.ts >= s.ts
       | AND p.ts < s.ts + INTERVAL 1 HOUR""".stripMargin
 
+  /** Window-function breadth: lead/lag/ntile/first/last/rank over the
+    * per-customer order timeline. */
+  def qWindowFns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey",
+        lag($"o_orderkey", 1).over(w).as("prev_order"),
+        lead($"o_orderkey", 1).over(w).as("next_order"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        first($"o_orderkey").over(wf).as("first_order"),
+        last($"o_orderkey").over(wf).as("last_order"),
+        rank().over(w).cast("long").as("rnk"))
+  }
+
+  val qWindowFnsSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  lag(o_orderkey, 1) OVER w AS prev_order,
+      |  lead(o_orderkey, 1) OVER w AS next_order,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  first_value(o_orderkey) OVER wf AS first_order,
+      |  last_value(o_orderkey) OVER wf AS last_order,
+      |  CAST(rank() OVER w AS BIGINT) AS rnk
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+      |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
+
+  /** Explicit GROUPING SETS (beyond rollup/cube) + grouping() marker. */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority"), Seq.empty),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+           grouping($"o_orderstatus").cast("long").as("g_status"),
+           grouping($"o_orderpriority").cast("long").as("g_prio"))
+  }
+
+  val qGroupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_fns"     -> (qWindowFns _),
+    "q_grouping_sets"  -> (qGroupingSets _),
     "q_pivot"          -> (qPivot _),
     "q_range_join"     -> (qRangeJoin _),
     "q_explode"        -> (qExplode _),
@@ -503,6 +553,8 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_window_fns"      -> qWindowFnsSql,
+    "q_grouping_sets"   -> qGroupingSetsSql,
     "q_pivot"           -> qPivotSql,
     "q_range_join"      -> qRangeJoinSql,
     "q_explode"         -> qExplodeSql,

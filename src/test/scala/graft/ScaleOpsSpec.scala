@@ -53,6 +53,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.15)
   }
 
+  test("partition pruning: competencia filter prunes the lake scan") {
+    import graft.sources.Sinks
+    val out = java.nio.file.Files.createTempDirectory("graft_prune").toFile.getPath + "/lake"
+    val df = Tables.orders(spark, sf)
+      .withColumn("tipo_arquivo", lit("RD"))
+      .withColumn("uf", substring(col("o_orderpriority"), 1, 1))
+      .withColumn("competencia",
+        concat(lit("25"), lpad(month(col("o_orderdate")).cast("string"), 2, "0")))
+    Sinks.writeLake(df, out)
+    val pruned = spark.read.parquet(out).filter(col("competencia") === "2503")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("competencia") && !plan.contains("PushedFilters: [IsNotNull(competencia)"),
+      s"partition filter not pruned:\n$plan")
+    val expect = df.filter(col("competencia") === "2503").count()
+    assert(pruned.count() == expect && expect > 0)
+  }
+
   test("decoders fail cleanly on corrupt input") {
     import graft.sources.{Blast, Dbc, Dbf}
     assertThrows[IllegalArgumentException](Dbc.toDbf(Array[Byte](1, 2, 3)))
