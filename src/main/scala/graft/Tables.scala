@@ -30,6 +30,8 @@ object Tables {
     * timestamp (floor) here so downstream ops see a real TIMESTAMP. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
+    // runtime conf, so sessions built without GraftSession still read nanos
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = apply(s, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -99,19 +99,21 @@ class DbcTable(schema: StructType, files: Seq[String])
     })
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DbcScanBuilder(schema, files)
+    new DbcScanBuilder(schema, files,
+      permissive = "permissive".equalsIgnoreCase(options.getOrDefault("mode", "strict")))
 }
 
-class DbcScanBuilder(fullSchema: StructType, files: Seq[String])
+class DbcScanBuilder(fullSchema: StructType, files: Seq[String], permissive: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = new DbcScan(fullSchema, required, files)
+  override def build(): Scan = new DbcScan(fullSchema, required, files, permissive)
 }
 
-class DbcScan(fullSchema: StructType, required: StructType, files: Seq[String])
+class DbcScan(fullSchema: StructType, required: StructType, files: Seq[String],
+              permissive: Boolean)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -122,19 +124,25 @@ class DbcScan(fullSchema: StructType, required: StructType, files: Seq[String])
     files.map(f => DbcInputPartition(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DbcReaderFactory(fullSchema.fieldNames, required.fieldNames)
+    new DbcReaderFactory(fullSchema.fieldNames, required.fieldNames, permissive)
 }
 
 case class DbcInputPartition(path: String) extends InputPartition
 
-class DbcReaderFactory(allCols: Array[String], requiredCols: Array[String])
+class DbcReaderFactory(allCols: Array[String], requiredCols: Array[String],
+                       permissive: Boolean)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new DbcPartitionReader(partition.asInstanceOf[DbcInputPartition].path, allCols, requiredCols)
+    new DbcPartitionReader(partition.asInstanceOf[DbcInputPartition].path,
+      allCols, requiredCols, permissive)
 }
 
-/** Reads one .dbc/.dbf file; materializes only the required fields. */
-class DbcPartitionReader(path: String, allCols: Array[String], requiredCols: Array[String])
+/** Reads one .dbc/.dbf file; materializes only the required fields.
+  * `permissive = true` (option mode=permissive) skips undecodable files
+  * with a warning instead of failing the task — the operational posture
+  * for multi-decade public archives with occasional corrupt members. */
+class DbcPartitionReader(path: String, allCols: Array[String], requiredCols: Array[String],
+                         permissive: Boolean)
     extends PartitionReader[InternalRow] {
 
   // requested output position -> (-1 = _file metadata) or position within
@@ -149,20 +157,26 @@ class DbcPartitionReader(path: String, allCols: Array[String], requiredCols: Arr
   }
   private val pathUtf8 = UTF8String.fromString(path)
 
-  private lazy val rows: Iterator[Array[String]] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
-    val len = fs.getFileStatus(p).getLen.toInt
-    val in = fs.open(p)
-    val bytes = try {
-      val buf = new Array[Byte](len)
-      in.readFully(0, buf)
-      buf
-    } finally in.close()
-    val dbf = if (path.toLowerCase.endsWith(".dbc")) Dbc.toDbf(bytes) else bytes
-    val header = Dbf.parseHeader(dbf)
-    Dbf.recordsPruned(dbf, header, dataCols.map(c => allCols.indexOf(c)))
-  }
+  private lazy val rows: Iterator[Array[String]] =
+    try {
+      val p = new Path(path)
+      val fs = p.getFileSystem(new Configuration())
+      val len = fs.getFileStatus(p).getLen.toInt
+      val in = fs.open(p)
+      val bytes = try {
+        val buf = new Array[Byte](len)
+        in.readFully(0, buf)
+        buf
+      } finally in.close()
+      val dbf = if (path.toLowerCase.endsWith(".dbc")) Dbc.toDbf(bytes) else bytes
+      val header = Dbf.parseHeader(dbf)
+      Dbf.recordsPruned(dbf, header, dataCols.map(c => allCols.indexOf(c)))
+    } catch {
+      case e: Exception if permissive =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"dbc permissive mode: skipping undecodable file $path: ${e.getMessage}")
+        Iterator.empty
+    }
 
   private var current: Array[String] = _
 

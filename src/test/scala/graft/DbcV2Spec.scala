@@ -40,6 +40,20 @@ class DbcV2Spec extends AnyFunSuite {
     assert(ufs == EtlFixtures.ufOf.values.toSet)
   }
 
+  test("permissive mode skips a corrupt file; strict mode fails") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_perm").toFile
+    val good = graft.sources.Dbc.fromDbf(
+      graft.sources.Dbf.write(Seq("A", "B"), Seq(Seq("1", "x"), Seq("2", "y"))))
+    java.nio.file.Files.write(new java.io.File(dir, "OKPE2501.dbc").toPath, good)
+    val corrupt = good.take(good.length - 8) // truncated compressed body
+    java.nio.file.Files.write(new java.io.File(dir, "BADPE2501.dbc").toPath, corrupt)
+    val strict = spark.read.format("dbc").load(s"$dir/*.dbc")
+    assertThrows[org.apache.spark.SparkException](strict.count())
+    val permissive = spark.read.format("dbc").option("mode", "permissive")
+      .load(s"$dir/*.dbc")
+    assert(permissive.count() == 2)
+  }
+
   test("one partition per file (executor-grain parallelism)") {
     val df = spark.read.format("dbc").load(s"$base/RD*.dbc")
     assert(df.rdd.getNumPartitions == 5)
