@@ -80,6 +80,12 @@ class DbcDataSource extends TableProvider with DataSourceRegister {
   }
 }
 
+/** Alias provider so `format("dbf")` also resolves (same reader — the
+  * path extension decides whether a blast decompression runs). */
+class DbfDataSource extends DbcDataSource {
+  override def shortName(): String = "dbf"
+}
+
 object DbcTable {
   val FileColumn = "_file"
 }
