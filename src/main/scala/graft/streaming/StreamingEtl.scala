@@ -92,6 +92,23 @@ object StreamingEtl {
     q.awaitTermination()
   }
 
+  /** Progress reporting (SURVEY §2.7): the reference logs a counter every
+    * 50k records (NDJSON_IMPLEMENTADO.md:112-116); the engine equivalent
+    * is a StreamingQueryListener accumulating per-batch row counts.
+    * Attach/detach around a run; `totalRows` is the running input total. */
+  final class ProgressRecorder extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    private val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+    private val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    def totalRows: Long = rows.get()
+    def numBatches: Long = batches.get()
+    override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+      rows.addAndGet(e.progress.numInputRows)
+      batches.incrementAndGet()
+    }
+    override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  }
+
   /** Idempotent lake sink: each micro-batch dynamically overwrites exactly
     * the (partition-column) partitions it carries — re-running a month is
     * an overwrite, not a duplicate append (fixes SURVEY §7 risk 4). */

@@ -90,6 +90,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalRows == batch)
   }
 
+  test("progress listener accumulates input rows across micro-batches") {
+    val rec = new StreamingEtl.ProgressRecorder
+    spark.streams.addListener(rec)
+    try {
+      StreamingEtl.runToMemory(
+        StreamingEtl.windowedCounts(streamDf()), "wc_prog", s"$tmp/cp_prog")
+      // listener delivery is async: poll until the events settle
+      val expected = Tables.events(spark, sf).count()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (rec.totalRows < expected && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      // AvailableNow + maxFilesPerTrigger=1 -> at least one batch per file
+      assert(rec.numBatches >= 3)
+      assert(rec.totalRows == expected)
+    } finally spark.streams.removeListener(rec)
+  }
+
+  test("stratified sampling by key approximates requested fractions") {
+    val ev = Tables.events(spark, sf)
+    val fractions = Map("view" -> 0.5, "click" -> 0.1, "purchase" -> 1.0)
+    val sampled = ev.stat.sampleBy("event_type", fractions, seed = 42L)
+    val got = sampled.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    fractions.foreach { case (k, f) =>
+      val ratio = got.getOrElse(k, 0L).toDouble / base(k)
+      assert(math.abs(ratio - f) < 0.15, s"$k: got $ratio want $f")
+    }
+    assert(!got.contains("error") && !got.contains("signup"))
+    // deterministic under a fixed seed
+    assert(ev.stat.sampleBy("event_type", fractions, 42L).count() == sampled.count())
+  }
+
   test("S4 fetch honors file:// and the byte cap") {
     import graft.sources.HttpFetch
     val f = java.nio.file.Files.createTempFile("graft_fetch", ".bin")
