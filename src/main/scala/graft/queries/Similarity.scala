@@ -113,6 +113,34 @@ object Similarity {
        |SELECT q_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
        |FROM scored WHERE rank <= $TopK""".stripMargin
 
+  /** LSH-bucketed ANN top-k (library path, spec-validated): queries probe
+    * their hyperplane band buckets, candidates re-rank exactly. Recall
+    * depends on band geometry rather than centroid quality — the right
+    * trade when the corpus has no cluster structure. Not oracle-gated
+    * (the signature is not SQL-expressible); TrainingOpsSpec measures
+    * recall against qAnnBrute. */
+  def annLshTopK(s: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    import s.implicits._
+    val v = vectors(s, dir)
+    val banded = v.select($"vec_id",
+        posexplode(org.apache.spark.sql.graft.NativeExprs
+          .cosineBandKeys($"v", bands = 128, rowsPerBand = 8)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val qb = banded.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"band", $"bkey")
+    val cand = qb.join(banded, Seq("band", "bkey"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"))
+      .distinct()
+    val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
+    cand
+      .join(broadcast(v.select($"vec_id".as("q_id"), $"v".as("qv"))), "q_id")
+      .join(v.select($"vec_id".as("neighbor_id"), $"v"), "neighbor_id")
+      .select($"q_id", $"neighbor_id", cosine($"qv", $"v").as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_brute" -> (qAnnBrute _),
     "q_ann_ivf"   -> (qAnnIvf _),

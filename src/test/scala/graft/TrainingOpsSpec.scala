@@ -61,6 +61,15 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
 
+  test("LSH ANN achieves reasonable recall vs brute force") {
+    val brute = SparkEntry.queries("q_ann_brute")(spark, sf)
+      .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.queries.Similarity.annLshTopK(spark, sf)
+      .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.3, s"LSH ANN recall $recall") // random vectors: hard mode
+  }
+
   test("IVF ANN achieves high recall vs brute force") {
     val brute = SparkEntry.queries("q_ann_brute")(spark, sf)
       .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
