@@ -20,10 +20,13 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** @param payload right-side columns to attach, as (srcCol, outputName);
-    *                right rows must be unique per (keys, rightTs). */
+    *                right rows must be unique per (keys, rightTs).
+    * @param toleranceSeconds if set, matches older than this are nulled
+    *                (pandas merge_asof `tolerance` semantics). */
   def joinAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
-               payload: Seq[(String, String)]): DataFrame = {
+               payload: Seq[(String, String)],
+               toleranceSeconds: Option[Long] = None): DataFrame = {
     val keyCols = keys.map(col)
     val carryCols = left.columns.filterNot(c => keys.contains(c) || c == leftTs).toSeq
 
@@ -43,12 +46,24 @@ object AsOfJoin {
       .orderBy(col("_ts").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = payload.foldLeft(taggedRight.unionByName(taggedLeft)) {
+    val carried0 = payload.foldLeft(taggedRight.unionByName(taggedLeft)) {
       case (df, (_, dst)) =>
         df.withColumn(s"_c_$dst", last(col(s"_p_$dst"), ignoreNulls = true).over(w))
     }
+    // matched right timestamp rides along for tolerance filtering
+    val carried = carried0.withColumn("_c_match_ts",
+      last(when(col("_side") === 0, col("_ts")), ignoreNulls = true).over(w))
 
-    carried.filter(col("_side") === 1)
+    val withTol = toleranceSeconds match {
+      case None => carried
+      case Some(tol) =>
+        val stale = col("_ts").cast("long") - col("_c_match_ts").cast("long") > tol
+        payload.foldLeft(carried) { case (df, (_, dst)) =>
+          df.withColumn(s"_c_$dst", when(stale, lit(null)).otherwise(col(s"_c_$dst")))
+        }
+    }
+
+    withTol.filter(col("_side") === 1)
       .select(keyCols ++ Seq(col("_ts").as(leftTs)) ++ carryCols.map(col) ++
         payload.map { case (_, dst) => col(s"_c_$dst").as(dst) }: _*)
   }

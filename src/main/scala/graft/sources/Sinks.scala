@@ -34,6 +34,23 @@ object Sinks {
       .jdbc(url, table, props)
   }
 
+  /** S11 escape hatch: per-partition push to an external receiver (the
+    * reference POSTs multipart bodies to its converter,
+    * datasus.service.ts:307-388; in-engine decode makes that obsolete,
+    * but systems still need "ship each partition's payload somewhere").
+    * `send` runs on executors — it must be serializable and idempotent
+    * (task retries re-send). */
+  def foreachPartitionPost(df: DataFrame)(send: Iterator[Array[Byte]] => Unit): Unit = {
+    val bin = df.schema.fields match {
+      case Array(f) if f.dataType == org.apache.spark.sql.types.BinaryType => df
+      case _ => df.toJSON.select(org.apache.spark.sql.functions.col("value")
+          .cast(org.apache.spark.sql.types.BinaryType))
+    }
+    bin.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      send(rows.map(_.getAs[Array[Byte]](0)))
+    }
+  }
+
   /** Partitioned parquet lake with idempotent re-loads: dynamic partition
     * overwrite replaces exactly the (tipo, uf, competencia) partitions in
     * `df`, fixing the reference's duplicate-append gap

@@ -34,6 +34,18 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out("p3").contains(400L))
   }
 
+  test("as-of tolerance nulls matches older than the bound") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "fresh"),
+                   (1L, ts("2024-01-01 12:00:00"), "stale")).toDF("k", "t", "name")
+    val right = Seq((1L, ts("2024-01-01 09:59:00"), 7L)).toDF("k", "t", "v")
+    val out = AsOfJoin.joinAsOf(left, right, Seq("k"), "t", "t",
+        Seq("v" -> "v"), toleranceSeconds = Some(300))
+      .collect().map(r => r.getAs[String]("name") -> Option(r.getAs[java.lang.Long]("v"))).toMap
+    assert(out("fresh").contains(7L)) // 60s old
+    assert(out("stale").isEmpty)      // 2h old > 5min tolerance
+  }
+
   test("as-of join plan has exactly one shuffle (union trick, no range join)") {
     import spark.implicits._
     val left = Seq((1L, ts("2024-01-01 10:00:00"), "x")).toDF("k", "t", "name")

@@ -6,6 +6,11 @@ import graft.sources.DatasusCatalog
 import graft.sources.DatasusCatalog.{CatalogItem, CatalogQuery}
 import graft.sources.Sinks
 
+object CatalogSpec {
+  // executor-visible collector (local[n] shares the JVM)
+  val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
 /** Driver-side connector logic (S1-S4 seams) and sink option plumbing. */
 class CatalogSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -51,6 +56,44 @@ class CatalogSpec extends AnyFunSuite {
       df.schema.fieldNames.map(f => s"$f TEXT").mkString(", "))
     assert(opts("createTableColumnTypes").endsWith("n_regionkey TEXT"))
     assert(opts("batchsize") == "10000")
+  }
+
+  test("minhash aggregator merge == signature of the union (sketch algebra)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{MinHashAggregator, TextFunctions}
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(100)
+      .select(col("source"), TextFunctions.shingleSet(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val agg = new MinHashAggregator().toColumn
+    val merged = docs
+      .select(col("source"), TextFunctions.minhashSig(col("sh")).as("sig"))
+      .as[(String, Seq[Long])]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(agg.name("gsig"))
+      .collect().toMap
+    // direct signature of each group's unioned shingle set
+    val direct = docs.groupBy(col("source"))
+      .agg(flatten(collect_list(col("sh"))).as("all"))
+      .select(col("source"), TextFunctions.minhashSig(array_distinct(col("all"))).as("gsig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(merged.keySet == direct.keySet)
+    merged.foreach { case (k, sig) => assert(sig == direct(k), s"group $k") }
+    // estimator sanity: identical signatures estimate 1.0
+    val s0 = merged.values.head
+    assert(MinHashAggregator.estimate(s0, s0) == 1.0)
+  }
+
+  test("S11 escape hatch posts every partition's payload exactly once") {
+    import org.apache.spark.sql.functions._
+    val received = CatalogSpec.received
+    received.clear()
+    val df = Tables.nation(spark, sf).select(col("n_name"))
+    graft.sources.Sinks.foreachPartitionPost(df) { payloads =>
+      payloads.foreach(b => CatalogSpec.received.add(new String(b, "UTF-8")))
+    }
+    assert(received.size() == 25)
+    assert(received.iterator().next().startsWith("{\"n_name\":"))
   }
 
   test("lake sink batch re-write of same partitions is idempotent") {
