@@ -136,7 +136,67 @@ object TextAnalysis {
       |  len(list_distinct(t))::BIGINT AS n_distinct
       |FROM toks""".stripMargin
 
+  /** TF-IDF: per-doc top-3 terms. Selection order is integer-only
+    * (tf desc, df asc, token asc) so row membership is exact across
+    * engines; the tfidf double rides along under float tolerance. */
+  def qTextTfidf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.count() // tiny action; value folds into the plan as a literal
+    val tf = docs
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id").orderBy($"tf".desc, $"df".asc, $"tok".asc)
+    tf.join(df, "tok")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 3)
+      .select($"doc_id", $"tok", $"tf", $"df", $"rnk",
+        ($"tf" * log(lit(nDocs.toDouble) / $"df")).as("tfidf"))
+  }
+
+  val qTextTfidfSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |ranked AS (
+      |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+      |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf DESC, df.df ASC, tf.tok ASC) AS BIGINT) AS rnk,
+      |    tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+      |  FROM tf JOIN df USING (tok) CROSS JOIN n)
+      |SELECT doc_id, tok, tf, df, rnk, tfidf FROM ranked WHERE rnk <= 3""".stripMargin
+
+  /** Token co-occurrence: top-20 distinct-token pairs by the number of
+    * docs containing both (integer-deterministic ordering). The phrase/
+    * collocation-mining primitive. */
+  def qTextCooc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dt = Tables.documents(s, dir)
+      .select($"doc_id", explode(array_distinct(tokens($"text"))).as("tok"))
+    dt.as("a").join(dt.as("b"),
+        $"a.doc_id" === $"b.doc_id" && $"a.tok" < $"b.tok")
+      .groupBy($"a.tok".as("tok_a"), $"b.tok".as("tok_b"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"n_docs".desc, $"tok_a".asc, $"tok_b".asc)
+      .limit(20)
+  }
+
+  val qTextCoocSql: String =
+    """WITH dt AS (
+      |  SELECT DISTINCT doc_id, unnest(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS tok
+      |  FROM documents)
+      |SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_docs
+      |FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      |GROUP BY 1, 2 ORDER BY n_docs DESC, tok_a ASC, tok_b ASC LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tfidf"       -> (qTextTfidf _),
+    "q_text_cooc"        -> (qTextCooc _),
     "q_text_stats"       -> (qTextStats _),
     "q_text_langid"      -> (qTextLangid _),
     "q_text_tokens"      -> (qTextTokens _),
@@ -144,6 +204,8 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_text_tfidf"       -> qTextTfidfSql,
+    "q_text_cooc"        -> qTextCoocSql,
     "q_text_stats"       -> qTextStatsSql,
     "q_text_langid"      -> qTextLangidSql,
     "q_text_tokens"      -> qTextTokensSql,
