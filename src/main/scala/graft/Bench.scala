@@ -27,7 +27,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // BASELINE.md's one comparable number: decode throughput. q_dbc_scan
+    // decodes one record per `orders` row through zip->blast->DBF.
+    val decodeRate = results.get("q_dbc_scan").filter(_ > 0).map { secs =>
+      val n = try Tables.orders(spark, sfDir).count() catch { case _: Throwable => 0L }
+      n / secs
+    }.getOrElse(0.0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","decode_rec_per_s":${decodeRate.round}}""")
     spark.stop()
   }
 }

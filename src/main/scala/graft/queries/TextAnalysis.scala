@@ -194,7 +194,31 @@ object TextAnalysis {
       |FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
       |GROUP BY 1, 2 ORDER BY n_docs DESC, tok_a ASC, tok_b ASC LIMIT 20""".stripMargin
 
+  /** Text normalization (the P5-cleanup analog for corpora): lowercase,
+    * strip non-alphanumerics, collapse whitespace; emit the cleaned hash
+    * and size deltas so the transform is fully oracle-checked. */
+  def qTextClean(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cleaned = trim(regexp_replace(
+      regexp_replace(lower($"text"), "[^a-z0-9\\s]", " "), "\\s+", " "))
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        md5(cleaned).as("clean_md5"),
+        length($"text").cast("long").as("len_raw"),
+        length(cleaned).cast("long").as("len_clean"))
+  }
+
+  val qTextCleanSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, text,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS cleaned
+      |  FROM documents)
+      |SELECT doc_id, md5(cleaned) AS clean_md5,
+      |  length(text) AS len_raw, length(cleaned) AS len_clean
+      |FROM c""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_clean"       -> (qTextClean _),
     "q_text_tfidf"       -> (qTextTfidf _),
     "q_text_cooc"        -> (qTextCooc _),
     "q_text_stats"       -> (qTextStats _),
@@ -204,6 +228,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_text_clean"       -> qTextCleanSql,
     "q_text_tfidf"       -> qTextTfidfSql,
     "q_text_cooc"        -> qTextCoocSql,
     "q_text_stats"       -> qTextStatsSql,
