@@ -525,7 +525,31 @@ object Relational {
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
 
+  /** Raw-SQL entry surface: the same engine through `spark.sql` over
+    * registered temp views — a user can paste ANSI SQL instead of using
+    * the DataFrame API (Spark and DuckDB run textually identical SQL
+    * here, minus type-cast dialect). */
+  def qSqlApi(s: SparkSession, dir: String): DataFrame = {
+    Tables.all.foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+    s.sql("""
+      SELECT o_orderstatus, count(*) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+             count(DISTINCT o_custkey) AS n_cust
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_acctbal > 0
+      GROUP BY o_orderstatus""")
+  }
+
+  val qSqlApiSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+      |       count(DISTINCT o_custkey) AS n_cust
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_acctbal > 0
+      |GROUP BY o_orderstatus""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_api"        -> (qSqlApi _),
     "q_window_fns"     -> (qWindowFns _),
     "q_grouping_sets"  -> (qGroupingSets _),
     "q_pivot"          -> (qPivot _),
@@ -553,6 +577,7 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_sql_api"         -> qSqlApiSql,
     "q_window_fns"      -> qWindowFnsSql,
     "q_grouping_sets"   -> qGroupingSetsSql,
     "q_pivot"           -> qPivotSql,
