@@ -113,6 +113,55 @@ object Similarity {
        |SELECT q_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
        |FROM scored WHERE rank <= $TopK""".stripMargin
 
+  /** Brute-force top-k with map-side partial reduction (library path):
+    * each partition keeps a bounded per-query heap, so the shuffle is
+    * O(queries x k x partitions) instead of O(queries x corpus) scored
+    * rows — the form that survives a billion-vector corpus. Exact; spec
+    * proves equality with the window formulation. */
+  def bruteTopKPartial(s: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    import s.implicits._
+    val v = vectors(s, dir)
+    val queries = v.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val bq = s.sparkContext.broadcast(queries)
+
+    val partial = v.select($"vec_id", $"v").as[(Long, Seq[Double])]
+      .mapPartitions { rows =>
+        val qs = bq.value
+        // per-query bounded min-heaps of (cos, neighborId)
+        val heaps = qs.map(_ => new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+          Ordering.by[(Double, Long), (Double, Long)](t => (-t._1, t._2))))
+        rows.foreach { case (id, vec) =>
+          val arr = vec.toArray
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, qv) = qs(qi)
+            if (qid != id) {
+              var dot = 0.0; var na = 0.0; var nb = 0.0
+              var j = 0
+              while (j < arr.length) {
+                dot += arr(j) * qv(j); na += arr(j) * arr(j); nb += qv(j) * qv(j)
+                j += 1
+              }
+              val cos = dot / math.sqrt(na * nb)
+              val h = heaps(qi)
+              h.enqueue((cos, id))
+              if (h.size > k) h.dequeue() // drops the current worst
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (cos, id) => (qs(qi)._1, id, cos) }
+        }
+      }
+    val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
+    partial.toDF("q_id", "neighbor_id", "cos_sim")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+  }
+
   /** LSH-bucketed ANN top-k (library path, spec-validated): queries probe
     * their hyperplane band buckets, candidates re-rank exactly. Recall
     * depends on band geometry rather than centroid quality — the right

@@ -61,6 +61,16 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
 
+  test("partial-topk brute ANN equals the window formulation exactly") {
+    val window = SparkEntry.queries("q_ann_brute")(spark, sf)
+      .select("q_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val partial = graft.queries.Similarity.bruteTopKPartial(spark, sf)
+      .select("q_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(partial == window)
+  }
+
   test("LSH ANN achieves reasonable recall vs brute force") {
     val brute = SparkEntry.queries("q_ann_brute")(spark, sf)
       .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
