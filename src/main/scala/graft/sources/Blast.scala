@@ -192,6 +192,10 @@ object Blast {
       bw.put(0, 1) // literal flag
       bw.put(b & 0xFF, 8)
     }
+    endAndWrap(bw, dictLog)
+  }
+
+  private def endAndWrap(bw: BitWriter, dictLog: Int): Array[Byte] = {
     bw.put(1, 1) // length/distance flag
     putCode(bw, lenEnc(15)) // symbol 15: base 264
     bw.put(255, 8) // extra 8 bits: 264 + 255 = 519 = end
@@ -201,5 +205,79 @@ object Blast {
     out(1) = dictLog.toByte
     System.arraycopy(body, 0, out, 2, body.length)
     out
+  }
+
+  private lazy val distEnc = encoderFor(distcode, 64)
+
+  /** Greedy match-emitting imploder (raw-literal mode): hash-chained
+    * search over the sliding dictionary, emitting length/distance pairs
+    * for matches of 3+ bytes (2-byte matches only within the 256-byte
+    * near-window, per the format's special 2-length coding). Compresses
+    * for real AND exercises the decoder's copy machinery on arbitrary
+    * data — the property tests round-trip repetitive corpora through the
+    * same code paths real DATASUS bodies use. */
+  def implode(data: Array[Byte], dictLog: Int = 6): Array[Byte] = {
+    val dictSize = 1 << (dictLog + 6)
+    val bw = new BitWriter()
+    val head = new java.util.HashMap[Int, java.util.ArrayDeque[Int]]()
+
+    def key(i: Int): Int =
+      ((data(i) & 0xFF) << 16) | ((data(i + 1) & 0xFF) << 8) | (data(i + 2) & 0xFF)
+
+    def emitMatch(len: Int, dist: Int): Unit = {
+      bw.put(1, 1)
+      // length symbol: the unique sym with base(sym) <= len <= base+2^extra-1
+      val sym = lenBase.indices.find { s =>
+        len >= lenBase(s) && len <= lenBase(s) + (1 << lenExtra(s)) - 1
+      }.getOrElse(throw new IllegalArgumentException(s"no length code for $len"))
+      putCode(bw, lenEnc(sym))
+      if (lenExtra(sym) > 0) bw.put(len - lenBase(sym), lenExtra(sym))
+      val nlow = if (len == 2) 2 else dictLog
+      val low = (dist - 1) & ((1 << nlow) - 1)
+      val high = (dist - 1) >> nlow
+      putCode(bw, distEnc(high))
+      bw.put(low, nlow)
+    }
+
+    var i = 0
+    while (i < data.length) {
+      var bestLen = 0
+      var bestDist = 0
+      if (i + 2 < data.length) {
+        val chain = head.get(key(i))
+        if (chain != null) {
+          val it = chain.iterator()
+          var tried = 0
+          while (it.hasNext && tried < 32) {
+            val j = it.next()
+            val dist = i - j
+            if (dist <= dictSize) {
+              var l = 0
+              val maxL = math.min(data.length - i, 518)
+              while (l < maxL && data(j + l) == data(i + l)) l += 1
+              if (l > bestLen) { bestLen = l; bestDist = dist }
+            }
+            tried += 1
+          }
+        }
+      }
+      if (bestLen >= 3) {
+        emitMatch(bestLen, bestDist)
+        var k2 = i
+        val end = math.min(i + bestLen, data.length - 2)
+        while (k2 < end) {
+          head.computeIfAbsent(key(k2), _ => new java.util.ArrayDeque[Int]()).addFirst(k2)
+          k2 += 1
+        }
+        i += bestLen
+      } else {
+        bw.put(0, 1)
+        bw.put(data(i) & 0xFF, 8)
+        if (i + 2 < data.length)
+          head.computeIfAbsent(key(i), _ => new java.util.ArrayDeque[Int]()).addFirst(i)
+        i += 1
+      }
+    }
+    endAndWrap(bw, dictLog)
   }
 }

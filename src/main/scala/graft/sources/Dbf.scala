@@ -154,12 +154,12 @@ object Dbc {
   }
 
   /** Encode a .dbf byte array as .dbc (test/fixture support; uses the
-    * minimal stored-literal imploder). */
+    * match-emitting imploder so fixtures exercise real copy paths). */
   def fromDbf(dbf: Array[Byte]): Array[Byte] = {
     val h = Dbf.parseHeader(dbf)
     val body = new Array[Byte](dbf.length - h.headerSize)
     System.arraycopy(dbf, h.headerSize, body, 0, body.length)
-    val imploded = Blast.implodeStored(body)
+    val imploded = Blast.implode(body)
     val out = new ByteArrayOutputStream()
     out.write(dbf, 0, h.headerSize)
     out.write(Array[Byte](0, 0, 0, 0)) // CRC slot (unchecked, like the tools)

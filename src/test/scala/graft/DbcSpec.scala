@@ -70,6 +70,25 @@ class DbcSpec extends AnyFunSuite {
     assert(new String(Blast.explode(stream), "ISO-8859-1") == "ABABAB")
   }
 
+  test("match-emitting implode round-trips and actually compresses") {
+    val r = rng
+    // repetitive corpora exercise the length/distance machinery hard
+    val corpora = Seq(
+      Array.fill(5000)(0.toByte),
+      ("the quick brown fox " * 400).getBytes("ISO-8859-1"),
+      Array.tabulate(8000)(i => ((i % 7) + (i / 100)).toByte),
+      Array.fill(3000)(r.nextInt(4).toByte),
+      Array.fill(2000)(r.nextInt(256).toByte), // incompressible
+      Array.emptyByteArray)
+    corpora.foreach { data =>
+      val packed = Blast.implode(data)
+      assert(Blast.explode(packed).sameElements(data), s"len ${data.length}")
+    }
+    val repetitive = ("abcabcabc" * 1000).getBytes("ISO-8859-1")
+    val ratio = Blast.implode(repetitive).length.toDouble / repetitive.length
+    assert(ratio < 0.2, s"compression ratio $ratio")
+  }
+
   test("dbf write/read round-trip with nulls, padding, and latin1") {
     val cols = Seq("NOME", "VALOR", "OBS")
     val rows = Seq(
