@@ -92,6 +92,73 @@ object StreamingEtl {
     q.awaitTermination()
   }
 
+  /** Open-session state for [[sessionizeStream]]. Seconds granularity
+    * matches the batch sessionization (queries.Events.qEvSession). */
+  final case class OpenSession(startSec: Long, lastSec: Long, n: Long, total: Double)
+  final case class ClosedSession(userId: Long, sessionStartS: Long, nEvents: Long, totalValue: Double)
+
+  /** Sessionization with arbitrary state + event-time timeouts
+    * (flatMapGroupsWithState): sessions close either when a later event
+    * arrives past the gap, or when the watermark passes lastEvent+gap
+    * (timeout) — so trailing sessions flush without new data, which
+    * session_window/Append alone can't express with custom payloads.
+    * Emits each closed session exactly once (append semantics).
+    *
+    * Arrival contract: batches must be non-decreasing in event time per
+    * key (disorder WITHIN a batch is sorted out; regression ACROSS
+    * batches is not merged back — matching the monthly-file cadence of
+    * SURVEY §2.7). For fully out-of-order streams use [[sessionAgg]]
+    * (session_window buffers until the watermark). */
+  def sessionizeStream(events: DataFrame, gapSeconds: Long = 1800,
+                       lateness: String = "1 hour"): org.apache.spark.sql.Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", lateness)
+      // the watermark-tagged ts column must reach the stateful operator,
+      // so it rides in the tuple (the lambda reads the seconds cast)
+      .selectExpr("user_id", "ts", "CAST(ts AS LONG) AS sec", "value")
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state) =>
+          val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+          if (state.hasTimedOut) {
+            state.getOption.foreach { s =>
+              closed += ClosedSession(user, s.startSec, s.n, s.total)
+            }
+            state.remove()
+          } else {
+            var cur = state.getOption.orNull
+            rows.toSeq.sortBy(_._3).foreach { case (_, _, sec, v) =>
+              cur match {
+                case null =>
+                  cur = OpenSession(sec, sec, 1L, v)
+                case s if sec - s.lastSec > gapSeconds =>
+                  closed += ClosedSession(user, s.startSec, s.n, s.total)
+                  cur = OpenSession(sec, sec, 1L, v)
+                case s =>
+                  cur = s.copy(lastSec = sec, n = s.n + 1, total = s.total + v)
+              }
+            }
+            if (cur != null) {
+              val target = (cur.lastSec + gapSeconds + 1) * 1000L
+              if (target <= state.getCurrentWatermarkMs()) {
+                // gap already elapsed in event time (out-of-order input):
+                // the session is closeable now, no timeout needed
+                closed += ClosedSession(user, cur.startSec, cur.n, cur.total)
+                if (state.exists) state.remove()
+              } else {
+                state.update(cur)
+                state.setTimeoutTimestamp(target)
+              }
+            }
+          }
+          closed.iterator
+      }
+  }
+
   /** Progress reporting (SURVEY §2.7): the reference logs a counter every
     * 50k records (NDJSON_IMPLEMENTADO.md:112-116); the engine equivalent
     * is a StreamingQueryListener accumulating per-batch row counts.

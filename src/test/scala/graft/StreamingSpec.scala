@@ -90,6 +90,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalRows == batch)
   }
 
+  test("flatMapGroupsWithState sessions match the batch sessionization (closed subset)") {
+    // time-ordered arrival (the operator's contract): 4 files = 4
+    // consecutive time ranges, like monthly competência files
+    val ordered = s"$tmp/input_ordered"
+    val lines = Tables.events(spark, sf).orderBy(col("ts"), col("event_id"))
+      .toJSON.collect()
+    val chunk = (lines.length + 3) / 4
+    new java.io.File(ordered).mkdirs()
+    lines.grouped(chunk).zipWithIndex.foreach { case (ls, i) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$ordered/f$i.json"),
+        ls.mkString("\n").getBytes("UTF-8"))
+    }
+    val schema = org.apache.spark.sql.types.StructType(eventsSchema.map(f => f.copy()))
+    val stream = StreamingEtl.jsonStream(spark, ordered, schema, maxFilesPerTrigger = Some(1))
+    StreamingEtl.runToMemory(
+      StreamingEtl.sessionizeStream(stream).toDF(),
+      "fs_sessions", s"$tmp/cp_fs", outputMode = "append")
+    val streamed = spark.table("fs_sessions")
+      .select("userId", "sessionStartS", "nEvents").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = SparkEntry.queries("q_ev_session")(spark, sf)
+      .select("user_id", "session_start_s", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty, "no sessions closed")
+    val unmatched = streamed -- batch
+    assert(unmatched.isEmpty, s"streamed sessions not in batch: ${unmatched.take(3)}")
+  }
+
   test("progress listener accumulates input rows across micro-batches") {
     val rec = new StreamingEtl.ProgressRecorder
     spark.streams.addListener(rec)
