@@ -208,6 +208,28 @@ object Blast {
   }
 
   private lazy val distEnc = encoderFor(distcode, 64)
+  private lazy val litEnc = encoderFor(litcode, 256)
+
+  /** Coded-literal-mode imploder: every byte as a Huffman-coded literal
+    * (the decoder's `coded == 1` branch — the mode real PKWare streams
+    * commonly use). Compresses English-ish text via the static literal
+    * table; exists to round-trip-test the coded decode path. */
+  def implodeCodedLiterals(data: Array[Byte], dictLog: Int = 4): Array[Byte] = {
+    val bw = new BitWriter()
+    data.foreach { b =>
+      bw.put(0, 1)
+      putCode(bw, litEnc(b & 0xFF))
+    }
+    bw.put(1, 1)
+    putCode(bw, lenEnc(15))
+    bw.put(255, 8)
+    val body = bw.bytes()
+    val out = new Array[Byte](2 + body.length)
+    out(0) = 1 // coded literals
+    out(1) = dictLog.toByte
+    System.arraycopy(body, 0, out, 2, body.length)
+    out
+  }
 
   /** Greedy match-emitting imploder (raw-literal mode): hash-chained
     * search over the sliding dictionary, emitting length/distance pairs

@@ -70,6 +70,18 @@ class DbcSpec extends AnyFunSuite {
     assert(new String(Blast.explode(stream), "ISO-8859-1") == "ABABAB")
   }
 
+  test("coded-literal mode round-trips (decoder's Huffman-literal branch)") {
+    val r = rng
+    (0 until 30).foreach { _ =>
+      val data = Array.fill(r.nextInt(3000))(r.nextInt(256).toByte)
+      assert(Blast.explode(Blast.implodeCodedLiterals(data)).sameElements(data))
+    }
+    // static table favors text: ASCII English should beat 8 bits/byte
+    val text = ("The quick brown fox jumps over the lazy dog. " * 100).getBytes("ISO-8859-1")
+    val packed = Blast.implodeCodedLiterals(text)
+    assert(Blast.explode(packed).sameElements(text))
+  }
+
   test("match-emitting implode round-trips and actually compresses") {
     val r = rng
     // repetitive corpora exercise the length/distance machinery hard
