@@ -162,6 +162,59 @@ object Similarity {
       .filter($"rank" <= k)
   }
 
+  /** Spherical k-means coarse quantizer: seeded deterministic init
+    * (every step-th vector), then `iters` Lloyd rounds — assignment by
+    * cosine (broadcast centroids, map-side), re-centering by elementwise
+    * mean (posexplode → per-dimension avg → re-assemble). All distributed;
+    * centroid count stays broadcastable by construction. */
+  def kmeansCentroids(v: DataFrame, step: Int = 25, iters: Int = 3): DataFrame = {
+    import v.sparkSession.implicits._
+    var cents = v.filter($"vec_id" % step === 0)
+      .select($"vec_id".as("c_id"), $"v".as("cv"))
+    val aw = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"c_id".asc)
+    (1 to iters).foreach { _ =>
+      val assigned = v.crossJoin(broadcast(cents))
+        .select($"vec_id", $"v", $"c_id", cosine($"v", $"cv").as("c_cos"))
+        .withColumn("rn", row_number().over(aw)).filter($"rn" === 1)
+        .select($"c_id", $"v")
+      cents = assigned
+        .select($"c_id", posexplode($"v"))
+        .groupBy($"c_id", $"pos").agg(avg($"col").as("m"))
+        .groupBy($"c_id")
+        .agg(array_sort(collect_list(struct($"pos", $"m"))).as("dims"))
+        .select($"c_id", expr("transform(dims, d -> d.m)").as("cv"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** IVF with a trained (k-means) quantizer instead of the raw id-subset
+    * quantizer of [[qAnnIvf]] — tighter lists, higher recall at the same
+    * nprobe. Library path; recall spec'd against brute force. */
+  def kmeansIvfTopK(s: SparkSession, dir: String, k: Int = TopK,
+                    nprobe: Int = NProbe): DataFrame = {
+    import s.implicits._
+    val v = vectors(s, dir)
+    val cents = kmeansCentroids(v)
+    val aw = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"c_id".asc)
+    val lists = v.crossJoin(broadcast(cents))
+      .select($"vec_id", $"v", $"c_id", cosine($"v", $"cv").as("c_cos"))
+      .withColumn("rn", row_number().over(aw)).filter($"rn" === 1)
+      .select($"vec_id", $"v", $"c_id")
+    val q = v.filter($"vec_id" % 100 === 0).select($"vec_id".as("q_id"), $"v".as("qv"))
+    val pw = Window.partitionBy($"q_id").orderBy($"p_cos".desc, $"c_id".asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .select($"q_id", $"qv", $"c_id", cosine($"qv", $"cv").as("p_cos"))
+      .withColumn("pr", row_number().over(pw)).filter($"pr" <= nprobe)
+      .select($"q_id", $"qv", $"c_id")
+    val rw = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
+    probes.join(lists, Seq("c_id"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"), cosine($"qv", $"v").as("cos_sim"))
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter($"rank" <= k)
+  }
+
   /** LSH-bucketed ANN top-k (library path, spec-validated): queries probe
     * their hyperplane band buckets, candidates re-rank exactly. Recall
     * depends on band geometry rather than centroid quality — the right

@@ -80,6 +80,15 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"LSH ANN recall $recall") // random vectors: hard mode
   }
 
+  test("k-means IVF recall is at least competitive with the raw-subset IVF") {
+    val brute = SparkEntry.queries("q_ann_brute")(spark, sf)
+      .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val km = graft.queries.Similarity.kmeansIvfTopK(spark, sf)
+      .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & km).size.toDouble / brute.size
+    assert(recall >= 0.4, s"k-means IVF recall $recall")
+  }
+
   test("IVF ANN achieves high recall vs brute force") {
     val brute = SparkEntry.queries("q_ann_brute")(spark, sf)
       .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
