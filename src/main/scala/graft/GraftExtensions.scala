@@ -17,13 +17,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `SELECT simhash60(token_shingles(text)), array_cosine(a, b) ...`
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, arity, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         (args: Seq[Expression]) => { checkArity(name, arity, args); builder(args) }))
     }
+    ext.injectOptimizerRule(_ => JaccardLengthFilterRule)
+  }
 
   private def checkArity(name: String, arity: Int, args: Seq[Expression]): Unit =
     require(args.length == arity, s"$name expects $arity argument(s), got ${args.length}")
@@ -40,12 +42,17 @@ object GraftExtensions {
     ("winnow_fingerprint", 1, args => NativeExprs.WinnowFingerprint(args.head)),
   )
 
-  /** Register the functions into an already-built session. */
+  /** Register the functions + optimizer rule into an already-built
+    * session (extensions proper require registration at build time;
+    * experimental.extraOptimizations is the public post-hoc seam). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
     builders.foreach { case (name, _, builder) =>
       registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
+    if (!spark.experimental.extraOptimizations.contains(JaccardLengthFilterRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ JaccardLengthFilterRule
   }
 }

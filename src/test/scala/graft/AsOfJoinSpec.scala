@@ -57,6 +57,37 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(shuffles == 1, s"expected 1 shuffle, plan:\n$plan")
   }
 
+  test("jaccard length-filter rule rewrites the predicate and preserves results") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, sf)
+    val pairs = docs.as("a").join(docs.as("b"),
+        $"a.doc_id" < $"b.doc_id" && $"a.doc_id" % 7 === 0 && $"b.doc_id" % 11 === 0)
+      .select($"a.doc_id".as("da"), $"b.doc_id".as("db"),
+        TextFunctions.shingleSet($"a.text").as("sa"),
+        TextFunctions.shingleSet($"b.text").as("sb"))
+      .filter(TextFunctions.jaccard($"sa", $"sb") >= 0.3)
+    val optimized = pairs.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("size("), s"length filter not injected:\n$optimized")
+    // equivalence: rule-off plan produces the same pairs
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      before.filterNot(_ == org.apache.spark.sql.graft.JaccardLengthFilterRule)
+    try {
+      val without = docs.as("a").join(docs.as("b"),
+          $"a.doc_id" < $"b.doc_id" && $"a.doc_id" % 7 === 0 && $"b.doc_id" % 11 === 0)
+        .select($"a.doc_id".as("da"), $"b.doc_id".as("db"),
+          TextFunctions.shingleSet($"a.text").as("sa"),
+          TextFunctions.shingleSet($"b.text").as("sb"))
+        .filter(TextFunctions.jaccard($"sa", $"sb") >= 0.3)
+        .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val withRule = pairs.select("da", "db").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(withRule == without)
+    } finally spark.experimental.extraOptimizations = before
+  }
+
   test("native functions callable from SQL after registration") {
     org.apache.spark.sql.graft.GraftExtensions.register(spark)
     val r = spark.sql(
