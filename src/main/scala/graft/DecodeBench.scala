@@ -82,8 +82,12 @@ object DecodeBench {
     (1 to 2).foreach { pass =>
       val t0 = System.nanoTime()
       val wide = spark.read.format("dbc").load(s"$dir/WIDE*.dbc")
-      val n = wide.select(wide.columns.map(col): _*)
-        .agg(count(lit(1)), countDistinct(col("c91"))).collect()(0).getLong(0)
+      // force a genuine all-column decode: every field feeds the aggregate
+      // (a bare select would be pruned back into the scan)
+      val n = wide
+        .agg(count(lit(1)),
+          sum(length(concat_ws("|", wide.columns.map(col): _*))))
+        .collect()(0).getLong(0)
       val secs = (System.nanoTime() - t0) / 1e9
       if (pass == 2)
         println(f"[decode-bench] full 92-col materialization: $n%d records in $secs%.2f s = ${n / secs / 1000}%.1f k rec/s")

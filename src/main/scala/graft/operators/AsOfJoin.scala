@@ -46,25 +46,26 @@ object AsOfJoin {
       .orderBy(col("_ts").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried0 = payload.foldLeft(taggedRight.unionByName(taggedLeft)) {
-      case (df, (_, dst)) =>
-        df.withColumn(s"_c_$dst", last(col(s"_p_$dst"), ignoreNulls = true).over(w))
-    }
-    // matched right timestamp rides along for tolerance filtering
-    val carried = carried0.withColumn("_c_match_ts",
-      last(when(col("_side") === 0, col("_ts")), ignoreNulls = true).over(w))
+    // Carry the matched right ROW as one struct: last(ignoreNulls) then
+    // never skips a right row whose payload happens to be NULL (it would
+    // otherwise fall back to an older row's value), and the match
+    // timestamp + payload are guaranteed to come from the same row.
+    val rowStruct = when(col("_side") === 0,
+      struct(col("_ts").as("mts") +: payload.map { case (_, dst) =>
+        col(s"_p_$dst").as(dst) }: _*))
+    val carried = taggedRight.unionByName(taggedLeft)
+      .withColumn("_c_row", last(rowStruct, ignoreNulls = true).over(w))
 
-    val withTol = toleranceSeconds match {
-      case None => carried
+    val fresh = toleranceSeconds match {
+      case None => col("_c_row").isNotNull
       case Some(tol) =>
-        val stale = col("_ts").cast("long") - col("_c_match_ts").cast("long") > tol
-        payload.foldLeft(carried) { case (df, (_, dst)) =>
-          df.withColumn(s"_c_$dst", when(stale, lit(null)).otherwise(col(s"_c_$dst")))
-        }
+        col("_c_row").isNotNull &&
+          col("_ts").cast("long") - col("_c_row.mts").cast("long") <= tol
     }
 
-    withTol.filter(col("_side") === 1)
+    carried.filter(col("_side") === 1)
       .select(keyCols ++ Seq(col("_ts").as(leftTs)) ++ carryCols.map(col) ++
-        payload.map { case (_, dst) => col(s"_c_$dst").as(dst) }: _*)
+        payload.map { case (_, dst) =>
+          when(fresh, col(s"_c_row.$dst")).as(dst) }: _*)
   }
 }

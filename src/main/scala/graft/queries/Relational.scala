@@ -530,7 +530,12 @@ object Relational {
     * the DataFrame API (Spark and DuckDB run textually identical SQL
     * here, minus type-cast dialect). */
   def qSqlApi(s: SparkSession, dir: String): DataFrame = {
-    Tables.all.foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+    // events goes through Tables.events (nanos-timestamp handling); the
+    // rest are plain parquet
+    Tables.all.foreach {
+      case "events" => Tables.events(s, dir).createOrReplaceTempView("events")
+      case t => Tables(s, dir, t).createOrReplaceTempView(t)
+    }
     s.sql("""
       SELECT o_orderstatus, count(*) AS n,
              sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total,

@@ -57,9 +57,10 @@ object Sinks {
     * (datasus.service.ts:33 only *detects* duplicates). */
   def writeLake(df: DataFrame, outDir: String,
                 partitionCols: Seq[String] = Seq("tipo_arquivo", "uf", "competencia")): Unit = {
-    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     df.write
       .mode("overwrite")
+      // per-write option, not a session-wide conf mutation
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(outDir)
   }

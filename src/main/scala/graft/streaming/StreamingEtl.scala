@@ -178,7 +178,13 @@ object StreamingEtl {
 
   /** Idempotent lake sink: each micro-batch dynamically overwrites exactly
     * the (partition-column) partitions it carries — re-running a month is
-    * an overwrite, not a duplicate append (fixes SURVEY §7 risk 4). */
+    * an overwrite, not a duplicate append (fixes SURVEY §7 risk 4).
+    *
+    * Contract: a partition's data must arrive WITHIN one micro-batch
+    * (e.g. partition by competência with month-granular input files) —
+    * a partition spanning batches would keep only the last batch's rows.
+    * That alignment is exactly the reference's monthly cadence; for
+    * cross-batch partitions use an append sink + dedup-on-read. */
   def runToPartitionedParquet(df: DataFrame, outDir: String, checkpoint: String,
                               partitionCols: Seq[String]): Unit = {
     val q = df.writeStream
@@ -186,9 +192,9 @@ object StreamingEtl {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         batch.write
           .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
           .partitionBy(partitionCols: _*)
           .parquet(outDir)
       }

@@ -34,6 +34,18 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out("p3").contains(400L))
   }
 
+  test("as-of attaches the matched row's NULL payload, not an older value") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "p")).toDF("k", "t", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), Option(10L)),
+      (1L, ts("2024-01-01 09:30:00"), Option.empty[Long])).toDF("k", "t", "v")
+    val out = AsOfJoin.joinAsOf(left, right, Seq("k"), "t", "t", Seq("v" -> "v"))
+      .collect()(0)
+    // matched row is 09:30 whose v IS NULL — pandas/DuckDB semantics
+    assert(out.isNullAt(out.fieldIndex("v")))
+  }
+
   test("as-of tolerance nulls matches older than the bound") {
     import spark.implicits._
     val left = Seq((1L, ts("2024-01-01 10:00:00"), "fresh"),

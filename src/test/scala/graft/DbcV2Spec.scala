@@ -40,6 +40,25 @@ class DbcV2Spec extends AnyFunSuite {
     assert(ufs == EtlFixtures.ufOf.values.toSet)
   }
 
+  test("schema drift: columns resolve by name per file, missing columns null") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toFile
+    // first file defines the table schema (a, b); second file has the
+    // columns REORDERED plus an extra; third lacks column b entirely
+    val f1 = graft.sources.Dbc.fromDbf(graft.sources.Dbf.write(
+      Seq("A", "B"), Seq(Seq("a1", "b1"))))
+    val f2 = graft.sources.Dbc.fromDbf(graft.sources.Dbf.write(
+      Seq("B", "X", "A"), Seq(Seq("b2", "x2", "a2"))))
+    val f3 = graft.sources.Dbc.fromDbf(graft.sources.Dbf.write(
+      Seq("A"), Seq(Seq("a3"))))
+    java.nio.file.Files.write(new java.io.File(dir, "F1PE2501.dbc").toPath, f1)
+    java.nio.file.Files.write(new java.io.File(dir, "F2PE2501.dbc").toPath, f2)
+    java.nio.file.Files.write(new java.io.File(dir, "F3PE2501.dbc").toPath, f3)
+    val got = spark.read.format("dbc").load(s"$dir/*.dbc")
+      .select("a", "b").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(got == Set(("a1", Some("b1")), ("a2", Some("b2")), ("a3", None)))
+  }
+
   test("permissive mode skips a corrupt file; strict mode fails") {
     val dir = java.nio.file.Files.createTempDirectory("graft_perm").toFile
     val good = graft.sources.Dbc.fromDbf(

@@ -37,12 +37,22 @@ def norm_cell(v):
     return v
 
 
+def sort_repr(x):
+    # floats sort by a tolerance-consistent representation so that
+    # 0.30000000000000004 and 0.3 land at the same position in both frames
+    if isinstance(x, float):
+        return f"{x:.9e}"
+    if isinstance(x, tuple):
+        return str(tuple(sort_repr(v) for v in x))
+    return str(x)
+
+
 def frame_key(df):
     cols = sorted(df.columns)
     rows = []
     for _, r in df[cols].iterrows():
         rows.append(tuple(norm_cell(v) for v in r))
-    rows.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
+    rows.sort(key=lambda t: tuple((x is None, str(type(x)), sort_repr(x)) for x in t))
     return cols, rows
 
 
