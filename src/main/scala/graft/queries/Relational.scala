@@ -553,7 +553,32 @@ object Relational {
       |WHERE c_acctbal > 0
       |GROUP BY o_orderstatus""".stripMargin
 
+  /** Statistical aggregates: stddev/variance/correlation/covariance —
+    * both engines use numerically-stable streaming moments, agreeing
+    * well inside the harness float tolerance on well-conditioned data. */
+  def qStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        stddev_samp($"l_extendedprice").as("sd_price"),
+        var_samp($"l_quantity").as("var_qty"),
+        corr($"l_quantity", $"l_extendedprice").as("corr_qty_price"),
+        covar_samp($"l_quantity", $"l_extendedprice").as("covar_qty_price"),
+        round(avg($"l_discount"), 6).as("avg_disc"))
+  }
+
+  val qStatsSql: String =
+    """SELECT l_returnflag,
+      |  stddev_samp(l_extendedprice) AS sd_price,
+      |  var_samp(l_quantity) AS var_qty,
+      |  corr(l_quantity, l_extendedprice) AS corr_qty_price,
+      |  covar_samp(l_quantity, l_extendedprice) AS covar_qty_price,
+      |  round(avg(l_discount), 6) AS avg_disc
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats"          -> (qStats _),
     "q_sql_api"        -> (qSqlApi _),
     "q_window_fns"     -> (qWindowFns _),
     "q_grouping_sets"  -> (qGroupingSets _),
@@ -582,6 +607,7 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_stats"           -> qStatsSql,
     "q_sql_api"         -> qSqlApiSql,
     "q_window_fns"      -> qWindowFnsSql,
     "q_grouping_sets"   -> qGroupingSetsSql,
