@@ -154,7 +154,31 @@ object Events {
       |  p.purchase_value, v.view_id
       |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin
 
+  /** Cohort retention: users bucketed by first-activity week (cohort),
+    * counted per subsequent active week — the classic retention triangle,
+    * all integer arithmetic (epoch-week buckets). */
+  def qEvRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weekly = Tables.events(s, dir)
+      .select($"user_id", expr("CAST(ts AS LONG) div 604800").as("week"))
+      .distinct()
+    val cohorts = weekly.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+    weekly.join(cohorts, "user_id")
+      .groupBy($"cohort_week", ($"week" - $"cohort_week").as("weeks_since"))
+      .agg(countDistinct($"user_id").as("n_users"))
+  }
+
+  val qEvRetentionSql: String =
+    """WITH weekly AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 1000000 // 604800 AS week FROM events),
+      |cohorts AS (SELECT user_id, min(week) AS cohort_week FROM weekly GROUP BY 1)
+      |SELECT c.cohort_week, w.week - c.cohort_week AS weeks_since,
+      |  count(DISTINCT w.user_id) AS n_users
+      |FROM weekly w JOIN cohorts c USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ev_retention" -> (qEvRetention _),
     "q_ev_hourly"  -> (qEvHourly _),
     "q_ev_session" -> (qEvSession _),
     "q_ev_json"    -> (qEvJson _),
@@ -163,6 +187,7 @@ object Events {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_ev_retention" -> qEvRetentionSql,
     "q_ev_hourly"  -> qEvHourlySql,
     "q_ev_session" -> qEvSessionSql,
     "q_ev_json"    -> qEvJsonSql,
