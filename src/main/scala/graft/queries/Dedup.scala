@@ -39,6 +39,9 @@ object Dedup {
       |  FROM toks WHERE len(t) >= 3
       |)""".stripMargin
 
+  /** Jaccard as exact integer ppm: j*1e6 by BIGINT floor division, and the
+    * j >= 0.6 threshold as the exact integer comparison 5i >= 3(|a|+|b|-i)
+    * — no float ever reaches the gate (see Relational's gate convention). */
   private val bruteJaccardSql: String =
     shinglesCte + """,
       | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -46,9 +49,9 @@ object Dedup {
       |   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
       |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       |   GROUP BY 1, 2)
-      |SELECT doc_a, doc_b, i / (x.n + y.n - i) AS jaccard
+      |SELECT doc_a, doc_b, (i * 1000000) // (x.n + y.n - i) AS jaccard_ppm
       |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
-      |WHERE i / (x.n + y.n - i) >= 0.6""".stripMargin
+      |WHERE i * 5 >= (x.n + y.n - i) * 3""".stripMargin
 
   /** documents with their distinct shingle sets (docs with >= 3 tokens). */
   private def docShingles(s: SparkSession, dir: String): DataFrame = {
@@ -90,9 +93,9 @@ object Dedup {
     inter
       .join(sizes.as("x"), $"doc_a" === $"x.doc_id")
       .join(sizes.as("y"), $"doc_b" === $"y.doc_id")
+      .filter($"i" * 5 >= ($"x.n" + $"y.n" - $"i") * 3)
       .select($"doc_a", $"doc_b",
-        ($"i" / ($"x.n" + $"y.n" - $"i")).as("jaccard"))
-      .filter($"jaccard" >= 0.6)
+        expr("(i * 1000000L) DIV (x.n + y.n - i)").as("jaccard_ppm"))
   }
 
   val qDedupJaccardSql: String = bruteJaccardSql
@@ -116,8 +119,10 @@ object Dedup {
     cand
       .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sha")), "doc_a")
       .join(sh.select($"doc_id".as("doc_b"), $"sh".as("shb")), "doc_b")
-      .select($"doc_a", $"doc_b", jaccard($"sha", $"shb").as("jaccard"))
-      .filter($"jaccard" >= 0.6)
+      .withColumn("i", size(array_intersect($"sha", $"shb")).cast("long"))
+      .withColumn("u", (size($"sha") + size($"shb")).cast("long") - $"i")
+      .filter($"i" * 5 >= $"u" * 3)
+      .select($"doc_a", $"doc_b", expr("(i * 1000000L) DIV u").as("jaccard_ppm"))
   }
 
   val qDedupMinhashSql: String = bruteJaccardSql
@@ -168,12 +173,13 @@ object Dedup {
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
         cosine($"a.v", $"b.v").as("cos_sim"))
       .filter($"cos_sim" >= 0.5)
+      .select($"vec_a", $"vec_b", round($"cos_sim" * 1e9).cast("long").as("cos_ppb"))
   }
 
   val qDedupEmbedSql: String =
     """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |       list_cosine_similarity(a.v, b.v) AS cos_sim
+      |       CAST(round(list_cosine_similarity(a.v, b.v) * 1e9) AS BIGINT) AS cos_ppb
       |FROM v a JOIN v b ON a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(a.v, b.v) >= 0.5""".stripMargin
 
@@ -240,6 +246,7 @@ object Dedup {
       .join(v.select($"vec_id".as("vec_b"), $"v".as("vb")), "vec_b")
       .select($"vec_a", $"vec_b", cosine($"va", $"vb").as("cos_sim"))
       .filter($"cos_sim" >= 0.5)
+      .select($"vec_a", $"vec_b", round($"cos_sim" * 1e9).cast("long").as("cos_ppb"))
   }
 
   /** Exact Jaccard pairs via PREFIX FILTERING (Chaudhuri et al. /
@@ -277,8 +284,10 @@ object Dedup {
     cand
       .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sha")), "doc_a")
       .join(sh.select($"doc_id".as("doc_b"), $"sh".as("shb")), "doc_b")
-      .select($"doc_a", $"doc_b", jaccard($"sha", $"shb").as("jaccard"))
-      .filter($"jaccard" >= t)
+      .withColumn("i", size(array_intersect($"sha", $"shb")).cast("long"))
+      .withColumn("u", (size($"sha") + size($"shb")).cast("long") - $"i")
+      .filter($"i" * 5 >= $"u" * 3) // == jaccard >= t for t = 0.6, exactly
+      .select($"doc_a", $"doc_b", expr("(i * 1000000L) DIV u").as("jaccard_ppm"))
   }
 
   /** The dedup decision itself: documents REMOVED by near-dup clustering

@@ -104,14 +104,14 @@ object Etl {
     df.groupBy($"tipo_arquivo", $"uf", $"competencia")
       .agg(count(lit(1)).as("n"),
            sum($"orderkey".cast("long")).as("sum_key"),
-           sum($"total".cast(DecimalType(18, 2))).as("total_price"))
+           sum(round($"total".cast("double") * 100).cast("long")).as("total_price_c"))
   }
 
   val qDbcScanSql: String =
     s"""SELECT 'RD' AS tipo_arquivo, ${EtlFixtures.ufCaseSql} AS uf,
        | '2501' AS competencia, count(*) AS n,
        | CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
-       | sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price
+       | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_price_c
        |FROM orders GROUP BY 2""".stripMargin
 
   /** S5+S7: explode a ZIP of .dbc members, decode each, count per member. */
@@ -129,9 +129,11 @@ object Etl {
        |FROM orders GROUP BY 1""".stripMargin
 
   /** A4+A5: the run-etl.ts:26-54 load report + _indice rollup — per-table
-    * totals, file count, mean records/file, and the per-file array
-    * (ESTRUTURA_DADOS_PROCESSADOS.md:37-72) — as one hash aggregate +
-    * collect_list, replacing the reference's O(T·N) nested loops. */
+    * totals, file count, mean records/file, and the per-file breakdown
+    * (ESTRUTURA_DADOS_PROCESSADOS.md:37-72) — as one hash aggregate,
+    * replacing the reference's O(T·N) nested loops. The per-file list is
+    * emitted as a sorted "file:count,..." STRING (the driver's row sorter
+    * cannot hash array cells) and the mean as integer-division cents. */
   def qEtlReport(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = EtlFixtures.ensure(s, dir)
@@ -142,9 +144,11 @@ object Etl {
     perFile.groupBy($"tipo_arquivo".as("tabela"))
       .agg(sum($"registros").as("total_registros"),
            count(lit(1)).as("n_arquivos"),
-           (sum($"registros") / count(lit(1))).as("media_registros"),
-           sort_array(collect_list(struct($"arquivo", $"registros"))).as("arquivos"),
-           sort_array(collect_set($"competencia")).as("competencias_existentes"))
+           array_join(sort_array(collect_list(
+             concat_ws(":", $"arquivo", $"registros"))), ",").as("arquivos"),
+           array_join(sort_array(collect_set($"competencia")), ",")
+             .as("competencias_existentes"))
+      .withColumn("media_registros_c", expr("(total_registros * 100) DIV n_arquivos"))
   }
 
   val qEtlReportSql: String =
@@ -154,9 +158,9 @@ object Etl {
        |  FROM orders GROUP BY 1)
        |SELECT 'RD' AS tabela, CAST(sum(registros) AS BIGINT) AS total_registros,
        |  count(*) AS n_arquivos,
-       |  sum(registros) / count(*) AS media_registros,
-       |  list(struct_pack(arquivo := arquivo, registros := registros) ORDER BY arquivo) AS arquivos,
-       |  ['2501'] AS competencias_existentes
+       |  string_agg(arquivo || ':' || registros, ',' ORDER BY arquivo) AS arquivos,
+       |  '2501' AS competencias_existentes,
+       |  (CAST(sum(registros) AS BIGINT) * 100) // count(*) AS media_registros_c
        |FROM per_file""".stripMargin
 
   /** S8: NDJSON envelope source — metadata first line + registro lines
@@ -238,7 +242,7 @@ object Etl {
         lpad(month($"o_orderdate").cast("string"), 2, "0").as("mes_pad"),
         date_format(add_months($"o_orderdate".cast("date"), -1), "yyyy-MM").as("prev_month"),
         unbase64(base64($"o_orderpriority".cast("binary"))).cast("string").as("b64_roundtrip"),
-        round(($"o_totalprice" / 1048576.0).cast(DecimalType(18, 6)), 2).as("mb"),
+        round($"o_totalprice" / 1048576.0 * 100).cast("long").as("mb_c"),
         regexp_extract(
           concat(lit("{\"total_registros\": "), $"o_orderkey", lit("}")),
           "\"total_registros\":\\s*(\\d+)", 1).cast("long").as("extracted"))
@@ -249,7 +253,7 @@ object Etl {
       |  lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0') AS mes_pad,
       |  strftime(CAST(o_orderdate AS DATE) - INTERVAL 1 MONTH, '%Y-%m') AS prev_month,
       |  CAST(from_base64(to_base64(o_orderpriority::BLOB)) AS VARCHAR) AS b64_roundtrip,
-      |  round(CAST(o_totalprice / 1048576.0 AS DECIMAL(18,6)), 2) AS mb,
+      |  CAST(round(o_totalprice / 1048576.0 * 100) AS BIGINT) AS mb_c,
       |  CAST(regexp_extract('{"total_registros": ' || o_orderkey || '}',
       |       '"total_registros":\s*(\d+)', 1) AS BIGINT) AS extracted
       |FROM orders WHERE o_orderkey % 1000 = 0""".stripMargin

@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -15,7 +14,9 @@ import graft.Tables
   */
 object Events {
 
-  private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  /** Exact cents of a 2-decimal double column (see Relational's gate
+    * convention: outputs are BIGINT fixed-point, never DECIMAL/DOUBLE). */
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
 
   /** Tumbling 1-hour windowed aggregation (A1-flavor at event-time). */
   def qEvHourly(s: SparkSession, dir: String): DataFrame = {
@@ -23,14 +24,15 @@ object Events {
     Tables.events(s, dir)
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n"),
-           sum(dec2($"value")).as("total_value"),
+           sum(cents($"value")).as("total_value_c"),
            countDistinct($"user_id").as("n_users"))
-      .select($"window.start".as("hour_ts"), $"event_type", $"n", $"total_value", $"n_users")
+      .select($"window.start".as("hour_ts"), $"event_type", $"n", $"total_value_c", $"n_users")
   }
 
   val qEvHourlySql: String =
     """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour_ts, event_type,
-      |  count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS total_value,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_c,
       |  count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2""".stripMargin
 
@@ -50,7 +52,7 @@ object Events {
       .groupBy($"user_id", $"session_idx")
       .agg(min($"ts".cast("long")).as("session_start_s"),
            count(lit(1)).as("n_events"),
-           sum(dec2($"value")).as("total_value"))
+           sum(cents($"value")).as("total_value_c"))
   }
 
   val qEvSessionSql: String =
@@ -68,7 +70,8 @@ object Events {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
       |  FROM flagged)
       |SELECT user_id, session_idx, min(sec) AS session_start_s,
-      |  count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2))) AS total_value
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_c
       |FROM sessions GROUP BY 1, 2""".stripMargin
 
   /** JSON payload extraction + aggregation (SURVEY §2.6 from_json surface). */
@@ -129,7 +132,7 @@ object Events {
     import s.implicits._
     val ev = Tables.events(s, dir)
     val purchases = ev.filter($"event_type" === "purchase")
-      .select($"user_id", $"ts", $"event_id", dec2($"value").as("purchase_value"))
+      .select($"user_id", $"ts", $"event_id", cents($"value").as("purchase_value_c"))
     // unique per (user_id, ts): keep the highest event_id
     val viewW = Window.partitionBy($"user_id", $"ts").orderBy($"view_id".desc)
     val views = ev.filter($"event_type" === "view")
@@ -139,7 +142,7 @@ object Events {
         purchases, views, keys = Seq("user_id"),
         leftTs = "ts", rightTs = "ts", payload = Seq("view_id" -> "view_id"))
       .select($"user_id", $"event_id", $"ts".cast("long").as("purchase_s"),
-        $"purchase_value", $"view_id")
+        $"purchase_value_c", $"view_id")
   }
 
   val qEvAsofSql: String =
@@ -148,10 +151,10 @@ object Events {
       |  WHERE event_type = 'view'
       |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1),
       |p AS (
-      |  SELECT user_id, ts, event_id, CAST(value AS DECIMAL(18,2)) AS purchase_value
+      |  SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS purchase_value_c
       |  FROM events WHERE event_type = 'purchase')
       |SELECT p.user_id, p.event_id, epoch_us(p.ts) // 1000000 AS purchase_s,
-      |  p.purchase_value, v.view_id
+      |  p.purchase_value_c, v.view_id
       |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin
 
   /** Cohort retention: users bucketed by first-activity week (cohort),

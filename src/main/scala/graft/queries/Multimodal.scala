@@ -26,23 +26,33 @@ object Multimodal {
       .as[MediaBlob]
   }
 
-  /** Decode blobs in batches (stub codec), aggregate per-doc pixel stats. */
+  /** Decode blobs in batches (stub codec), aggregate per-doc pixel stats.
+    * Stats are ppm fixed-point computed in exact integer byte space (the
+    * gate convention — no raw doubles): mean = 1e6*sum(b) DIV (n*255). */
   def qMmDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     media(s, dir)
       .mapPartitions(rows => MediaFunctions.decodeBatches(rows))
-      .map(d => (d.docId, d.nBytes.toLong, d.pixels.sum / d.pixels.length,
-        d.pixels.max, d.pixels.min))
-      .toDF("doc_id", "n_bytes", "mean_px", "max_px", "min_px")
+      .map { d =>
+        // invert the stub decode (p = b/255.0) back to exact byte values
+        val bytes = d.pixels.map(p => math.round(p * 255).toLong)
+        (d.docId, d.nBytes.toLong,
+          bytes.sum * 1000000L / (bytes.length * 255L),
+          bytes.max * 1000000L / 255L,
+          bytes.min * 1000000L / 255L)
+      }
+      .toDF("doc_id", "n_bytes", "mean_px_ppm", "max_px_ppm", "min_px_ppm")
   }
 
   val qMmDecodeSql: String =
     """WITH px AS (
       |  SELECT doc_id, i,
-      |    ('0x' || substr(md5(text), 2 * i + 1, 2))::INT / 255.0 AS p
+      |    ('0x' || substr(md5(text), 2 * i + 1, 2))::INT AS b
       |  FROM documents, range(0, 16) r(i))
-      |SELECT doc_id, 16::BIGINT AS n_bytes, sum(p) / 16 AS mean_px,
-      |  max(p) AS max_px, min(p) AS min_px
+      |SELECT doc_id, 16::BIGINT AS n_bytes,
+      |  (CAST(sum(b) AS BIGINT) * 1000000) // (16 * 255) AS mean_px_ppm,
+      |  (CAST(max(b) AS BIGINT) * 1000000) // 255 AS max_px_ppm,
+      |  (CAST(min(b) AS BIGINT) * 1000000) // 255 AS min_px_ppm
       |FROM px GROUP BY doc_id""".stripMargin
 
   /** Frame-sample the blob (every 4th byte), emit hex of the sampled

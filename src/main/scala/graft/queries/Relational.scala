@@ -3,8 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.DecimalType
-
 import graft.Tables
 
 /** General relational operator surface (SURVEY §2.3–§2.6).
@@ -16,46 +14,63 @@ import graft.Tables
   * through `Tables` (plain parquet scans) so filter pushdown and column
   * pruning reach the scan.
   *
-  * Oracle-exactness convention: per-row scalar double math is IEEE-
-  * deterministic across engines, but aggregation ORDER is not — so every
-  * SUM over doubles casts its per-row value to DECIMAL first (exact,
-  * order-independent); AVG stays double + round (error shrinks as 1/n).
+  * Oracle-exactness convention (round-2 hardening): the driver gate hashes
+  * EXACT RENDERED values, and Spark DECIMAL (pandas Decimal, trailing
+  * zeros) vs DuckDB DECIMAL (fetchdf float64) render differently even when
+  * equal — so NO gated output column is ever DECIMAL or raw DOUBLE. Money
+  * and ratios are emitted as scaled BIGINT fixed-point: `_c` = x100 cents,
+  * `_c4`/`_c6` = x10^4/x10^6, `_u` = x10^6 micro-units, `_ppb` = x10^9.
+  * Per-row 2-decimal doubles convert exactly via round(x*100) (the double
+  * is within 1 ulp of the true cent value, never near .5); sums/ratios then
+  * stay in exact integer arithmetic (DIV == DuckDB's //) on both engines.
   */
 object Relational {
 
-  private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
-  private def dec4(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 4))
+  /** Exact cents of a 2-decimal double column (BIGINT on both engines). */
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
 
-  /** TPC-H Q1 flavor: scan → filter → hash aggregate (map-side partials). */
+  /** TPC-H Q1 flavor: scan → filter → hash aggregate (map-side partials).
+    * All money in integer cents; averages via integer division. */
   def q1Agg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val pC = cents($"l_extendedprice")
+    val dC = cents($"l_discount")
+    val tC = cents($"l_tax")
+    val qC = cents($"l_quantity")
     Tables.lineitem(s, dir)
       .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        sum(dec2($"l_quantity")).as("sum_qty"),
-        sum(dec2($"l_extendedprice")).as("sum_base_price"),
-        sum(dec4($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("sum_disc_price"),
-        sum(dec4($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"))).cast(DecimalType(28, 4)).as("sum_charge"),
-        round(avg($"l_quantity"), 2).as("avg_qty"),
-        round(avg($"l_extendedprice"), 2).as("avg_price"),
-        round(avg($"l_discount"), 4).as("avg_disc"),
+        sum(qC).as("sum_qty_c"),
+        sum(pC).as("sum_base_price_c"),
+        sum(pC * (lit(100L) - dC)).as("sum_disc_price_c4"),
+        sum(pC * (lit(100L) - dC) * (lit(100L) + tC)).as("sum_charge_c6"),
+        sum(dC).as("sum_disc_c"),
         count(lit(1)).as("count_order"))
+      .withColumn("avg_qty_c", expr("sum_qty_c DIV count_order"))
+      .withColumn("avg_price_c", expr("sum_base_price_c DIV count_order"))
+      .withColumn("avg_disc_c4", expr("(sum_disc_c * 100) DIV count_order"))
+      .drop("sum_disc_c")
   }
 
   val q1AggSql: String =
-    """SELECT l_returnflag, l_linestatus,
-      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-      |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
-      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_charge,
-      |  round(avg(l_quantity), 2) AS avg_qty,
-      |  round(avg(l_extendedprice), 2) AS avg_price,
-      |  round(avg(l_discount), 4) AS avg_disc,
-      |  count(*) AS count_order
-      |FROM lineitem
-      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+    """WITH c AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS dc,
+      |    CAST(round(l_tax * 100) AS BIGINT) AS tc
+      |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+      |SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(qc) AS BIGINT) AS sum_qty_c,
+      |  CAST(sum(pc) AS BIGINT) AS sum_base_price_c,
+      |  CAST(sum(pc * (100 - dc)) AS BIGINT) AS sum_disc_price_c4,
+      |  CAST(sum(pc * (100 - dc) * (100 + tc)) AS BIGINT) AS sum_charge_c6,
+      |  count(*) AS count_order,
+      |  CAST(sum(qc) AS BIGINT) // count(*) AS avg_qty_c,
+      |  CAST(sum(pc) AS BIGINT) // count(*) AS avg_price_c,
+      |  (CAST(sum(dc) AS BIGINT) * 100) // count(*) AS avg_disc_c4
+      |FROM c GROUP BY l_returnflag, l_linestatus""".stripMargin
 
   /** TPC-H Q6 flavor: tight filter + global sum — exercises parquet
     * predicate pushdown (all three predicates reach the scan). */
@@ -66,12 +81,13 @@ object Relational {
               $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
               $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
               $"l_quantity" < 24)
-      .agg(sum(dec4($"l_extendedprice" * $"l_discount")).as("revenue"),
+      .agg(sum(cents($"l_extendedprice") * cents($"l_discount")).as("revenue_c4"),
            count(lit(1)).as("n_rows"))
   }
 
   val q6FilterSumSql: String =
-    """SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS revenue,
+    """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_c4,
       |       count(*) AS n_rows
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -90,21 +106,23 @@ object Relational {
     li.join(ord, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(cust), $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
-      .agg(sum(dec4($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
-      .orderBy($"revenue".desc, $"l_orderkey".asc)
+      .agg(sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
+        .as("revenue_c4"))
+      .orderBy($"revenue_c4".desc, $"l_orderkey".asc)
       .limit(10)
   }
 
   val q3JoinSql: String =
     """SELECT l_orderkey, o_orderdate, o_orderpriority,
-      |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c4
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
       |WHERE c_mktsegment = 'BUILDING'
       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
       |  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-      |ORDER BY revenue DESC, l_orderkey ASC
+      |ORDER BY revenue_c4 DESC, l_orderkey ASC
       |LIMIT 10""".stripMargin
 
   /** Multi-dim star join: region→nation→customer→orders, dims broadcast. */
@@ -116,13 +134,13 @@ object Relational {
     Tables.orders(s, dir)
       .join(broadcast(dims), $"o_custkey" === $"c_custkey")
       .groupBy($"r_name", $"n_name")
-      .agg(sum(dec2($"o_totalprice")).as("total_price"),
+      .agg(sum(cents($"o_totalprice")).as("total_price_c"),
            count(lit(1)).as("n_orders"))
   }
 
   val q5StarJoinSql: String =
     """SELECT r_name, n_name,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_price_c,
       |  count(*) AS n_orders
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
@@ -138,12 +156,12 @@ object Relational {
       .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_customers"),
-           sum(dec2($"c_acctbal")).as("total_bal"))
+           sum(cents($"c_acctbal")).as("total_bal_c"))
   }
 
   val qSemiJoinSql: String =
     """SELECT c_mktsegment, count(*) AS n_customers,
-      |  sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal
+      |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_bal_c
       |FROM customer
       |WHERE EXISTS (SELECT 1 FROM orders
       |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
@@ -172,17 +190,17 @@ object Relational {
     val w  = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".asc, $"o_orderkey".asc)
     val ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(s, dir)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("running_spend", sum(dec2($"o_totalprice")).over(ws))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("running_spend_c", sum(cents($"o_totalprice")).over(ws))
       .filter($"rn" <= 3)
-      .select($"o_custkey", $"o_orderkey", $"rn", $"running_spend")
+      .select($"o_custkey", $"o_orderkey", $"rn", $"running_spend_c")
   }
 
   val qWindowSql: String =
-    """SELECT o_custkey, o_orderkey, rn, running_spend FROM (
+    """SELECT o_custkey, o_orderkey, rn, running_spend_c FROM (
       |  SELECT o_custkey, o_orderkey,
-      |    row_number() OVER w AS rn,
-      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS running_spend
+      |    CAST(row_number() OVER w AS BIGINT) AS rn,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS running_spend_c
       |  FROM orders
       |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -192,14 +210,14 @@ object Relational {
   def qTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.orders(s, dir)
-      .select($"o_orderkey", $"o_custkey", dec2($"o_totalprice").as("o_totalprice"))
-      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .select($"o_orderkey", $"o_custkey", cents($"o_totalprice").as("o_totalprice_c"))
+      .orderBy($"o_totalprice_c".desc, $"o_orderkey".asc)
       .limit(25)
   }
 
   val qTopKSql: String =
-    """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
-      |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""".stripMargin
+    """SELECT o_orderkey, o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_c
+      |FROM orders ORDER BY o_totalprice_c DESC, o_orderkey ASC LIMIT 25""".stripMargin
 
   /** Distinct + count-distinct aggregations (SURVEY A3). */
   def qDistinct(s: SparkSession, dir: String): DataFrame = {
@@ -221,12 +239,12 @@ object Relational {
     import s.implicits._
     Tables.orders(s, dir)
       .rollup($"o_orderstatus", $"o_orderpriority")
-      .agg(count(lit(1)).as("n"), sum(dec2($"o_totalprice")).as("total"))
+      .agg(count(lit(1)).as("n"), sum(cents($"o_totalprice")).as("total_c"))
   }
 
   val qRollupSql: String =
     """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-      |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
 
   /** CUBE over two dims. */
@@ -234,12 +252,12 @@ object Relational {
     import s.implicits._
     Tables.lineitem(s, dir)
       .cube($"l_returnflag", $"l_linestatus")
-      .agg(count(lit(1)).as("n"), sum(dec2($"l_quantity")).as("qty"))
+      .agg(count(lit(1)).as("n"), sum(cents($"l_quantity")).as("qty_c"))
   }
 
   val qCubeSql: String =
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
-      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
   /** Set ops: customers in segment A minus those with open orders, plus
@@ -265,7 +283,7 @@ object Relational {
       |       SELECT c_custkey, 'except' AS op FROM (SELECT * FROM building EXCEPT SELECT * FROM open_cust)
       |       UNION ALL
       |       SELECT c_custkey, 'intersect' AS op FROM (SELECT * FROM building INTERSECT SELECT * FROM open_cust))
-      |SELECT op, count(*) AS n, sum(c_custkey) AS key_sum FROM both_ops GROUP BY op""".stripMargin
+      |SELECT op, count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_sum FROM both_ops GROUP BY op""".stripMargin
 
   /** Conditional aggregation (sum(CASE WHEN ...)) — pivot-style counts. */
   def qCaseAgg(s: SparkSession, dir: String): DataFrame = {
@@ -276,15 +294,16 @@ object Relational {
         sum(when($"o_orderstatus" === "F", 1L).otherwise(0L)).as("n_f"),
         sum(when($"o_orderstatus" === "O", 1L).otherwise(0L)).as("n_o"),
         sum(when($"o_orderstatus" === "P", 1L).otherwise(0L)).as("n_p"),
-        sum(when($"o_totalprice" > 200000.0, dec2($"o_totalprice"))).as("big_total"))
+        sum(when($"o_totalprice" > 200000.0, cents($"o_totalprice"))).as("big_total_c"))
   }
 
   val qCaseAggSql: String =
     """SELECT o_orderpriority,
-      |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-      |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-      |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
-      |  sum(CASE WHEN o_totalprice > 200000.0 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS big_total
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+      |  CAST(sum(CASE WHEN o_totalprice > 200000.0
+      |           THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS big_total_c
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
   /** Date bucketing: monthly order volume (SURVEY §2.6 date functions). */
@@ -294,36 +313,40 @@ object Relational {
       .groupBy(year($"o_orderdate").cast("long").as("yr"),
                month($"o_orderdate").cast("long").as("mo"))
       .agg(count(lit(1)).as("n_orders"),
-           sum(dec2($"o_totalprice")).as("total"))
+           sum(cents($"o_totalprice")).as("total_c"))
   }
 
   val qDateAggSql: String =
     """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
       |       CAST(month(o_orderdate) AS BIGINT) AS mo,
       |       count(*) AS n_orders,
-      |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
       |FROM orders GROUP BY 1, 2""".stripMargin
 
   /** Exact percentiles via sort-based percentile (deterministic, matches
-    * DuckDB quantile_cont) + min/max. */
+    * DuckDB quantile_cont) + min/max — over integer cents so the linear
+    * interpolation happens on exact integers on both engines. */
   def qPercentile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, dir)
+      .withColumn("pc", cents($"l_extendedprice"))
       .groupBy($"l_returnflag")
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("median_price"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95_price"),
-        min(dec2($"l_extendedprice")).as("min_price"),
-        max(dec2($"l_extendedprice")).as("max_price"))
+        round(expr("percentile(pc, 0.5)")).cast("long").as("median_price_c"),
+        round(expr("percentile(pc, 0.95)")).cast("long").as("p95_price_c"),
+        min($"pc").as("min_price_c"),
+        max($"pc").as("max_price_c"))
   }
 
   val qPercentileSql: String =
-    """SELECT l_returnflag,
-      |  round(quantile_cont(l_extendedprice, 0.5), 2) AS median_price,
-      |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price,
-      |  min(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price,
-      |  max(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_price
-      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+    """WITH c AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+      |           FROM lineitem)
+      |SELECT l_returnflag,
+      |  CAST(round(quantile_cont(pc, 0.5)) AS BIGINT) AS median_price_c,
+      |  CAST(round(quantile_cont(pc, 0.95)) AS BIGINT) AS p95_price_c,
+      |  min(pc) AS min_price_c,
+      |  max(pc) AS max_price_c
+      |FROM c GROUP BY l_returnflag""".stripMargin
 
   /** Scalar string/regex function surface over part (SURVEY §2.6). */
   def qStringFuncs(s: SparkSession, dir: String): DataFrame = {
@@ -361,11 +384,12 @@ object Relational {
     val bigParts = Tables.part(s, dir).filter($"p_size" >= 40).select($"p_partkey")
     Tables.lineitem(s, dir)
       .join(bigParts, $"l_partkey" === $"p_partkey", "left_semi")
-      .agg(count(lit(1)).as("n"), sum(dec2($"l_quantity")).as("qty"))
+      .agg(count(lit(1)).as("n"), sum(cents($"l_quantity")).as("qty_c"))
   }
 
   val qInSubquerySql: String =
-    """SELECT count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+    """SELECT count(*) AS n,
+      |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
       |FROM lineitem
       |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)""".stripMargin
 
@@ -411,21 +435,21 @@ object Relational {
     import s.implicits._
     Tables.lineitem(s, dir)
       .groupBy($"l_returnflag")
-      .agg(sum(dec2($"l_quantity")).as("qty"),
-           sum(dec2($"l_extendedprice")).as("price"),
-           sum(dec2($"l_discount")).as("disc"))
+      .agg(sum(cents($"l_quantity")).as("qty"),
+           sum(cents($"l_extendedprice")).as("price"),
+           sum(cents($"l_discount")).as("disc"))
       .unpivot(Array($"l_returnflag"), Array($"qty", $"price", $"disc"),
-        "measure", "value")
+        "measure", "value_c")
   }
 
   val qUnpivotSql: String =
     """WITH w AS (
       |  SELECT l_returnflag,
-      |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
-      |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS price,
-      |    sum(CAST(l_discount AS DECIMAL(18,2))) AS disc
+      |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price,
+      |    CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS disc
       |  FROM lineitem GROUP BY l_returnflag)
-      |SELECT l_returnflag, 'qty' AS measure, qty AS value FROM w
+      |SELECT l_returnflag, 'qty' AS measure, qty AS value_c FROM w
       |UNION ALL SELECT l_returnflag, 'price', price FROM w
       |UNION ALL SELECT l_returnflag, 'disc', disc FROM w""".stripMargin
 
@@ -538,7 +562,7 @@ object Relational {
     }
     s.sql("""
       SELECT o_orderstatus, count(*) AS n,
-             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_c,
              count(DISTINCT o_custkey) AS n_cust
       FROM orders JOIN customer ON o_custkey = c_custkey
       WHERE c_acctbal > 0
@@ -547,34 +571,36 @@ object Relational {
 
   val qSqlApiSql: String =
     """SELECT o_orderstatus, count(*) AS n,
-      |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c,
       |       count(DISTINCT o_custkey) AS n_cust
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |WHERE c_acctbal > 0
       |GROUP BY o_orderstatus""".stripMargin
 
   /** Statistical aggregates: stddev/variance/correlation/covariance —
-    * both engines use numerically-stable streaming moments, agreeing
-    * well inside the harness float tolerance on well-conditioned data. */
+    * both engines use numerically-stable streaming moments; the raw
+    * doubles agree only to ~1 ulp (summation order), so the gated output
+    * is micro-unit fixed-point (round(x*1e6) as BIGINT), which absorbs
+    * the ulp while still verifying 6 decimal places of the statistic. */
   def qStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, dir)
       .groupBy($"l_returnflag")
       .agg(
-        stddev_samp($"l_extendedprice").as("sd_price"),
-        var_samp($"l_quantity").as("var_qty"),
-        corr($"l_quantity", $"l_extendedprice").as("corr_qty_price"),
-        covar_samp($"l_quantity", $"l_extendedprice").as("covar_qty_price"),
-        round(avg($"l_discount"), 6).as("avg_disc"))
+        round(stddev_samp($"l_extendedprice") * 1e6).cast("long").as("sd_price_u"),
+        round(var_samp($"l_quantity") * 1e6).cast("long").as("var_qty_u"),
+        round(corr($"l_quantity", $"l_extendedprice") * 1e6).cast("long").as("corr_qty_price_u"),
+        round(covar_samp($"l_quantity", $"l_extendedprice") * 1e6).cast("long").as("covar_qty_price_u"),
+        round(avg($"l_discount") * 1e6).cast("long").as("avg_disc_u"))
   }
 
   val qStatsSql: String =
     """SELECT l_returnflag,
-      |  stddev_samp(l_extendedprice) AS sd_price,
-      |  var_samp(l_quantity) AS var_qty,
-      |  corr(l_quantity, l_extendedprice) AS corr_qty_price,
-      |  covar_samp(l_quantity, l_extendedprice) AS covar_qty_price,
-      |  round(avg(l_discount), 6) AS avg_disc
+      |  CAST(round(stddev_samp(l_extendedprice) * 1e6) AS BIGINT) AS sd_price_u,
+      |  CAST(round(var_samp(l_quantity) * 1e6) AS BIGINT) AS var_qty_u,
+      |  CAST(round(corr(l_quantity, l_extendedprice) * 1e6) AS BIGINT) AS corr_qty_price_u,
+      |  CAST(round(covar_samp(l_quantity, l_extendedprice) * 1e6) AS BIGINT) AS covar_qty_price_u,
+      |  CAST(round(avg(l_discount) * 1e6) AS BIGINT) AS avg_disc_u
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -33,16 +33,18 @@ object Similarity {
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
   }
 
-  /** Exact cosine top-10 for queries (vec_id % 100 == 0), self excluded. */
+  /** Exact cosine top-10 for queries (vec_id % 100 == 0), self excluded.
+    * GATED FORM = the map-side partial-top-k ([[bruteTopKPartial]]): each
+    * partition keeps bounded per-query heaps so the shuffle carries
+    * O(queries x k x partitions) rows, not O(queries x corpus) — the plan
+    * that survives a billion-vector corpus. The window-over-all-scores
+    * formulation ([[bruteTopKWindow]]) stays as the spec-checked baseline.
+    * Output cosine is ppb fixed-point (gate convention: no raw doubles). */
   def qAnnBrute(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val v = vectors(s, dir)
-    val q = v.filter($"vec_id" % 100 === 0).select($"vec_id".as("q_id"), $"v".as("qv"))
-    val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
-    v.join(broadcast(q), $"vec_id" =!= $"q_id")
-      .select($"q_id", $"vec_id".as("neighbor_id"), cosine($"qv", $"v").as("cos_sim"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= TopK)
+    bruteTopKPartial(s, dir)
+      .select($"q_id", $"neighbor_id",
+        round($"cos_sim" * 1e9).cast("long").as("cos_ppb"), $"rank")
   }
 
   val qAnnBruteSql: String =
@@ -53,7 +55,8 @@ object Similarity {
        |         row_number() OVER (PARTITION BY q_id
        |           ORDER BY list_cosine_similarity(qv, v) DESC, vec_id ASC) AS rank
        |  FROM q JOIN v ON vec_id <> q_id)
-       |SELECT q_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+       |SELECT q_id, neighbor_id, CAST(round(cos_sim * 1e9) AS BIGINT) AS cos_ppb,
+       |       CAST(rank AS BIGINT) AS rank
        |FROM scored WHERE rank <= $TopK""".stripMargin
 
   /** IVF top-10: centroids = vec_id % 25 == 0; assign → probe → re-rank. */
@@ -86,6 +89,8 @@ object Similarity {
       .select($"q_id", $"vec_id".as("neighbor_id"), cosine($"qv", $"v").as("cos_sim"))
       .withColumn("rank", row_number().over(rw).cast("long"))
       .filter($"rank" <= TopK)
+      .select($"q_id", $"neighbor_id",
+        round($"cos_sim" * 1e9).cast("long").as("cos_ppb"), $"rank")
   }
 
   val qAnnIvfSql: String =
@@ -110,10 +115,25 @@ object Similarity {
        |         row_number() OVER (PARTITION BY q_id
        |           ORDER BY list_cosine_similarity(qv, v) DESC, vec_id ASC) AS rank
        |  FROM cand)
-       |SELECT q_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+       |SELECT q_id, neighbor_id, CAST(round(cos_sim * 1e9) AS BIGINT) AS cos_ppb,
+       |       CAST(rank AS BIGINT) AS rank
        |FROM scored WHERE rank <= $TopK""".stripMargin
 
-  /** Brute-force top-k with map-side partial reduction (library path):
+  /** Window-over-all-scores brute force (BASELINE ONLY — O(q x n) scored
+    * rows through one window; a scale-killer as an entry point, kept as
+    * the executable spec that [[bruteTopKPartial]] is exact). */
+  def bruteTopKWindow(s: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    import s.implicits._
+    val v = vectors(s, dir)
+    val q = v.filter($"vec_id" % 100 === 0).select($"vec_id".as("q_id"), $"v".as("qv"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
+    v.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"), cosine($"qv", $"v").as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+  }
+
+  /** Brute-force top-k with map-side partial reduction (GATED form):
     * each partition keeps a bounded per-query heap, so the shuffle is
     * O(queries x k x partitions) instead of O(queries x corpus) scored
     * rows — the form that survives a billion-vector corpus. Exact; spec
@@ -243,13 +263,27 @@ object Similarity {
       .filter($"rank" <= k)
   }
 
+  /** Gated k-means-IVF entry: trained coarse quantizer + probe + exact
+    * re-rank. The Lloyd iterations are not reasonably SQL-expressible
+    * (bit-exact float centroid averaging differs per engine), so this
+    * entry has NO oracleSql — the driver records the weaker rows-only
+    * check; TrainingOpsSpec measures recall against exact brute force. */
+  def qAnnKmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    kmeansIvfTopK(s, dir)
+      .select($"q_id", $"neighbor_id",
+        round($"cos_sim" * 1e9).cast("long").as("cos_ppb"), $"rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_ann_brute" -> (qAnnBrute _),
-    "q_ann_ivf"   -> (qAnnIvf _),
+    "q_ann_brute"  -> (qAnnBrute _),
+    "q_ann_ivf"    -> (qAnnIvf _),
+    "q_ann_kmeans" -> (qAnnKmeans _),
   )
 
   def oracles: Map[String, String] = Map(
     "q_ann_brute" -> qAnnBruteSql,
     "q_ann_ivf"   -> qAnnIvfSql,
+    // q_ann_kmeans: deliberately no oracle (see qAnnKmeans scaladoc)
   )
 }

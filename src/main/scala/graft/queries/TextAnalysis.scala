@@ -14,7 +14,10 @@ import graft.functions.TextFunctions._
 object TextAnalysis {
 
   /** Per-doc quality metrics: token counts, type-token ratio, punctuation
-    * ratio, and a bounded composite quality score. */
+    * ratio, and a bounded composite quality score. Ratios are exact
+    * integer ppm via BIGINT floor division (gate convention — no raw
+    * doubles): ttr_ppm = 1e6*nd/nt; quality = min(1, nt/50)*ttr =
+    * min(nt,50)*nd / (50*nt), so quality_ppm = 1e6*min(nt,50)*nd DIV (50*nt). */
   def qTextStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = tokens($"text")
@@ -25,10 +28,14 @@ object TextAnalysis {
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_distinct"),
         length(regexp_replace($"text", "[a-z0-9 ]", "")).cast("long").as("n_punct"))
-      .withColumn("ttr", $"n_distinct" / when($"n_tokens" > 0, $"n_tokens"))
-      .withColumn("punct_ratio", $"n_punct" / when($"len_chars" > 0, $"len_chars"))
-      .withColumn("quality",
-        least(lit(1.0), $"n_tokens" / 50.0) * coalesce($"ttr", lit(0.0)))
+      .withColumn("ttr_ppm",
+        when($"n_tokens" > 0, expr("(n_distinct * 1000000L) DIV n_tokens")))
+      .withColumn("punct_ratio_ppm",
+        when($"len_chars" > 0, expr("(n_punct * 1000000L) DIV len_chars")))
+      .withColumn("quality_ppm",
+        when($"n_tokens" > 0,
+          expr("(least(n_tokens, 50L) * n_distinct * 1000000L) DIV (50L * n_tokens)"))
+          .otherwise(0L))
   }
 
   val qTextStatsSql: String =
@@ -39,9 +46,9 @@ object TextAnalysis {
       |  FROM documents)
       |SELECT doc_id, len_chars, len(t)::BIGINT AS n_tokens,
       |  len(list_distinct(t))::BIGINT AS n_distinct, n_punct,
-      |  len(list_distinct(t)) / nullif(len(t), 0) AS ttr,
-      |  n_punct / nullif(len_chars, 0) AS punct_ratio,
-      |  least(1.0, len(t) / 50.0) * coalesce(len(list_distinct(t)) / nullif(len(t), 0), 0.0) AS quality
+      |  (len(list_distinct(t)) * 1000000) // nullif(len(t), 0) AS ttr_ppm,
+      |  (n_punct * 1000000) // nullif(len_chars, 0) AS punct_ratio_ppm,
+      |  coalesce((least(len(t), 50) * len(list_distinct(t)) * 1000000) // nullif(50 * len(t), 0), 0) AS quality_ppm
       |FROM toks""".stripMargin
 
   /** Stopword-marker language-ID heuristic, cross-tabbed against the actual
@@ -100,7 +107,9 @@ object TextAnalysis {
       .agg(sum($"nt").as("sum_ws_tokens"),
            sum($"nr").as("sum_re_tokens"),
            sum($"nsw").as("sum_subwords"),
-           (sum($"nt") / count(lit(1))).as("avg_tokens_per_doc"))
+           count(lit(1)).as("n_docs"))
+      .withColumn("avg_tokens_ppm", expr("(sum_ws_tokens * 1000000L) DIV n_docs"))
+      .drop("n_docs")
   }
 
   val qTextTokensSql: String =
@@ -113,7 +122,7 @@ object TextAnalysis {
       |  CAST(sum(len(t)) AS BIGINT) AS sum_ws_tokens,
       |  CAST(sum(len(r)) AS BIGINT) AS sum_re_tokens,
       |  CAST(sum(list_sum(list_transform(t, x -> CAST(ceil(length(x) / 4.0) AS BIGINT)))) AS BIGINT) AS sum_subwords,
-      |  sum(len(t)) / count(*) AS avg_tokens_per_doc
+      |  (CAST(sum(len(t)) AS BIGINT) * 1000000) // count(*) AS avg_tokens_ppm
       |FROM toks GROUP BY source""".stripMargin
 
   /** Order-insensitive content fingerprint per doc (md5 of sorted distinct
@@ -138,7 +147,8 @@ object TextAnalysis {
 
   /** TF-IDF: per-doc top-3 terms. Selection order is integer-only
     * (tf desc, df asc, token asc) so row membership is exact across
-    * engines; the tfidf double rides along under float tolerance. */
+    * engines; the tfidf score is emitted as micro-unit fixed-point
+    * (round(x*1e6) BIGINT), absorbing the cross-engine ln() ulp. */
   def qTextTfidf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -153,7 +163,7 @@ object TextAnalysis {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter($"rnk" <= 3)
       .select($"doc_id", $"tok", $"tf", $"df", $"rnk",
-        ($"tf" * log(lit(nDocs.toDouble) / $"df")).as("tfidf"))
+        round($"tf" * log(lit(nDocs.toDouble) / $"df") * 1e6).cast("long").as("tfidf_u"))
   }
 
   val qTextTfidfSql: String =
@@ -167,9 +177,9 @@ object TextAnalysis {
       |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
       |    CAST(row_number() OVER (PARTITION BY tf.doc_id
       |      ORDER BY tf.tf DESC, df.df ASC, tf.tok ASC) AS BIGINT) AS rnk,
-      |    tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+      |    CAST(round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) * 1e6) AS BIGINT) AS tfidf_u
       |  FROM tf JOIN df USING (tok) CROSS JOIN n)
-      |SELECT doc_id, tok, tf, df, rnk, tfidf FROM ranked WHERE rnk <= 3""".stripMargin
+      |SELECT doc_id, tok, tf, df, rnk, tfidf_u FROM ranked WHERE rnk <= 3""".stripMargin
 
   /** Token co-occurrence: top-20 distinct-token pairs by the number of
     * docs containing both (integer-deterministic ordering). The phrase/

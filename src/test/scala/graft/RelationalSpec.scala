@@ -21,12 +21,12 @@ class RelationalSpec extends AnyFunSuite {
     val q1 = SparkEntry.queries("q1_agg")(spark, sf)
     val rows = q1.collect()
     assert(rows.nonEmpty && rows.length <= 6) // |returnflag| x |linestatus|
-    assert(q1.columns.contains("sum_qty") && q1.columns.contains("count_order"))
+    assert(q1.columns.contains("sum_qty_c") && q1.columns.contains("count_order"))
   }
 
   test("q6 revenue positive and pushdown-filtered") {
     val r = SparkEntry.queries("q6_filter_sum")(spark, sf).collect()(0)
-    assert(r.getAs[java.math.BigDecimal]("revenue").doubleValue() > 0)
+    assert(r.getAs[Long]("revenue_c4") > 0)
   }
 
   test("semi + anti join partition the customer set per segment") {
@@ -42,8 +42,8 @@ class RelationalSpec extends AnyFunSuite {
   test("window rn per customer is at most 3 and running sums are monotone") {
     import org.apache.spark.sql.functions._
     val w = SparkEntry.queries("q_window")(spark, sf)
-    assert(w.agg(max("rn")).collect()(0).getInt(0) <= 3)
-    assert(w.filter(col("running_spend") <= 0).count() == 0)
+    assert(w.agg(max("rn")).collect()(0).getLong(0) <= 3)
+    assert(w.filter(col("running_spend_c") <= 0).count() == 0)
   }
 
   test("rollup row count = detail + subtotals + grand total") {

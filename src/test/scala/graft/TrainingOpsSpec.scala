@@ -61,8 +61,8 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
 
-  test("partial-topk brute ANN equals the window formulation exactly") {
-    val window = SparkEntry.queries("q_ann_brute")(spark, sf)
+  test("partial-topk brute ANN (gated) equals the window formulation exactly") {
+    val window = graft.queries.Similarity.bruteTopKWindow(spark, sf)
       .select("q_id", "neighbor_id", "rank").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val partial = graft.queries.Similarity.bruteTopKPartial(spark, sf)
@@ -135,7 +135,7 @@ class TrainingOpsSpec extends AnyFunSuite {
 
   test("text stats quality is bounded [0,1] and ttr null only for empty docs") {
     val stats = SparkEntry.queries("q_text_stats")(spark, sf)
-    assert(stats.filter(col("quality") < 0 || col("quality") > 1).count() == 0)
-    assert(stats.filter(col("ttr").isNull && col("n_tokens") > 0).count() == 0)
+    assert(stats.filter(col("quality_ppm") < 0 || col("quality_ppm") > 1000000).count() == 0)
+    assert(stats.filter(col("ttr_ppm").isNull && col("n_tokens") > 0).count() == 0)
   }
 }
