@@ -183,16 +183,31 @@ object Dedup {
       |FROM v a JOIN v b ON a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(a.v, b.v) >= 0.5""".stripMargin
 
+  /** Memoized cluster assignment: the jaccard similarity join + iterative
+    * connected components is the most expensive pipeline in the suite, and
+    * BOTH qDedupCluster and qDedupKeep need it — so the materialized
+    * (localCheckpointed) result is computed once per (session, sf-dir) and
+    * shared. Thread-safe: Verify fans queries out on a pool. */
+  private val clusterCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  private def clusters(s: SparkSession, dir: String): DataFrame =
+    clusterCache.synchronized {
+      clusterCache.getOrElseUpdate((s, dir), {
+        import s.implicits._
+        val pairs = qDedupJaccard(s, dir).select($"doc_a", $"doc_b")
+        graft.operators.ConnectedComponents.run(pairs)
+          .select($"id".as("doc_id"), $"cluster")
+          .localCheckpoint(true) // materialized: second consumer reuses
+      })
+    }
+
   /** Near-dup clustering: transitive closure of the jaccard>=0.6 pair
     * graph via min-label propagation (operators.ConnectedComponents) —
     * "keep one canonical doc per near-dup cluster" is the actual dedup
     * decision. Oracle = recursive CTE transitive closure. */
-  def qDedupCluster(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val pairs = qDedupJaccard(s, dir).select($"doc_a", $"doc_b")
-    graft.operators.ConnectedComponents.run(pairs)
-      .select($"id".as("doc_id"), $"cluster")
-  }
+  def qDedupCluster(s: SparkSession, dir: String): DataFrame =
+    clusters(s, dir)
 
   val qDedupClusterSql: String =
     shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
@@ -292,10 +307,11 @@ object Dedup {
 
   /** The dedup decision itself: documents REMOVED by near-dup clustering
     * (every cluster keeps its min-id representative). The complement is
-    * the training corpus after dedup. */
+    * the training corpus after dedup. Derives from the shared memoized
+    * cluster result — the jaccard+CC pipeline runs once, not twice. */
   def qDedupKeep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    qDedupCluster(s, dir)
+    clusters(s, dir)
       .filter($"doc_id" =!= $"cluster")
       .select($"doc_id".as("removed_doc"), $"cluster".as("kept_doc"))
   }

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Sink layer (SURVEY §2.1 S9/S10, §7 step 4).
   *
@@ -13,25 +14,69 @@ import org.apache.spark.sql.DataFrame
   */
 object Sinks {
 
-  /** S10: JDBC append with the reference's all-TEXT dynamic DDL semantics.
-    * `createTableColumnTypes` pins every column to TEXT like the
-    * converter's CREATE TABLE; `batchsize` replaces the row-at-a-time
-    * psycopg2 loop (OTIMIZACAO_API_PYTHON.md:156-167 measured 10-50x from
-    * batching alone). No database ships in this container — the option
-    * plumbing is unit-tested, the write call is the one-liner it should be. */
-  def jdbcOptions(df: DataFrame, batchSize: Int = 10000): Map[String, String] = Map(
-    "createTableColumnTypes" -> df.schema.fieldNames.map(f => s"$f TEXT").mkString(", "),
+  /** S10: JDBC append with the reference's all-text dynamic DDL semantics
+    * (ESTRUTURA_DADOS_PROCESSADOS.md:164-203: every record column TEXT,
+    * create-if-absent, then batched INSERT). `createTableColumnTypes`
+    * takes SPARK SQL types — STRING maps to the dialect's text type
+    * (TEXT on PostgreSQL, exactly the reference's DDL; CLOB on Derby),
+    * or pass e.g. "VARCHAR(4096)" to pin a width. `batchsize` replaces
+    * the reference converter's row-at-a-time psycopg2 loop
+    * (OTIMIZACAO_API_PYTHON.md:156-167 measured 10-50x from batching).
+    * Exercised end-to-end against embedded Derby in JdbcSinkSpec. */
+  def jdbcOptions(df: DataFrame, batchSize: Int = 10000,
+                  textType: String = "STRING"): Map[String, String] = Map(
+    "createTableColumnTypes" -> df.schema.fieldNames.map(f => s"$f $textType").mkString(", "),
     "batchsize" -> batchSize.toString,
     "isolationLevel" -> "READ_COMMITTED")
 
+  /** Append `df` with every column cast to string (the reference's
+    * stringly-typed record shape); creates the table with all-text DDL if
+    * absent. */
   def writeJdbc(df: DataFrame, url: String, table: String,
-                props: java.util.Properties = new java.util.Properties()): Unit = {
-    val opts = jdbcOptions(df)
-    df.write
+                props: java.util.Properties = new java.util.Properties(),
+                textType: String = "STRING"): Unit = {
+    val allText = df.select(df.columns.map(c => col(c).cast("string").as(c)): _*)
+    val opts = jdbcOptions(allText, textType = textType)
+    allText.write
       .mode("append")
       .option("createTableColumnTypes", opts("createTableColumnTypes"))
       .option("batchsize", opts("batchsize"))
       .jdbc(url, table, props)
+  }
+
+  /** Read a JDBC table back through Spark (S12 surface; the DSv2 catalog
+    * route is spec'd in JdbcSinkSpec via JDBCTableCatalog). */
+  def readJdbc(s: SparkSession, url: String, table: String,
+               props: java.util.Properties = new java.util.Properties()): DataFrame =
+    s.read.jdbc(url, table, props)
+
+  /** The reference's `competencias_existentes` check
+    * (datasus.service.ts:33): which competência values are already loaded.
+    * Empty when the table does not exist yet. The distinct runs in Spark
+    * after a column-pruned scan — months are bounded (hundreds), so the
+    * result is always driver-small. */
+  def existingCompetencias(s: SparkSession, url: String, table: String,
+                           props: java.util.Properties = new java.util.Properties(),
+                           c: String = "competencia"): Set[String] =
+    try readJdbc(s, url, table, props).select(c).distinct()
+      .collect().map(_.getString(0)).toSet
+    catch { case scala.util.control.NonFatal(_) => Set.empty } // table absent
+
+  /** Duplicate-load guard the reference only *detects* with: append ONLY
+    * rows whose competência is not already in the table. Returns
+    * (appendedRows, skippedRows). The already-loaded set is bounded
+    * (months), so the filter is a broadcast-friendly NOT IN. */
+  def appendNewCompetencias(df: DataFrame, url: String, table: String,
+                            props: java.util.Properties = new java.util.Properties(),
+                            c: String = "competencia",
+                            textType: String = "STRING"): (Long, Long) = {
+    val loaded = existingCompetencias(df.sparkSession, url, table, props, c)
+    val fresh =
+      if (loaded.isEmpty) df
+      else df.filter(!col(c).isin(loaded.toSeq: _*))
+    val appended = fresh.count()
+    if (appended > 0) writeJdbc(fresh, url, table, props, textType)
+    (appended, df.count() - appended)
   }
 
   /** S11 escape hatch: per-partition push to an external receiver (the

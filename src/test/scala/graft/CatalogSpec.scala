@@ -49,13 +49,17 @@ class CatalogSpec extends AnyFunSuite {
     assert(DatasusCatalog.validItems(df).count() == 1)
   }
 
-  test("S10 jdbc options pin all-TEXT DDL and batching") {
+  test("S10 jdbc options pin all-text DDL and batching") {
     val df = Tables.nation(spark, sf)
     val opts = Sinks.jdbcOptions(df)
+    // STRING is the Spark-side type; the dialect maps it to the target's
+    // text type (TEXT on PostgreSQL — the reference's DDL; CLOB on Derby)
     assert(opts("createTableColumnTypes") ==
-      df.schema.fieldNames.map(f => s"$f TEXT").mkString(", "))
-    assert(opts("createTableColumnTypes").endsWith("n_regionkey TEXT"))
+      df.schema.fieldNames.map(f => s"$f STRING").mkString(", "))
+    assert(opts("createTableColumnTypes").endsWith("n_regionkey STRING"))
     assert(opts("batchsize") == "10000")
+    assert(Sinks.jdbcOptions(df, textType = "VARCHAR(4096)")("createTableColumnTypes")
+      .endsWith("n_regionkey VARCHAR(4096)"))
   }
 
   test("minhash aggregator merge == signature of the union (sketch algebra)") {

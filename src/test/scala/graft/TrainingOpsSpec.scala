@@ -133,6 +133,24 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(merged.filter(col("c2").isNull).count() == 1)
   }
 
+  test("connected components: chain graph (multi-iteration), singleton edges, and reliable-checkpoint mode") {
+    import spark.implicits._
+    // 0-1-2-...-9 chain: diameter 9 forces several propagation rounds;
+    // 100-101 is an isolated pair; all labels must reach the min id.
+    val chain = (0L until 9L).map(i => (i, i + 1)) :+ (100L, 101L)
+    val edges = chain.toDF("u", "v")
+    val got = graft.operators.ConnectedComponents.run(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L to 9L).foreach(i => assert(got(i) == 0L, s"node $i"))
+    assert(got(100L) == 100L && got(101L) == 100L)
+    // reliable checkpoint dir variant computes the identical result
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_cp").toString
+    val got2 = graft.operators.ConnectedComponents
+      .run(edges, checkpointDir = Some(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got2 == got)
+  }
+
   test("text stats quality is bounded [0,1] and ttr null only for empty docs") {
     val stats = SparkEntry.queries("q_text_stats")(spark, sf)
     assert(stats.filter(col("quality_ppm") < 0 || col("quality_ppm") > 1000000).count() == 0)
