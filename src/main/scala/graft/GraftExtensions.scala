@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (args: Seq[Expression]) => { checkArity(name, arity, args); builder(args) }))
     }
     ext.injectOptimizerRule(_ => JaccardLengthFilterRule)
+    // planner-tier salted join: hint → marker → custom node → strategy
+    ext.injectResolutionRule(_ => ResolveSaltHint)
+    ext.injectOptimizerRule(_ => SaltedJoinRule)
+    ext.injectPlannerStrategy(_ => SaltedJoinStrategy)
   }
 
   private def checkArity(name: String, arity: Int, args: Seq[Expression]): Unit =
@@ -54,5 +58,13 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(JaccardLengthFilterRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ JaccardLengthFilterRule
+    if (!spark.experimental.extraOptimizations.contains(SaltedJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SaltedJoinRule
+    if (!spark.experimental.extraStrategies.contains(SaltedJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ SaltedJoinStrategy
+    // hint("salt_join", n) needs build-time extensions (analyzer rule);
+    // post-hoc sessions use SaltedJoinApi.markSalted instead.
   }
 }

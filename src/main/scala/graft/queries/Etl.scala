@@ -42,7 +42,11 @@ object EtlFixtures {
     if (marker.exists()) return base.getPath
     base.mkdirs()
 
-    val rows = Tables.orders(s, dir)
+    // Driver-side collect is fixture-only infrastructure: cap it so a
+    // large-sf dir can never silently OOM the driver (sf0.1 orders are
+    // 150k rows; the cap trips long before JVM pressure).
+    val MaxFixtureRows = 2000000
+    val collected = Tables.orders(s, dir)
       .select(
         $"o_orderkey".cast("string"),
         $"o_custkey".cast("string"),
@@ -50,7 +54,11 @@ object EtlFixtures {
         $"o_totalprice".cast(DecimalType(18, 2)).cast("string"),
         $"o_orderdate".cast("date").cast("string"),
         $"o_orderpriority")
-      .collect()
+      .take(MaxFixtureRows + 1)
+    require(collected.length <= MaxFixtureRows,
+      s"EtlFixtures.ensure: $dir orders exceed the $MaxFixtureRows-row fixture cap; " +
+        "binary fixtures are for test scale factors only")
+    val rows = collected
       .map(r => (0 until 6).map(r.getString))
       .sortBy(r => r(0).toLong) // deterministic file contents
 
@@ -75,11 +83,13 @@ object EtlFixtures {
 
     val docs = Tables.documents(s, dir)
       .select($"doc_id", $"lang", $"source", $"n_chars")
-      .collect()
-      .sortBy(_.getLong(0))
+      .take(MaxFixtureRows + 1)
+    require(docs.length <= MaxFixtureRows,
+      s"EtlFixtures.ensure: $dir documents exceed the fixture cap")
+    val docsSorted = docs.sortBy(_.getLong(0))
     val nd = new StringBuilder()
-    nd ++= s"""{"tipo":"metadados","total_registros":${docs.length},"colunas":["doc_id","lang","source","n_chars"]}\n"""
-    docs.foreach { r =>
+    nd ++= s"""{"tipo":"metadados","total_registros":${docsSorted.length},"colunas":["doc_id","lang","source","n_chars"]}\n"""
+    docsSorted.foreach { r =>
       nd ++= s"""{"tipo":"registro","dados":{"doc_id":${r.getLong(0)},"lang":"${r.getString(1)}","source":"${r.getString(2)}","n_chars":${r.getLong(3)}}}\n"""
     }
     java.nio.file.Files.write(new File(base, "docs.ndjson").toPath,

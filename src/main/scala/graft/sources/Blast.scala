@@ -195,13 +195,13 @@ object Blast {
     endAndWrap(bw, dictLog)
   }
 
-  private def endAndWrap(bw: BitWriter, dictLog: Int): Array[Byte] = {
+  private def endAndWrap(bw: BitWriter, dictLog: Int, codedLiterals: Boolean = false): Array[Byte] = {
     bw.put(1, 1) // length/distance flag
     putCode(bw, lenEnc(15)) // symbol 15: base 264
     bw.put(255, 8) // extra 8 bits: 264 + 255 = 519 = end
     val body = bw.bytes()
     val out = new Array[Byte](2 + body.length)
-    out(0) = 0 // uncoded literals
+    out(0) = if (codedLiterals) 1 else 0
     out(1) = dictLog.toByte
     System.arraycopy(body, 0, out, 2, body.length)
     out
@@ -231,14 +231,18 @@ object Blast {
     out
   }
 
-  /** Greedy match-emitting imploder (raw-literal mode): hash-chained
-    * search over the sliding dictionary, emitting length/distance pairs
-    * for matches of 3+ bytes (2-byte matches only within the 256-byte
-    * near-window, per the format's special 2-length coding). Compresses
+  /** Greedy match-emitting imploder: hash-chained search over the sliding
+    * dictionary, emitting length/distance pairs for matches of 3+ bytes
+    * (2-byte matches only within the 256-byte near-window, per the
+    * format's special 2-length coding). `codedLiterals = true` emits
+    * literals through the static Huffman table — matches + coded
+    * literals is the mode real PKWare/DATASUS streams use, so fixtures
+    * built this way drive the decoder's production branch. Compresses
     * for real AND exercises the decoder's copy machinery on arbitrary
     * data — the property tests round-trip repetitive corpora through the
     * same code paths real DATASUS bodies use. */
-  def implode(data: Array[Byte], dictLog: Int = 6): Array[Byte] = {
+  def implode(data: Array[Byte], dictLog: Int = 6,
+              codedLiterals: Boolean = false): Array[Byte] = {
     val dictSize = 1 << (dictLog + 6)
     val bw = new BitWriter()
     val head = new java.util.HashMap[Int, java.util.ArrayDeque[Int]]()
@@ -294,12 +298,13 @@ object Blast {
         i += bestLen
       } else {
         bw.put(0, 1)
-        bw.put(data(i) & 0xFF, 8)
+        if (codedLiterals) putCode(bw, litEnc(data(i) & 0xFF))
+        else bw.put(data(i) & 0xFF, 8)
         if (i + 2 < data.length)
           head.computeIfAbsent(key(i), _ => new java.util.ArrayDeque[Int]()).addFirst(i)
         i += 1
       }
     }
-    endAndWrap(bw, dictLog)
+    endAndWrap(bw, dictLog, codedLiterals)
   }
 }

@@ -153,13 +153,16 @@ object Dbc {
     out
   }
 
-  /** Encode a .dbf byte array as .dbc (test/fixture support; uses the
-    * match-emitting imploder so fixtures exercise real copy paths). */
-  def fromDbf(dbf: Array[Byte]): Array[Byte] = {
+  /** Encode a .dbf byte array as .dbc (test/fixture support). Default =
+    * match-emitting + Huffman-coded literals, the mode real PKWare/DATASUS
+    * streams use — so the oracle-gated fixtures drive the decoder's
+    * production branch (copy machinery AND coded-literal decode);
+    * `coded = false` keeps the raw-literal variant for branch coverage. */
+  def fromDbf(dbf: Array[Byte], coded: Boolean = true): Array[Byte] = {
     val h = Dbf.parseHeader(dbf)
     val body = new Array[Byte](dbf.length - h.headerSize)
     System.arraycopy(dbf, h.headerSize, body, 0, body.length)
-    val imploded = Blast.implode(body)
+    val imploded = Blast.implode(body, codedLiterals = coded)
     val out = new ByteArrayOutputStream()
     out.write(dbf, 0, h.headerSize)
     out.write(Array[Byte](0, 0, 0, 0)) // CRC slot (unchecked, like the tools)

@@ -16,6 +16,35 @@ object HttpFetch {
                                connectTimeoutMs: Int = 30000,
                                readTimeoutMs: Int = 300000)
 
+  /** The reference's Bull queue retry policy (datasus.module.ts:16-21):
+    * 3 attempts, fixed 5 s backoff. Driver-side fetches retry here;
+    * executor-side work additionally rides `spark.task.maxFailures`
+    * (task re-attempts) — set it >= attempts on a real cluster. */
+  final case class RetryPolicy(attempts: Int = 3, backoffMs: Long = 5000,
+                               sleep: Long => Unit = Thread.sleep)
+
+  /** Run `op` under the retry policy: up to `attempts` tries with fixed
+    * backoff between them; the last failure propagates (the reference
+    * marks the Bull job failed after attempt 3). */
+  def withRetry[T](policy: RetryPolicy = RetryPolicy())(op: Int => T): T = {
+    var attempt = 1
+    while (true) {
+      try return op(attempt)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          if (attempt >= policy.attempts) throw e
+          policy.sleep(policy.backoffMs)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** fetchBytes under the reference's retry policy. */
+  def fetchBytesWithRetry(url: String, limits: FetchLimits = FetchLimits(),
+                          policy: RetryPolicy = RetryPolicy()): Array[Byte] =
+    withRetry(policy)(_ => fetchBytes(url, limits))
+
   /** GET `url` fully into memory; fails fast past `maxBytes` (the
     * reference's content-length + stream guard). */
   def fetchBytes(url: String, limits: FetchLimits = FetchLimits()): Array[Byte] = {

@@ -62,6 +62,33 @@ class CatalogSpec extends AnyFunSuite {
       .endsWith("n_regionkey VARCHAR(4096)"))
   }
 
+  test("retry policy mirrors the reference queue: 3 attempts, fixed backoff, then fail") {
+    import graft.sources.HttpFetch
+    // transient failure: attempts 1-2 throw, attempt 3 succeeds
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val policy = HttpFetch.RetryPolicy(attempts = 3, backoffMs = 5000,
+      sleep = ms => sleeps += ms)
+    val got = HttpFetch.withRetry(policy) { attempt =>
+      if (attempt < 3) sys.error(s"flaky (attempt $attempt)") else "ok"
+    }
+    assert(got == "ok")
+    assert(sleeps.toSeq == Seq(5000L, 5000L)) // fixed 5 s backoff between tries
+
+    // permanent failure: exactly 3 attempts, then the last error propagates
+    var tries = 0
+    val e = intercept[RuntimeException] {
+      HttpFetch.withRetry(policy) { _ => tries += 1; sys.error(s"down $tries") }
+    }
+    assert(tries == 3 && e.getMessage == "down 3")
+
+    // end-to-end: fetch succeeds once the resource appears mid-retries
+    val f = java.nio.file.Files.createTempDirectory("graft_retry").resolve("late.bin")
+    val appearing = HttpFetch.RetryPolicy(attempts = 3, backoffMs = 1,
+      sleep = _ => java.nio.file.Files.write(f, Array[Byte](1, 2, 3)))
+    val bytes = HttpFetch.fetchBytesWithRetry(f.toUri.toString, policy = appearing)
+    assert(bytes.toSeq == Seq[Byte](1, 2, 3))
+  }
+
   test("minhash aggregator merge == signature of the union (sketch algebra)") {
     import org.apache.spark.sql.functions._
     import graft.functions.{MinHashAggregator, TextFunctions}

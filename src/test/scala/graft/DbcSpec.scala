@@ -82,6 +82,25 @@ class DbcSpec extends AnyFunSuite {
     assert(Blast.explode(packed).sameElements(text))
   }
 
+  test("matches + coded literals (real PKWare mode) round-trips both branches at once") {
+    val r = rng
+    val corpora = Seq(
+      ("the quick brown fox " * 400).getBytes("ISO-8859-1"),
+      Array.fill(5000)(0.toByte),
+      Array.fill(2000)(r.nextInt(256).toByte), // incompressible
+      Array.tabulate(8000)(i => ((i % 7) + (i / 100)).toByte),
+      Array.emptyByteArray)
+    corpora.foreach { data =>
+      val packed = Blast.implode(data, codedLiterals = true)
+      assert(packed(0) == 1, "coded-literal mode flag")
+      assert(Blast.explode(packed).sameElements(data), s"len ${data.length}")
+    }
+    // coded literals + matches beats raw-literal matches on text
+    val text = ("RDPE2501 competencia registro " * 500).getBytes("ISO-8859-1")
+    assert(Blast.implode(text, codedLiterals = true).length <
+           Blast.implode(text, codedLiterals = false).length)
+  }
+
   test("match-emitting implode round-trips and actually compresses") {
     val r = rng
     // repetitive corpora exercise the length/distance machinery hard
@@ -122,13 +141,14 @@ class DbcSpec extends AnyFunSuite {
     assert(Dbf.records(bytes).map(_(0)).toSeq == Seq("1", "3"))
   }
 
-  test("dbc wraps and unwraps a dbf byte-for-byte") {
+  test("dbc wraps and unwraps a dbf byte-for-byte (both literal modes)") {
     val r = rng
     (0 until 20).foreach { _ =>
       val n = r.nextInt(40)
       val rows = (0 until n).map(i => Seq(s"r$i", (i * 7).toString))
       val dbf = Dbf.write(Seq("ID", "VAL"), rows)
-      assert(Dbc.toDbf(Dbc.fromDbf(dbf)).sameElements(dbf))
+      assert(Dbc.toDbf(Dbc.fromDbf(dbf)).sameElements(dbf)) // coded (default)
+      assert(Dbc.toDbf(Dbc.fromDbf(dbf, coded = false)).sameElements(dbf))
     }
   }
 
