@@ -43,6 +43,7 @@ object GraftExtensions {
     ("minhash_sig", 1, args => NativeExprs.MinHashSig(args.head)),
     ("array_cosine", 2, args => NativeExprs.ArrayCosine(args(0), args(1))),
     ("array_jaccard", 2, args => NativeExprs.ArrayJaccard(args(0), args(1))),
+    ("array_intersect_size", 2, args => NativeExprs.ArrayIntersectSize(args(0), args(1))),
     ("winnow_fingerprint", 1, args => NativeExprs.WinnowFingerprint(args.head)),
   )
 

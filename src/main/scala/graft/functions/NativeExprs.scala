@@ -355,6 +355,34 @@ object NativeExprs {
       copy(left = l, right = r)
   }
 
+  /** |a ∩ b| of two string arrays (inputs assumed distinct) as BIGINT —
+    * the integer-exact building block for jaccard-ppm gate outputs: one
+    * hash-set pass per pair instead of array_intersect + size (which
+    * materializes the intersection array per row on the verify hot path). */
+  case class ArrayIntersectSize(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(StringType), ArrayType(StringType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "array_intersect_size"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val nx = x.numElements(); val ny = y.numElements()
+      val set = new java.util.HashSet[UTF8String](nx * 2)
+      var i = 0
+      while (i < nx) { set.add(x.getUTF8String(i)); i += 1 }
+      var inter = 0L
+      i = 0
+      while (i < ny) { if (set.contains(y.getUTF8String(i))) inter += 1; i += 1 }
+      inter
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   // Column-level wrappers
   def tokenShingles(text: Column, n: Int = 3): Column =
     ExpressionUtils.column(TokenShingles(ExpressionUtils.expression(text), n))
@@ -366,6 +394,8 @@ object NativeExprs {
     ExpressionUtils.column(SimHash60(ExpressionUtils.expression(sh)))
   def arrayJaccard(a: Column, b: Column): Column =
     ExpressionUtils.column(ArrayJaccard(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def arrayIntersectSize(a: Column, b: Column): Column =
+    ExpressionUtils.column(ArrayIntersectSize(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def winnowFingerprint(toks: Column, k: Int = 4, w: Int = 4): Column =
     ExpressionUtils.column(WinnowFingerprint(ExpressionUtils.expression(toks), k, w))
   def cosineBandKeys(v: Column, bands: Int = 32, rowsPerBand: Int = 4): Column =

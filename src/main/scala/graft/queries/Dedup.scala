@@ -119,7 +119,8 @@ object Dedup {
     cand
       .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sha")), "doc_a")
       .join(sh.select($"doc_id".as("doc_b"), $"sh".as("shb")), "doc_b")
-      .withColumn("i", size(array_intersect($"sha", $"shb")).cast("long"))
+      .withColumn("i", org.apache.spark.sql.graft.NativeExprs
+        .arrayIntersectSize($"sha", $"shb"))
       .withColumn("u", (size($"sha") + size($"shb")).cast("long") - $"i")
       .filter($"i" * 5 >= $"u" * 3)
       .select($"doc_a", $"doc_b", expr("(i * 1000000L) DIV u").as("jaccard_ppm"))
@@ -299,7 +300,8 @@ object Dedup {
     cand
       .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sha")), "doc_a")
       .join(sh.select($"doc_id".as("doc_b"), $"sh".as("shb")), "doc_b")
-      .withColumn("i", size(array_intersect($"sha", $"shb")).cast("long"))
+      .withColumn("i", org.apache.spark.sql.graft.NativeExprs
+        .arrayIntersectSize($"sha", $"shb"))
       .withColumn("u", (size($"sha") + size($"shb")).cast("long") - $"i")
       .filter($"i" * 5 >= $"u" * 3) // == jaccard >= t for t = 0.6, exactly
       .select($"doc_a", $"doc_b", expr("(i * 1000000L) DIV u").as("jaccard_ppm"))

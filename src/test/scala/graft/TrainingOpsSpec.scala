@@ -29,6 +29,18 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("native array_intersect_size equals size(array_intersect) exactly") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(150)
+      .select(shingleSet($"text").as("sh")).filter(size($"sh") > 2)
+    val pairs = docs.limit(50).crossJoin(docs.limit(50).select($"sh".as("sh2")))
+    val diff = pairs.select(
+        org.apache.spark.sql.graft.NativeExprs.arrayIntersectSize($"sh", $"sh2").as("native"),
+        size(array_intersect($"sh", $"sh2")).cast("long").as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(diff == 0)
+  }
+
   test("native simhash60 equals the HOF bit-walk spec") {
     import spark.implicits._
     import graft.functions.TextFunctions
