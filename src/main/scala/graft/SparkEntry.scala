@@ -7,6 +7,7 @@ object SparkEntry {
     (graft.queries.Dedup.queries, graft.queries.Dedup.oracles),
     (graft.queries.Similarity.queries, graft.queries.Similarity.oracles),
     (graft.queries.TextAnalysis.queries, graft.queries.TextAnalysis.oracles),
+    (graft.queries.TrainingData.queries, graft.queries.TrainingData.oracles),
     (graft.queries.Events.queries, graft.queries.Events.oracles),
     (graft.queries.Etl.queries, graft.queries.Etl.oracles),
     (graft.queries.Multimodal.queries, graft.queries.Multimodal.oracles),

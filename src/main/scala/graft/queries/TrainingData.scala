@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions.tokens
+
+/** Training-corpus assembly operators (SURVEY §7 north-star extensions —
+  * the steps between "deduped documents" and "batches on the cluster"):
+  * deterministic stratified sampling (the training mix), context-window
+  * packing, PII scrubbing, composite quality filtering, and PMI
+  * collocation mining. All are map-side per-row expressions or one
+  * windowed pass — linear at 100 TB — and all gate outputs follow the
+  * scaled-BIGINT convention (see Relational).
+  */
+object TrainingData {
+
+  /** Shared cross-engine 60-bit hash (NOTES: low 60 bits of md5). */
+  private def h60(c: org.apache.spark.sql.Column) =
+    expr(s"CAST(conv(substr(md5(CAST(${c.toString} AS STRING)), 18, 15), 16, 10) AS BIGINT)")
+
+  private val h60Duck = (x: String) =>
+    s"('0x' || substr(md5(CAST($x AS VARCHAR)), 18, 15))::BIGINT"
+
+  /** Deterministic stratified sampling — the training-mix primitive: each
+    * source gets a sampling rate (percent), membership decided by a
+    * content-stable hash, so the sample is reproducible across runs,
+    * engines, and cluster sizes (no RNG, no per-partition state). */
+  def qSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rate = (lit(20L) + (length($"source") * 13L) % 60L).as("rate_pct")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source", rate,
+        (h60($"doc_id") % 100L).as("bucket"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_total"),
+           sum(when($"bucket" < $"rate_pct", 1L).otherwise(0L)).as("n_kept"),
+           sum(when($"bucket" < $"rate_pct", $"doc_id")).as("kept_id_sum"),
+           first($"rate_pct").as("rate_pct"))
+  }
+
+  val qSampleStratifiedSql: String =
+    s"""WITH hashed AS (
+       |  SELECT doc_id, source,
+       |    20 + (length(source) * 13) % 60 AS rate_pct,
+       |    ${h60Duck("doc_id")} % 100 AS bucket
+       |  FROM documents)
+       |SELECT source, count(*) AS n_total,
+       |  CAST(sum(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN bucket < rate_pct THEN doc_id END) AS BIGINT) AS kept_id_sum,
+       |  CAST(min(rate_pct) AS BIGINT) AS rate_pct
+       |FROM hashed GROUP BY source""".stripMargin
+
+  /** Context-window packing: contiguous-fill documents (ordered by doc_id
+    * within source) into 8192-token bins by running token count — the
+    * sequence-packing step of pretraining batch assembly. One window pass
+    * per source partition; bins are deterministic and engine-identical
+    * because the running sum is integer. Documents spanning a boundary
+    * belong to the bin their cumulative end lands in (contiguous fill,
+    * not first-fit). */
+  def qPackBins(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select($"source", $"doc_id", (expr("n_chars DIV 4") + 1L).as("tok_est"))
+      .withColumn("running", sum($"tok_est").over(w))
+      .withColumn("bin", expr("(running - 1) DIV 8192"))
+      .groupBy($"source", $"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"tok_est").as("bin_tokens"))
+  }
+
+  val qPackBinsSql: String =
+    """WITH est AS (
+      |  SELECT source, doc_id, n_chars // 4 + 1 AS tok_est FROM documents),
+      |packed AS (
+      |  SELECT source, doc_id, tok_est,
+      |    (CAST(sum(tok_est) OVER (PARTITION BY source ORDER BY doc_id ASC
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1) // 8192 AS bin
+      |  FROM est)
+      |SELECT source, bin, count(*) AS n_docs,
+      |  CAST(sum(tok_est) AS BIGINT) AS bin_tokens
+      |FROM packed GROUP BY source, bin""".stripMargin
+
+  /** PII scrubbing: count and redact emails / phone numbers / IPv4s.
+    * The synthetic corpus carries no PII, so each doc is deterministically
+    * augmented with derived contact strings first — the scrub then
+    * provably fires on every row and the oracle hashes the redacted
+    * output. Patterns are RE2-safe (no lookahead) so both engines match
+    * identically. */
+  def qPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phonePat = "\\b555-[0-9]{3,7}\\b"
+    val ipPat = "\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val aug = concat($"text",
+      lit(" contact user"), $"doc_id", lit("@mail.example"),
+      lit(" tel 555-0"), pmod($"doc_id", lit(1000L)),
+      lit(" ip 10."), pmod($"doc_id", lit(256L)), lit(".0.1"))
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(aug, emailPat, "<EMAIL>"),
+        phonePat, "<PHONE>"),
+      ipPat, "<IP>")
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        size(regexp_extract_all(aug, lit(emailPat), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(aug, lit(phonePat), lit(0))).cast("long").as("n_phones"),
+        size(regexp_extract_all(aug, lit(ipPat), lit(0))).cast("long").as("n_ips"),
+        md5(scrubbed).as("scrubbed_md5"))
+  }
+
+  val qPiiScrubSql: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || doc_id || '@mail.example'
+      |         || ' tel 555-0' || (doc_id % 1000)
+      |         || ' ip 10.' || (doc_id % 256) || '.0.1' AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(t, '\b555-[0-9]{3,7}\b')) AS BIGINT) AS n_phones,
+      |  CAST(len(regexp_extract_all(t, '\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+      |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b555-[0-9]{3,7}\b', '<PHONE>', 'g'),
+      |    '\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS scrubbed_md5
+      |FROM aug""".stripMargin
+
+  /** Composite quality filter (C4-flavored rules over integer metrics):
+    * token-count bounds, punctuation ratio cap, type-token-ratio floor.
+    * Emits the per-source pass rate — the knob a corpus curator tunes. */
+  def qQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    Tables.documents(s, dir)
+      .select($"source",
+        size(toks).cast("long").as("nt"),
+        size(array_distinct(toks)).cast("long").as("nd"),
+        length(regexp_replace($"text", "[a-z0-9 ]", "")).cast("long").as("np"),
+        length($"text").cast("long").as("nc"))
+      .withColumn("pass",
+        ($"nt" >= 10 && $"nt" <= 5000 &&
+         $"np" * 1000000L <= $"nc" * 300000L &&
+         $"nd" * 1000000L >= $"nt" * 300000L).cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"pass").as("n_pass"))
+      .withColumn("pass_ppm", expr("(n_pass * 1000000L) DIV n_docs"))
+  }
+
+  val qQualityFilterSql: String =
+    """WITH m AS (
+      |  SELECT source,
+      |    len(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS nt,
+      |    len(list_distinct(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> ''))) AS nd,
+      |    length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS np,
+      |    length(text) AS nc
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN nt >= 10 AND nt <= 5000
+      |            AND np * 1000000 <= nc * 300000
+      |            AND nd * 1000000 >= nt * 300000 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      |  (CAST(sum(CASE WHEN nt >= 10 AND nt <= 5000
+      |            AND np * 1000000 <= nc * 300000
+      |            AND nd * 1000000 >= nt * 300000 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+      |    // count(*) AS pass_ppm
+      |FROM m GROUP BY source""".stripMargin
+
+  /** PMI collocations: top-20 co-occurring token pairs (integer-ordered,
+    * like qTextCooc) scored by pointwise mutual information — the
+    * phrase-mining statistic. Row membership and order are integer-exact;
+    * the PMI value is micro-unit fixed point over an exact rational, so
+    * both engines' ln() ulps are absorbed by the rounding. */
+  def qTextPmi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.count()
+    val dt = docs.select($"doc_id", explode(array_distinct(tokens($"text"))).as("tok"))
+    val tokCount = dt.groupBy($"tok").agg(count(lit(1)).as("c"))
+    val pairs = dt.as("a").join(dt.as("b"),
+        $"a.doc_id" === $"b.doc_id" && $"a.tok" < $"b.tok")
+      .groupBy($"a.tok".as("tok_a"), $"b.tok".as("tok_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .orderBy($"n_ab".desc, $"tok_a".asc, $"tok_b".asc)
+      .limit(20)
+    pairs
+      .join(tokCount.select($"tok".as("tok_a"), $"c".as("c_a")), "tok_a")
+      .join(tokCount.select($"tok".as("tok_b"), $"c".as("c_b")), "tok_b")
+      .select($"tok_a", $"tok_b", $"n_ab", $"c_a", $"c_b",
+        round(log(lit(nDocs.toDouble) * $"n_ab" / ($"c_a" * $"c_b")) * 1e6)
+          .cast("long").as("pmi_u"))
+  }
+
+  val qTextPmiSql: String =
+    """WITH dt AS (
+      |  SELECT DISTINCT doc_id, unnest(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |tc AS (SELECT tok, count(*) AS c FROM dt GROUP BY tok),
+      |pairs AS (
+      |  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_ab
+      |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      |  GROUP BY 1, 2 ORDER BY n_ab DESC, tok_a ASC, tok_b ASC LIMIT 20)
+      |SELECT tok_a, tok_b, n_ab, x.c AS c_a, y.c AS c_b,
+      |  CAST(round(ln(CAST(n.n_docs AS DOUBLE) * n_ab / (x.c * y.c)) * 1e6) AS BIGINT) AS pmi_u
+      |FROM pairs JOIN tc x ON x.tok = tok_a JOIN tc y ON y.tok = tok_b
+      |CROSS JOIN n""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_stratified" -> (qSampleStratified _),
+    "q_pack_bins"         -> (qPackBins _),
+    "q_pii_scrub"         -> (qPiiScrub _),
+    "q_quality_filter"    -> (qQualityFilter _),
+    "q_text_pmi"          -> (qTextPmi _),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_sample_stratified" -> qSampleStratifiedSql,
+    "q_pack_bins"         -> qPackBinsSql,
+    "q_pii_scrub"         -> qPiiScrubSql,
+    "q_quality_filter"    -> qQualityFilterSql,
+    "q_text_pmi"          -> qTextPmiSql,
+  )
+}
