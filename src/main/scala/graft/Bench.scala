@@ -33,7 +33,10 @@ object Bench {
       val n = try Tables.orders(spark, sfDir).count() catch { case _: Throwable => 0L }
       n / secs
     }.getOrElse(0.0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","decode_rec_per_s":${decodeRate.round}}""")
+    // Apples-to-apples with the reference converter's 13.7k rec/s: the
+    // SAME record shape it reports (92 cols / ~98 B), full materialization.
+    val decode92 = try DecodeBench.measure(spark)._2 catch { case _: Throwable => 0.0 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","decode_rec_per_s":${decodeRate.round},"decode92_rec_per_s":${decode92.round}}""")
     spark.stop()
   }
 }

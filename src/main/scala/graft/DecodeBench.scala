@@ -3,20 +3,28 @@ package graft
 import java.nio.charset.StandardCharsets.ISO_8859_1
 import java.nio.{ByteBuffer, ByteOrder}
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Decode-throughput probe against the reference's headline number
   * (BASELINE.md: 1,647,861 records / ~150 MB .dbc in ~2 min ≈ 13.7k rec/s
   * on the converter; record shape ≈ 92 cols / ~98 bytes). Builds a
-  * same-shaped .dbc corpus and times the full Spark pipeline (scan →
-  * blast → DBF parse → aggregate). Dev tool, not driver contract. */
+  * same-shaped .dbc corpus (coded-literal mode — the branch real PKWare
+  * streams use) and times the full Spark pipeline (scan → blast → DBF
+  * parse → aggregate). `measure` is reused by Bench for the per-round
+  * JSON; the corpus is cached under /tmp across runs. */
 object DecodeBench {
-  def main(args: Array[String]): Unit = {
-    val nRecords = args.headOption.map(_.toInt).getOrElse(500000)
-    val nFiles = 8
-    val nCols = 92
 
-    // build one wide DBF directly as bytes (92 single/double-char fields)
+  private val nFiles = 8
+  private val nCols = 92
+
+  /** Build (or reuse) the 92-col corpus; returns its directory. */
+  def ensureCorpus(nRecords: Int): java.io.File = synchronized {
+    val dir = new java.io.File(s"/tmp/graft_decode_corpus_$nRecords")
+    val marker = new java.io.File(dir, "_OK")
+    if (marker.exists()) return dir
+    dir.mkdirs()
+
     val widths = Array.tabulate(nCols)(i => if (i % 6 == 0) 6 else 1)
     val recordSize = 1 + widths.sum
     val headerSize = 32 + 32 * nCols + 1
@@ -54,7 +62,9 @@ object DecodeBench {
         }
         r += 1; p += recordSize
       }
-      val imploded = sources.Blast.implodeStored(body)
+      // coded-literal mode (no match search: linear build, and the decode
+      // cost it measures is the conservative all-literals worst case)
+      val imploded = sources.Blast.implodeCodedLiterals(body)
       val out = new java.io.ByteArrayOutputStream()
       out.write(head.array())
       out.write(Array[Byte](0, 0, 0, 0))
@@ -62,23 +72,26 @@ object DecodeBench {
       out.toByteArray
     }
 
-    val dir = java.nio.file.Files.createTempDirectory("graft_decode").toFile
     (0 until nFiles).foreach { f =>
-      java.nio.file.Files.write(new java.io.File(dir, f"WIDE${f}%02dPE2501.dbc").toPath, buildDbc(f))
+      java.nio.file.Files.write(
+        new java.io.File(dir, f"WIDE${f}%02dPE2501.dbc").toPath, buildDbc(f))
     }
-    val totalBytes = dir.listFiles().map(_.length).sum
+    java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+    dir
+  }
 
-    val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // warm-up then timed
+  /** (prunedRecPerSec, full92ColRecPerSec) — warm-up pass then timed. */
+  def measure(spark: SparkSession, nRecords: Int = 500000): (Double, Double) = {
+    val dir = ensureCorpus(nRecords)
+
+    var pruned = 0.0
     (1 to 2).foreach { pass =>
       val t0 = System.nanoTime()
       val n = spark.read.format("dbc").load(s"$dir/WIDE*.dbc")
         .agg(count(lit(1)), countDistinct(col("c3"))).collect()(0).getLong(0)
-      val secs = (System.nanoTime() - t0) / 1e9
-      if (pass == 2)
-        println(f"[decode-bench] $n%d records, 92 cols, ${totalBytes / 1e6}%.1f MB dbc in $secs%.2f s = ${n / secs / 1000}%.1f k rec/s (full projection pass below)")
+      if (pass == 2) pruned = n / ((System.nanoTime() - t0) / 1e9)
     }
+    var full = 0.0
     (1 to 2).foreach { pass =>
       val t0 = System.nanoTime()
       val wide = spark.read.format("dbc").load(s"$dir/WIDE*.dbc")
@@ -88,10 +101,17 @@ object DecodeBench {
         .agg(count(lit(1)),
           sum(length(concat_ws("|", wide.columns.map(col): _*))))
         .collect()(0).getLong(0)
-      val secs = (System.nanoTime() - t0) / 1e9
-      if (pass == 2)
-        println(f"[decode-bench] full 92-col materialization: $n%d records in $secs%.2f s = ${n / secs / 1000}%.1f k rec/s")
+      if (pass == 2) full = n / ((System.nanoTime() - t0) / 1e9)
     }
+    (pruned, full)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nRecords = args.headOption.map(_.toInt).getOrElse(500000)
+    val spark = GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (pruned, full) = measure(spark, nRecords)
+    println(f"[decode-bench] $nRecords%d records, $nCols%d cols: pruned ${pruned / 1000}%.1f k rec/s, full ${full / 1000}%.1f k rec/s")
     spark.stop()
   }
 }

@@ -66,6 +66,50 @@ object Blast {
   private val lenBase = Array(3, 2, 4, 5, 6, 7, 8, 9, 10, 12, 16, 24, 40, 72, 136, 264)
   private val lenExtra = Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8)
 
+  /** Table-driven decoder for one Huffman table: index the next `maxLen`
+    * raw stream bits (LSB-first, as read) into (symbol, codeLen) arrays —
+    * one lookup per symbol instead of a bit-at-a-time canonical walk.
+    * litcode maxLen = 13 → 8K entries, built once. */
+  private final class DecodeTable(val h: Huffman, nsym: Int) {
+    val maxLen: Int = (15 to 1 by -1).find(l => h.count(l) > 0).get
+    private val size = 1 << maxLen
+    val sym = new Array[Short](size)
+    val bitsOf = new Array[Byte](size)
+
+    {
+      var code = 0
+      var index = 0
+      var len = 1
+      while (len <= 15) {
+        var i = 0
+        while (i < h.count(len)) {
+          val s = h.symbol(index + i)
+          val c = code + i
+          // raw (inverted-canonical) bits as the reader sees them, LSB-first
+          var base = 0
+          var j = 0
+          while (j < len) { base |= (((c >> (len - 1 - j)) & 1) ^ 1) << j; j += 1 }
+          var f = 0
+          val fills = 1 << (maxLen - len)
+          while (f < fills) {
+            val idx = base | (f << len)
+            sym(idx) = s.toShort
+            bitsOf(idx) = len.toByte
+            f += 1
+          }
+          i += 1
+        }
+        index += h.count(len)
+        code = (code + h.count(len)) << 1
+        len += 1
+      }
+    }
+  }
+
+  private lazy val litTable = new DecodeTable(litcode, 256)
+  private lazy val lenTable = new DecodeTable(lencode, 16)
+  private lazy val distTable = new DecodeTable(distcode, 64)
+
   private final class BitReader(in: Array[Byte], var pos: Int) {
     private var bitbuf = 0
     private var bitcnt = 0
@@ -81,6 +125,28 @@ object Blast {
       bitbuf = v >> need
       bitcnt -= need
       v & ((1 << need) - 1)
+    }
+
+    /** Next `n` bits without consuming; zero-padded past end of input. */
+    private def peek(n: Int): Int = {
+      while (bitcnt < n && pos < in.length) {
+        bitbuf |= (in(pos) & 0xFF) << bitcnt
+        pos += 1
+        bitcnt += 8
+      }
+      bitbuf & ((1 << n) - 1)
+    }
+
+    /** One-lookup Huffman decode; falls back to the canonical walk only
+      * in the zero-padded tail where fewer real bits remain than the
+      * table width. */
+    def decodeFast(t: DecodeTable): Int = {
+      val idx = peek(t.maxLen)
+      val l = t.bitsOf(idx)
+      if (l == 0 || l > bitcnt) return decode(t.h)
+      bitbuf >>>= l
+      bitcnt -= l
+      t.sym(idx) & 0xFFFF
     }
 
     /** Canonical Huffman decode; PKWare stores code bits inverted. */
@@ -100,6 +166,30 @@ object Blast {
     }
   }
 
+  /** Growable raw byte buffer: the decode output is the sliding window,
+    * and a generic ArrayBuffer[Byte] would box every byte on the hottest
+    * loop in the engine. */
+  private final class ByteBuf(initial: Int) {
+    private var arr = new Array[Byte](initial)
+    var len = 0
+    private def ensure(extra: Int): Unit =
+      if (len + extra > arr.length) {
+        var n = arr.length << 1
+        while (n < len + extra) n <<= 1
+        arr = java.util.Arrays.copyOf(arr, n)
+      }
+    def add(b: Byte): Unit = { ensure(1); arr(len) = b; len += 1 }
+    /** Copy `count` bytes starting `dist` back; byte-at-a-time preserves
+      * the overlapping-copy (run-extension) semantics of the format. */
+    def copyBack(dist: Int, count: Int): Unit = {
+      ensure(count)
+      val from = len - dist
+      var i = 0
+      while (i < count) { arr(len) = arr(from + i); len += 1; i += 1 }
+    }
+    def toArray: Array[Byte] = java.util.Arrays.copyOf(arr, len)
+  }
+
   /** Decompress a DCL-imploded stream; `maxOut` guards runaway streams. */
   def explode(in: Array[Byte], offset: Int = 0, maxOut: Int = 1 << 30): Array[Byte] = {
     require(in.length - offset >= 2, "blast: truncated header")
@@ -111,27 +201,25 @@ object Blast {
     val br = new BitReader(in, offset + 2)
     // matches copy from earlier output, so the whole output doubles as the
     // sliding window (dict is at most 4K back — always in range)
-    val buf = new scala.collection.mutable.ArrayBuffer[Byte](64 * 1024)
+    val buf = new ByteBuf(64 * 1024)
 
     while (true) {
       if (br.bits(1) == 1) { // length/distance pair
-        val sym = br.decode(lencode)
+        val sym = br.decodeFast(lenTable)
         val len = lenBase(sym) + br.bits(lenExtra(sym))
         if (len == 519) { // end marker
           return buf.toArray
         }
         val nlow = if (len == 2) 2 else dictLog
-        val dist = (br.decode(distcode) << nlow) + br.bits(nlow) + 1
-        if (dist > buf.length)
-          throw new IllegalArgumentException(s"blast: distance $dist beyond output ${buf.length}")
-        var i = 0
-        val from = buf.length - dist
-        while (i < len) { buf += buf(from + i); i += 1 }
+        val dist = (br.decodeFast(distTable) << nlow) + br.bits(nlow) + 1
+        if (dist > buf.len)
+          throw new IllegalArgumentException(s"blast: distance $dist beyond output ${buf.len}")
+        buf.copyBack(dist, len)
       } else { // literal
-        val lit = if (coded == 1) br.decode(litcode) else br.bits(8)
-        buf += lit.toByte
+        val lit = if (coded == 1) br.decodeFast(litTable) else br.bits(8)
+        buf.add(lit.toByte)
       }
-      if (buf.length > maxOut) throw new IllegalArgumentException("blast: output too large")
+      if (buf.len > maxOut) throw new IllegalArgumentException("blast: output too large")
     }
     throw new IllegalStateException("unreachable")
   }
