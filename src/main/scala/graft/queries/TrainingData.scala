@@ -209,7 +209,60 @@ object TrainingData {
       |FROM pairs JOIN tc x ON x.tok = tok_a JOIN tc y ON y.tok = tok_b
       |CROSS JOIN n""".stripMargin
 
+  /** Bigram language-model scoring — the classic statistical quality
+    * signal: train bigram/unigram counts on the corpus itself, then score
+    * each document's mean per-bigram log-probability ln(c12/c1). Each
+    * bigram's log-prob is rounded to micro-units BEFORE summation, so the
+    * per-doc total is an exact integer on both engines (float sums are
+    * order-dependent; integer sums are not). Two shuffles (bigram count,
+    * doc re-aggregation) — both key-partitioned, linear at scale. */
+  def qBigramLm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val docBigrams = Tables.documents(s, dir)
+      .select($"doc_id", toks.as("t"))
+      .filter(size($"t") >= 2)
+      .select($"doc_id", explode(
+        zip_with(slice($"t", lit(1), size($"t") - 1), slice($"t", lit(2), size($"t") - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bg"))
+    val bgCount = docBigrams.groupBy($"bg").agg(count(lit(1)).as("c12"))
+    val w1Count = docBigrams
+      .select($"doc_id", split($"bg", " ").getItem(0).as("w1"))
+      .groupBy($"w1").agg(count(lit(1)).as("c1"))
+    // negative log-likelihood (>= 0): keeps the mean's integer division
+    // on positive values, where Spark DIV (truncate) == DuckDB // (floor)
+    docBigrams
+      .join(bgCount, "bg")
+      .withColumn("w1", split($"bg", " ").getItem(0))
+      .join(w1Count, "w1")
+      .withColumn("nll_u", round(log($"c1".cast("double") / $"c12") * 1e6).cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"nll_u").as("nll_sum_u"))
+      .withColumn("mean_nll_u", expr("nll_sum_u DIV n_bigrams"))
+  }
+
+  val qBigramLmSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bg
+      |  FROM t WHERE len(toks) >= 2),
+      |bgc AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+      |w1c AS (SELECT string_split(bg, ' ')[1] AS w1, count(*) AS c1 FROM bg GROUP BY 1),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CAST(round(ln(CAST(c1 AS DOUBLE) / c12) * 1e6) AS BIGINT) AS nll_u
+      |  FROM bg
+      |  JOIN bgc USING (bg)
+      |  JOIN w1c ON w1c.w1 = string_split(bg.bg, ' ')[1])
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(nll_u) AS BIGINT) AS nll_sum_u,
+      |  CAST(sum(nll_u) AS BIGINT) // count(*) AS mean_nll_u
+      |FROM scored GROUP BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bigram_lm"         -> (qBigramLm _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_pack_bins"         -> (qPackBins _),
     "q_pii_scrub"         -> (qPiiScrub _),
@@ -218,6 +271,7 @@ object TrainingData {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_bigram_lm"         -> qBigramLmSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_pack_bins"         -> qPackBinsSql,
     "q_pii_scrub"         -> qPiiScrubSql,

@@ -44,6 +44,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(joined.count() == 5)
   }
 
+  test("training-data ops keep minimal shuffle counts (plan shape at scale)") {
+    // stratified sampling: hash + bucket are map-side; ONE shuffle (groupBy source)
+    val sample = SparkEntry.queries("q_sample_stratified")(spark, sf)
+    val samplePlan = sample.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(samplePlan).length <= 1, samplePlan)
+
+    // packing: window partitioned by source; the (source, bin) groupBy is
+    // satisfied by the same partitioning — ONE shuffle total
+    val pack = SparkEntry.queries("q_pack_bins")(spark, sf)
+    val packPlan = pack.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(packPlan).length <= 1, packPlan)
+
+    // PII scrub: pure per-row expressions — ZERO shuffles
+    val pii = SparkEntry.queries("q_pii_scrub")(spark, sf)
+    val piiPlan = pii.queryExecution.executedPlan.toString
+    assert(!piiPlan.contains("Exchange hashpartitioning"), piiPlan)
+
+    // sampling rates: kept fraction tracks rate_pct (hash uniformity)
+    val rows = sample.collect()
+    rows.foreach { r =>
+      val total = r.getAs[Long]("n_total")
+      val kept = r.getAs[Long]("n_kept")
+      val rate = r.getAs[Long]("rate_pct")
+      if (total >= 20)
+        assert(math.abs(kept.toDouble / total - rate / 100.0) < 0.35,
+          s"source ${r.getAs[String]("source")}: kept $kept/$total at rate $rate%")
+    }
+  }
+
   test("approx_count_distinct tracks exact distinct (3-sigma of default rsd)") {
     val exact = Tables.lineitem(spark, sf)
       .agg(countDistinct(col("l_orderkey"))).collect()(0).getLong(0)
