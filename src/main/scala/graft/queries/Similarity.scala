@@ -184,28 +184,43 @@ object Similarity {
 
   /** Spherical k-means coarse quantizer: seeded deterministic init
     * (every step-th vector), then `iters` Lloyd rounds — assignment by
-    * cosine (broadcast centroids, map-side), re-centering by elementwise
-    * mean (posexplode → per-dimension avg → re-assemble). All distributed;
-    * centroid count stays broadcastable by construction. */
+    * cosine (broadcast centroids, map-side), re-centering with the typed
+    * elementwise [[graft.functions.VectorMeanAggregator]]: algebraic, so
+    * map-side partials shuffle one dim-length buffer per (partition,
+    * centroid) instead of exploding dim rows per vector. Two shuffles per
+    * round (assignment window + centroid agg); centroid count stays
+    * broadcastable by construction. The posexplode → per-dimension avg
+    * formulation remains as the spec cross-check. */
   def kmeansCentroids(v: DataFrame, step: Int = 25, iters: Int = 3): DataFrame = {
     import v.sparkSession.implicits._
     var cents = v.filter($"vec_id" % step === 0)
       .select($"vec_id".as("c_id"), $"v".as("cv"))
     val aw = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"c_id".asc)
+    val meanAgg = new graft.functions.VectorMeanAggregator().toColumn
     (1 to iters).foreach { _ =>
       val assigned = v.crossJoin(broadcast(cents))
         .select($"vec_id", $"v", $"c_id", cosine($"v", $"cv").as("c_cos"))
         .withColumn("rn", row_number().over(aw)).filter($"rn" === 1)
         .select($"c_id", $"v")
-      cents = assigned
-        .select($"c_id", posexplode($"v"))
-        .groupBy($"c_id", $"pos").agg(avg($"col").as("m"))
-        .groupBy($"c_id")
-        .agg(array_sort(collect_list(struct($"pos", $"m"))).as("dims"))
-        .select($"c_id", expr("transform(dims, d -> d.m)").as("cv"))
+      cents = assigned.as[(Long, Seq[Double])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(meanAgg.name("cv"))
+        .toDF("c_id", "cv")
         .localCheckpoint(true)
     }
     cents
+  }
+
+  /** Spec-only re-centering baseline: posexplode → per-dimension avg →
+    * re-assemble (what kmeansCentroids used before the typed aggregator). */
+  def centroidMeansExploded(assigned: DataFrame): DataFrame = {
+    import assigned.sparkSession.implicits._
+    assigned
+      .select($"c_id", posexplode($"v"))
+      .groupBy($"c_id", $"pos").agg(avg($"col").as("m"))
+      .groupBy($"c_id")
+      .agg(array_sort(collect_list(struct($"pos", $"m"))).as("dims"))
+      .select($"c_id", expr("transform(dims, d -> d.m)").as("cv"))
   }
 
   /** IVF with a trained (k-means) quantizer instead of the raw id-subset

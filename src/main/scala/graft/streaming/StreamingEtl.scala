@@ -38,6 +38,17 @@ object StreamingEtl {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming hash-deterministic sampling: the batch training-mix
+    * operator (queries.TrainingData.qSampleStratified) is stateless
+    * per-row, so the SAME predicate runs unchanged on an unbounded
+    * stream — membership depends only on the key's md5, never on
+    * arrival order, batch boundaries, or executor count. StreamingSpec
+    * proves stream == batch row-for-row. */
+  def sampleStream(df: DataFrame, keyCol: String, ratePct: Int): DataFrame =
+    df.filter(
+      expr(s"CAST(conv(substr(md5(CAST($keyCol AS STRING)), 18, 15), 16, 10) AS BIGINT) % 100")
+        < ratePct)
+
   /** Streaming exact dedup by key with watermark-bounded state — the
     * idempotence the reference lacks (duplicate competência appends). */
   def dedupStream(events: DataFrame, keys: Seq[String], lateness: String = "2 hours"): DataFrame =

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Suite-wide physical-plan regression net: every gated query's plan is
+  * checked for the shapes that kill a 100 TB run. A new query that
+  * accidentally introduces an unbounded cartesian or nested-loop join
+  * fails here at sf0.001 instead of at cluster scale.
+  *
+  * Whitelist = queries whose cartesian/BNLJ is the DOCUMENTED design:
+  * the O(n²) oracle-anchor embed dedup, and broadcast query/centroid
+  * cross joins in ANN (bounded small side by construction).
+  */
+class PlanHygieneSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val cartesianOk = Set(
+    "q_dedup_embed",   // exact O(n²) baseline, documented oracle anchor
+    "q_ann_ivf",       // crossJoin(broadcast(centroids)) — bounded build side
+    "q_ann_kmeans",    // same centroid cross joins inside Lloyd rounds
+    "q_sql_api",       // scalar-subquery style broadcast of a 1-row agg
+    "q_scalar_subquery")
+
+  test("no gated query plans an unlisted cartesian / broadcast nested loop") {
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val plan =
+        try fn(spark, sf).queryExecution.executedPlan.toString
+        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      val bad = plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin")
+      if (bad && !cartesianOk.contains(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"unexpected cartesian/BNLJ in: $offenders")
+  }
+
+  test("parquet-reading queries keep column pruning (no full-schema scans)") {
+    // lineitem is the wide fact table: any query reading it must prune
+    // its read schema below the full 16 columns
+    val readers = Seq("q1_agg", "q6_filter_sum", "q_distinct", "q_cube",
+      "q_percentile", "q_in_subquery", "q_stats")
+    readers.foreach { name =>
+      val scans = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.sparkPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+      assert(scans.nonEmpty, s"$name: no parquet scan found")
+      scans.foreach { f =>
+        val nCols = f.requiredSchema.length
+        assert(nCols <= 8, s"$name reads $nCols cols: ${f.requiredSchema.fieldNames.mkString(",")}")
+      }
+    }
+  }
+}

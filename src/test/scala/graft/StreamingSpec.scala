@@ -50,6 +50,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("hash-deterministic sampling on a stream equals the batch sample exactly") {
+    StreamingEtl.runToMemory(
+      StreamingEtl.sampleStream(streamDf(), "event_id", 37).select(col("event_id")),
+      "sampled", s"$tmp/cp_sample", outputMode = "append")
+    val streamed = spark.table("sampled").collect().map(_.getLong(0)).toSet
+    val batch = StreamingEtl.sampleStream(Tables.events(spark, sf), "event_id", 37)
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    // a real sample, not all-or-nothing
+    val total = Tables.events(spark, sf).count()
+    assert(streamed.nonEmpty && streamed.size < total)
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     val dup = s"$tmp/input_dup"
     val base = spark.read.json(inputDir)

@@ -92,6 +92,27 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"LSH ANN recall $recall") // random vectors: hard mode
   }
 
+  test("vector-mean aggregator equals the posexplode centroid formulation") {
+    import spark.implicits._
+    val v = Tables.embeddings(spark, sf).limit(200)
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .select(($"vec_id" % 7).as("c_id"), $"v")
+    val agg = new graft.functions.VectorMeanAggregator().toColumn
+    val typed = v.as[(Long, Seq[Double])]
+      .groupByKey(_._1).mapValues(_._2).agg(agg.name("cv"))
+      .collect().toMap
+    val exploded = graft.queries.Similarity.centroidMeansExploded(v)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(typed.keySet == exploded.keySet)
+    typed.foreach { case (k, cv) =>
+      val e = exploded(k)
+      assert(cv.length == e.length)
+      cv.zip(e).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-12 * math.max(1.0, math.abs(b)), s"centroid $k")
+      }
+    }
+  }
+
   test("k-means IVF recall is at least competitive with the raw-subset IVF") {
     val brute = SparkEntry.queries("q_ann_brute")(spark, sf)
       .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
