@@ -224,6 +224,79 @@ object Blast {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Pull-based streaming decode: an InputStream over the decompressed
+    * bytes that holds only a bounded buffer (64 KB; the format's copy
+    * window is at most 4 KB), instead of materializing the whole output.
+    * This is the 100 TB-robust path: a .dbc body with an adversarial
+    * compression ratio decodes in O(window + record) memory. The
+    * compressed input stays as the caller's byte array (DATASUS files are
+    * 30-150 MB; the decompressed side is what blows up). */
+  final class ExplodeInputStream(in: Array[Byte], offset: Int) extends java.io.InputStream {
+    require(in.length - offset >= 2, "blast: truncated header")
+    private val coded = in(offset) & 0xFF
+    private val dictLog = in(offset + 1) & 0xFF
+    require(coded <= 1, s"blast: bad literal mode $coded")
+    require(dictLog >= 4 && dictLog <= 6, s"blast: bad dict size $dictLog")
+
+    private val br = new BitReader(in, offset + 2)
+    private val W = 64 * 1024
+    private val window = 1 << (dictLog + 6) // at most 4096
+    private val arr = new Array[Byte](W)
+    private var len = 0      // write position
+    private var cpos = 0     // consume position (cpos <= len)
+    private var base = 0L    // bytes discarded by compaction
+    private var eos = false
+
+    /** Keep the copy window (and any unconsumed bytes) while making room. */
+    private def compact(): Unit = {
+      val keepFrom = math.min(cpos, math.max(0, len - window))
+      if (keepFrom > 0) {
+        System.arraycopy(arr, keepFrom, arr, 0, len - keepFrom)
+        len -= keepFrom
+        cpos -= keepFrom
+        base += keepFrom
+      }
+    }
+
+    /** Decode one item (literal or match), appending at most 518 bytes. */
+    private def decodeOne(): Unit = {
+      if (len + 518 > W) compact()
+      if (len + 518 > W)
+        throw new IllegalStateException("blast stream: consumer stalled") // unconsumed backlog
+      if (br.bits(1) == 1) {
+        val sym = br.decodeFast(lenTable)
+        val l = lenBase(sym) + br.bits(lenExtra(sym))
+        if (l == 519) { eos = true; return }
+        val nlow = if (l == 2) 2 else dictLog
+        val dist = (br.decodeFast(distTable) << nlow) + br.bits(nlow) + 1
+        if (dist > base + len)
+          throw new IllegalArgumentException(s"blast: distance $dist beyond output ${base + len}")
+        val from = len - dist
+        var i = 0
+        while (i < l) { arr(len) = arr(from + i); len += 1; i += 1 }
+      } else {
+        val lit = if (coded == 1) br.decodeFast(litTable) else br.bits(8)
+        arr(len) = lit.toByte
+        len += 1
+      }
+    }
+
+    override def read(): Int = {
+      val one = new Array[Byte](1)
+      if (read(one, 0, 1) < 0) -1 else one(0) & 0xFF
+    }
+
+    override def read(b: Array[Byte], off: Int, n: Int): Int = {
+      if (n == 0) return 0
+      while (cpos == len && !eos) decodeOne()
+      if (cpos == len && eos) return -1
+      val m = math.min(n, len - cpos)
+      System.arraycopy(arr, cpos, b, off, m)
+      cpos += m
+      m
+    }
+  }
+
   // --- minimal imploder (test support) -------------------------------------
 
   private final class BitWriter {

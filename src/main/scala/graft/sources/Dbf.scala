@@ -95,6 +95,57 @@ object Dbf {
     }
   }
 
+  /** Streaming variant of [[recordsPruned]]: records arrive from an
+    * InputStream (e.g. Blast.ExplodeInputStream) in fixed-width frames —
+    * O(recordSize) memory regardless of file size. Short trailing bytes
+    * (padding / 0x1A EOF) are ignored like the array path. */
+  def recordsPrunedStream(h: Header, body: java.io.InputStream,
+                          fieldIdx: Array[Int]): Iterator[Array[String]] = {
+    val widths = h.fields.map(_.length).toArray
+    val offsets = new Array[Int](widths.length)
+    var acc = 1 // skip deletion flag
+    var fi = 0
+    while (fi < widths.length) { offsets(fi) = acc; acc += widths(fi); fi += 1 }
+    val frame = new Array[Byte](h.recordSize)
+    new Iterator[Array[String]] {
+      private var emitted = 0
+      private var nextRow: Array[String] = null
+
+      private def readFrame(): Boolean = {
+        var got = 0
+        while (got < frame.length) {
+          val n = body.read(frame, got, frame.length - got)
+          if (n < 0) return false // trailing padding / EOF marker
+          got += n
+        }
+        true
+      }
+
+      private def advance(): Unit = {
+        nextRow = null
+        while (nextRow == null && emitted < h.nRecords && readFrame()) {
+          val deleted = (frame(0) & 0xFF) == 0x2A
+          if (!deleted) {
+            val row = new Array[String](fieldIdx.length)
+            var i = 0
+            while (i < fieldIdx.length) {
+              val f = fieldIdx(i)
+              val s = new String(frame, offsets(f), widths(f), ISO_8859_1).trim
+              row(i) = if (s.isEmpty) null else s
+              i += 1
+            }
+            nextRow = row
+          }
+          emitted += 1
+        }
+      }
+
+      advance()
+      def hasNext: Boolean = nextRow != null
+      def next(): Array[String] = { val r = nextRow; advance(); r }
+    }
+  }
+
   /** Write rows as a minimal dBASE III file (type C fields, latin1).
     * Test/fixture support — the engine's sink side is parquet/JDBC. */
   def write(fieldNames: Seq[String], rows: Seq[Seq[String]]): Array[Byte] = {
@@ -151,6 +202,17 @@ object Dbc {
     System.arraycopy(dbc, 0, out, 0, headerSize)
     System.arraycopy(body, 0, out, headerSize, body.length)
     out
+  }
+
+  /** Streaming read path: the .dbc prefix IS the uncompressed DBF header
+    * (field descriptors at identical offsets), so the header parses from
+    * the raw .dbc bytes and only the body streams through the bounded
+    * Blast window — O(window + record) memory for any output size. */
+  def stream(dbc: Array[Byte]): (Dbf.Header, java.io.InputStream) = {
+    require(dbc.length >= 12, "dbc: truncated")
+    val headerSize = ((dbc(8) & 0xFF) | ((dbc(9) & 0xFF) << 8))
+    require(headerSize > 0 && headerSize + 4 <= dbc.length, s"dbc: bad header size $headerSize")
+    (Dbf.parseHeader(dbc), new Blast.ExplodeInputStream(dbc, headerSize + 4))
   }
 
   /** Encode a .dbf byte array as .dbc (test/fixture support). Default =

@@ -169,30 +169,38 @@ class DbcPartitionReader(path: String, allCols: Array[String], requiredCols: Arr
       val fs = p.getFileSystem(new Configuration())
       val len = fs.getFileStatus(p).getLen
       require(len <= Int.MaxValue - 16,
-        s"dbc: file $path is $len bytes; single-stream .dbc beyond 2 GB is unsupported")
+        s"dbc: file $path is $len bytes; single-stream compressed .dbc beyond 2 GB is unsupported")
       val in = fs.open(p)
       val bytes = try {
         val buf = new Array[Byte](len.toInt)
         in.readFully(0, buf)
         buf
       } finally in.close()
-      val dbf = if (path.toLowerCase.endsWith(".dbc")) Dbc.toDbf(bytes) else bytes
+      // .dbc: stream the DECOMPRESSED side through the bounded Blast
+      // window — the compressed input is the file's own size, but the
+      // output (the side that can blow up) never materializes
+      val (header, records) =
+        if (path.toLowerCase.endsWith(".dbc")) {
+          val (h, body) = Dbc.stream(bytes)
+          (h, (idx: Array[Int]) => Dbf.recordsPrunedStream(h, body, idx))
+        } else {
+          val h = Dbf.parseHeader(bytes)
+          (h, (idx: Array[Int]) => Dbf.recordsPruned(bytes, h, idx))
+        }
       // resolve required names against THIS file's own header — under the
       // 87-vs-92-column monthly drift a positional mapping from the first
       // file would silently read wrong fixed-width offsets
-      val header = Dbf.parseHeader(dbf)
       val fileCols = header.fields.map(_.name.toLowerCase)
       val idx = dataCols.map(c => fileCols.indexOf(c))
       if (idx.contains(-1)) {
         // columns absent in this file: decode the present ones, null the rest
         val present = idx.zipWithIndex.filter(_._1 >= 0)
-        val pruned = Dbf.recordsPruned(dbf, header, present.map(_._1))
-        pruned.map { arr =>
+        records(present.map(_._1)).map { arr =>
           val row = new Array[String](dataCols.length)
           present.map(_._2).zipWithIndex.foreach { case (outPos, i) => row(outPos) = arr(i) }
           row
         }
-      } else Dbf.recordsPruned(dbf, header, idx)
+      } else records(idx)
     } catch {
       case e: Exception if permissive =>
         org.slf4j.LoggerFactory.getLogger(getClass)

@@ -152,6 +152,35 @@ class DbcSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming decode equals materialized decode, bounded-buffer, both modes") {
+    val r = rng
+    // byte-identical streams through the 64 KB window, including outputs
+    // far larger than the buffer (match-heavy 8 MB expansion)
+    val corpora = Seq(
+      ("abcabcabc" * (8 * 1024 * 1024 / 9)).getBytes("ISO-8859-1"),
+      Array.fill(100000)(r.nextInt(256).toByte),
+      Array.emptyByteArray)
+    corpora.foreach { data =>
+      Seq(true, false).foreach { coded =>
+        val packed = graft.sources.Blast.implode(data, codedLiterals = coded)
+        val in = new graft.sources.Blast.ExplodeInputStream(packed, 0)
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf, 0, buf.length)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf, 0, buf.length) }
+        assert(out.toByteArray.sameElements(data), s"coded=$coded len=${data.length}")
+      }
+    }
+    // record-level: streamed pruned records == materialized records
+    val rows = (0 until 200).map(i => Seq(s"v$i", (i * 31).toString, s"x${i % 7}"))
+    val dbf = Dbf.write(Seq("A", "B", "C"), rows)
+    val dbc = Dbc.fromDbf(dbf)
+    val (h, body) = Dbc.stream(dbc)
+    val streamed = Dbf.recordsPrunedStream(h, body, Array(0, 2)).toSeq.map(_.toSeq)
+    val direct = Dbf.recordsPruned(dbf, Dbf.parseHeader(dbf), Array(0, 2)).toSeq.map(_.toSeq)
+    assert(streamed == direct)
+  }
+
   test("dbf round-trips arbitrary printable latin1 tables") {
     val r = rng
     (0 until 40).foreach { _ =>
