@@ -253,6 +253,9 @@ object Etl {
         date_format(add_months($"o_orderdate".cast("date"), -1), "yyyy-MM").as("prev_month"),
         unbase64(base64($"o_orderpriority".cast("binary"))).cast("string").as("b64_roundtrip"),
         round($"o_totalprice" / 1048576.0 * 100).cast("long").as("mb_c"),
+        // locale number format (thousands separators, 2 decimals): the
+        // oracle reconstructs the identical rendering from integer cents
+        format_number($"o_totalprice", 2).as("price_fmt"),
         regexp_extract(
           concat(lit("{\"total_registros\": "), $"o_orderkey", lit("}")),
           "\"total_registros\":\\s*(\\d+)", 1).cast("long").as("extracted"))
@@ -264,6 +267,8 @@ object Etl {
       |  strftime(CAST(o_orderdate AS DATE) - INTERVAL 1 MONTH, '%Y-%m') AS prev_month,
       |  CAST(from_base64(to_base64(o_orderpriority::BLOB)) AS VARCHAR) AS b64_roundtrip,
       |  CAST(round(o_totalprice / 1048576.0 * 100) AS BIGINT) AS mb_c,
+      |  format('{:,}', CAST(round(o_totalprice * 100) AS BIGINT) // 100) || '.' ||
+      |    lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT) % 100 AS VARCHAR), 2, '0') AS price_fmt,
       |  CAST(regexp_extract('{"total_registros": ' || o_orderkey || '}',
       |       '"total_registros":\s*(\d+)', 1) AS BIGINT) AS extracted
       |FROM orders WHERE o_orderkey % 1000 = 0""".stripMargin
