@@ -49,6 +49,33 @@ object StreamingEtl {
       expr(s"CAST(conv(substr(md5(CAST($keyCol AS STRING)), 18, 15), 16, 10) AS BIGINT) % 100")
         < ratePct)
 
+  /** Streaming context-window packing: the stateful sibling of
+    * queries.TrainingData.qPackBins — per-source running token count
+    * carried across micro-batches, each document assigned its bin on
+    * arrival. Contract (like [[sessionizeStream]]): per-source doc_id
+    * order across batches, i.e. corpus shards arrive in id order. Works
+    * identically on a batch Dataset (state starts empty). */
+  def packStream(docs: DataFrame, binTokens: Long = 8192)
+      : org.apache.spark.sql.Dataset[PackedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.selectExpr("source", "doc_id", "n_chars DIV 4 + 1 AS tok_est")
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PackState, PackedDoc](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        case (src, rows, state) =>
+          var running = state.getOption.map(_.running).getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._2).map { case (_, id, tok) =>
+            running += tok
+            PackedDoc(src, id, tok, (running - 1) / binTokens)
+          }
+          state.update(PackState(running))
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup by key with watermark-bounded state — the
     * idempotence the reference lacks (duplicate competência appends). */
   def dedupStream(events: DataFrame, keys: Seq[String], lateness: String = "2 hours"): DataFrame =
@@ -69,6 +96,8 @@ object StreamingEtl {
     * The arbitrary-state escape hatch for aggregations the built-in
     * windowed operators can't express. */
   final case class RunningTotal(n: Long, total: Double)
+  final case class PackState(running: Long)
+  final case class PackedDoc(source: String, docId: Long, tokEst: Long, bin: Long)
 
   def runningUserTotals(events: DataFrame): DataFrame = {
     val spark = events.sparkSession

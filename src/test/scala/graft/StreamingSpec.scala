@@ -132,6 +132,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(unmatched.isEmpty, s"streamed sessions not in batch: ${unmatched.take(3)}")
   }
 
+  test("streaming packer bins equal the batch packing aggregation") {
+    // id-ordered shards (the packer's arrival contract)
+    val dir = s"$tmp/docs_ordered"
+    val lines = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id")).toJSON.collect()
+    val chunk = (lines.length + 3) / 4
+    new java.io.File(dir).mkdirs()
+    lines.grouped(chunk).zipWithIndex.foreach { case (ls, i) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/d$i.json"),
+        ls.mkString("\n").getBytes("UTF-8"))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir)
+    StreamingEtl.runToMemory(
+      StreamingEtl.packStream(stream).toDF(), "packed", s"$tmp/cp_pack",
+      outputMode = "append")
+    val streamed = spark.table("packed")
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokEst")).as("bin_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = SparkEntry.queries("q_pack_bins")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+  }
+
   test("progress listener accumulates input rows across micro-batches") {
     val rec = new StreamingEtl.ProgressRecorder
     spark.streams.addListener(rec)
