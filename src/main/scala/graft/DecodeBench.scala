@@ -18,9 +18,14 @@ object DecodeBench {
   private val nFiles = 8
   private val nCols = 92
 
+  /** Cache key version: bump whenever the generator changes (shape or
+    * implode mode), or a stale /tmp corpus silently benchmarks the old
+    * format. v2 = coded-literal implode. */
+  private val CorpusVersion = "v2coded"
+
   /** Build (or reuse) the 92-col corpus; returns its directory. */
   def ensureCorpus(nRecords: Int): java.io.File = synchronized {
-    val dir = new java.io.File(s"/tmp/graft_decode_corpus_$nRecords")
+    val dir = new java.io.File(s"/tmp/graft_decode_corpus_${CorpusVersion}_$nRecords")
     val marker = new java.io.File(dir, "_OK")
     if (marker.exists()) return dir
     dir.mkdirs()

@@ -21,8 +21,10 @@ class VectorMeanAggregator
   override def reduce(buf: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) = {
     val (sums, n) = buf
     val acc = if (sums.length == 0) new Array[Double](v.length) else sums
+    require(v.length == acc.length,
+      s"VectorMeanAggregator: ragged input dims ${v.length} vs ${acc.length}")
     var i = 0
-    while (i < acc.length && i < v.length) { acc(i) += v(i); i += 1 }
+    while (i < acc.length) { acc(i) += v(i); i += 1 }
     (acc, n + 1)
   }
 
@@ -30,6 +32,8 @@ class VectorMeanAggregator
     if (a._1.length == 0) b
     else if (b._1.length == 0) a
     else {
+      require(a._1.length == b._1.length,
+        s"VectorMeanAggregator: ragged partial dims ${a._1.length} vs ${b._1.length}")
       var i = 0
       while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
       (a._1, a._2 + b._2)

@@ -188,20 +188,25 @@ object Dedup {
     * connected components is the most expensive pipeline in the suite, and
     * BOTH qDedupCluster and qDedupKeep need it — so the materialized
     * (localCheckpointed) result is computed once per (session, sf-dir) and
-    * shared. Thread-safe: Verify fans queries out on a pool. */
+    * shared. Per-key lazy holders: computeIfAbsent only allocates the
+    * holder, the expensive Spark jobs run outside the map lock, and only
+    * same-key callers block on each other (Verify fans out on a pool).
+    * Entries live for the session — bounded by the handful of sf dirs a
+    * process touches; the checkpointed result is rows-scale tiny. */
+  private final class LazyClusters(compute: () => DataFrame) {
+    lazy val df: DataFrame = compute()
+  }
   private val clusterCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), LazyClusters]()
 
   private def clusters(s: SparkSession, dir: String): DataFrame =
-    clusterCache.synchronized {
-      clusterCache.getOrElseUpdate((s, dir), {
-        import s.implicits._
-        val pairs = qDedupJaccard(s, dir).select($"doc_a", $"doc_b")
-        graft.operators.ConnectedComponents.run(pairs)
-          .select($"id".as("doc_id"), $"cluster")
-          .localCheckpoint(true) // materialized: second consumer reuses
-      })
-    }
+    clusterCache.computeIfAbsent((s, dir), _ => new LazyClusters(() => {
+      import s.implicits._
+      val pairs = qDedupJaccard(s, dir).select($"doc_a", $"doc_b")
+      graft.operators.ConnectedComponents.run(pairs)
+        .select($"id".as("doc_id"), $"cluster")
+        .localCheckpoint(true) // materialized: second consumer reuses
+    })).df
 
   /** Near-dup clustering: transitive closure of the jaccard>=0.6 pair
     * graph via min-label propagation (operators.ConnectedComponents) —

@@ -17,12 +17,9 @@ import graft.functions.TextFunctions.tokens
   */
 object TrainingData {
 
-  /** Shared cross-engine 60-bit hash (NOTES: low 60 bits of md5). */
-  private def h60(c: org.apache.spark.sql.Column) =
-    expr(s"CAST(conv(substr(md5(CAST(${c.toString} AS STRING)), 18, 15), 16, 10) AS BIGINT)")
-
-  private val h60Duck = (x: String) =>
-    s"('0x' || substr(md5(CAST($x AS VARCHAR)), 18, 15))::BIGINT"
+  // Shared cross-engine 60-bit hash — ONE definition for batch, streaming,
+  // and oracle sides (graft.functions.Hashing).
+  private def h60Duck(x: String): String = graft.functions.Hashing.h60Duck(x)
 
   /** Deterministic stratified sampling — the training-mix primitive: each
     * source gets a sampling rate (percent), membership decided by a
@@ -33,7 +30,7 @@ object TrainingData {
     val rate = (lit(20L) + (length($"source") * 13L) % 60L).as("rate_pct")
     Tables.documents(s, dir)
       .select($"doc_id", $"source", rate,
-        (h60($"doc_id") % 100L).as("bucket"))
+        graft.functions.Hashing.bucket("doc_id", 100).as("bucket"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_total"),
            sum(when($"bucket" < $"rate_pct", 1L).otherwise(0L)).as("n_kept"),

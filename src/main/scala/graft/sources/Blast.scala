@@ -174,9 +174,11 @@ object Blast {
     var len = 0
     private def ensure(extra: Int): Unit =
       if (len + extra > arr.length) {
-        var n = arr.length << 1
-        while (n < len + extra) n <<= 1
-        arr = java.util.Arrays.copyOf(arr, n)
+        val needed = len.toLong + extra
+        require(needed <= (Int.MaxValue - 16).toLong, "blast: output too large")
+        var n = arr.length.toLong << 1
+        while (n < needed) n <<= 1 // Long arithmetic: cannot overflow-spin
+        arr = java.util.Arrays.copyOf(arr, math.min(n, (Int.MaxValue - 16).toLong).toInt)
       }
     def add(b: Byte): Unit = { ensure(1); arr(len) = b; len += 1 }
     /** Copy `count` bytes starting `dist` back; byte-at-a-time preserves

@@ -50,33 +50,60 @@ object Sinks {
                props: java.util.Properties = new java.util.Properties()): DataFrame =
     s.read.jdbc(url, table, props)
 
+  /** True when the exception chain is a missing-relation error (SQLState
+    * class 42: Derby 42X05, PostgreSQL 42P01, ...). Anything else —
+    * connection drops, auth failures — must PROPAGATE: treating a
+    * transient read error as "table absent" would silently disable the
+    * duplicate-load guard and re-append loaded months. */
+  private def isMissingRelation(e: Throwable): Boolean = {
+    var t: Throwable = e
+    while (t != null) {
+      t match {
+        case sql: java.sql.SQLException
+            if Option(sql.getSQLState).exists(_.startsWith("42")) => return true
+        case _ =>
+      }
+      t = t.getCause
+    }
+    false
+  }
+
   /** The reference's `competencias_existentes` check
     * (datasus.service.ts:33): which competência values are already loaded.
-    * Empty when the table does not exist yet. The distinct runs in Spark
-    * after a column-pruned scan — months are bounded (hundreds), so the
-    * result is always driver-small. */
+    * Empty when the table does not exist yet (missing-relation SQLState
+    * only — other failures propagate). The distinct runs in Spark after a
+    * column-pruned scan — months are bounded (hundreds), so the result is
+    * always driver-small. */
   def existingCompetencias(s: SparkSession, url: String, table: String,
                            props: java.util.Properties = new java.util.Properties(),
                            c: String = "competencia"): Set[String] =
     try readJdbc(s, url, table, props).select(c).distinct()
       .collect().map(_.getString(0)).toSet
-    catch { case scala.util.control.NonFatal(_) => Set.empty } // table absent
+    catch {
+      case e: Throwable if isMissingRelation(e) => Set.empty // first load
+    }
 
   /** Duplicate-load guard the reference only *detects* with: append ONLY
     * rows whose competência is not already in the table. Returns
     * (appendedRows, skippedRows). The already-loaded set is bounded
-    * (months), so the filter is a broadcast-friendly NOT IN. */
+    * (months), so the filter is a broadcast-friendly NOT IN. The input is
+    * persisted for the duration — it is typically the tail of the full
+    * decode pipeline, which must not replay for count + write. */
   def appendNewCompetencias(df: DataFrame, url: String, table: String,
                             props: java.util.Properties = new java.util.Properties(),
                             c: String = "competencia",
                             textType: String = "STRING"): (Long, Long) = {
     val loaded = existingCompetencias(df.sparkSession, url, table, props, c)
-    val fresh =
-      if (loaded.isEmpty) df
-      else df.filter(!col(c).isin(loaded.toSeq: _*))
-    val appended = fresh.count()
-    if (appended > 0) writeJdbc(fresh, url, table, props, textType)
-    (appended, df.count() - appended)
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = cached.count()
+      val fresh =
+        if (loaded.isEmpty) cached
+        else cached.filter(!col(c).isin(loaded.toSeq: _*))
+      val appended = if (loaded.isEmpty) total else fresh.count()
+      if (appended > 0) writeJdbc(fresh, url, table, props, textType)
+      (appended, total - appended)
+    } finally cached.unpersist()
   }
 
   /** S11 escape hatch: per-partition push to an external receiver (the

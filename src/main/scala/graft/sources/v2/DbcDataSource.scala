@@ -208,10 +208,33 @@ class DbcPartitionReader(path: String, allCols: Array[String], requiredCols: Arr
         Iterator.empty
     }
 
+  /** Permissive mode must also absorb LAZY decode failures: the streaming
+    * path surfaces mid-file corruption from the iterator, not at
+    * construction. Rows decoded before the failure have already been
+    * emitted (documented semantics: a corrupt tail truncates the file). */
+  private def guarded(it: Iterator[Array[String]]): Iterator[Array[String]] =
+    if (!permissive) it
+    else new Iterator[Array[String]] {
+      private var dead = false
+      override def hasNext: Boolean = !dead && {
+        try it.hasNext
+        catch {
+          case e: Exception =>
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"dbc permissive mode: truncating corrupt file $path: ${e.getMessage}")
+            dead = true
+            false
+        }
+      }
+      override def next(): Array[String] = it.next()
+    }
+
+  private lazy val safeRows = guarded(rows)
+
   private var current: Array[String] = _
 
   override def next(): Boolean = {
-    if (rows.hasNext) { current = rows.next(); true } else false
+    if (safeRows.hasNext) { current = safeRows.next(); true } else false
   }
 
   override def get(): InternalRow = {

@@ -45,9 +45,7 @@ object StreamingEtl {
     * arrival order, batch boundaries, or executor count. StreamingSpec
     * proves stream == batch row-for-row. */
   def sampleStream(df: DataFrame, keyCol: String, ratePct: Int): DataFrame =
-    df.filter(
-      expr(s"CAST(conv(substr(md5(CAST($keyCol AS STRING)), 18, 15), 16, 10) AS BIGINT) % 100")
-        < ratePct)
+    df.filter(graft.functions.Hashing.bucket(keyCol, 100) < ratePct)
 
   /** Streaming context-window packing: the stateful sibling of
     * queries.TrainingData.qPackBins — per-source running token count
