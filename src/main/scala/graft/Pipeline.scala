@@ -40,4 +40,26 @@ object Pipeline {
       sum(col("n_arquivos")).as("arquivos_processados"))
     LoadReport(summary, perTable)
   }
+
+  /** The reference's actual load target — a SQL database per file type
+    * with duplicate-competência protection (datasus.service.ts:15-39) —
+    * as one call: decode, derive partition columns, then per-tipo
+    * `Sinks.appendNewCompetencias` (all-text DDL create-if-absent, batch
+    * append, already-loaded months skipped). Returns per-tipo
+    * (appended, skipped) counts. Tipos are bounded (~15), so the
+    * driver-side loop is over table names, never data. */
+  def runToJdbc(spark: SparkSession, dbcGlob: String, url: String,
+                props: java.util.Properties = new java.util.Properties(),
+                textType: String = "STRING"): Map[String, (Long, Long)] = {
+    val decoded = DatasusEtl.withFileMeta(
+      spark.read.format("dbc").option("mode", "permissive").load(dbcGlob)
+        .withColumn("_path", col("_file")))
+    val tipos = decoded.select("tipo_arquivo").distinct()
+      .collect().map(_.getString(0)).sorted
+    tipos.map { tipo =>
+      val t = decoded.filter(col("tipo_arquivo") === tipo).drop("tipo_arquivo")
+      tipo -> Sinks.appendNewCompetencias(
+        t, url, s"datasus_$tipo".toLowerCase, props, textType = textType)
+    }.toMap
+  }
 }

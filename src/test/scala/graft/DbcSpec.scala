@@ -181,6 +181,41 @@ class DbcSpec extends AnyFunSuite {
     assert(streamed == direct)
   }
 
+  test("property: streaming decode is byte-exact under arbitrary data and read chunking") {
+    val r = rng
+    (0 until 25).foreach { trial =>
+      // corpora mixing runs (match-heavy) and noise (literal-heavy)
+      val n = r.nextInt(200000)
+      val data = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        if (r.nextInt(3) == 0) {
+          val runLen = math.min(n - i, 1 + r.nextInt(600))
+          val b = r.nextInt(256).toByte
+          java.util.Arrays.fill(data, i, i + runLen, b)
+          i += runLen
+        } else { data(i) = r.nextInt(256).toByte; i += 1 }
+      }
+      val coded = trial % 2 == 0
+      val packed = graft.sources.Blast.implode(data, codedLiterals = coded)
+      val in = new graft.sources.Blast.ExplodeInputStream(packed, 0)
+      val out = new java.io.ByteArrayOutputStream()
+      // adversarial read pattern: random chunk sizes incl. single-byte read()
+      var done = false
+      while (!done) {
+        if (r.nextInt(4) == 0) {
+          val b = in.read()
+          if (b < 0) done = true else out.write(b)
+        } else {
+          val buf = new Array[Byte](1 + r.nextInt(7000))
+          val m = in.read(buf, 0, buf.length)
+          if (m < 0) done = true else out.write(buf, 0, m)
+        }
+      }
+      assert(out.toByteArray.sameElements(data), s"trial $trial len $n coded=$coded")
+    }
+  }
+
   test("dbf round-trips arbitrary printable latin1 tables") {
     val r = rng
     (0 until 40).foreach { _ =>

@@ -71,6 +71,22 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(Sinks.existingCompetencias(spark, url, "no_such_table").isEmpty)
   }
 
+  test("E1-to-JDBC: decode pipeline loads per-tipo tables with the re-load guard") {
+    val fixtures = graft.queries.EtlFixtures.ensure(spark, sf)
+    val url2 = s"jdbc:derby:$dbDir/db2;create=true"
+    val first = graft.Pipeline.runToJdbc(spark, s"$fixtures/RD*.dbc", url2,
+      textType = "VARCHAR(4096)")
+    assert(first.keySet == Set("RD"))
+    val (app1, skip1) = first("RD")
+    assert(app1 > 0 && skip1 == 0)
+    // same month again: everything skips
+    val second = graft.Pipeline.runToJdbc(spark, s"$fixtures/RD*.dbc", url2,
+      textType = "VARCHAR(4096)")
+    val (app2, skip2) = second("RD")
+    assert(app2 == 0 && skip2 == app1)
+    assert(Sinks.readJdbc(spark, url2, "datasus_rd").count() == app1)
+  }
+
   test("S12: DSv2 JDBC catalog lists and queries the loaded table") {
     spark.conf.set("spark.sql.catalog.graftdb",
       "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
