@@ -76,6 +76,36 @@ object Dedup {
       |  count(*) - count(DISTINCT md5(text)) AS n_dups
       |FROM documents GROUP BY source""".stripMargin
 
+  /** The exact-dedup DECISION (complement of qDedupExact's stats): every
+    * content-identical group keeps its min-id document; the rest are
+    * removed. Hash-groupBy then an equi-join on the same key — the second
+    * shuffle reuses the first's partitioning. The synthetic corpus has no
+    * exact duplicates at small scale factors, so the query first injects
+    * deterministic copies (every 97th doc re-keyed +1e6) on BOTH engines
+    * — the removal decision is exercised, never vacuously empty. */
+  def qDedupExactKeep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+    val dupCopies = docs.filter($"doc_id" % 97 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    val hashed = docs.unionByName(dupCopies)
+      .select($"doc_id", md5($"text").as("h"))
+    val kept = hashed.groupBy($"h").agg(min($"doc_id").as("kept_doc"))
+    hashed.join(kept, "h")
+      .filter($"doc_id" =!= $"kept_doc")
+      .select($"doc_id".as("removed_doc"), $"kept_doc")
+  }
+
+  val qDedupExactKeepSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 97 = 0),
+      |h AS (SELECT doc_id, md5(text) AS hh FROM corpus),
+      |m AS (SELECT hh, min(doc_id) AS kept_doc FROM h GROUP BY hh)
+      |SELECT h.doc_id AS removed_doc, m.kept_doc
+      |FROM h JOIN m USING (hh) WHERE h.doc_id <> m.kept_doc""".stripMargin
+
   /** Exact n-gram Jaccard near-dup pairs (j >= 0.6) via the inverted shingle
     * index: explode shingles → self-join on shingle → count intersections →
     * join set sizes. No O(n²) stage; cost tracks shared-shingle volume. */
@@ -336,6 +366,7 @@ object Dedup {
     "q_dedup_embed_lsh" -> (qDedupEmbedLsh _),
     "q_dedup_cluster" -> (qDedupCluster _),
     "q_dedup_exact"   -> (qDedupExact _),
+    "q_dedup_exact_keep" -> (qDedupExactKeep _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -348,6 +379,7 @@ object Dedup {
     "q_dedup_embed_lsh" -> qDedupEmbedSql, // same semantic output as exact
     "q_dedup_cluster" -> qDedupClusterSql,
     "q_dedup_exact"   -> qDedupExactSql,
+    "q_dedup_exact_keep" -> qDedupExactKeepSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
