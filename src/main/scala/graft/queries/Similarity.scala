@@ -278,11 +278,62 @@ object Similarity {
       .filter($"rank" <= k)
   }
 
+  /** One Lloyd round in exact integer space, oracle-gated: vectors are
+    * quantized to BIGINT (round(x*1e7) — exact from float32), assignment
+    * is cosine-argmax over the quantized vectors (identical doubles on
+    * both engines), and the re-centered centroid is per-dimension integer
+    * mean (BIGINT sum DIV count — order-independent, engine-exact). The
+    * output is each centroid's population and the checksum of its
+    * re-centered integer coordinates, so the assign + re-center machinery
+    * of k-means is hash-checked cross-engine; the float multi-round
+    * quantizer stays the library/recall path. */
+  def qKmeansRound(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = Tables.embeddings(s, dir)
+      .select($"vec_id",
+        transform($"embedding", x => round(x.cast("double") * 1e7).cast("long")).as("vq"))
+    val cents = v.filter($"vec_id" % 25 === 0).select($"vec_id".as("c_id"), $"vq".as("cq"))
+    val toD = (c: org.apache.spark.sql.Column) => transform(c, x => x.cast("double"))
+    val aw = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"c_id".asc)
+    val assigned = v.crossJoin(broadcast(cents))
+      .select($"vec_id", $"vq", $"c_id", cosine(toD($"vq"), toD($"cq")).as("c_cos"))
+      .withColumn("rn", row_number().over(aw)).filter($"rn" === 1)
+      .select($"c_id", $"vq")
+    assigned
+      .select($"c_id", posexplode($"vq"))
+      .groupBy($"c_id", $"pos")
+      .agg(sum($"col").as("s"), count(lit(1)).as("n"))
+      .groupBy($"c_id")
+      .agg(first($"n").as("n_assigned"),
+           sum(expr("s DIV n")).as("centroid_checksum"))
+  }
+
+  val qKmeansRoundSql: String =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS vq
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS c_id, vq AS cq FROM v WHERE vec_id % 25 = 0),
+      |assign AS (
+      |  SELECT vec_id, vq, c_id,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY list_cosine_similarity(vq::DOUBLE[], cq::DOUBLE[]) DESC, c_id ASC) AS rn
+      |  FROM v CROSS JOIN c),
+      |a AS (SELECT c_id, vq FROM assign WHERE rn = 1),
+      |dims AS (
+      |  SELECT c_id, i, CAST(sum(vq[i]) AS BIGINT) AS s, count(*) AS n
+      |  FROM a, range(1, 65) r(i) GROUP BY 1, 2)
+      |SELECT c_id, CAST(min(n) AS BIGINT) AS n_assigned,
+      |  CAST(sum(s // n) AS BIGINT) AS centroid_checksum
+      |FROM dims GROUP BY c_id""".stripMargin
+
   /** Gated k-means-IVF entry: trained coarse quantizer + probe + exact
-    * re-rank. The Lloyd iterations are not reasonably SQL-expressible
-    * (bit-exact float centroid averaging differs per engine), so this
-    * entry has NO oracleSql — the driver records the weaker rows-only
-    * check; TrainingOpsSpec measures recall against exact brute force. */
+    * re-rank. The float Lloyd iterations are not reasonably
+    * SQL-expressible (bit-exact float centroid averaging differs per
+    * engine), so this entry has NO oracleSql — the driver records the
+    * weaker rows-only check; TrainingOpsSpec measures recall against
+    * exact brute force, and [[qKmeansRound]] hash-checks the integer
+    * form of the same machinery. */
   def qAnnKmeans(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     kmeansIvfTopK(s, dir)
@@ -291,14 +342,16 @@ object Similarity {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_ann_brute"  -> (qAnnBrute _),
-    "q_ann_ivf"    -> (qAnnIvf _),
-    "q_ann_kmeans" -> (qAnnKmeans _),
+    "q_ann_brute"    -> (qAnnBrute _),
+    "q_ann_ivf"      -> (qAnnIvf _),
+    "q_ann_kmeans"   -> (qAnnKmeans _),
+    "q_kmeans_round" -> (qKmeansRound _),
   )
 
   def oracles: Map[String, String] = Map(
-    "q_ann_brute" -> qAnnBruteSql,
-    "q_ann_ivf"   -> qAnnIvfSql,
+    "q_ann_brute"    -> qAnnBruteSql,
+    "q_ann_ivf"      -> qAnnIvfSql,
+    "q_kmeans_round" -> qKmeansRoundSql,
     // q_ann_kmeans: deliberately no oracle (see qAnnKmeans scaladoc)
   )
 }

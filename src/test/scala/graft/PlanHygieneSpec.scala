@@ -18,6 +18,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_dedup_embed",   // exact O(n²) baseline, documented oracle anchor
     "q_ann_ivf",       // crossJoin(broadcast(centroids)) — bounded build side
     "q_ann_kmeans",    // same centroid cross joins inside Lloyd rounds
+    "q_kmeans_round",  // integer Lloyd round: crossJoin(broadcast(centroids))
     "q_sql_api",       // scalar-subquery style broadcast of a 1-row agg
     "q_scalar_subquery")
 
