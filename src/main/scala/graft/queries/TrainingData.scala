@@ -81,6 +81,56 @@ object TrainingData {
       |  CAST(sum(tok_est) AS BIGINT) AS bin_tokens
       |FROM packed GROUP BY source, bin""".stripMargin
 
+  /** Distributed packing (the 100 TB form of [[qPackBins]]): a window
+    * partitioned only by source serializes a dominant source onto one
+    * task, so this is the classic two-pass parallel prefix sum instead —
+    * (1) range-partition by (source, doc_id) and compute each partition's
+    * per-source token subtotal, (2) broadcast the driver-small exclusive
+    * offsets (#partitions x #sources rows), (3) a second map pass adds
+    * local running sums to the offsets. Exactly equals the window
+    * formulation (spec-proven); every stage is map-side or
+    * range-partitioned. */
+  def packBinsDistributed(s: SparkSession, dir: String,
+                          binTokens: Long = 8192, partitions: Int = 8): DataFrame = {
+    import s.implicits._
+    // materialize the range partitioning ONCE: RangePartitioner samples
+    // its bounds per job, so without this the subtotal pass and the
+    // packing pass could see different pid assignments
+    val withPid = Tables.documents(s, dir)
+      .select($"source", $"doc_id", (expr("n_chars DIV 4") + 1L).as("tok_est"))
+      .repartitionByRange(partitions, $"source", $"doc_id")
+      .sortWithinPartitions($"source", $"doc_id")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    // pass 1: per (pid, source) subtotal — driver-small by construction
+    val subtotals = withPid.groupBy($"pid", $"source")
+      .agg(sum($"tok_est").as("sub"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    // exclusive prefix offset per (pid, source): subtotals of earlier pids
+    val offsets = subtotals.keys.map { case (pid, src) =>
+      (pid, src) -> subtotals.collect {
+        case ((p, s2), v) if s2 == src && p < pid => v
+      }.sum
+    }.toMap
+    val bOffsets = s.sparkContext.broadcast(offsets)
+    // pass 2: local running sum + broadcast offset (rows are sorted by
+    // (source, doc_id) within each range partition)
+    withPid.as[(String, Long, Long, Int)]
+      .mapPartitions { rows =>
+        val off = bOffsets.value
+        var curSrc: String = null
+        var running = 0L
+        rows.map { case (src, id, tok, pid) =>
+          if (src != curSrc) { curSrc = src; running = off.getOrElse((pid, src), 0L) }
+          running += tok
+          (src, id, tok, (running - 1) / binTokens)
+        }
+      }
+      .toDF("source", "doc_id", "tok_est", "bin")
+      .groupBy($"source", $"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"tok_est").as("bin_tokens"))
+  }
+
   /** PII scrubbing: count and redact emails / phone numbers / IPv4s.
     * The synthetic corpus carries no PII, so each doc is deterministically
     * augmented with derived contact strings first — the scrub then

@@ -73,6 +73,18 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed prefix-sum packing equals the window formulation exactly") {
+    val window = SparkEntry.queries("q_pack_bins")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val dist = graft.queries.TrainingData.packBinsDistributed(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(dist == window)
+    // and with a partition count that forces sources to span partitions
+    val dist13 = graft.queries.TrainingData.packBinsDistributed(spark, sf, partitions = 13)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(dist13 == window)
+  }
+
   test("approx_count_distinct tracks exact distinct (3-sigma of default rsd)") {
     val exact = Tables.lineitem(spark, sf)
       .agg(countDistinct(col("l_orderkey"))).collect()(0).getLong(0)
