@@ -15,13 +15,15 @@ import org.apache.spark.sql.functions._
   * JSON; the corpus is cached under /tmp across runs. */
 object DecodeBench {
 
-  private val nFiles = 8
+  // 32 files: the decode grain is the file, so the corpus must carry at
+  // least as many files as the driver's local[32] has threads
+  private val nFiles = 32
   private val nCols = 92
 
   /** Cache key version: bump whenever the generator changes (shape or
     * implode mode), or a stale /tmp corpus silently benchmarks the old
-    * format. v2 = coded-literal implode. */
-  private val CorpusVersion = "v2coded"
+    * format. v2 = coded-literal implode; v3 = 32-file parallel grain. */
+  private val CorpusVersion = "v3coded32"
 
   /** Build (or reuse) the 92-col corpus; returns its directory. */
   def ensureCorpus(nRecords: Int): java.io.File = synchronized {
