@@ -32,12 +32,15 @@ object DecodeBench {
     if (marker.exists()) return dir
     dir.mkdirs()
 
+    require(nRecords >= nFiles, s"decode corpus needs >= $nFiles records")
     val widths = Array.tabulate(nCols)(i => if (i % 6 == 0) 6 else 1)
     val recordSize = 1 + widths.sum
     val headerSize = 32 + 32 * nCols + 1
-    val perFile = nRecords / nFiles
+    // distribute the remainder so the corpus holds EXACTLY nRecords
+    def fileRecords(f: Int): Int = nRecords / nFiles + (if (f < nRecords % nFiles) 1 else 0)
 
     def buildDbc(seed: Int): Array[Byte] = {
+      val perFile = fileRecords(seed)
       val head = ByteBuffer.allocate(headerSize).order(ByteOrder.LITTLE_ENDIAN)
       head.put(0, 0x03.toByte)
       head.putInt(4, perFile)

@@ -51,15 +51,20 @@ object Pipeline {
   def runToJdbc(spark: SparkSession, dbcGlob: String, url: String,
                 props: java.util.Properties = new java.util.Properties(),
                 textType: String = "STRING"): Map[String, (Long, Long)] = {
+    // persist: the decode (blast + DBF parse) must run once, not once for
+    // the tipo listing plus once per tipo table
     val decoded = DatasusEtl.withFileMeta(
       spark.read.format("dbc").option("mode", "permissive").load(dbcGlob)
         .withColumn("_path", col("_file")))
-    val tipos = decoded.select("tipo_arquivo").distinct()
-      .collect().map(_.getString(0)).sorted
-    tipos.map { tipo =>
-      val t = decoded.filter(col("tipo_arquivo") === tipo).drop("tipo_arquivo")
-      tipo -> Sinks.appendNewCompetencias(
-        t, url, s"datasus_$tipo".toLowerCase, props, textType = textType)
-    }.toMap
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tipos = decoded.select("tipo_arquivo").distinct()
+        .collect().map(_.getString(0)).sorted
+      tipos.map { tipo =>
+        val t = decoded.filter(col("tipo_arquivo") === tipo).drop("tipo_arquivo")
+        tipo -> Sinks.appendNewCompetencias(
+          t, url, s"datasus_$tipo".toLowerCase, props, textType = textType)
+      }.toMap
+    } finally decoded.unpersist()
   }
 }

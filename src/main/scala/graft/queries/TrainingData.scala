@@ -94,14 +94,16 @@ object TrainingData {
                           binTokens: Long = 8192, partitions: Int = 8): DataFrame = {
     import s.implicits._
     // materialize the range partitioning ONCE: RangePartitioner samples
-    // its bounds per job, so without this the subtotal pass and the
-    // packing pass could see different pid assignments
+    // its bounds per physical plan, so without pinning, the subtotal pass
+    // and the packing pass could see different pid assignments. persist
+    // (not checkpoint) so the pinned blocks are RELEASED on return —
+    // the result below is materialized before unpersist.
     val withPid = Tables.documents(s, dir)
       .select($"source", $"doc_id", (expr("n_chars DIV 4") + 1L).as("tok_est"))
       .repartitionByRange(partitions, $"source", $"doc_id")
       .sortWithinPartitions($"source", $"doc_id")
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pass 1: per (pid, source) subtotal — driver-small by construction
     val subtotals = withPid.groupBy($"pid", $"source")
       .agg(sum($"tok_est").as("sub"))
@@ -113,22 +115,28 @@ object TrainingData {
       }.sum
     }.toMap
     val bOffsets = s.sparkContext.broadcast(offsets)
-    // pass 2: local running sum + broadcast offset (rows are sorted by
-    // (source, doc_id) within each range partition)
-    withPid.as[(String, Long, Long, Int)]
-      .mapPartitions { rows =>
-        val off = bOffsets.value
-        var curSrc: String = null
-        var running = 0L
-        rows.map { case (src, id, tok, pid) =>
-          if (src != curSrc) { curSrc = src; running = off.getOrElse((pid, src), 0L) }
-          running += tok
-          (src, id, tok, (running - 1) / binTokens)
+    try {
+      // pass 2: local running sum + broadcast offset (rows are sorted by
+      // (source, doc_id) within each range partition)
+      withPid.as[(String, Long, Long, Int)]
+        .mapPartitions { rows =>
+          val off = bOffsets.value
+          var curSrc: String = null
+          var running = 0L
+          rows.map { case (src, id, tok, pid) =>
+            if (src != curSrc) { curSrc = src; running = off.getOrElse((pid, src), 0L) }
+            running += tok
+            (src, id, tok, (running - 1) / binTokens)
+          }
         }
-      }
-      .toDF("source", "doc_id", "tok_est", "bin")
-      .groupBy($"source", $"bin")
-      .agg(count(lit(1)).as("n_docs"), sum($"tok_est").as("bin_tokens"))
+        .toDF("source", "doc_id", "tok_est", "bin")
+        .groupBy($"source", $"bin")
+        .agg(count(lit(1)).as("n_docs"), sum($"tok_est").as("bin_tokens"))
+        .localCheckpoint(true) // bins-scale tiny; frees the big input below
+    } finally {
+      withPid.unpersist()
+      bOffsets.destroy()
+    }
   }
 
   /** PII scrubbing: count and redact emails / phone numbers / IPv4s.
