@@ -193,6 +193,43 @@ object Dedup {
       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.sh60, b.sh60)) <= 5""".stripMargin
 
+  /** Cross-source n-gram contamination: distinct-shingle overlap between
+    * every source pair — the train/eval leakage check of corpus curation
+    * (one source standing in for a benchmark set). Shuffles on the
+    * shingle key only; source count is tiny, so the pair aggregate is
+    * trivially small at any corpus size. Output is exact integer overlap
+    * + ppm jaccard (gate convention). */
+  def qContamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val srcSh = Tables.documents(s, dir)
+      .select($"source", explode(shingleSet($"text")).as("sh"))
+      .distinct()
+    val sizes = srcSh.groupBy($"source").agg(count(lit(1)).as("n"))
+    val inter = srcSh.as("a").join(srcSh.as("b"),
+        $"a.sh" === $"b.sh" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("source_a"), $"b.source".as("source_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("x"), $"source_a" === $"x.source")
+      .join(sizes.as("y"), $"source_b" === $"y.source")
+      .select($"source_a", $"source_b", $"i",
+        expr("(i * 1000000L) DIV (x.n + y.n - i)").as("jaccard_ppm"))
+  }
+
+  val qContaminationSql: String =
+    shinglesCte + """,
+      | ss AS (
+      |   SELECT DISTINCT d.source, sh.s
+      |   FROM sh JOIN documents d USING (doc_id)),
+      | sz AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+      | inter AS (
+      |   SELECT a.source AS source_a, b.source AS source_b, count(*) AS i
+      |   FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+      |   GROUP BY 1, 2)
+      |SELECT source_a, source_b, i,
+      |  (i * 1000000) // (x.n + y.n - i) AS jaccard_ppm
+      |FROM inter JOIN sz x ON x.source = source_a JOIN sz y ON y.source = source_b""".stripMargin
+
   /** Embedding cosine near-dup pairs (exact O(n²) baseline; see Similarity
     * for the sub-quadratic ANN paths). Vectors cast to double so the math
     * matches the oracle's DOUBLE[] cosine bit-for-bit. */
@@ -367,6 +404,7 @@ object Dedup {
     "q_dedup_cluster" -> (qDedupCluster _),
     "q_dedup_exact"   -> (qDedupExact _),
     "q_dedup_exact_keep" -> (qDedupExactKeep _),
+    "q_contamination" -> (qContamination _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -380,6 +418,7 @@ object Dedup {
     "q_dedup_cluster" -> qDedupClusterSql,
     "q_dedup_exact"   -> qDedupExactSql,
     "q_dedup_exact_keep" -> qDedupExactKeepSql,
+    "q_contamination" -> qContaminationSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
