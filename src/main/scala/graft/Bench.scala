@@ -14,6 +14,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Decode-throughput probe FIRST: measured after the 70-query sweep it
+    // reads ~2x low from accumulated heap/cache pressure, which would
+    // misreport the engine's actual decode capability.
+    // Apples-to-apples with the reference converter's 13.7k rec/s: the
+    // SAME record shape it reports (92 cols / ~98 B), full materialization.
+    val decode92 = try DecodeBench.measure(spark)._2 catch { case _: Throwable => 0.0 }
     // Warm-up pass: JIT + codegen + parquet footer caches, so the timed
     // pass measures steady-state throughput rather than JVM start-up.
     SparkEntry.queries.foreach { case (_, fn) =>
@@ -33,9 +39,6 @@ object Bench {
       val n = try Tables.orders(spark, sfDir).count() catch { case _: Throwable => 0L }
       n / secs
     }.getOrElse(0.0)
-    // Apples-to-apples with the reference converter's 13.7k rec/s: the
-    // SAME record shape it reports (92 cols / ~98 B), full materialization.
-    val decode92 = try DecodeBench.measure(spark)._2 catch { case _: Throwable => 0.0 }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","decode_rec_per_s":${decodeRate.round},"decode92_rec_per_s":${decode92.round}}""")
     spark.stop()
   }
