@@ -215,18 +215,27 @@ class DbcPartitionReader(path: String, allCols: Array[String], requiredCols: Arr
   private def guarded(it: Iterator[Array[String]]): Iterator[Array[String]] =
     if (!permissive) it
     else new Iterator[Array[String]] {
+      // The streaming decode (Dbf.recordsPrunedStream) does its work in the
+      // underlying next() — hasNext alone throws nothing there. Prefetch in
+      // hasNext so BOTH calls are guarded: mid-file corruption truncates the
+      // iterator instead of failing the task.
       private var dead = false
-      override def hasNext: Boolean = !dead && {
-        try it.hasNext
-        catch {
+      private var pending: Array[String] = _
+      override def hasNext: Boolean = !dead && (pending != null || {
+        try {
+          if (it.hasNext) { pending = it.next(); true } else false
+        } catch {
           case e: Exception =>
             org.slf4j.LoggerFactory.getLogger(getClass)
               .warn(s"dbc permissive mode: truncating corrupt file $path: ${e.getMessage}")
             dead = true
             false
         }
+      })
+      override def next(): Array[String] = {
+        if (!hasNext) throw new NoSuchElementException("next on exhausted dbc iterator")
+        val r = pending; pending = null; r
       }
-      override def next(): Array[String] = it.next()
     }
 
   private lazy val safeRows = guarded(rows)
