@@ -50,17 +50,21 @@ object Sinks {
                props: java.util.Properties = new java.util.Properties()): DataFrame =
     s.read.jdbc(url, table, props)
 
-  /** True when the exception chain is a missing-relation error (SQLState
-    * class 42: Derby 42X05, PostgreSQL 42P01, ...). Anything else —
-    * connection drops, auth failures — must PROPAGATE: treating a
-    * transient read error as "table absent" would silently disable the
-    * duplicate-load guard and re-append loaded months. */
+  /** SQLStates that mean exactly "relation does not exist": Derby 42X05,
+    * PostgreSQL 42P01, ODBC/MySQL/SQLServer 42S02, legacy S0002. NOT the
+    * whole class 42 — it also covers syntax errors and access-rule
+    * violations (e.g. PostgreSQL 42501 insufficient_privilege), which must
+    * PROPAGATE like connection drops and auth failures: treating them as
+    * "table absent" would silently disable the duplicate-load guard and
+    * re-append loaded months. */
+  private val MissingRelationStates = Set("42X05", "42P01", "42S02", "S0002")
+
   private def isMissingRelation(e: Throwable): Boolean = {
     var t: Throwable = e
     while (t != null) {
       t match {
         case sql: java.sql.SQLException
-            if Option(sql.getSQLState).exists(_.startsWith("42")) => return true
+            if Option(sql.getSQLState).exists(MissingRelationStates.contains) => return true
         case _ =>
       }
       t = t.getCause
@@ -97,9 +101,13 @@ object Sinks {
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val total = cached.count()
+      // NULL competência can never equal a loaded month, so such rows are
+      // always appended — without the explicit isNull branch, NOT IN
+      // evaluates to NULL and silently drops them once any month is loaded
+      // (inconsistent with the loaded.isEmpty path, which keeps them).
       val fresh =
         if (loaded.isEmpty) cached
-        else cached.filter(!col(c).isin(loaded.toSeq: _*))
+        else cached.filter(col(c).isNull || !col(c).isin(loaded.toSeq: _*))
       val appended = if (loaded.isEmpty) total else fresh.count()
       if (appended > 0) writeJdbc(fresh, url, table, props, textType)
       (appended, total - appended)
