@@ -230,12 +230,20 @@ object Dedup {
       |  (i * 1000000) // (x.n + y.n - i) AS jaccard_ppm
       |FROM inter JOIN sz x ON x.source = source_a JOIN sz y ON y.source = source_b""".stripMargin
 
-  /** Embedding cosine near-dup pairs (exact O(n²) baseline; see Similarity
-    * for the sub-quadratic ANN paths). Vectors cast to double so the math
-    * matches the oracle's DOUBLE[] cosine bit-for-bit. */
+  /** Embedding cosine near-dup pairs — the exact O(n²) ORACLE ANCHOR for
+    * the sub-quadratic paths (qDedupEmbedLsh here; ANN in Similarity).
+    * The gated entry runs over a BOUNDED slice (vec_id < EmbedExactCap):
+    * an uncapped cartesian pair join must never be a user-visible entry
+    * point — at a billion vectors it is 5e17 pairs. The capped slice keeps
+    * the exact math hash-checked cross-engine at O(cap²) cost forever,
+    * while qDedupEmbedLsh is the full-corpus path. Vectors cast to double
+    * so the math matches the oracle's DOUBLE[] cosine bit-for-bit. */
+  private val EmbedExactCap = 1000L
+
   def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val v = Tables.embeddings(s, dir)
+      .filter($"vec_id" < EmbedExactCap)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
     v.as("a").join(v.as("b"), $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
@@ -244,12 +252,22 @@ object Dedup {
       .select($"vec_a", $"vec_b", round($"cos_sim" * 1e9).cast("long").as("cos_ppb"))
   }
 
-  val qDedupEmbedSql: String =
+  /** Full-corpus exact SQL — the oracle for the sub-quadratic LSH entry. */
+  val qDedupEmbedFullSql: String =
     """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |       CAST(round(list_cosine_similarity(a.v, b.v) * 1e9) AS BIGINT) AS cos_ppb
       |FROM v a JOIN v b ON a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(a.v, b.v) >= 0.5""".stripMargin
+
+  /** Capped-slice exact SQL — the oracle for the bounded exact entry. */
+  val qDedupEmbedSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |           WHERE vec_id < $EmbedExactCap)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       CAST(round(list_cosine_similarity(a.v, b.v) * 1e9) AS BIGINT) AS cos_ppb
+       |FROM v a JOIN v b ON a.vec_id < b.vec_id
+       |WHERE list_cosine_similarity(a.v, b.v) >= 0.5""".stripMargin
 
   /** Memoized cluster assignment: the jaccard similarity join + iterative
     * connected components is the most expensive pipeline in the suite, and
@@ -266,7 +284,12 @@ object Dedup {
   private val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), LazyClusters]()
 
-  private def clusters(s: SparkSession, dir: String): DataFrame =
+  private def clusters(s: SparkSession, dir: String): DataFrame = {
+    // evict dead-session entries so stopped sessions (and their pinned
+    // localCheckpoint blocks) don't outlive themselves under a dead key
+    // for the process lifetime — the cache holds a handful of entries,
+    // so the sweep is O(sessions seen), effectively free
+    clusterCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     clusterCache.computeIfAbsent((s, dir), _ => new LazyClusters(() => {
       import s.implicits._
       val pairs = qDedupJaccard(s, dir).select($"doc_a", $"doc_b")
@@ -274,6 +297,7 @@ object Dedup {
         .select($"id".as("doc_id"), $"cluster")
         .localCheckpoint(true) // materialized: second consumer reuses
     })).df
+  }
 
   /** Near-dup clustering: transitive closure of the jaccard>=0.6 pair
     * graph via min-label propagation (operators.ConnectedComponents) —
@@ -414,7 +438,7 @@ object Dedup {
   def oracles: Map[String, String] = Map(
     "q_dedup_keep"    -> qDedupKeepSql,
     "q_dedup_jaccard_prefix" -> bruteJaccardSql, // exact-equivalent by theorem
-    "q_dedup_embed_lsh" -> qDedupEmbedSql, // same semantic output as exact
+    "q_dedup_embed_lsh" -> qDedupEmbedFullSql, // same semantic output as exact, full corpus
     "q_dedup_cluster" -> qDedupClusterSql,
     "q_dedup_exact"   -> qDedupExactSql,
     "q_dedup_exact_keep" -> qDedupExactKeepSql,

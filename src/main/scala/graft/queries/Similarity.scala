@@ -26,6 +26,16 @@ object Similarity {
   private val TopK = 10
   private val NProbe = 3
 
+  /** Fixed-SIZE query workload shared by every ANN path: the modulo picks
+    * spread-out ids, the absolute bound caps the set at <= 10 queries no
+    * matter how large the corpus grows. A pure-modulo set ("1% of vec_ids")
+    * scales WITH the corpus — collected+broadcast in the brute path that
+    * would be 10M driver-side vectors at a billion rows; with the bound,
+    * driver memory is O(10 x dims) at any scale. */
+  private def isQuery(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c % 100 === 0 && c < 1000
+  private val isQuerySql = "vec_id % 100 = 0 AND vec_id < 1000"
+
   /** vec_id, v(double[]) — cast once so all math is float64 like the oracle. */
   private def vectors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -49,7 +59,7 @@ object Similarity {
 
   val qAnnBruteSql: String =
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id % 100 = 0),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE $isQuerySql),
        |scored AS (
        |  SELECT q_id, vec_id AS neighbor_id, list_cosine_similarity(qv, v) AS cos_sim,
        |         row_number() OVER (PARTITION BY q_id
@@ -74,7 +84,7 @@ object Similarity {
       .select($"vec_id", $"v", $"c_id")
 
     // Queries probe their NProbe nearest centroids.
-    val q = v.filter($"vec_id" % 100 === 0).select($"vec_id".as("q_id"), $"v".as("qv"))
+    val q = v.filter(isQuery($"vec_id")).select($"vec_id".as("q_id"), $"v".as("qv"))
     val pw = Window.partitionBy($"q_id").orderBy($"p_cos".desc, $"c_id".asc)
     val probes = q.crossJoin(broadcast(cents))
       .select($"q_id", $"qv", $"c_id", cosine($"qv", $"cv").as("p_cos"))
@@ -101,7 +111,7 @@ object Similarity {
        |    ORDER BY list_cosine_similarity(v, cv) DESC, c_id ASC) AS rn
        |  FROM v CROSS JOIN c),
        |lists AS (SELECT vec_id, v, c_id FROM assign WHERE rn = 1),
-       |q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id % 100 = 0),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE $isQuerySql),
        |probes AS (
        |  SELECT q_id, qv, c_id, row_number() OVER (PARTITION BY q_id
        |    ORDER BY list_cosine_similarity(qv, cv) DESC, c_id ASC) AS pr
@@ -125,7 +135,7 @@ object Similarity {
   def bruteTopKWindow(s: SparkSession, dir: String, k: Int = TopK): DataFrame = {
     import s.implicits._
     val v = vectors(s, dir)
-    val q = v.filter($"vec_id" % 100 === 0).select($"vec_id".as("q_id"), $"v".as("qv"))
+    val q = v.filter(isQuery($"vec_id")).select($"vec_id".as("q_id"), $"v".as("qv"))
     val w = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
     v.join(broadcast(q), $"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id"), cosine($"qv", $"v").as("cos_sim"))
@@ -141,7 +151,7 @@ object Similarity {
   def bruteTopKPartial(s: SparkSession, dir: String, k: Int = TopK): DataFrame = {
     import s.implicits._
     val v = vectors(s, dir)
-    val queries = v.filter($"vec_id" % 100 === 0)
+    val queries = v.filter(isQuery($"vec_id"))
       .select($"vec_id".as("q_id"), $"v".as("qv"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val bq = s.sparkContext.broadcast(queries)
@@ -236,7 +246,7 @@ object Similarity {
       .select($"vec_id", $"v", $"c_id", cosine($"v", $"cv").as("c_cos"))
       .withColumn("rn", row_number().over(aw)).filter($"rn" === 1)
       .select($"vec_id", $"v", $"c_id")
-    val q = v.filter($"vec_id" % 100 === 0).select($"vec_id".as("q_id"), $"v".as("qv"))
+    val q = v.filter(isQuery($"vec_id")).select($"vec_id".as("q_id"), $"v".as("qv"))
     val pw = Window.partitionBy($"q_id").orderBy($"p_cos".desc, $"c_id".asc)
     val probes = q.crossJoin(broadcast(cents))
       .select($"q_id", $"qv", $"c_id", cosine($"qv", $"cv").as("p_cos"))
@@ -263,7 +273,7 @@ object Similarity {
         posexplode(org.apache.spark.sql.graft.NativeExprs
           .cosineBandKeys($"v", bands = 128, rowsPerBand = 8)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    val qb = banded.filter($"vec_id" % 100 === 0)
+    val qb = banded.filter(isQuery($"vec_id"))
       .select($"vec_id".as("q_id"), $"band", $"bkey")
     val cand = qb.join(banded, Seq("band", "bkey"))
       .filter($"vec_id" =!= $"q_id")
@@ -327,18 +337,121 @@ object Similarity {
       |  CAST(sum(s // n) AS BIGINT) AS centroid_checksum
       |FROM dims GROUP BY c_id""".stripMargin
 
-  /** Gated k-means-IVF entry: trained coarse quantizer + probe + exact
-    * re-rank. The float Lloyd iterations are not reasonably
-    * SQL-expressible (bit-exact float centroid averaging differs per
-    * engine), so this entry has NO oracleSql — the driver records the
-    * weaker rows-only check; TrainingOpsSpec measures recall against
-    * exact brute force, and [[qKmeansRound]] hash-checks the integer
-    * form of the same machinery. */
+  /** Argmax-assign integer vectors (vec_id, vq) to integer centroids
+    * (c_id, cq) by cosine over the double-cast values — ties to lowest
+    * c_id, identical on both engines. */
+  private def assignInt(v: DataFrame, cents: DataFrame): DataFrame = {
+    import v.sparkSession.implicits._
+    val toD = (c: org.apache.spark.sql.Column) => transform(c, x => x.cast("double"))
+    val aw = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"c_id".asc)
+    v.crossJoin(broadcast(cents))
+      .select($"vec_id", $"vq", $"c_id", cosine(toD($"vq"), toD($"cq")).as("c_cos"))
+      .withColumn("rn", row_number().over(aw)).filter($"rn" === 1)
+      .select($"vec_id", $"vq", $"c_id")
+  }
+
+  /** Re-center assigned integer vectors: per-dimension BIGINT mean
+    * (sum DIV count — order-independent, engine-exact), rebuilt into the
+    * centroid array by position. */
+  private def recenterInt(assigned: DataFrame): DataFrame = {
+    import assigned.sparkSession.implicits._
+    assigned.select($"c_id", posexplode($"vq"))
+      .groupBy($"c_id", $"pos")
+      .agg(sum($"col").as("s"), count(lit(1)).as("n"))
+      .groupBy($"c_id")
+      .agg(array_sort(collect_list(struct($"pos", expr("s DIV n").as("m")))).as("dims"))
+      .select($"c_id", expr("transform(dims, d -> d.m)").as("cq"))
+  }
+
+  /** Gated k-means-IVF entry — FULLY hash-gated since round 3: the whole
+    * pipeline (2 unrolled Lloyd rounds + final inverted lists + probe +
+    * exact re-rank) runs in exact integer space. Vectors quantize to
+    * BIGINT (round(x*1e7), exact from float32); every Lloyd re-centering
+    * is a per-dimension integer mean (sum DIV count — order-independent,
+    * and Spark DIV == DuckDB // : both truncate toward zero, negatives
+    * included); assignments/probes/re-rank use cosine over the
+    * integer-valued doubles, identical bits on both engines. The float
+    * Lloyd trainer ([[kmeansCentroids]] with the typed
+    * VectorMeanAggregator) stays the library path — algebraic map-side
+    * partials, recall-spec'd against brute force — while this entry is
+    * the cross-engine-checkable twin of the same machinery. */
   def qAnnKmeans(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    kmeansIvfTopK(s, dir)
+    val v = Tables.embeddings(s, dir)
+      .select($"vec_id",
+        transform($"embedding", x => round(x.cast("double") * 1e7).cast("long")).as("vq"))
+    val c0 = v.filter($"vec_id" % 25 === 0).select($"vec_id".as("c_id"), $"vq".as("cq"))
+    // two unrolled integer Lloyd rounds, then final inverted lists
+    val c1 = recenterInt(assignInt(v, c0))
+    val c2 = recenterInt(assignInt(v, c1))
+    val lists = assignInt(v, c2)
+    val q = v.filter(isQuery($"vec_id")).select($"vec_id".as("q_id"), $"vq".as("qv"))
+    val toD = (c: org.apache.spark.sql.Column) => transform(c, x => x.cast("double"))
+    val pw = Window.partitionBy($"q_id").orderBy($"p_cos".desc, $"c_id".asc)
+    val probes = q.crossJoin(broadcast(c2))
+      .select($"q_id", $"qv", $"c_id", cosine(toD($"qv"), toD($"cq")).as("p_cos"))
+      .withColumn("pr", row_number().over(pw)).filter($"pr" <= NProbe)
+      .select($"q_id", $"qv", $"c_id")
+    val rw = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
+    probes.join(lists, Seq("c_id"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        cosine(toD($"qv"), toD($"vq")).as("cos_sim"))
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter($"rank" <= TopK)
       .select($"q_id", $"neighbor_id",
         round($"cos_sim" * 1e9).cast("long").as("cos_ppb"), $"rank")
+  }
+
+  val qAnnKmeansSql: String = {
+    // one argmax-assign CTE body, instantiated per round (DuckDB has no
+    // iteration — the rounds unroll as chained CTEs)
+    def assign(cents: String): String =
+      s"""  SELECT vec_id, vq, c_id FROM (
+         |    SELECT v.vec_id, v.vq, $cents.c_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY list_cosine_similarity(v.vq::DOUBLE[], $cents.cq::DOUBLE[]) DESC,
+         |                 $cents.c_id ASC) AS rn
+         |    FROM v CROSS JOIN $cents) WHERE rn = 1""".stripMargin
+    def recenter(assigned: String): String =
+      s"""  SELECT c_id, list(s // n ORDER BY i) AS cq FROM (
+         |    SELECT c_id, i, CAST(sum(vq[i]) AS BIGINT) AS s, count(*) AS n
+         |    FROM $assigned, range(1, 65) r(i) GROUP BY 1, 2) GROUP BY c_id""".stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, vq AS cq FROM v WHERE vec_id % 25 = 0),
+       |a1 AS (
+       |${assign("c0")}),
+       |c1 AS (
+       |${recenter("a1")}),
+       |a2 AS (
+       |${assign("c1")}),
+       |c2 AS (
+       |${recenter("a2")}),
+       |lists AS (
+       |${assign("c2")}),
+       |q AS (SELECT vec_id AS q_id, vq AS qv FROM v WHERE $isQuerySql),
+       |probes AS (
+       |  SELECT q_id, qv, c_id FROM (
+       |    SELECT q.q_id, q.qv, c2.c_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY list_cosine_similarity(q.qv::DOUBLE[], c2.cq::DOUBLE[]) DESC,
+       |                 c2.c_id ASC) AS pr
+       |    FROM q CROSS JOIN c2) WHERE pr <= $NProbe),
+       |cand AS (
+       |  SELECT p.q_id, p.qv, l.vec_id, l.vq
+       |  FROM probes p JOIN lists l ON l.c_id = p.c_id AND l.vec_id <> p.q_id),
+       |scored AS (
+       |  SELECT q_id, vec_id AS neighbor_id,
+       |    list_cosine_similarity(qv::DOUBLE[], vq::DOUBLE[]) AS cos_sim,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY list_cosine_similarity(qv::DOUBLE[], vq::DOUBLE[]) DESC, vec_id ASC) AS rank
+       |  FROM cand)
+       |SELECT q_id, neighbor_id, CAST(round(cos_sim * 1e9) AS BIGINT) AS cos_ppb,
+       |  CAST(rank AS BIGINT) AS rank
+       |FROM scored WHERE rank <= $TopK""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -351,7 +464,7 @@ object Similarity {
   def oracles: Map[String, String] = Map(
     "q_ann_brute"    -> qAnnBruteSql,
     "q_ann_ivf"      -> qAnnIvfSql,
+    "q_ann_kmeans"   -> qAnnKmeansSql, // fully gated since round 3 (integer Lloyd)
     "q_kmeans_round" -> qKmeansRoundSql,
-    // q_ann_kmeans: deliberately no oracle (see qAnnKmeans scaladoc)
   )
 }
