@@ -153,7 +153,9 @@ object TextAnalysis {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    val nDocs = docs.count() // tiny action; value folds into the plan as a literal
+    // corpus size as a broadcast 1-row aggregate: the documents scan is
+    // paid once in the plan, not again in a separate count() action
+    val nDocs = docs.agg(count(lit(1)).as("n_docs_total"))
     val tf = docs
       .select($"doc_id", explode(tokens($"text")).as("tok"))
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
@@ -162,8 +164,10 @@ object TextAnalysis {
     tf.join(df, "tok")
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter($"rnk" <= 3)
+      .crossJoin(broadcast(nDocs))
       .select($"doc_id", $"tok", $"tf", $"df", $"rnk",
-        round($"tf" * log(lit(nDocs.toDouble) / $"df") * 1e6).cast("long").as("tfidf_u"))
+        round($"tf" * log($"n_docs_total".cast("double") / $"df") * 1e6)
+          .cast("long").as("tfidf_u"))
   }
 
   val qTextTfidfSql: String =
@@ -183,17 +187,13 @@ object TextAnalysis {
 
   /** Token co-occurrence: top-20 distinct-token pairs by the number of
     * docs containing both (integer-deterministic ordering). The phrase/
-    * collocation-mining primitive. */
+    * collocation-mining primitive. Derives from the SHARED support-pruned
+    * pair pipeline ([[TokenPairs.top20]]) — one pair join feeds both this
+    * and qTextPmi; see TokenPairs for the exactness proof of the prune. */
   def qTextCooc(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dt = Tables.documents(s, dir)
-      .select($"doc_id", explode(array_distinct(tokens($"text"))).as("tok"))
-    dt.as("a").join(dt.as("b"),
-        $"a.doc_id" === $"b.doc_id" && $"a.tok" < $"b.tok")
-      .groupBy($"a.tok".as("tok_a"), $"b.tok".as("tok_b"))
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy($"n_docs".desc, $"tok_a".asc, $"tok_b".asc)
-      .limit(20)
+    TokenPairs.top20(s, dir)
+      .select($"tok_a", $"tok_b", $"n_ab".as("n_docs"))
   }
 
   val qTextCoocSql: String =

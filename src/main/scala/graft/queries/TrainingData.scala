@@ -56,7 +56,12 @@ object TrainingData {
     * per source partition; bins are deterministic and engine-identical
     * because the running sum is integer. Documents spanning a boundary
     * belong to the bin their cumulative end lands in (contiguous fill,
-    * not first-fit). */
+    * not first-fit).
+    *
+    * NOTE: this window form is the executable SPEC; the gated q_pack_bins
+    * entry runs [[packBinsDistributed]] — the two-pass prefix-sum form
+    * that parallelizes a dominant source across tasks — against the same
+    * oracle, so the 100 TB code path is what the driver hash-checks. */
   def qPackBins(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"source").orderBy($"doc_id".asc)
@@ -150,9 +155,12 @@ object TrainingData {
     val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
     val phonePat = "\\b555-[0-9]{3,7}\\b"
     val ipPat = "\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    // phone suffix zero-padded to 4 digits: "555-" + 1-2 digits would not
+    // match [0-9]{3,7} and the "provably fires on every row" claim would
+    // be false for doc_id % 1000 < 100
     val aug = concat($"text",
       lit(" contact user"), $"doc_id", lit("@mail.example"),
-      lit(" tel 555-0"), pmod($"doc_id", lit(1000L)),
+      lit(" tel 555-"), lpad(pmod($"doc_id", lit(1000L)).cast("string"), 4, "0"),
       lit(" ip 10."), pmod($"doc_id", lit(256L)), lit(".0.1"))
     val scrubbed = regexp_replace(
       regexp_replace(
@@ -171,7 +179,7 @@ object TrainingData {
     """WITH aug AS (
       |  SELECT doc_id,
       |    text || ' contact user' || doc_id || '@mail.example'
-      |         || ' tel 555-0' || (doc_id % 1000)
+      |         || ' tel 555-' || lpad((doc_id % 1000)::VARCHAR, 4, '0')
       |         || ' ip 10.' || (doc_id % 256) || '.0.1' AS t
       |  FROM documents)
       |SELECT doc_id,
@@ -228,24 +236,17 @@ object TrainingData {
     * like qTextCooc) scored by pointwise mutual information — the
     * phrase-mining statistic. Row membership and order are integer-exact;
     * the PMI value is micro-unit fixed point over an exact rational, so
-    * both engines' ln() ulps are absorbed by the rounding. */
+    * both engines' ln() ulps are absorbed by the rounding.
+    *
+    * Derives from the SHARED support-pruned pair pipeline
+    * ([[TokenPairs.top20]]) — one pair join feeds both this and qTextCooc,
+    * and the corpus size folds in as a broadcast 1-row aggregate instead
+    * of a docs.count() driver action. */
   def qTextPmi(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, dir)
-    val nDocs = docs.count()
-    val dt = docs.select($"doc_id", explode(array_distinct(tokens($"text"))).as("tok"))
-    val tokCount = dt.groupBy($"tok").agg(count(lit(1)).as("c"))
-    val pairs = dt.as("a").join(dt.as("b"),
-        $"a.doc_id" === $"b.doc_id" && $"a.tok" < $"b.tok")
-      .groupBy($"a.tok".as("tok_a"), $"b.tok".as("tok_b"))
-      .agg(count(lit(1)).as("n_ab"))
-      .orderBy($"n_ab".desc, $"tok_a".asc, $"tok_b".asc)
-      .limit(20)
-    pairs
-      .join(tokCount.select($"tok".as("tok_a"), $"c".as("c_a")), "tok_a")
-      .join(tokCount.select($"tok".as("tok_b"), $"c".as("c_b")), "tok_b")
+    TokenPairs.top20(s, dir)
       .select($"tok_a", $"tok_b", $"n_ab", $"c_a", $"c_b",
-        round(log(lit(nDocs.toDouble) * $"n_ab" / ($"c_a" * $"c_b")) * 1e6)
+        round(log($"n_docs_total".cast("double") * $"n_ab" / ($"c_a" * $"c_b")) * 1e6)
           .cast("long").as("pmi_u"))
   }
 
@@ -319,7 +320,7 @@ object TrainingData {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bigram_lm"         -> (qBigramLm _),
     "q_sample_stratified" -> (qSampleStratified _),
-    "q_pack_bins"         -> (qPackBins _),
+    "q_pack_bins"         -> ((s: SparkSession, dir: String) => packBinsDistributed(s, dir)),
     "q_pii_scrub"         -> (qPiiScrub _),
     "q_quality_filter"    -> (qQualityFilter _),
     "q_text_pmi"          -> (qTextPmi _),

@@ -20,7 +20,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_ann_kmeans",    // same centroid cross joins inside Lloyd rounds
     "q_kmeans_round",  // integer Lloyd round: crossJoin(broadcast(centroids))
     "q_sql_api",       // scalar-subquery style broadcast of a 1-row agg
-    "q_scalar_subquery")
+    "q_scalar_subquery",
+    "q_text_tfidf")    // crossJoin(broadcast(1-row corpus-size agg))
 
   test("no gated query plans an unlisted cartesian / broadcast nested loop") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
