@@ -26,34 +26,47 @@ object Multimodal {
       .as[MediaBlob]
   }
 
-  /** Decode blobs in batches (stub codec), aggregate per-doc pixel stats.
-    * Stats are ppm fixed-point computed in exact integer byte space (the
-    * gate convention — no raw doubles): mean = 1e6*sum(b) DIV (n*255). */
+  /** Decode blobs in batches, emit REAL byte-level features of the actual
+    * payload (no codec in the container, so no pixel pretense): Shannon
+    * entropy of the byte histogram (milli-bits; ln-based formula mirrored
+    * term-for-term by the oracle), the integer-exact collision statistic
+    * Σc² (Rényi-2 numerator), distinct-byte count, modal byte frequency,
+    * and run-length structure. These are the honest raw-payload signals a
+    * curation pipeline computes (compressed vs structured detection,
+    * constant-padding detection). */
   def qMmDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     media(s, dir)
       .mapPartitions(rows => MediaFunctions.decodeBatches(rows))
-      .map { d =>
-        // invert the stub decode (p = b/255.0) back to exact byte values
-        val bytes = d.pixels.map(p => math.round(p * 255).toLong)
-        (d.docId, d.nBytes.toLong,
-          bytes.sum * 1000000L / (bytes.length * 255L),
-          bytes.max * 1000000L / 255L,
-          bytes.min * 1000000L / 255L)
-      }
-      .toDF("doc_id", "n_bytes", "mean_px_ppm", "max_px_ppm", "min_px_ppm")
+      .map(d => (d.docId, d.nBytes.toLong, d.entropyMilli, d.collisionX,
+        d.nDistinct, d.modeCount, d.nRuns, d.maxRun))
+      .toDF("doc_id", "n_bytes", "entropy_milli", "coll_x",
+        "n_distinct", "mode_count", "n_runs", "max_run")
   }
 
   val qMmDecodeSql: String =
     """WITH px AS (
       |  SELECT doc_id, i,
       |    ('0x' || substr(md5(text), 2 * i + 1, 2))::INT AS b
-      |  FROM documents, range(0, 16) r(i))
-      |SELECT doc_id, 16::BIGINT AS n_bytes,
-      |  (CAST(sum(b) AS BIGINT) * 1000000) // (16 * 255) AS mean_px_ppm,
-      |  (CAST(max(b) AS BIGINT) * 1000000) // 255 AS max_px_ppm,
-      |  (CAST(min(b) AS BIGINT) * 1000000) // 255 AS min_px_ppm
-      |FROM px GROUP BY doc_id""".stripMargin
+      |  FROM documents, range(0, 16) r(i)),
+      |hist AS (SELECT doc_id, b, count(*) AS c FROM px GROUP BY 1, 2),
+      |ent AS (
+      |  SELECT doc_id,
+      |    CAST(round(1000 * sum(-(c / 16.0) * ln(c / 16.0) / ln(2.0))) AS BIGINT) AS entropy_milli,
+      |    CAST(sum(c * c) AS BIGINT) AS coll_x,
+      |    CAST(count(*) AS BIGINT) AS n_distinct,
+      |    CAST(max(c) AS BIGINT) AS mode_count
+      |  FROM hist GROUP BY doc_id),
+      |isl AS (
+      |  SELECT doc_id, b, i - row_number() OVER (PARTITION BY doc_id, b ORDER BY i) AS grp
+      |  FROM px),
+      |rl AS (SELECT doc_id, count(*) AS len FROM isl GROUP BY doc_id, b, grp),
+      |runs AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs, CAST(max(len) AS BIGINT) AS max_run
+      |  FROM rl GROUP BY doc_id)
+      |SELECT e.doc_id, 16::BIGINT AS n_bytes, entropy_milli, coll_x,
+      |  n_distinct, mode_count, n_runs, max_run
+      |FROM ent e JOIN runs USING (doc_id)""".stripMargin
 
   /** Frame-sample the blob (every 4th byte), emit hex of the sampled
     * frames — exercises binary slicing through the typed API. */
@@ -74,26 +87,26 @@ object Multimodal {
       |  4::BIGINT AS n_frames
       |FROM documents""".stripMargin
 
-  /** Resize (stub) to 4 features and bucket mean brightness — the
-    * downstream-aggregation shape of a feature-extraction pipeline. */
+  /** Block-downsample each blob to 4 integer block sums and bucket mean
+    * brightness — the downstream-aggregation shape of a feature-extraction
+    * pipeline, in exact integer byte space (gate convention — no float
+    * reaches the hash): bucket = (Σ bytes * 10) DIV (n * 255). */
   def qMmResizeAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     media(s, dir)
-      .mapPartitions(rows => MediaFunctions.decodeBatches(rows))
-      .map(d => MediaFunctions.resize(d, 4))
-      .map(d => (d.docId, d.pixels.sum / d.pixels.length))
-      .toDF("doc_id", "mean4")
-      .select($"doc_id", floor($"mean4" * 10).cast("long").as("bucket"))
+      .map(m => (m.docId, MediaFunctions.downsampleSums(m.blob, 4).sum))
+      .toDF("doc_id", "total")
+      .select($"doc_id", expr("(total * 10) DIV (16 * 255)").as("bucket"))
       .groupBy($"bucket").agg(count(lit(1)).as("n"))
   }
 
   val qMmResizeAggSql: String =
     """WITH px AS (
-      |  SELECT doc_id, ('0x' || substr(md5(text), 2 * i + 1, 2))::INT / 255.0 AS p
-      |  FROM documents, range(0, 4) r(i)),
-      |m AS (SELECT doc_id, sum(p) / 4 AS mean4 FROM px GROUP BY doc_id)
-      |SELECT CAST(floor(mean4 * 10) AS BIGINT) AS bucket, count(*) AS n
-      |FROM m GROUP BY 1""".stripMargin
+      |  SELECT doc_id, ('0x' || substr(md5(text), 2 * i + 1, 2))::INT AS b
+      |  FROM documents, range(0, 16) r(i)),
+      |t AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS total FROM px GROUP BY doc_id)
+      |SELECT (total * 10) // (16 * 255) AS bucket, count(*) AS n
+      |FROM t GROUP BY 1""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_decode"     -> (qMmDecode _),

@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.MediaFunctions
 import graft.functions.MediaFunctions.MediaBlob
 
-/** Batch-decode plumbing invariants for the multimodal layer. */
+/** Batch-decode plumbing + byte-feature invariants for the multimodal layer. */
 class MultimodalSpec extends AnyFunSuite {
 
   private def blob(n: Int) = Array.tabulate(n)(i => (i * 37 % 256).toByte)
@@ -18,15 +18,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.forall(_.pixels.length == 16))
   }
 
-  test("stub decode is deterministic and bounded [0,1]") {
-    val px = MediaFunctions.decodePixels(blob(64))
+  test("intensity signal is deterministic and bounded [0,1]") {
+    val px = MediaFunctions.byteIntensities(blob(64))
     assert(px.forall(p => p >= 0.0 && p <= 1.0))
-    assert(px.sameElements(MediaFunctions.decodePixels(blob(64))))
+    assert(px.sameElements(MediaFunctions.byteIntensities(blob(64))))
   }
 
-  test("resize truncates; frame sampling takes every k-th byte") {
+  test("byte features are true functions of known blobs") {
+    // 16 distinct bytes: entropy exactly 4 bits, 16 runs of length 1,
+    // collision = 16 * 1², mode count 1
+    val distinct = MediaFunctions.decode(MediaBlob(1, "img", blob(16)))
+    assert(distinct.entropyMilli == 4000)
+    assert(distinct.nDistinct == 16 && distinct.modeCount == 1)
+    assert(distinct.collisionX == 16)
+    assert(distinct.nRuns == 16 && distinct.maxRun == 1)
+    // constant blob: zero entropy, one run spanning everything
+    val const = MediaFunctions.decode(MediaBlob(2, "img", Array.fill(16)(7.toByte)))
+    assert(const.entropyMilli == 0)
+    assert(const.nDistinct == 1 && const.modeCount == 16)
+    assert(const.collisionX == 256)
+    assert(const.nRuns == 1 && const.maxRun == 16)
+    // half-and-half: 1 bit of entropy, 2 runs
+    val half = MediaFunctions.decode(MediaBlob(3, "img",
+      Array.fill(8)(1.toByte) ++ Array.fill(8)(2.toByte)))
+    assert(half.entropyMilli == 1000)
+    assert(half.nRuns == 2 && half.maxRun == 8)
+  }
+
+  test("resize block-means; downsampleSums is its exact-integer sibling; frame sampling") {
     val d = MediaFunctions.decodeBatches(Iterator(MediaBlob(1, "img", blob(16)))).next()
-    assert(MediaFunctions.resize(d, 4).pixels.length == 4)
+    val r = MediaFunctions.resize(d, 4)
+    assert(r.pixels.length == 4)
+    // block mean of intensities == block sum of bytes / (block * 255)
+    val sums = MediaFunctions.downsampleSums(blob(16), 4)
+    assert(sums.length == 4)
+    (0 until 4).foreach { i =>
+      assert(math.abs(r.pixels(i) - sums(i) / (4.0 * 255.0)) < 1e-12)
+    }
     val frames = MediaFunctions.sampleFrames(blob(16), 4)
     assert(frames.length == 4 && frames(1) == blob(16)(4))
   }
