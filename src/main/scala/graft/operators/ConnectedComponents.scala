@@ -28,7 +28,12 @@ object ConnectedComponents {
     *        None = eager localCheckpoint (single-node/test use).
     * @return (id, cluster) — cluster = min reachable vertex id. */
   def run(edges: DataFrame, maxIter: Int = 20,
-          checkpointDir: Option[String] = None): DataFrame = {
+          checkpointDir: Option[String] = None): DataFrame =
+    runWithIters(edges, maxIter, checkpointDir)._1
+
+  /** [[run]] plus the number of propagation iterations executed. */
+  def runWithIters(edges: DataFrame, maxIter: Int = 20,
+                   checkpointDir: Option[String] = None): (DataFrame, Int) = {
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def materialize(df: DataFrame): DataFrame =
@@ -65,6 +70,78 @@ object ConnectedComponents {
       labels = next.drop("old")
       iter += 1
     }
-    labels
+    (labels, iter)
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+    * public algorithm): converges in O(log n) rounds regardless of
+    * component DIAMETER, where min-label propagation ([[run]]) needs one
+    * iteration per hop. Near-dup clusters are tiny-diameter so min-label
+    * wins there (1 shuffle/iter vs ~4 here); this variant is the right
+    * tool for adversarial chain-shaped graphs (linked lists of pairwise
+    * near-dups, reference chains), where label propagation degenerates to
+    * O(n) rounds.
+    *
+    *  - large-star(u): m = min({u} ∪ Γ(u)); emit (v, m) for v ∈ Γ(u), v > u.
+    *  - small-star(u): over edges directed larger→smaller, m = min({u} ∪
+    *    Γ(u)); emit (v, m) for v ∈ Γ(u), v ≠ m, plus (u, m).
+    *
+    * Each operator is one window shuffle + one distinct; the loop runs to
+    * an EXACT fixpoint (symmetric-difference count — not a checksum), and
+    * at fixpoint the edges form stars (v, min-of-component).
+    * @return ((id, cluster), rounds) — same contract as [[runWithIters]]. */
+  def runAlternating(edges: DataFrame, maxIter: Int = 25,
+                     checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    import org.apache.spark.sql.expressions.Window
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v"))
+      val w = Window.partitionBy("u")
+      sym.withColumn("m", least(min(col("v")).over(w), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val d = e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val w = Window.partitionBy("u")
+      val withM = d.withColumn("m", min(col("v")).over(w))
+      withM.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(withM.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    val u0 = edges.columns(0)
+    val v0 = edges.columns(1)
+    var e = materialize(
+      edges.select(col(u0).as("u"), col(v0).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
+    // isolated self-pairs (u,u) in the input would be dropped; callers pass
+    // edge lists from pair joins, which never contain them
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxIter) {
+      val next = materialize(smallStar(largeStar(e)))
+      // exact fixpoint: both one-sided set differences empty
+      stable = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      e = next
+      rounds += 1
+    }
+    // star edges (v, m): every non-center points at its component min;
+    // centers label themselves
+    val labels = e.select(col("u").as("id"), col("v").as("cluster"))
+      .union(e.select(col("v").as("id"), col("v").as("cluster")))
+      .distinct()
+    (labels, rounds)
   }
 }

@@ -189,4 +189,37 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(stats.filter(col("quality_ppm") < 0 || col("quality_ppm") > 1000000).count() == 0)
     assert(stats.filter(col("ttr_ppm").isNull && col("n_tokens") > 0).count() == 0)
   }
+
+  test("alternating large/small-star CC equals min-label, in fewer rounds on a chain") {
+    import spark.implicits._
+    // 0-1-...-24 chain: diameter 24 — min-label pays one iteration per hop,
+    // the alternating algorithm collapses it in O(log n) rounds
+    val chain = (0L until 24L).map(i => (i, i + 1)) :+ (100L, 101L)
+    val edges = chain.toDF("u", "v")
+    val (lp, lpIters) = graft.operators.ConnectedComponents.runWithIters(edges, maxIter = 40)
+    val (alt, altIters) = graft.operators.ConnectedComponents.runAlternating(edges)
+    val lpMap = lp.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val altMap = alt.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(altMap == lpMap)
+    (0L to 24L).foreach(i => assert(altMap(i) == 0L, s"node $i"))
+    assert(altIters < lpIters, s"alternating=$altIters vs min-label=$lpIters rounds")
+    // real fixture graph (near-dup pairs): identical clusters too
+    val pairs = SparkEntry.queries("q_dedup_jaccard")(spark, sf).select("doc_a", "doc_b")
+    val viaLp = graft.operators.ConnectedComponents.run(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaAlt = graft.operators.ConnectedComponents.runAlternating(pairs)._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaAlt == viaLp)
+  }
+
+  test("support-pruned token-pair top-20 equals the unpruned all-pairs baseline") {
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("tok_a", "tok_b", "n_ab", "c_a", "c_b", "n_docs_total").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+    val pruned = key(graft.queries.TokenPairs.prunedTop20(spark, sf))
+    val baseline = key(graft.queries.TokenPairs.baselineTop20(spark, sf))
+    assert(pruned == baseline)
+    assert(pruned.size == 20 || pruned.size == baseline.size)
+  }
 }
