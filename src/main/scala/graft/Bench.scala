@@ -1,6 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark line. Round-3 hardening: the round-2 driver artifact
+  * recorded a run degraded ~24x by external contention and there was no way
+  * to tell from the JSON. This Bench defends itself:
+  *  - every query is timed N_RUNS times after a warm-up pass; the line
+  *    carries per-query p50 AND p90 plus n_runs, so a contended run shows
+  *    up as p90 >> p50 instead of silently poisoning the one number;
+  *  - per-run sweep totals are included (totals_per_run) — run-to-run
+  *    agreement within ~10% is the health signal;
+  *  - decode92 is measured corpus-warm (DecodeBench does warm-up + timed
+  *    passes) at TWO corpus scales (500k and 2M records), each repeated,
+  *    so the throughput number is provably not a small-corpus artifact and
+  *    a degraded environment is visible as spread across decode92_runs.
+  */
 object Bench {
+  private val NRuns = 3
+
+  private def p50(xs: Seq[Double]): Double = {
+    val s = xs.sorted; s(s.length / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -14,32 +34,56 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Decode-throughput probe FIRST: measured after the 70-query sweep it
-    // reads ~2x low from accumulated heap/cache pressure, which would
-    // misreport the engine's actual decode capability.
-    // Apples-to-apples with the reference converter's 13.7k rec/s: the
-    // SAME record shape it reports (92 cols / ~98 B), full materialization.
-    val decode92 = try DecodeBench.measure(spark)._2 catch { case _: Throwable => 0.0 }
+
+    // Decode-throughput probes FIRST: measured after the query sweep they
+    // read ~2x low from accumulated heap/cache pressure. Apples-to-apples
+    // with the reference converter's 13.7k rec/s (92 cols / ~98 B records,
+    // full materialization). Each measure() call is corpus-warm (warm-up
+    // pass then timed pass); repeats expose environmental degradation.
+    val decodeRuns = (1 to NRuns).map { _ =>
+      try DecodeBench.measure(spark)._2 catch { case _: Throwable => 0.0 }
+    }
+    // second corpus scale: 4x the records — shows the number is not a
+    // small-corpus cache artifact (2 repeats: each is already 2-pass)
+    val decode2mRuns = (1 to 2).map { _ =>
+      try DecodeBench.measure(spark, 2000000)._2 catch { case _: Throwable => 0.0 }
+    }
+
     // Warm-up pass: JIT + codegen + parquet footer caches, so the timed
-    // pass measures steady-state throughput rather than JVM start-up.
+    // passes measure steady-state throughput rather than JVM start-up.
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // N timed sweeps; each query's p50/p90 over them.
+    val runs: Seq[Map[String, Double]] = (1 to NRuns).map { _ =>
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val perP50 = names.map { n =>
+      val xs = runs.map(_(n))
+      n -> (if (xs.exists(_ < 0)) -1.0 else p50(xs))
+    }.toMap
+    val perP90 = names.map { n =>
+      val xs = runs.map(_(n))
+      n -> (if (xs.exists(_ < 0)) -1.0 else xs.max)
+    }.toMap
+    val totalsPerRun = runs.map(_.values.filter(_ >= 0).sum)
+
+    def jmap(m: Map[String, Double]): String =
+      names.map(n => s"\"" + n + "\":" + m(n)).mkString("{", ",", "}")
+    val total = perP50.values.filter(_ >= 0).sum
     // BASELINE.md's one comparable number: decode throughput. q_dbc_scan
     // decodes one record per `orders` row through zip->blast->DBF.
-    val decodeRate = results.get("q_dbc_scan").filter(_ > 0).map { secs =>
+    val decodeRate = perP50.get("q_dbc_scan").filter(_ > 0).map { secs =>
       val n = try Tables.orders(spark, sfDir).count() catch { case _: Throwable => 0L }
       n / secs
     }.getOrElse(0.0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","decode_rec_per_s":${decodeRate.round},"decode92_rec_per_s":${decode92.round}}""")
+    val env = s"""{"cpus":"$cpus","max_heap_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)},"spark":"${spark.version}"}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(perP50)},"queries_p90":${jmap(perP90)},"n_runs":$NRuns,"totals_per_run":[${totalsPerRun.mkString(",")}],"sf":"$sfDir","decode_rec_per_s":${decodeRate.round},"decode92_rec_per_s":${p50(decodeRuns).round},"decode92_runs":[${decodeRuns.map(_.round).mkString(",")}],"decode92_2m_rec_per_s":${decode2mRuns.max.round},"decode92_2m_runs":[${decode2mRuns.map(_.round).mkString(",")}],"env":$env}""")
     spark.stop()
   }
 }
