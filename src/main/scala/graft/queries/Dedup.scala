@@ -269,6 +269,35 @@ object Dedup {
        |FROM v a JOIN v b ON a.vec_id < b.vec_id
        |WHERE list_cosine_similarity(a.v, b.v) >= 0.5""".stripMargin
 
+  /** Cross-doc VERBATIM duplication fraction (ExactSubstr-lite, per Lee et
+    * al.'s "Deduplicating Training Data Makes Language Models Better" —
+    * public paper): for each document, the fraction of its distinct
+    * shingles that appear verbatim in at least one other document. This is
+    * the per-document removal signal of substring-level dedup at shingle
+    * granularity. Pure inverted-index shape: one shuffle on the shingle
+    * key for the document-frequency count, one key-partitioned join back —
+    * linear in corpus shingle volume, no pair join at all. */
+  def qDedupVerbatim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val inv = docShingles(s, dir).select($"doc_id", explode($"sh").as("sng"))
+    // shingle sets are distinct per doc, so count(*) == distinct docs
+    val dfreq = inv.groupBy($"sng").agg(count(lit(1)).as("df"))
+    inv.join(dfreq, "sng")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_ppm", expr("(n_shared * 1000000L) DIV n_shingles"))
+  }
+
+  val qDedupVerbatimSql: String =
+    shinglesCte + """,
+      | dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_shingles,
+      |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+      |  (CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+      |    // count(*) AS shared_ppm
+      |FROM sh JOIN dfreq USING (s) GROUP BY doc_id""".stripMargin
+
   /** Memoized cluster assignment: the jaccard similarity join + iterative
     * connected components is the most expensive pipeline in the suite, and
     * BOTH qDedupCluster and qDedupKeep need it — so the materialized
@@ -423,6 +452,7 @@ object Dedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_keep"    -> (qDedupKeep _),
+    "q_dedup_verbatim" -> (qDedupVerbatim _),
     "q_dedup_jaccard_prefix" -> (qDedupJaccardPrefix _),
     "q_dedup_embed_lsh" -> (qDedupEmbedLsh _),
     "q_dedup_cluster" -> (qDedupCluster _),
@@ -437,6 +467,7 @@ object Dedup {
 
   def oracles: Map[String, String] = Map(
     "q_dedup_keep"    -> qDedupKeepSql,
+    "q_dedup_verbatim" -> qDedupVerbatimSql,
     "q_dedup_jaccard_prefix" -> bruteJaccardSql, // exact-equivalent by theorem
     "q_dedup_embed_lsh" -> qDedupEmbedFullSql, // same semantic output as exact, full corpus
     "q_dedup_cluster" -> qDedupClusterSql,

@@ -204,6 +204,56 @@ object TextAnalysis {
       |FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
       |GROUP BY 1, 2 ORDER BY n_docs DESC, tok_a ASC, tok_b ASC LIMIT 20""".stripMargin
 
+  /** Within-document repetition metrics (the Gopher/MassiveText-style
+    * repetition quality rules — public Rae et al. 2021 filter family):
+    * most-frequent-token count, most-frequent-bigram count, and the
+    * fraction of tokens belonging to token types occurring >= 2 times.
+    * Degenerate machine-generated or template text scores high; all
+    * outputs are exact integers / ppm. Two key-partitioned shuffles
+    * ((doc_id, tok) and (doc_id, bigram) counts) — linear at corpus
+    * scale, no cross-doc work at all. */
+  def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", tokens($"text").as("t"))
+    val tc = docs.select($"doc_id", explode($"t").as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    val tokStats = tc.groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"),
+           max($"c").as("top_tok_count"),
+           sum(when($"c" >= 2, $"c").otherwise(0L)).as("rep_tokens"))
+    val bc = docs.filter(size($"t") >= 2)
+      .select($"doc_id", explode(
+        zip_with(slice($"t", lit(1), size($"t") - 1), slice($"t", lit(2), size($"t") - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("top_bigram_count"))
+    tokStats.join(bc, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens", $"top_tok_count", $"rep_tokens",
+        expr("(rep_tokens * 1000000L) DIV n_tokens").as("rep_ppm"),
+        coalesce($"top_bigram_count", lit(0L)).as("top_bigram_count"))
+  }
+
+  val qTextRepetitionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+      |tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+      |ts AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    CAST(max(c) AS BIGINT) AS top_tok_count,
+      |    CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS rep_tokens
+      |  FROM tc GROUP BY 1),
+      |bg AS (
+      |  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bg
+      |  FROM t WHERE len(toks) >= 2),
+      |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+      |bs AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_count FROM bc GROUP BY 1)
+      |SELECT ts.doc_id, n_tokens, top_tok_count, rep_tokens,
+      |  (rep_tokens * 1000000) // n_tokens AS rep_ppm,
+      |  coalesce(top_bigram_count, 0) AS top_bigram_count
+      |FROM ts LEFT JOIN bs ON bs.doc_id = ts.doc_id""".stripMargin
+
   /** Text normalization (the P5-cleanup analog for corpora): lowercase,
     * strip non-alphanumerics, collapse whitespace; emit the cleaned hash
     * and size deltas so the transform is fully oracle-checked. */
@@ -229,6 +279,7 @@ object TextAnalysis {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_clean"       -> (qTextClean _),
+    "q_text_repetition"  -> (qTextRepetition _),
     "q_text_tfidf"       -> (qTextTfidf _),
     "q_text_cooc"        -> (qTextCooc _),
     "q_text_stats"       -> (qTextStats _),
@@ -239,6 +290,7 @@ object TextAnalysis {
 
   def oracles: Map[String, String] = Map(
     "q_text_clean"       -> qTextCleanSql,
+    "q_text_repetition"  -> qTextRepetitionSql,
     "q_text_tfidf"       -> qTextTfidfSql,
     "q_text_cooc"        -> qTextCoocSql,
     "q_text_stats"       -> qTextStatsSql,
