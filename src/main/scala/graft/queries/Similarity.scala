@@ -76,12 +76,14 @@ object Similarity {
     val cents = v.filter($"vec_id" % 25 === 0).select($"vec_id".as("c_id"), $"v".as("cv"))
 
     // Inverted lists: nearest centroid per vector (ties → lowest c_id).
-    val aw = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"c_id".asc)
+    // Hash-aggregate argmax (same winner as the row_number window; see
+    // assignInt): partial aggregation collapses the cross product map-side.
     val lists = v.crossJoin(broadcast(cents))
       .select($"vec_id", $"v", $"c_id", cosine($"v", $"cv").as("c_cos"))
-      .withColumn("rn", row_number().over(aw))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"v", $"c_id")
+      .groupBy($"vec_id")
+      .agg(first($"v").as("v"),
+           max(struct($"c_cos", (-$"c_id").as("neg_id"))).as("best"))
+      .select($"vec_id", $"v", (-$"best.neg_id").as("c_id"))
 
     // Queries probe their NProbe nearest centroids.
     val q = v.filter(isQuery($"vec_id")).select($"vec_id".as("q_id"), $"v".as("qv"))
@@ -205,13 +207,16 @@ object Similarity {
     import v.sparkSession.implicits._
     var cents = v.filter($"vec_id" % step === 0)
       .select($"vec_id".as("c_id"), $"v".as("cv"))
-    val aw = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"c_id".asc)
     val meanAgg = new graft.functions.VectorMeanAggregator().toColumn
     (1 to iters).foreach { _ =>
+      // hash-aggregate argmax (same winner as a row_number window; see
+      // assignInt): map-side partials collapse the cross product
       val assigned = v.crossJoin(broadcast(cents))
         .select($"vec_id", $"v", $"c_id", cosine($"v", $"cv").as("c_cos"))
-        .withColumn("rn", row_number().over(aw)).filter($"rn" === 1)
-        .select($"c_id", $"v")
+        .groupBy($"vec_id")
+        .agg(first($"v").as("v"),
+             max(struct($"c_cos", (-$"c_id").as("neg_id"))).as("best"))
+        .select((-$"best.neg_id").as("c_id"), $"v")
       cents = assigned.as[(Long, Seq[Double])]
         .groupByKey(_._1).mapValues(_._2)
         .agg(meanAgg.name("cv"))
@@ -241,11 +246,12 @@ object Similarity {
     import s.implicits._
     val v = vectors(s, dir)
     val cents = kmeansCentroids(v)
-    val aw = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"c_id".asc)
     val lists = v.crossJoin(broadcast(cents))
       .select($"vec_id", $"v", $"c_id", cosine($"v", $"cv").as("c_cos"))
-      .withColumn("rn", row_number().over(aw)).filter($"rn" === 1)
-      .select($"vec_id", $"v", $"c_id")
+      .groupBy($"vec_id")
+      .agg(first($"v").as("v"),
+           max(struct($"c_cos", (-$"c_id").as("neg_id"))).as("best"))
+      .select($"vec_id", $"v", (-$"best.neg_id").as("c_id"))
     val q = v.filter(isQuery($"vec_id")).select($"vec_id".as("q_id"), $"v".as("qv"))
     val pw = Window.partitionBy($"q_id").orderBy($"p_cos".desc, $"c_id".asc)
     val probes = q.crossJoin(broadcast(cents))
@@ -339,8 +345,28 @@ object Similarity {
 
   /** Argmax-assign integer vectors (vec_id, vq) to integer centroids
     * (c_id, cq) by cosine over the double-cast values — ties to lowest
-    * c_id, identical on both engines. */
-  private def assignInt(v: DataFrame, cents: DataFrame): DataFrame = {
+    * c_id, identical on both engines. Implemented as a hash aggregate
+    * (max of (cos, -c_id) struct), NOT a window: with broadcast centroids
+    * every candidate row for a vector sits in the vector's own partition,
+    * so partial aggregation reduces the (vectors x centroids) blow-up back
+    * to one row per vector BEFORE the shuffle — the window form shuffles
+    * and sorts the entire cross product. Same winner as
+    * row_number() OVER (ORDER BY cos DESC, c_id ASC): max struct
+    * comparison is (cos asc, -c_id asc) = (cos desc, c_id asc) inverted. */
+  private[graft] def assignInt(v: DataFrame, cents: DataFrame): DataFrame = {
+    import v.sparkSession.implicits._
+    val toD = (c: org.apache.spark.sql.Column) => transform(c, x => x.cast("double"))
+    v.crossJoin(broadcast(cents))
+      .select($"vec_id", $"vq", $"c_id", cosine(toD($"vq"), toD($"cq")).as("c_cos"))
+      .groupBy($"vec_id")
+      .agg(first($"vq").as("vq"), // constant per vec_id
+           max(struct($"c_cos", (-$"c_id").as("neg_id"))).as("best"))
+      .select($"vec_id", $"vq", (-$"best.neg_id").as("c_id"))
+  }
+
+  /** Window-formulation spec twin of [[assignInt]] (executable baseline
+    * for the argmax-equivalence test). */
+  private[graft] def assignIntWindow(v: DataFrame, cents: DataFrame): DataFrame = {
     import v.sparkSession.implicits._
     val toD = (c: org.apache.spark.sql.Column) => transform(c, x => x.cast("double"))
     val aw = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"c_id".asc)
@@ -351,9 +377,23 @@ object Similarity {
   }
 
   /** Re-center assigned integer vectors: per-dimension BIGINT mean
-    * (sum DIV count — order-independent, engine-exact), rebuilt into the
-    * centroid array by position. */
-  private def recenterInt(assigned: DataFrame): DataFrame = {
+    * (sum DIV count — order-independent, engine-exact) via the typed
+    * algebraic [[graft.functions.LongVectorMeanAggregator]] — map-side
+    * partials shuffle one dim-length buffer per (partition, centroid)
+    * instead of exploding dim rows per vector. Long `/` truncates toward
+    * zero exactly like Spark DIV and DuckDB //. */
+  private[graft] def recenterInt(assigned: DataFrame): DataFrame = {
+    import assigned.sparkSession.implicits._
+    val agg = new graft.functions.LongVectorMeanAggregator().toColumn
+    assigned.select($"c_id", $"vq").as[(Long, Seq[Long])]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(agg.name("cq"))
+      .toDF("c_id", "cq")
+  }
+
+  /** posexplode spec twin of [[recenterInt]] (executable baseline for the
+    * integer-mean equivalence test — mirrors the oracle's dims CTE). */
+  private[graft] def recenterIntExploded(assigned: DataFrame): DataFrame = {
     import assigned.sparkSession.implicits._
     assigned.select($"c_id", posexplode($"vq"))
       .groupBy($"c_id", $"pos")

@@ -212,6 +212,24 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(viaAlt == viaLp)
   }
 
+  test("hash-aggregate argmax assignment and typed integer recentering equal their window/posexplode spec twins") {
+    import spark.implicits._
+    val v = Tables.embeddings(spark, sf)
+      .select($"vec_id",
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT))").as("vq"))
+    val cents = v.filter($"vec_id" % 25 === 0).select($"vec_id".as("c_id"), $"vq".as("cq"))
+    val fast = graft.queries.Similarity.assignInt(v, cents)
+    val slow = graft.queries.Similarity.assignIntWindow(v, cents)
+    def aKey(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(aKey(fast) == aKey(slow))
+    def cKey(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val rFast = cKey(graft.queries.Similarity.recenterInt(fast))
+    val rSlow = cKey(graft.queries.Similarity.recenterIntExploded(slow))
+    assert(rFast == rSlow)
+  }
+
   test("support-pruned token-pair top-20 equals the unpruned all-pairs baseline") {
     def key(df: org.apache.spark.sql.DataFrame) =
       df.select("tok_a", "tok_b", "n_ab", "c_a", "c_b", "n_docs_total").collect()
