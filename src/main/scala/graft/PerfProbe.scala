@@ -37,6 +37,8 @@ object PerfProbe {
     time("full q_dedup_simhash")(SparkEntry.queries("q_dedup_simhash")(spark, dir).count())
     time("full q_dedup_embed")(SparkEntry.queries("q_dedup_embed")(spark, dir).count())
     time("full q_ann_ivf")(SparkEntry.queries("q_ann_ivf")(spark, dir).count())
+    time("full q_ann_kmeans")(SparkEntry.queries("q_ann_kmeans")(spark, dir).count())
+    time("q_ann_kmeans again")(SparkEntry.queries("q_ann_kmeans")(spark, dir).count())
     spark.stop()
   }
 }

@@ -36,11 +36,18 @@ object Similarity {
     c % 100 === 0 && c < 1000
   private val isQuerySql = "vec_id % 100 = 0 AND vec_id < 1000"
 
-  /** vec_id, v(double[]) — cast once so all math is float64 like the oracle. */
+  /** vec_id, v(double[]) — cast once so all math is float64 like the oracle.
+    * Hash-repartitioned by vec_id up front: a small embeddings file
+    * collapses to one input split, which would serialize every scoring
+    * cross join onto a single task; partitioning by the vector key spreads
+    * the scoring AND makes every later groupBy(vec_id) argmax shuffle-free
+    * (the aggregation requirement is already satisfied). One narrow
+    * row-width shuffle, paid once per query. */
   private def vectors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, dir)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .repartition($"vec_id")
   }
 
   /** Exact cosine top-10 for queries (vec_id % 100 == 0), self excluded.
@@ -355,14 +362,21 @@ object Similarity {
     * comparison is (cos asc, -c_id asc) = (cos desc, c_id asc) inverted. */
   private[graft] def assignInt(v: DataFrame, cents: DataFrame): DataFrame = {
     import v.sparkSession.implicits._
-    val toD = (c: org.apache.spark.sql.Column) => transform(c, x => x.cast("double"))
-    v.crossJoin(broadcast(cents))
-      .select($"vec_id", $"vq", $"c_id", cosine(toD($"vq"), toD($"cq")).as("c_cos"))
+    // v carries (vec_id, vq, vd) and cents (c_id, cq, cd): the double
+    // views are cast ONCE per row (withDoubles), not re-materialized per
+    // (vector, centroid) pair — the naive toD-inside-cosine form allocates
+    // two fresh arrays for every cross-join row
+    v.crossJoin(broadcast(cents.select($"c_id", $"cd")))
+      .select($"vec_id", $"vq", $"vd", $"c_id", cosine($"vd", $"cd").as("c_cos"))
       .groupBy($"vec_id")
-      .agg(first($"vq").as("vq"), // constant per vec_id
+      .agg(first($"vq").as("vq"), first($"vd").as("vd"), // constant per vec_id
            max(struct($"c_cos", (-$"c_id").as("neg_id"))).as("best"))
-      .select($"vec_id", $"vq", (-$"best.neg_id").as("c_id"))
+      .select($"vec_id", $"vq", $"vd", (-$"best.neg_id").as("c_id"))
   }
+
+  /** Attach the once-per-row double view of an integer vector column. */
+  private[graft] def withDoubles(df: DataFrame, intCol: String, dCol: String): DataFrame =
+    df.withColumn(dCol, transform(col(intCol), x => x.cast("double")))
 
   /** Window-formulation spec twin of [[assignInt]] (executable baseline
     * for the argmax-equivalence test). */
@@ -417,26 +431,33 @@ object Similarity {
     * the cross-engine-checkable twin of the same machinery. */
   def qAnnKmeans(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val v = Tables.embeddings(s, dir)
-      .select($"vec_id",
-        transform($"embedding", x => round(x.cast("double") * 1e7).cast("long")).as("vq"))
-    val c0 = v.filter($"vec_id" % 25 === 0).select($"vec_id".as("c_id"), $"vq".as("cq"))
-    // two unrolled integer Lloyd rounds, then final inverted lists
-    val c1 = recenterInt(assignInt(v, c0))
-    val c2 = recenterInt(assignInt(v, c1))
+    val v = withDoubles(
+      Tables.embeddings(s, dir)
+        .select($"vec_id",
+          transform($"embedding", x => round(x.cast("double") * 1e7).cast("long")).as("vq"))
+        .repartition($"vec_id"), // see vectors(): scoring parallelism + shuffle-free argmax
+      "vq", "vd")
+    val c0 = withDoubles(
+      v.filter($"vec_id" % 25 === 0).select($"vec_id".as("c_id"), $"vq".as("cq")), "cq", "cd")
+    // two unrolled integer Lloyd rounds, then final inverted lists.
+    // localCheckpoint per round: each centroid set is broadcast-consumed
+    // by LATER rounds (c2 twice — lists + probes), and without truncation
+    // every broadcast exchange re-executes the entire upstream training
+    // lineage; the checkpointed sets are centroid-count tiny.
+    val c1 = withDoubles(recenterInt(assignInt(v, c0)).localCheckpoint(true), "cq", "cd")
+    val c2 = withDoubles(recenterInt(assignInt(v, c1)).localCheckpoint(true), "cq", "cd")
     val lists = assignInt(v, c2)
-    val q = v.filter(isQuery($"vec_id")).select($"vec_id".as("q_id"), $"vq".as("qv"))
-    val toD = (c: org.apache.spark.sql.Column) => transform(c, x => x.cast("double"))
+    val q = v.filter(isQuery($"vec_id")).select($"vec_id".as("q_id"), $"vd".as("qd"))
     val pw = Window.partitionBy($"q_id").orderBy($"p_cos".desc, $"c_id".asc)
-    val probes = q.crossJoin(broadcast(c2))
-      .select($"q_id", $"qv", $"c_id", cosine(toD($"qv"), toD($"cq")).as("p_cos"))
+    val probes = q.crossJoin(broadcast(c2.select($"c_id", $"cd")))
+      .select($"q_id", $"qd", $"c_id", cosine($"qd", $"cd").as("p_cos"))
       .withColumn("pr", row_number().over(pw)).filter($"pr" <= NProbe)
-      .select($"q_id", $"qv", $"c_id")
+      .select($"q_id", $"qd", $"c_id")
     val rw = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
     probes.join(lists, Seq("c_id"))
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id"),
-        cosine(toD($"qv"), toD($"vq")).as("cos_sim"))
+        cosine($"qd", $"vd").as("cos_sim"))
       .withColumn("rank", row_number().over(rw).cast("long"))
       .filter($"rank" <= TopK)
       .select($"q_id", $"neighbor_id",

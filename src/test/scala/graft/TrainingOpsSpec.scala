@@ -214,10 +214,13 @@ class TrainingOpsSpec extends AnyFunSuite {
 
   test("hash-aggregate argmax assignment and typed integer recentering equal their window/posexplode spec twins") {
     import spark.implicits._
-    val v = Tables.embeddings(spark, sf)
-      .select($"vec_id",
-        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT))").as("vq"))
-    val cents = v.filter($"vec_id" % 25 === 0).select($"vec_id".as("c_id"), $"vq".as("cq"))
+    val v = graft.queries.Similarity.withDoubles(
+      Tables.embeddings(spark, sf)
+        .select($"vec_id",
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT))").as("vq")),
+      "vq", "vd")
+    val cents = graft.queries.Similarity.withDoubles(
+      v.filter($"vec_id" % 25 === 0).select($"vec_id".as("c_id"), $"vq".as("cq")), "cq", "cd")
     val fast = graft.queries.Similarity.assignInt(v, cents)
     val slow = graft.queries.Similarity.assignIntWindow(v, cents)
     def aKey(df: org.apache.spark.sql.DataFrame) =
