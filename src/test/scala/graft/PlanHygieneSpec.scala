@@ -52,4 +52,31 @@ class PlanHygieneSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("documents-table queries prune to the columns they actually use") {
+    // documents = (doc_id, text, lang, source, n_chars): content queries
+    // must not drag the metadata columns (or vice versa) through the scan
+    val expected = Map(
+      "q_dedup_exact"    -> Set("source", "text"),
+      "q_text_clean"     -> Set("doc_id", "text"),
+      "q_text_fingerprint" -> Set("doc_id", "text"),
+      "q_dedup_verbatim" -> Set("doc_id", "text"),
+      "q_text_repetition" -> Set("doc_id", "text"),
+      "q_pack_bins"      -> Set("source", "doc_id", "n_chars"))
+    expected.foreach { case (name, cols) =>
+      val scans = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.sparkPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.requiredSchema.fieldNames.contains("text") ||
+                 f.requiredSchema.fieldNames.contains("n_chars") ||
+                 f.requiredSchema.fieldNames.contains("source") => f
+        }
+      // memoized/checkpointed entries may expose no parquet scan in their
+      // final plan — only assert on the scans that are visible
+      scans.foreach { f =>
+        assert(f.requiredSchema.fieldNames.toSet.subsetOf(cols),
+          s"$name reads ${f.requiredSchema.fieldNames.mkString(",")}, expected subset of $cols")
+      }
+    }
+  }
 }
