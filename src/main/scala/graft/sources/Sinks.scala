@@ -35,7 +35,13 @@ object Sinks {
   def writeJdbc(df: DataFrame, url: String, table: String,
                 props: java.util.Properties = new java.util.Properties(),
                 textType: String = "STRING"): Unit = {
-    val allText = df.select(df.columns.map(c => col(c).cast("string").as(c)): _*)
+    // when(isNotNull, ...) keeps values identical but forces every column
+    // NULLABLE: the reference's dynamic DDL is all-nullable TEXT, and a
+    // non-nullable literal column (e.g. a lit() competência on first load)
+    // would otherwise bake NOT NULL into the created table and reject
+    // later batches carrying NULLs
+    val allText = df.select(df.columns.map(c =>
+      org.apache.spark.sql.functions.when(col(c).isNotNull, col(c).cast("string")).as(c)): _*)
     val opts = jdbcOptions(allText, textType = textType)
     allText.write
       .mode("append")
@@ -59,7 +65,7 @@ object Sinks {
     * re-append loaded months. */
   private val MissingRelationStates = Set("42X05", "42P01", "42S02", "S0002")
 
-  private def isMissingRelation(e: Throwable): Boolean = {
+  private[graft] def isMissingRelation(e: Throwable): Boolean = {
     var t: Throwable = e
     while (t != null) {
       t match {

@@ -73,6 +73,24 @@ class DbcV2Spec extends AnyFunSuite {
     assert(permissive.count() == 2)
   }
 
+  test("permissive mode truncates MID-file corruption to the rows already decoded") {
+    // a large file whose compressed tail is cut: the streaming decoder
+    // surfaces the failure from the row iterator (lazy next()), not at
+    // construction — permissive mode must emit the prefix decoded so far
+    // instead of failing the task
+    val dir = java.nio.file.Files.createTempDirectory("graft_midperm").toFile
+    val rows = (1 to 2000).map(i => Seq(f"$i%06d", s"v${i % 10}"))
+    val full = graft.sources.Dbc.fromDbf(
+      graft.sources.Dbf.write(Seq("A", "B"), rows))
+    val corrupt = full.take(full.length - 6)
+    java.nio.file.Files.write(new java.io.File(dir, "MIDPE2501.dbc").toPath, corrupt)
+    val strict = spark.read.format("dbc").load(s"$dir/*.dbc")
+    assertThrows[org.apache.spark.SparkException](strict.count())
+    val n = spark.read.format("dbc").option("mode", "permissive")
+      .load(s"$dir/*.dbc").count()
+    assert(n > 0 && n < 2000, s"expected a decoded prefix, got $n rows")
+  }
+
   test("one partition per file (executor-grain parallelism)") {
     val df = spark.read.format("dbc").load(s"$base/RD*.dbc")
     assert(df.rdd.getNumPartitions == 5)

@@ -71,6 +71,46 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(Sinks.existingCompetencias(spark, url, "no_such_table").isEmpty)
   }
 
+  test("S10: NULL-competência rows always append (cannot match a loaded month)") {
+    import spark.implicits._
+    // own table with the default STRING mapping (CLOB on Derby): Spark's
+    // Derby dialect binds NULL string params as CLOB, which Derby rejects
+    // against VARCHAR columns — the reference's all-text DDL is the shape
+    // that takes NULLs
+    val (a0, s0) = Sinks.appendNewCompetencias(records("2501"), url, "records_nullc")
+    assert(a0 == 100 && s0 == 0)
+    // a batch with a NULL month plus a duplicate month keeps only the
+    // NULL row — the NOT-IN filter must not silently drop the NULL
+    // (3-valued logic)
+    val batch = records("2501").limit(1)
+      .union(records("2501").limit(1)
+        .withColumn("competencia", lit(null).cast("string"))
+        .withColumn("orderkey", lit("null-row")))
+    val (app, skip) = Sinks.appendNewCompetencias(batch, url, "records_nullc")
+    assert(app == 1 && skip == 1, s"appended $app skipped $skip")
+    val back = Sinks.readJdbc(spark, url, "records_nullc")
+    assert(back.count() == 101)
+    // no pushed-down equality: Derby cannot compare CLOB with CHAR, so
+    // materialize the column and check in Spark
+    val keys = back.select("orderkey").collect().map(_.getString(0))
+    assert(keys.count(_ == "null-row") == 1)
+  }
+
+  test("missing-relation detection matches exact SQLStates, not class 42") {
+    def sql(state: String) = new java.sql.SQLException("boom", state)
+    // true missing-relation states, directly and nested in a cause chain
+    assert(Sinks.isMissingRelation(sql("42X05")))
+    assert(Sinks.isMissingRelation(sql("42P01")))
+    assert(Sinks.isMissingRelation(new RuntimeException(new RuntimeException(sql("42S02")))))
+    // class-42 neighbors that must PROPAGATE: syntax error (Derby 42X01),
+    // insufficient privilege (PostgreSQL 42501) — swallowing them would
+    // silently disable the duplicate-load guard
+    assert(!Sinks.isMissingRelation(sql("42X01")))
+    assert(!Sinks.isMissingRelation(sql("42501")))
+    assert(!Sinks.isMissingRelation(sql(null)))
+    assert(!Sinks.isMissingRelation(new RuntimeException("no sql in chain")))
+  }
+
   test("E1-to-JDBC: decode pipeline loads per-tipo tables with the re-load guard") {
     val fixtures = graft.queries.EtlFixtures.ensure(spark, sf)
     val url2 = s"jdbc:derby:$dbDir/db2;create=true"
