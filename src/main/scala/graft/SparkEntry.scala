@@ -6,6 +6,7 @@ object SparkEntry {
     (graft.queries.Relational.queries, graft.queries.Relational.oracles),
     (graft.queries.Dedup.queries, graft.queries.Dedup.oracles),
     (graft.queries.Similarity.queries, graft.queries.Similarity.oracles),
+    (graft.queries.Pq.queries, graft.queries.Pq.oracles),
     (graft.queries.TextAnalysis.queries, graft.queries.TextAnalysis.oracles),
     (graft.queries.TrainingData.queries, graft.queries.TrainingData.oracles),
     (graft.queries.Events.queries, graft.queries.Events.oracles),

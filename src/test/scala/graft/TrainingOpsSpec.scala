@@ -190,6 +190,17 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(stats.filter(col("ttr_ppm").isNull && col("n_tokens") > 0).count() == 0)
   }
 
+  test("PQ-ADC retrieval achieves reasonable recall vs exact brute force") {
+    val brute = SparkEntry.queries("q_ann_brute")(spark, sf)
+      .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = graft.queries.Pq.pqTopK(spark, sf)
+      .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    // random vectors are PQ's hard mode (no cluster structure); the exact
+    // re-rank of a 5x pool still recovers a solid fraction
+    assert(recall >= 0.3, s"PQ-ADC recall $recall")
+  }
+
   test("alternating large/small-star CC equals min-label, in fewer rounds on a chain") {
     import spark.implicits._
     // 0-1-...-24 chain: diameter 24 — min-label pays one iteration per hop,
