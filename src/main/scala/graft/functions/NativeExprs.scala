@@ -383,6 +383,51 @@ object NativeExprs {
       copy(left = l, right = r)
   }
 
+  /** Exact integer squared L2 between two BIGINT arrays — the PQ
+    * subspace-assignment distance. Pure long arithmetic in one compiled
+    * loop (replaces the zip_with/aggregate HOF chain); codegen'd. */
+  case class ArrayLongSqL2(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] =
+      Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "array_long_sq_l2"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        val d = x.getLong(i) - y.getLong(i)
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        val d = ctx.freshName("d")
+        s"""
+          |int $n = Math.min($a.numElements(), $b.numElements());
+          |long $acc = 0L;
+          |for (int $i = 0; $i < $n; $i++) {
+          |  long $d = $a.getLong($i) - $b.getLong($i);
+          |  $acc += $d * $d;
+          |}
+          |${ev.value} = $acc;
+        """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   // Column-level wrappers
   def tokenShingles(text: Column, n: Int = 3): Column =
     ExpressionUtils.column(TokenShingles(ExpressionUtils.expression(text), n))
@@ -400,4 +445,6 @@ object NativeExprs {
     ExpressionUtils.column(WinnowFingerprint(ExpressionUtils.expression(toks), k, w))
   def cosineBandKeys(v: Column, bands: Int = 32, rowsPerBand: Int = 4): Column =
     ExpressionUtils.column(CosineBandKeys(ExpressionUtils.expression(v), bands, rowsPerBand))
+  def arrayLongSqL2(a: Column, b: Column): Column =
+    ExpressionUtils.column(ArrayLongSqL2(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

@@ -50,9 +50,17 @@ object Pq {
       .withColumnRenamed("pos", "s").withColumnRenamed("col", "sv")
   }
 
-  /** Exact integer squared L2 between two BIGINT arrays. */
+  /** Exact integer squared L2 between two BIGINT arrays — native codegen
+    * expression (one compiled loop per row); [[il2Hof]] is the executable
+    * HOF spec it replaces. */
   private def il2(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.NativeExprs.arrayLongSqL2(a, b)
+
+  /** HOF spec twin of [[il2]] (TrainingOpsSpec checks equality). */
+  private[graft] def il2Hof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, d) => acc + d)
+
+  private[graft] def il2Native(a: Column, b: Column): Column = il2(a, b)
 
   /** Assign every (vector, subspace) to its nearest subspace centroid by
     * integer squared L2 (ties → lowest c_id; min(struct) = (dist asc,

@@ -190,6 +190,18 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(stats.filter(col("ttr_ppm").isNull && col("n_tokens") > 0).count() == 0)
   }
 
+  test("native array_long_sq_l2 equals the zip_with/aggregate HOF spec") {
+    import spark.implicits._
+    val v = Tables.embeddings(spark, sf).limit(300)
+      .select(expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT))").as("a"))
+    val pairs = v.crossJoin(v.limit(20).select($"a".as("b")))
+    val diff = pairs.select(
+        graft.queries.Pq.il2Native($"a", $"b").as("native"),
+        graft.queries.Pq.il2Hof($"a", $"b").as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(diff == 0)
+  }
+
   test("PQ-ADC retrieval achieves reasonable recall vs exact brute force") {
     val brute = SparkEntry.queries("q_ann_brute")(spark, sf)
       .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
