@@ -164,9 +164,103 @@ object Pq {
       .filter($"rank" <= k)
   }
 
+  /** IVF-PQ codebook chain (the FAISS-default billion-scale index shape,
+    * Jégou et al. §IV): a trained coarse quantizer splits the corpus into
+    * inverted lists, and PQ encodes each vector's RESIDUAL (vq - coarse
+    * centroid) — residuals are far more compressible than raw vectors.
+    * Everything stays exact: coarse training is one integer Lloyd round
+    * (the q_ann_kmeans machinery), residuals are integer subtraction, and
+    * residual-PQ assignment is integer squared-L2 argmin. Gated output:
+    * per (subspace, residual-code) population, total distortion, and
+    * assignment checksum — the full train-assign-encode chain is
+    * cross-engine hash-checked. */
+  def qIvfPqCodebook(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = Similarity.withDoubles(
+      Tables.embeddings(s, dir)
+        .select($"vec_id",
+          transform($"embedding", x => round(x.cast("double") * 1e7).cast("long")).as("vq"))
+        .repartition($"vec_id"),
+      "vq", "vd")
+    val c0 = Similarity.withDoubles(
+      v.filter($"vec_id" % 25 === 0).select($"vec_id".as("c_id"), $"vq".as("cq")), "cq", "cd")
+    // one integer Lloyd round -> trained coarse centroids; assign lists
+    val c1 = Similarity.withDoubles(
+      Similarity.recenterInt(Similarity.assignInt(v, c0)).localCheckpoint(true), "cq", "cd")
+    val lists = Similarity.assignInt(v, c1) // (vec_id, vq, vd, c_id)
+    // integer residuals vs the assigned coarse centroid
+    val resid = lists.join(broadcast(c1.select($"c_id", $"cq")), "c_id")
+      .select($"vec_id", zip_with($"vq", $"cq", (x, y) => x - y).as("rq"))
+    // residual subvectors + residual-PQ codebooks (seeded like qPqCodebook)
+    val sub = resid.select($"vec_id", posexplode(
+        transform(sequence(lit(0), lit(SubSpaces - 1)),
+          i => slice($"rq", i * SubDim + 1, lit(SubDim)))))
+      .withColumnRenamed("pos", "s").withColumnRenamed("col", "sv")
+    val cents = sub.filter($"vec_id" % CentStep === 0)
+      .select($"s", $"vec_id".as("c_id"), $"sv".as("cv"))
+    assignSub(sub, cents)
+      .groupBy($"s", $"c_id")
+      .agg(count(lit(1)).as("n_assigned"),
+           sum($"d").as("distortion"),
+           sum($"vec_id").as("assigned_id_sum"))
+  }
+
+  val qIvfPqCodebookSql: String = {
+    // coarse round reuses the q_ann_kmeans CTE pattern (cosine argmax +
+    // integer-mean recenter), then residual-PQ mirrors qPqCodebookSql
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, vq AS cq FROM v WHERE vec_id % 25 = 0),
+       |a1 AS (
+       |  SELECT vec_id, vq, c_id FROM (
+       |    SELECT v.vec_id, v.vq, c0.c_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY list_cosine_similarity(v.vq::DOUBLE[], c0.cq::DOUBLE[]) DESC,
+       |                 c0.c_id ASC) AS rn
+       |    FROM v CROSS JOIN c0) WHERE rn = 1),
+       |c1 AS (
+       |  SELECT c_id, list(s // n ORDER BY i) AS cq FROM (
+       |    SELECT c_id, i, CAST(sum(vq[i]) AS BIGINT) AS s, count(*) AS n
+       |    FROM a1, range(1, 65) r(i) GROUP BY 1, 2) GROUP BY c_id),
+       |lists AS (
+       |  SELECT vec_id, vq, c_id FROM (
+       |    SELECT v.vec_id, v.vq, c1.c_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY list_cosine_similarity(v.vq::DOUBLE[], c1.cq::DOUBLE[]) DESC,
+       |                 c1.c_id ASC) AS rn
+       |    FROM v CROSS JOIN c1) WHERE rn = 1),
+       |resid AS (
+       |  SELECT lists.vec_id,
+       |    list_transform(range(1, 65), j -> vq[j] - cq[j]) AS rq
+       |  FROM lists JOIN c1 USING (c_id)),
+       |sub AS (
+       |  SELECT vec_id, i AS s, rq[i * $SubDim + 1 : i * $SubDim + $SubDim] AS sv
+       |  FROM resid, range(0, $SubSpaces) r(i)),
+       |cents AS (
+       |  SELECT s, vec_id AS c_id, sv AS cv FROM sub WHERE vec_id % $CentStep = 0),
+       |dist AS (
+       |  SELECT sub.vec_id, sub.s, cents.c_id,
+       |    CAST(list_sum(list_transform(range(1, ${SubDim + 1}),
+       |      j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))) AS BIGINT) AS d
+       |  FROM sub JOIN cents ON cents.s = sub.s),
+       |assign AS (
+       |  SELECT vec_id, s, c_id, d FROM (
+       |    SELECT vec_id, s, c_id, d,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, c_id ASC) AS rn
+       |    FROM dist) WHERE rn = 1)
+       |SELECT s, c_id, count(*) AS n_assigned,
+       |  CAST(sum(d) AS BIGINT) AS distortion,
+       |  CAST(sum(vec_id) AS BIGINT) AS assigned_id_sum
+       |FROM assign GROUP BY s, c_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pq_codebook" -> (qPqCodebook _))
+    "q_pq_codebook"    -> (qPqCodebook _),
+    "q_ivfpq_codebook" -> (qIvfPqCodebook _))
 
   def oracles: Map[String, String] = Map(
-    "q_pq_codebook" -> qPqCodebookSql)
+    "q_pq_codebook"    -> qPqCodebookSql,
+    "q_ivfpq_codebook" -> qIvfPqCodebookSql)
 }

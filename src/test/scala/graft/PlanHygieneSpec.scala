@@ -19,6 +19,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_ann_ivf",       // crossJoin(broadcast(centroids)) — bounded build side
     "q_ann_kmeans",    // same centroid cross joins inside Lloyd rounds
     "q_kmeans_round",  // integer Lloyd round: crossJoin(broadcast(centroids))
+    "q_ivfpq_codebook", // coarse-assign crossJoin(broadcast(centroids))
     "q_sql_api",       // scalar-subquery style broadcast of a 1-row agg
     "q_scalar_subquery",
     "q_text_tfidf")    // crossJoin(broadcast(1-row corpus-size agg))
