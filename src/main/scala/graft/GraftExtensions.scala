@@ -45,6 +45,7 @@ object GraftExtensions {
     ("array_jaccard", 2, args => NativeExprs.ArrayJaccard(args(0), args(1))),
     ("array_intersect_size", 2, args => NativeExprs.ArrayIntersectSize(args(0), args(1))),
     ("winnow_fingerprint", 1, args => NativeExprs.WinnowFingerprint(args.head)),
+    ("array_long_sq_l2", 2, args => NativeExprs.ArrayLongSqL2(args(0), args(1))),
   )
 
   /** Register the functions + optimizer rule into an already-built

@@ -106,12 +106,14 @@ class AsOfJoinSpec extends AnyFunSuite {
       """SELECT array_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
         |  size(token_shingles('a b c d')) AS ns,
         |  simhash60(token_shingles('a b c d')) AS sh,
-        |  array_jaccard(array('x', 'y'), array('y', 'z')) AS j
+        |  array_jaccard(array('x', 'y'), array('y', 'z')) AS j,
+        |  array_long_sq_l2(array(3L, 5L), array(1L, 2L)) AS l2
         |""".stripMargin).collect()(0)
     assert(r.getAs[Double]("c") == 1.0)
     assert(r.getAs[Int]("ns") == 2)
     assert(r.getAs[Long]("sh") != 0L)
     assert(math.abs(r.getAs[Double]("j") - 1.0 / 3.0) < 1e-12)
+    assert(r.getAs[Long]("l2") == 13L) // (3-1)^2 + (5-2)^2
     // and the extensions class itself applies cleanly
     new org.apache.spark.sql.graft.GraftExtensions()(
       new org.apache.spark.sql.SparkSessionExtensions)
