@@ -256,6 +256,85 @@ object Pq {
        |FROM assign GROUP BY s, c_id""".stripMargin
   }
 
+  /** Library IVF-PQ retrieval — the complete FAISS-default query path:
+    * queries probe their nprobe nearest coarse lists, candidates are ONLY
+    * the vectors in those lists (nprobe/n_cents of the corpus — the IVF
+    * promise), scored by ADC over their residual PQ codes against a
+    * per-(query, probed-list) lookup table, then the best pool re-ranks
+    * exactly. The scored stream carries (vec_id, coarse, s, code) —
+    * never raw vectors; the LUT is queries x nprobe x S x codes rows,
+    * broadcast. Recall spec-checked against exact brute force. */
+  def ivfPqTopK(s: SparkSession, dir: String, k: Int = TopK,
+                nprobe: Int = 3, rerankPool: Int = 50): DataFrame = {
+    import s.implicits._
+    val v = Similarity.withDoubles(
+      Tables.embeddings(s, dir)
+        .select($"vec_id",
+          transform($"embedding", x => round(x.cast("double") * 1e7).cast("long")).as("vq"))
+        .repartition($"vec_id"),
+      "vq", "vd")
+    val c0 = Similarity.withDoubles(
+      v.filter($"vec_id" % 25 === 0).select($"vec_id".as("c_id"), $"vq".as("cq")), "cq", "cd")
+    val c1 = Similarity.withDoubles(
+      Similarity.recenterInt(Similarity.assignInt(v, c0)).localCheckpoint(true), "cq", "cd")
+    val lists = Similarity.assignInt(v, c1) // (vec_id, vq, vd, c_id)
+    // residual PQ codes, keeping the coarse list id on every code row
+    val resid = lists.join(broadcast(c1.select($"c_id", $"cq")), "c_id")
+      .select($"vec_id", $"c_id".as("coarse"), zip_with($"vq", $"cq", (x, y) => x - y).as("rq"))
+    val sub = resid.select($"vec_id", $"coarse", posexplode(
+        transform(sequence(lit(0), lit(SubSpaces - 1)),
+          i => slice($"rq", i * SubDim + 1, lit(SubDim)))))
+      .withColumnRenamed("pos", "s").withColumnRenamed("col", "sv")
+    val cents = sub.filter($"vec_id" % CentStep === 0)
+      .select($"s", $"vec_id".as("pq_id"), $"sv".as("cv"))
+    val codes = sub.join(broadcast(cents), "s")
+      .select($"vec_id", $"coarse", $"s", $"pq_id", il2($"sv", $"cv").as("d"))
+      .groupBy($"vec_id", $"coarse", $"s")
+      .agg(min(struct($"d", $"pq_id")).as("best"))
+      .select($"vec_id", $"coarse", $"s", $"best.pq_id".as("code"))
+    // queries: probe nprobe nearest coarse lists, residual per probed list
+    val q = v.filter($"vec_id" % 100 === 0 && $"vec_id" < 1000)
+      .select($"vec_id".as("q_id"), $"vq".as("qq"), $"vd".as("qd"))
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"p_cos".desc, $"c_id".asc)
+    val probes = q.crossJoin(broadcast(c1))
+      .select($"q_id", $"qq", $"c_id", cosineD($"qd", $"cd").as("p_cos"), $"cq")
+      .withColumn("pr", row_number().over(pw)).filter($"pr" <= nprobe)
+      .select($"q_id", $"c_id".as("coarse"), zip_with($"qq", $"cq", (x, y) => x - y).as("qrq"))
+    // ADC lookup table per (query, probed list, subspace, code)
+    val qsub = probes.select($"q_id", $"coarse", posexplode(
+        transform(sequence(lit(0), lit(SubSpaces - 1)),
+          i => slice($"qrq", i * SubDim + 1, lit(SubDim)))))
+      .withColumnRenamed("pos", "s").withColumnRenamed("col", "qsv")
+    val lut = qsub.join(broadcast(cents), "s")
+      .select($"q_id", $"coarse", $"s", $"pq_id".as("code"), il2($"qsv", $"cv").as("ld"))
+    // candidates = code rows of probed lists only; approx dist = Σ lut
+    val approx = codes.join(broadcast(lut), Seq("coarse", "s", "code"))
+      .filter($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id")
+      .agg(sum($"ld").as("adist"), count(lit(1)).as("n_sub"))
+      .filter($"n_sub" === SubSpaces)
+    val poolW = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"adist".asc, $"vec_id".asc)
+    val pool = approx.withColumn("pr", row_number().over(poolW))
+      .filter($"pr" <= rerankPool)
+      .select($"q_id", $"vec_id")
+    val raw = Tables.embeddings(s, dir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
+    pool
+      .join(broadcast(raw.select($"vec_id".as("q_id"), $"v".as("qv"))), "q_id")
+      .join(raw.select($"vec_id", $"v"), "vec_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        graft.functions.TextFunctions.cosine($"qv", $"v").as("cos_sim"))
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter($"rank" <= k)
+  }
+
+  private def cosineD(a: Column, b: Column): Column =
+    graft.functions.TextFunctions.cosine(a, b)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pq_codebook"    -> (qPqCodebook _),
     "q_ivfpq_codebook" -> (qIvfPqCodebook _))

@@ -213,6 +213,18 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"PQ-ADC recall $recall")
   }
 
+  test("IVF-PQ retrieval recall is bounded by its coarse probe, above floor") {
+    val brute = SparkEntry.queries("q_ann_brute")(spark, sf)
+      .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = graft.queries.Pq.ivfPqTopK(spark, sf)
+      .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivfpq).size.toDouble / brute.size
+    // coarse probe (nprobe of the lists) caps recall; random vectors are
+    // hard mode for both quantizers — a modest floor proves the chain
+    // retrieves real neighbors end-to-end
+    assert(recall >= 0.2, s"IVF-PQ recall $recall")
+  }
+
   test("alternating large/small-star CC equals min-label, in fewer rounds on a chain") {
     import spark.implicits._
     // 0-1-...-24 chain: diameter 24 — min-label pays one iteration per hop,
