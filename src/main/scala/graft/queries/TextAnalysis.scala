@@ -256,17 +256,21 @@ object TextAnalysis {
 
   /** Text normalization (the P5-cleanup analog for corpora): lowercase,
     * strip non-alphanumerics, collapse whitespace; emit the cleaned hash
-    * and size deltas so the transform is fully oracle-checked. */
-  def qTextClean(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+    * and size deltas so the transform is fully oracle-checked.
+    * [[textCleanCols]] is pure map-side, so the SAME function runs
+    * unchanged on a streaming DataFrame (parity spec in StreamingSpec). */
+  def textCleanCols(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val cleaned = trim(regexp_replace(
       regexp_replace(lower($"text"), "[^a-z0-9\\s]", " "), "\\s+", " "))
-    Tables.documents(s, dir)
-      .select($"doc_id",
-        md5(cleaned).as("clean_md5"),
-        length($"text").cast("long").as("len_raw"),
-        length(cleaned).cast("long").as("len_clean"))
+    docs.select($"doc_id",
+      md5(cleaned).as("clean_md5"),
+      length($"text").cast("long").as("len_raw"),
+      length(cleaned).cast("long").as("len_clean"))
   }
+
+  def qTextClean(s: SparkSession, dir: String): DataFrame =
+    textCleanCols(Tables.documents(s, dir))
 
   val qTextCleanSql: String =
     """WITH c AS (

@@ -36,6 +36,25 @@ class StreamingSpec extends AnyFunSuite {
     StreamingEtl.jsonStream(spark, inputDir, schema, maxFilesPerTrigger = Some(1))
   }
 
+  test("per-row text cleanup runs unchanged on a document stream (stream == batch)") {
+    val docsDir = s"$tmp/docs_input"
+    Tables.documents(spark, sf).select("doc_id", "text").write.json(docsDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).json(docsDir)
+    StreamingEtl.runToMemory(
+      graft.queries.TextAnalysis.textCleanCols(stream), "tclean", s"$tmp/cp_tclean",
+      outputMode = "append") // stateless map: append, not complete
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "clean_md5", "len_raw", "len_clean").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = key(spark.table("tclean"))
+    val batch = key(graft.queries.TextAnalysis.textCleanCols(
+      Tables.documents(spark, sf).select("doc_id", "text")))
+    assert(streamed == batch)
+  }
+
   test("windowed counts over the stream equal the batch aggregation") {
     StreamingEtl.runToMemory(
       StreamingEtl.windowedCounts(streamDf()), "wc", s"$tmp/cp_wc")
