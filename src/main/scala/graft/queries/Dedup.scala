@@ -298,6 +298,48 @@ object Dedup {
       |    // count(*) AS shared_ppm
       |FROM sh JOIN dfreq USING (s) GROUP BY doc_id""".stripMargin
 
+  /** Per-document benchmark DECONTAMINATION — the training-pipeline step
+    * q_contamination (source-pair aggregate) only reports on: one source
+    * stands in for a held-out eval/benchmark set, and every TRAIN
+    * document is scored by how many of its distinct shingles appear
+    * anywhere in the eval set; docs over the 5% overlap threshold are
+    * flagged for removal (threshold as exact integer comparison,
+    * hits*20 >= n). Inverted-index shape: the eval side collapses to a
+    * distinct-shingle relation (bounded — eval sets are small by
+    * definition), the join shuffles on the shingle key only, and the
+    * per-doc aggregate reuses it. No pair join, linear at corpus scale. */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"source", shingleSet($"text").as("sh"))
+      .filter(size($"sh") > 0)
+    val evalSh = docs.filter($"source" === "src0")
+      .select(explode($"sh").as("sng")).distinct()
+      .withColumn("hit", lit(1L))
+    docs.filter($"source" =!= "src0")
+      .select($"doc_id", explode($"sh").as("sng"))
+      .join(evalSh, Seq("sng"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(coalesce($"hit", lit(0L))).as("n_eval_hits"))
+      .withColumn("contaminated",
+        ($"n_eval_hits" * 20 >= $"n_shingles").cast("long"))
+  }
+
+  val qDecontaminateSql: String =
+    shinglesCte + """,
+      | ev AS (
+      |   SELECT DISTINCT s FROM sh JOIN documents USING (doc_id)
+      |   WHERE source = 'src0'),
+      | tr AS (
+      |   SELECT sh.doc_id, sh.s FROM sh JOIN documents USING (doc_id)
+      |   WHERE source <> 'src0')
+      |SELECT doc_id, count(*) AS n_shingles,
+      |  CAST(sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_hits,
+      |  CAST(CASE WHEN sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) * 20
+      |            >= count(*) THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+      |FROM tr LEFT JOIN ev ON tr.s = ev.s GROUP BY doc_id""".stripMargin
+
   /** Memoized cluster assignment: the jaccard similarity join + iterative
     * connected components is the most expensive pipeline in the suite, and
     * BOTH qDedupCluster and qDedupKeep need it — so the materialized
@@ -453,6 +495,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_keep"    -> (qDedupKeep _),
     "q_dedup_verbatim" -> (qDedupVerbatim _),
+    "q_decontaminate" -> (qDecontaminate _),
     "q_dedup_jaccard_prefix" -> (qDedupJaccardPrefix _),
     "q_dedup_embed_lsh" -> (qDedupEmbedLsh _),
     "q_dedup_cluster" -> (qDedupCluster _),
@@ -468,6 +511,7 @@ object Dedup {
   def oracles: Map[String, String] = Map(
     "q_dedup_keep"    -> qDedupKeepSql,
     "q_dedup_verbatim" -> qDedupVerbatimSql,
+    "q_decontaminate" -> qDecontaminateSql,
     "q_dedup_jaccard_prefix" -> bruteJaccardSql, // exact-equivalent by theorem
     "q_dedup_embed_lsh" -> qDedupEmbedFullSql, // same semantic output as exact, full corpus
     "q_dedup_cluster" -> qDedupClusterSql,
