@@ -302,9 +302,11 @@ object Dedup {
     * q_contamination (source-pair aggregate) only reports on: one source
     * stands in for a held-out eval/benchmark set, and every TRAIN
     * document is scored by how many of its distinct shingles appear
-    * anywhere in the eval set; docs over the 5% overlap threshold are
+    * anywhere in the eval set; docs over the 50% overlap threshold are
     * flagged for removal (threshold as exact integer comparison,
-    * hits*20 >= n). Inverted-index shape: the eval side collapses to a
+    * hits*2 >= n — on this corpus the flag splits the population
+    * ~8%/92%, catching the near-copy tail, so the decision is
+    * genuinely exercised in both directions). Inverted-index shape: the eval side collapses to a
     * distinct-shingle relation (bounded — eval sets are small by
     * definition), the join shuffles on the shingle key only, and the
     * per-doc aggregate reuses it. No pair join, linear at corpus scale. */
@@ -323,7 +325,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_shingles"),
            sum(coalesce($"hit", lit(0L))).as("n_eval_hits"))
       .withColumn("contaminated",
-        ($"n_eval_hits" * 20 >= $"n_shingles").cast("long"))
+        ($"n_eval_hits" * 2 >= $"n_shingles").cast("long"))
   }
 
   val qDecontaminateSql: String =
@@ -336,7 +338,7 @@ object Dedup {
       |   WHERE source <> 'src0')
       |SELECT doc_id, count(*) AS n_shingles,
       |  CAST(sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_hits,
-      |  CAST(CASE WHEN sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) * 20
+      |  CAST(CASE WHEN sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) * 2
       |            >= count(*) THEN 1 ELSE 0 END AS BIGINT) AS contaminated
       |FROM tr LEFT JOIN ev ON tr.s = ev.s GROUP BY doc_id""".stripMargin
 
