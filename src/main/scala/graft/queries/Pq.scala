@@ -34,7 +34,13 @@ object Pq {
 
   private val SubSpaces = 8
   private val SubDim = 8 // 64 dims / 8 subspaces
-  private val CentStep = 50 // centroid seed: vec_id % CentStep == 0
+  // Centroid seed: vec_id % CentStep == 0 AND vec_id < CentBound — the
+  // bound (shared with Similarity.isCentroid) caps every subspace codebook
+  // at CentBound/CentStep = 20 centroids no matter how large the corpus
+  // grows; a pure-modulo seed would make the broadcast codebook O(n).
+  private val CentStep = 50
+  private def isSeed(c: Column): Column = Similarity.isCentroid(c, CentStep)
+  private val seedSql = Similarity.centSeedSql(CentStep)
   private val TopK = 10
 
   /** (vec_id, s, sv): integer subvectors, one row per (vector, subspace). */
@@ -82,7 +88,7 @@ object Pq {
   def qPqCodebook(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sub = subvectors(s, dir)
-    val cents = sub.filter($"vec_id" % CentStep === 0)
+    val cents = sub.filter(isSeed($"vec_id"))
       .select($"s", $"vec_id".as("c_id"), $"sv".as("cv"))
     assignSub(sub, cents)
       .groupBy($"s", $"c_id")
@@ -100,7 +106,7 @@ object Pq {
        |  SELECT vec_id, i AS s, vq[i * $SubDim + 1 : i * $SubDim + $SubDim] AS sv
        |  FROM v, range(0, $SubSpaces) r(i)),
        |cents AS (
-       |  SELECT s, vec_id AS c_id, sv AS cv FROM sub WHERE vec_id % $CentStep = 0),
+       |  SELECT s, vec_id AS c_id, sv AS cv FROM sub WHERE $seedSql),
        |dist AS (
        |  SELECT sub.vec_id, sub.s, cents.c_id,
        |    CAST(list_sum(list_transform(range(1, ${SubDim + 1}),
@@ -128,7 +134,7 @@ object Pq {
              rerankPool: Int = 50): DataFrame = {
     import s.implicits._
     val sub = subvectors(s, dir)
-    val cents = sub.filter($"vec_id" % CentStep === 0)
+    val cents = sub.filter(isSeed($"vec_id"))
       .select($"s", $"vec_id".as("c_id"), $"sv".as("cv"))
     // corpus codes: S small ids per vector
     val codes = assignSub(sub, cents).select($"vec_id", $"s", $"c_id")
@@ -183,7 +189,7 @@ object Pq {
         .repartition($"vec_id"),
       "vq", "vd")
     val c0 = Similarity.withDoubles(
-      v.filter($"vec_id" % 25 === 0).select($"vec_id".as("c_id"), $"vq".as("cq")), "cq", "cd")
+      Similarity.centroidSeeds(v, 25, vecCol = "vq", outCol = "cq"), "cq", "cd")
     // one integer Lloyd round -> trained coarse centroids; assign lists
     val c1 = Similarity.withDoubles(
       Similarity.recenterInt(Similarity.assignInt(v, c0)).localCheckpoint(true), "cq", "cd")
@@ -196,7 +202,7 @@ object Pq {
         transform(sequence(lit(0), lit(SubSpaces - 1)),
           i => slice($"rq", i * SubDim + 1, lit(SubDim)))))
       .withColumnRenamed("pos", "s").withColumnRenamed("col", "sv")
-    val cents = sub.filter($"vec_id" % CentStep === 0)
+    val cents = sub.filter(isSeed($"vec_id"))
       .select($"s", $"vec_id".as("c_id"), $"sv".as("cv"))
     assignSub(sub, cents)
       .groupBy($"s", $"c_id")
@@ -212,7 +218,7 @@ object Pq {
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS vq
        |  FROM embeddings),
-       |c0 AS (SELECT vec_id AS c_id, vq AS cq FROM v WHERE vec_id % 25 = 0),
+       |c0 AS (SELECT vec_id AS c_id, vq AS cq FROM v WHERE ${Similarity.centSeedSql(25)}),
        |a1 AS (
        |  SELECT vec_id, vq, c_id FROM (
        |    SELECT v.vec_id, v.vq, c0.c_id,
@@ -239,7 +245,7 @@ object Pq {
        |  SELECT vec_id, i AS s, rq[i * $SubDim + 1 : i * $SubDim + $SubDim] AS sv
        |  FROM resid, range(0, $SubSpaces) r(i)),
        |cents AS (
-       |  SELECT s, vec_id AS c_id, sv AS cv FROM sub WHERE vec_id % $CentStep = 0),
+       |  SELECT s, vec_id AS c_id, sv AS cv FROM sub WHERE $seedSql),
        |dist AS (
        |  SELECT sub.vec_id, sub.s, cents.c_id,
        |    CAST(list_sum(list_transform(range(1, ${SubDim + 1}),
@@ -274,7 +280,7 @@ object Pq {
         .repartition($"vec_id"),
       "vq", "vd")
     val c0 = Similarity.withDoubles(
-      v.filter($"vec_id" % 25 === 0).select($"vec_id".as("c_id"), $"vq".as("cq")), "cq", "cd")
+      Similarity.centroidSeeds(v, 25, vecCol = "vq", outCol = "cq"), "cq", "cd")
     val c1 = Similarity.withDoubles(
       Similarity.recenterInt(Similarity.assignInt(v, c0)).localCheckpoint(true), "cq", "cd")
     val lists = Similarity.assignInt(v, c1) // (vec_id, vq, vd, c_id)
@@ -285,7 +291,7 @@ object Pq {
         transform(sequence(lit(0), lit(SubSpaces - 1)),
           i => slice($"rq", i * SubDim + 1, lit(SubDim)))))
       .withColumnRenamed("pos", "s").withColumnRenamed("col", "sv")
-    val cents = sub.filter($"vec_id" % CentStep === 0)
+    val cents = sub.filter(isSeed($"vec_id"))
       .select($"s", $"vec_id".as("pq_id"), $"sv".as("cv"))
     val codes = sub.join(broadcast(cents), "s")
       .select($"vec_id", $"coarse", $"s", $"pq_id", il2($"sv", $"cv").as("d"))

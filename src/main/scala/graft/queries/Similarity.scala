@@ -36,6 +36,29 @@ object Similarity {
     c % 100 === 0 && c < 1000
   private val isQuerySql = "vec_id % 100 = 0 AND vec_id < 1000"
 
+  /** Fixed-SIZE centroid seeding, same shape as [[isQuery]]: the modulo
+    * spreads the seeds, the absolute bound caps the set at step/CentBound
+    * centroids (40 at step 25, 20 at step 50) no matter how large the
+    * corpus grows. A pure-modulo seed ("every 25th vector") scales WITH
+    * the corpus — the broadcast quantizer becomes O(n) memory and the
+    * assignment cross join O(n²/step) work at 100x. With the bound,
+    * quantizer cardinality is corpus-independent (PlanHygieneSpec asserts
+    * this) and the assignment stays O(n x k). */
+  private[graft] val CentBound = 1000L
+  private[graft] def isCentroid(c: org.apache.spark.sql.Column, step: Int): org.apache.spark.sql.Column =
+    c % step === 0 && c < CentBound
+  private[graft] def centSeedSql(step: Int): String =
+    s"vec_id % $step = 0 AND vec_id < $CentBound"
+
+  /** The (c_id, cv) seed set for a corpus (vec_id, <vecCol>) — bounded
+    * cardinality by construction; shared by IVF / k-means / PQ coarse. */
+  private[graft] def centroidSeeds(v: DataFrame, step: Int,
+                                   vecCol: String = "v", outCol: String = "cv"): DataFrame = {
+    import v.sparkSession.implicits._
+    v.filter(isCentroid($"vec_id", step))
+      .select($"vec_id".as("c_id"), col(vecCol).as(outCol))
+  }
+
   /** vec_id, v(double[]) — cast once so all math is float64 like the oracle.
     * Hash-repartitioned by vec_id up front: a small embeddings file
     * collapses to one input split, which would serialize every scoring
@@ -76,21 +99,26 @@ object Similarity {
        |       CAST(rank AS BIGINT) AS rank
        |FROM scored WHERE rank <= $TopK""".stripMargin
 
-  /** IVF top-10: centroids = vec_id % 25 == 0; assign → probe → re-rank. */
+  /** IVF top-10: bounded centroid seed (isCentroid step 25, ≤40 at any
+    * corpus size); assign → probe → re-rank. */
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val v = vectors(s, dir)
-    val cents = v.filter($"vec_id" % 25 === 0).select($"vec_id".as("c_id"), $"v".as("cv"))
+    val cents = centroidSeeds(v, 25)
 
     // Inverted lists: nearest centroid per vector (ties → lowest c_id).
     // Hash-aggregate argmax (same winner as the row_number window; see
     // assignInt): partial aggregation collapses the cross product map-side.
-    val lists = v.crossJoin(broadcast(cents))
-      .select($"vec_id", $"v", $"c_id", cosine($"v", $"cv").as("c_cos"))
+    // Only (vec_id, score-struct) flows through the argmax; the raw vector
+    // rejoins by vec_id afterwards (both sides already hash-partitioned on
+    // vec_id — no extra exchange, and the agg buffer never carries vectors).
+    val lists = v.select($"vec_id", $"v").crossJoin(broadcast(cents))
+      .select($"vec_id", $"c_id", cosine($"v", $"cv").as("c_cos"))
       .groupBy($"vec_id")
-      .agg(first($"v").as("v"),
-           max(struct($"c_cos", (-$"c_id").as("neg_id"))).as("best"))
-      .select($"vec_id", $"v", (-$"best.neg_id").as("c_id"))
+      .agg(max(struct($"c_cos", (-$"c_id").as("neg_id"))).as("best"))
+      .select($"vec_id", (-$"best.neg_id").as("c_id"))
+      .join(v, Seq("vec_id"))
+      .select($"vec_id", $"v", $"c_id")
 
     // Queries probe their NProbe nearest centroids.
     val q = v.filter(isQuery($"vec_id")).select($"vec_id".as("q_id"), $"v".as("qv"))
@@ -114,7 +142,7 @@ object Similarity {
 
   val qAnnIvfSql: String =
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |c AS (SELECT vec_id AS c_id, v AS cv FROM v WHERE vec_id % 25 = 0),
+       |c AS (SELECT vec_id AS c_id, v AS cv FROM v WHERE ${centSeedSql(25)}),
        |assign AS (
        |  SELECT vec_id, v, c_id, row_number() OVER (PARTITION BY vec_id
        |    ORDER BY list_cosine_similarity(v, cv) DESC, c_id ASC) AS rn
@@ -207,23 +235,26 @@ object Similarity {
     * elementwise [[graft.functions.VectorMeanAggregator]]: algebraic, so
     * map-side partials shuffle one dim-length buffer per (partition,
     * centroid) instead of exploding dim rows per vector. Two shuffles per
-    * round (assignment window + centroid agg); centroid count stays
-    * broadcastable by construction. The posexplode → per-dimension avg
-    * formulation remains as the spec cross-check. */
+    * round (assignment window + centroid agg); centroid count is
+    * corpus-independent by construction ([[isCentroid]] seed — at most
+    * CentBound/step centroids at any scale). The posexplode →
+    * per-dimension avg formulation remains as the spec cross-check. */
   def kmeansCentroids(v: DataFrame, step: Int = 25, iters: Int = 3): DataFrame = {
     import v.sparkSession.implicits._
-    var cents = v.filter($"vec_id" % step === 0)
-      .select($"vec_id".as("c_id"), $"v".as("cv"))
+    var cents = centroidSeeds(v, step)
     val meanAgg = new graft.functions.VectorMeanAggregator().toColumn
     (1 to iters).foreach { _ =>
       // hash-aggregate argmax (same winner as a row_number window; see
-      // assignInt): map-side partials collapse the cross product
-      val assigned = v.crossJoin(broadcast(cents))
-        .select($"vec_id", $"v", $"c_id", cosine($"v", $"cv").as("c_cos"))
+      // assignInt): map-side partials collapse the cross product. Only
+      // (vec_id, score) width flows through the argmax; vectors rejoin
+      // by vec_id (co-partitioned — no extra exchange).
+      val assigned = v.select($"vec_id", $"v").crossJoin(broadcast(cents))
+        .select($"vec_id", $"c_id", cosine($"v", $"cv").as("c_cos"))
         .groupBy($"vec_id")
-        .agg(first($"v").as("v"),
-             max(struct($"c_cos", (-$"c_id").as("neg_id"))).as("best"))
-        .select((-$"best.neg_id").as("c_id"), $"v")
+        .agg(max(struct($"c_cos", (-$"c_id").as("neg_id"))).as("best"))
+        .select($"vec_id", (-$"best.neg_id").as("c_id"))
+        .join(v, Seq("vec_id"))
+        .select($"c_id", $"v")
       cents = assigned.as[(Long, Seq[Double])]
         .groupByKey(_._1).mapValues(_._2)
         .agg(meanAgg.name("cv"))
@@ -253,12 +284,13 @@ object Similarity {
     import s.implicits._
     val v = vectors(s, dir)
     val cents = kmeansCentroids(v)
-    val lists = v.crossJoin(broadcast(cents))
-      .select($"vec_id", $"v", $"c_id", cosine($"v", $"cv").as("c_cos"))
+    val lists = v.select($"vec_id", $"v").crossJoin(broadcast(cents))
+      .select($"vec_id", $"c_id", cosine($"v", $"cv").as("c_cos"))
       .groupBy($"vec_id")
-      .agg(first($"v").as("v"),
-           max(struct($"c_cos", (-$"c_id").as("neg_id"))).as("best"))
-      .select($"vec_id", $"v", (-$"best.neg_id").as("c_id"))
+      .agg(max(struct($"c_cos", (-$"c_id").as("neg_id"))).as("best"))
+      .select($"vec_id", (-$"best.neg_id").as("c_id"))
+      .join(v, Seq("vec_id"))
+      .select($"vec_id", $"v", $"c_id")
     val q = v.filter(isQuery($"vec_id")).select($"vec_id".as("q_id"), $"v".as("qv"))
     val pw = Window.partitionBy($"q_id").orderBy($"p_cos".desc, $"c_id".asc)
     val probes = q.crossJoin(broadcast(cents))
@@ -315,7 +347,7 @@ object Similarity {
     val v = Tables.embeddings(s, dir)
       .select($"vec_id",
         transform($"embedding", x => round(x.cast("double") * 1e7).cast("long")).as("vq"))
-    val cents = v.filter($"vec_id" % 25 === 0).select($"vec_id".as("c_id"), $"vq".as("cq"))
+    val cents = centroidSeeds(v, 25, vecCol = "vq", outCol = "cq")
     val toD = (c: org.apache.spark.sql.Column) => transform(c, x => x.cast("double"))
     val aw = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"c_id".asc)
     val assigned = v.crossJoin(broadcast(cents))
@@ -336,7 +368,7 @@ object Similarity {
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS vq
       |  FROM embeddings),
-      |c AS (SELECT vec_id AS c_id, vq AS cq FROM v WHERE vec_id % 25 = 0),
+      |c AS (SELECT vec_id AS c_id, vq AS cq FROM v WHERE vec_id % 25 = 0 AND vec_id < 1000),
       |assign AS (
       |  SELECT vec_id, vq, c_id,
       |    row_number() OVER (PARTITION BY vec_id
@@ -365,13 +397,17 @@ object Similarity {
     // v carries (vec_id, vq, vd) and cents (c_id, cq, cd): the double
     // views are cast ONCE per row (withDoubles), not re-materialized per
     // (vector, centroid) pair — the naive toD-inside-cosine form allocates
-    // two fresh arrays for every cross-join row
-    v.crossJoin(broadcast(cents.select($"c_id", $"cd")))
-      .select($"vec_id", $"vq", $"vd", $"c_id", cosine($"vd", $"cd").as("c_cos"))
+    // two fresh arrays for every cross-join row. The argmax aggregate
+    // carries only (vec_id, score-struct) width — vectors rejoin by
+    // vec_id afterwards; both sides are hash-partitioned on vec_id, so
+    // the rejoin adds no exchange and the agg buffer never holds vectors.
+    v.select($"vec_id", $"vd").crossJoin(broadcast(cents.select($"c_id", $"cd")))
+      .select($"vec_id", $"c_id", cosine($"vd", $"cd").as("c_cos"))
       .groupBy($"vec_id")
-      .agg(first($"vq").as("vq"), first($"vd").as("vd"), // constant per vec_id
-           max(struct($"c_cos", (-$"c_id").as("neg_id"))).as("best"))
-      .select($"vec_id", $"vq", $"vd", (-$"best.neg_id").as("c_id"))
+      .agg(max(struct($"c_cos", (-$"c_id").as("neg_id"))).as("best"))
+      .select($"vec_id", (-$"best.neg_id").as("c_id"))
+      .join(v, Seq("vec_id"))
+      .select($"vec_id", $"vq", $"vd", $"c_id")
   }
 
   /** Attach the once-per-row double view of an integer vector column. */
@@ -437,8 +473,7 @@ object Similarity {
           transform($"embedding", x => round(x.cast("double") * 1e7).cast("long")).as("vq"))
         .repartition($"vec_id"), // see vectors(): scoring parallelism + shuffle-free argmax
       "vq", "vd")
-    val c0 = withDoubles(
-      v.filter($"vec_id" % 25 === 0).select($"vec_id".as("c_id"), $"vq".as("cq")), "cq", "cd")
+    val c0 = withDoubles(centroidSeeds(v, 25, vecCol = "vq", outCol = "cq"), "cq", "cd")
     // two unrolled integer Lloyd rounds, then final inverted lists.
     // localCheckpoint per round: each centroid set is broadcast-consumed
     // by LATER rounds (c2 twice — lists + probes), and without truncation
@@ -482,7 +517,7 @@ object Similarity {
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS vq
        |  FROM embeddings),
-       |c0 AS (SELECT vec_id AS c_id, vq AS cq FROM v WHERE vec_id % 25 = 0),
+       |c0 AS (SELECT vec_id AS c_id, vq AS cq FROM v WHERE ${centSeedSql(25)}),
        |a1 AS (
        |${assign("c0")}),
        |c1 AS (

@@ -54,6 +54,28 @@ class PlanHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("quantizer centroid cardinality is corpus-independent") {
+    // The ANN/PQ scale contract: doubling the corpus must NOT change the
+    // number of centroids (a corpus-proportional quantizer makes the
+    // broadcast O(n) and the assignment cross join O(n²/step) at 100x).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def corpus(n: Long) = spark.range(n).select(
+      $"id".as("vec_id"),
+      array(($"id" % 7).cast("double"), ($"id" % 11).cast("double")).as("v"))
+    for (step <- Seq(25, 50)) {
+      val k1 = queries.Similarity.centroidSeeds(corpus(2000), step).count()
+      val k2 = queries.Similarity.centroidSeeds(corpus(4000), step).count()
+      assert(k1 == k2, s"step=$step: seeds grew with the corpus ($k1 -> $k2)")
+      assert(k1 == queries.Similarity.CentBound / step)
+    }
+    // the trained quantizer inherits the bound (Lloyd never adds centroids)
+    val t1 = queries.Similarity.kmeansCentroids(corpus(2000), iters = 1).count()
+    val t2 = queries.Similarity.kmeansCentroids(corpus(4000), iters = 1).count()
+    assert(t1 <= 40 && t2 <= 40 && t1 == t2,
+      s"trained centroid count scales with the corpus ($t1 -> $t2)")
+  }
+
   test("documents-table queries prune to the columns they actually use") {
     // documents = (doc_id, text, lang, source, n_chars): content queries
     // must not drag the metadata columns (or vice versa) through the scan
