@@ -106,12 +106,61 @@ object Dedup {
       |SELECT h.doc_id AS removed_doc, m.kept_doc
       |FROM h JOIN m USING (hh) WHERE h.doc_id <> m.kept_doc""".stripMargin
 
-  /** Exact n-gram Jaccard near-dup pairs (j >= 0.6) via the inverted shingle
-    * index: explode shingles → self-join on shingle → count intersections →
-    * join set sizes. No O(n²) stage; cost tracks shared-shingle volume. */
+  /** Exact n-gram Jaccard near-dup pairs (j >= 0.6), DATA-DRIVEN plan:
+    * one cheap aggregate over the posting-list document-frequency
+    * distribution picks between the plain inverted index
+    * ([[jaccardPairsPlain]] — fastest while posting lists are short) and
+    * the prefix-filter form ([[jaccardPairsPrefix]] — the plan that
+    * survives stop-shingles, whose df² pair blow-up the prefix skips).
+    * Both forms are exact and share the brute-force oracle, so the choice
+    * can never change the answer — only the plan. */
   def qDedupJaccard(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val sh = docShingles(s, dir)
+    jaccardPlanChoice(sh) match {
+      case "prefix" => jaccardPairsPrefix(sh)
+      case _        => jaccardPairsPlain(sh)
+    }
+  }
+
+  val qDedupJaccardSql: String = bruteJaccardSql
+
+  /** Plan-selection statistics from the shingle df distribution:
+    * (postings = Σ df, pair candidate volume of the PLAIN plan =
+    * Σ df·(df−1)/2). One narrow aggregate — the same inverted index the
+    * chosen plan will build, collapsed to two longs. */
+  private[graft] def jaccardPlanStats(sh: DataFrame): (Long, Long) = {
+    import sh.sparkSession.implicits._
+    val row = sh.select(explode($"sh").as("s"))
+      .groupBy($"s").agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum($"df"), lit(0L)).as("postings"),
+           coalesce(sum($"df" * ($"df" - 1)), lit(0L)).as("pairs2"))
+      .head()
+    (row.getLong(0), row.getLong(1) / 2)
+  }
+
+  /** Crossover threshold, measured: at sf0.1 the corpus runs ~4.9
+    * candidate pairs per posting and the plain plan is still ~2x FASTER
+    * than prefix-filter (its two extra shuffles — df-count + per-doc
+    * rarity rank — cost more than the pair join saves). Prefix-filter
+    * only amortizes when posting lists explode, i.e. the candidate volume
+    * is an order of magnitude past that; a heavy stop-shingle corpus
+    * (df ~ n) crosses immediately. */
+  private[graft] val PrefixPairsPerPosting = 32L
+
+  /** "plain" while the plain plan's candidate volume stays within
+    * [[PrefixPairsPerPosting]] pairs per posting; "prefix" beyond — the
+    * df-bounded plan a 100x corpus with stop-shingles needs. */
+  private[graft] def jaccardPlanChoice(sh: DataFrame): String = {
+    val (postings, pairCand) = jaccardPlanStats(sh)
+    if (pairCand > PrefixPairsPerPosting * postings) "prefix" else "plain"
+  }
+
+  /** Plain inverted-index form: explode shingles → self-join on shingle →
+    * count intersections → join set sizes. No O(n²) stage; cost tracks
+    * Σ df² shared-shingle volume (fine until stop-shingles appear — the
+    * adaptive entry swaps to prefix-filter before that explodes). */
+  private[graft] def jaccardPairsPlain(sh: DataFrame): DataFrame = {
+    import sh.sparkSession.implicits._
     val inv = sh.select($"doc_id", explode($"sh").as("s"))
     val sizes = sh.select($"doc_id", size($"sh").as("n"))
     val inter = inv.as("a").join(inv.as("b"),
@@ -127,8 +176,6 @@ object Dedup {
       .select($"doc_a", $"doc_b",
         expr("(i * 1000000L) DIV (x.n + y.n - i)").as("jaccard_ppm"))
   }
-
-  val qDedupJaccardSql: String = bruteJaccardSql
 
   /** MinHash(128) + LSH(32 bands x 4 rows) near-dup pairs, exactly verified.
     * For j >= 0.6 a pair collides in >= 1 band with p = 1-(1-0.6^4)^32 ≈
@@ -446,12 +493,19 @@ object Dedup {
     * Crossover note (measured): at sf0.1 this is ~2x SLOWER than the
     * plain inverted index — the df-count + per-doc ranking adds two
     * shuffles that only amortize when posting lists explode (heavy-df
-    * shingles at web scale). Both exact forms ship so the planner-level
-    * choice is data-driven, not dogma. */
-  def qDedupJaccardPrefix(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val t = 0.6
-    val sh = docShingles(s, dir)
+    * shingles at web scale). Both exact forms ship, and the
+    * [[qDedupJaccard]] entry selects between them from the measured df
+    * distribution — data-driven, not dogma. */
+  def qDedupJaccardPrefix(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsPrefix(docShingles(s, dir))
+
+  /** Candidate stage of the prefix-filter plan: pairs sharing a shingle
+    * within both docs' rarity-first prefixes. Exposed so the spec can
+    * assert the df-bound — a stop-shingle (highest df) sorts LAST in
+    * every doc's rarity order and falls outside the prefix, so it
+    * generates no candidates at all. */
+  private[graft] def prefixCandidates(sh: DataFrame, t: Double = 0.6): DataFrame = {
+    import sh.sparkSession.implicits._
     val inv = sh.select($"doc_id", explode($"sh").as("s"))
     val dfreq = inv.groupBy($"s").agg(count(lit(1)).as("df"))
     // global rarity order: (df, shingle) ascending
@@ -462,11 +516,15 @@ object Dedup {
     val prefixes = ranked.join(broadcast(sizes), "doc_id")
       .filter($"pos" <= $"n" - ceil($"n" * t) + 1)
       .select($"doc_id", $"s")
-    val cand = prefixes.as("a").join(prefixes.as("b"),
+    prefixes.as("a").join(prefixes.as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    cand
+  }
+
+  private[graft] def jaccardPairsPrefix(sh: DataFrame, t: Double = 0.6): DataFrame = {
+    import sh.sparkSession.implicits._
+    prefixCandidates(sh, t)
       .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sha")), "doc_a")
       .join(sh.select($"doc_id".as("doc_b"), $"sh".as("shb")), "doc_b")
       .withColumn("i", org.apache.spark.sql.graft.NativeExprs

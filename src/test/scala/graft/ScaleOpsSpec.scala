@@ -112,6 +112,47 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(pruned.count() == expect && expect > 0)
   }
 
+  test("adaptive jaccard picks the df-bounded plan on stop-shingle corpora") {
+    import graft.queries.Dedup
+    import spark.implicits._
+    // uniform corpus: shingles mostly unique -> short posting lists ->
+    // the plain inverted index is the right (and chosen) plan
+    val uniform = (0L until 200L).map { i =>
+      (i, Seq(s"u$i a b", s"u$i b c", s"u$i c d", s"u$i d e", s"u$i e f"))
+    }.toDF("doc_id", "sh")
+    assert(Dedup.jaccardPlanChoice(uniform) == "plain")
+
+    // stop-shingle corpus: one shingle in every doc -> the plain plan's
+    // candidate volume is n(n-1)/2 = 79800 pairs over n*5 = 2000 postings,
+    // past the 32-pairs-per-posting crossover -> prefix-filter chosen
+    val n = 400L
+    val skewed = (0L until n).map { i =>
+      (i, Seq("the of and", s"u$i a b", s"u$i b c", s"u$i c d", s"u$i d e"))
+    }.toDF("doc_id", "sh")
+    assert(Dedup.jaccardPlanChoice(skewed) == "prefix")
+
+    // the df-bound in action: the stop-shingle (max df) sorts LAST in
+    // every doc's rarity-first order, outside the prefix, so it produces
+    // ZERO candidates — vs n(n-1)/2 for the plain plan
+    val (postings, plainCand) = Dedup.jaccardPlanStats(skewed)
+    assert(plainCand >= n * (n - 1) / 2)
+    val prefCand = Dedup.prefixCandidates(skewed).count()
+    assert(prefCand == 0, s"stop-shingle leaked into prefix candidates: $prefCand")
+    assert(postings == n * 5)
+
+    // and both plans agree (exactness of the prefix theorem) on a corpus
+    // that HAS true near-dup pairs
+    val dup = (0L until 50L).flatMap { i =>
+      val base = Seq(s"x$i a b", s"x$i b c", s"x$i c d", s"x$i d e", s"x$i e f")
+      Seq((i, base), (i + 1000L, base :+ "tail g h"))
+    }.toDF("doc_id", "sh")
+    val plain = Dedup.jaccardPairsPlain(dup).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pref = Dedup.jaccardPairsPrefix(dup).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(plain == pref && plain.size == 50)
+  }
+
   test("decoders fail cleanly on corrupt input") {
     import graft.sources.{Blast, Dbc, Dbf}
     assertThrows[IllegalArgumentException](Dbc.toDbf(Array[Byte](1, 2, 3)))
