@@ -239,6 +239,30 @@ object Etl {
       |  FROM bodies)
       |SELECT id, CASE WHEN url LIKE 'http%' THEN url END AS url FROM resolved""".stripMargin
 
+  /** The reference's default entry workload (ObjectDados,
+    * datasus-object-processor.ts:13-50): the filter-dimension vocabulary
+    * crossed per family — 89 (fonte, tipo_arquivo, modalidade, uf)
+    * combinations. Gated so the vocabulary and the cross product are
+    * hash-checked against an oracle built from the same constants. */
+  def qCatalogWorkload(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.DatasusVocabulary.defaultWorkload(s)
+      .withColumn("entry_idx",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy($"sistema", $"tipo_arquivo")).cast("long"))
+  }
+
+  val qCatalogWorkloadSql: String = {
+    val rows = graft.sources.DatasusVocabulary.DefaultWorkload
+      .map { case (sis, fonte, tipo, mod, uf) =>
+        s"('$sis', '$fonte', '$tipo', '$mod', '$uf')"
+      }.mkString(",\n  ")
+    s"""SELECT sistema, fonte, tipo_arquivo, modalidade, uf,
+       |  row_number() OVER (ORDER BY sistema, tipo_arquivo) AS entry_idx
+       |FROM (VALUES
+       |  $rows) t(sistema, fonte, tipo_arquivo, modalidade, uf)""".stripMargin
+  }
+
   /** §2.6 DATASUS scalar surface in one query: zero-pad, month arithmetic,
     * base64 round-trip, byte→MB formatting, and the regex-over-payload
     * `total_registros` extraction the reference does on response bodies
@@ -281,6 +305,7 @@ object Etl {
     "q_ndjson"       -> (qNdjson _),
     "q_compet"       -> (qCompet _),
     "q_link_resolve" -> (qLinkResolve _),
+    "q_catalog_workload" -> (qCatalogWorkload _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -291,5 +316,6 @@ object Etl {
     "q_ndjson"       -> qNdjsonSql,
     "q_compet"       -> qCompetSql,
     "q_link_resolve" -> qLinkResolveSql,
+    "q_catalog_workload" -> qCatalogWorkloadSql,
   )
 }

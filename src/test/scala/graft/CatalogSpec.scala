@@ -41,6 +41,39 @@ class CatalogSpec extends AnyFunSuite {
     assert(items.map(_.arquivo) == Seq("PA02", "PA12"))
   }
 
+  test("default workload mirrors ObjectDados: per-family cross product, 89 entries") {
+    import graft.sources.DatasusVocabulary
+    // family cardinalities from the reference vocabulary
+    val expected = Map("SIASUS" -> 12, "CIH" -> 1, "CIHA" -> 1,
+      "CNES" -> 13, "SIHSUS" -> 4, "SINAN" -> 58)
+    val perFamily = DatasusVocabulary.DefaultWorkload.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perFamily == expected)
+    assert(DatasusVocabulary.DefaultWorkload.size == 89)
+    // every entry: modalidade 1, uf PE, fonte = the family's wire value
+    // (including the reference's SINAN -> SIM_SISCOMEX mapping)
+    DatasusVocabulary.DefaultWorkload.foreach { case (fam, fonte, _, mod, uf) =>
+      assert(mod == "1" && uf == "PE")
+      assert(fonte == DatasusVocabulary.Fontes.toMap.apply(fam))
+    }
+    assert(DatasusVocabulary.DefaultWorkload.filter(_._1 == "SINAN")
+      .forall(_._2 == "SIM_SISCOMEX"))
+    // dimension DataFrames agree with the constants
+    assert(DatasusVocabulary.tipoDim(spark).count() == 89)
+    assert(DatasusVocabulary.fonteDim(spark).count() == 14)
+    assert(DatasusVocabulary.ufDim(spark).count() == 3)
+    // the workload composes with the S2 monthly fan-out: each entry is a
+    // well-formed CatalogQuery whose months the fan-out fills in
+    val queries = DatasusVocabulary.defaultWorkloadQueries
+    assert(queries.size == 89 && queries.forall(q => q.ano.isEmpty && q.mes.isEmpty))
+    val months = scala.collection.mutable.ArrayBuffer.empty[String]
+    val items = DatasusCatalog.monthlyFanOut(queries.head, 2025, 2, 2) { cq =>
+      months += cq.mes.head
+      Seq(CatalogItem(cq.fonte.head, cq.modalidade.head,
+        s"${cq.tipoArquivo.head}${cq.mes.head}", "l", "e"))
+    }
+    assert(months.toSeq == Seq("02", "01") && items.map(_.arquivo) == Seq("AB02", "AB01"))
+  }
+
   test("P2 valid-item guard drops blank arquivo/endereco rows") {
     val df = DatasusCatalog.toDF(spark, Seq(
       CatalogItem("f", "1", "A.zip", "l", "addr"),
