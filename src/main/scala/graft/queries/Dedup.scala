@@ -325,16 +325,33 @@ object Dedup {
     * key for the document-frequency count, one key-partitioned join back —
     * linear in corpus shingle volume, no pair join at all. */
   def qDedupVerbatim(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val inv = docShingles(s, dir).select($"doc_id", explode($"sh").as("sng"))
-    // shingle sets are distinct per doc, so count(*) == distinct docs
-    val dfreq = inv.groupBy($"sng").agg(count(lit(1)).as("df"))
-    inv.join(dfreq, "sng")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-           sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_shared"))
-      .withColumn("shared_ppm", expr("(n_shared * 1000000L) DIV n_shingles"))
+    val inv = explodedShingles(s, dir)
+    verbatimAgainstIndex(inv, shingleDfIndex(inv))
   }
+
+  /** The corpus as exploded (doc_id, sng) shingle rows — shared by the
+    * batch verbatim operator and the streaming index builder. */
+  private[graft] def explodedShingles(s: SparkSession, dir: String): DataFrame =
+    docShingles(s, dir).select(col("doc_id"), explode(col("sh")).as("sng"))
+
+  /** The corpus shingle document-frequency index — the batch-built side of
+    * verbatim scoring. Shingle sets are distinct per doc, so count(*) ==
+    * distinct docs. */
+  private[graft] def shingleDfIndex(inv: DataFrame): DataFrame =
+    inv.groupBy(col("sng")).agg(count(lit(1)).as("df"))
+
+  /** Score documents (as exploded (doc_id, sng) rows) against a shingle-df
+    * index. Factored so the SAME function serves batch (index from the
+    * corpus itself — qDedupVerbatim) and streaming: incoming docs explode
+    * statelessly, the index joins stream-static, and the per-doc rollup is
+    * the single streaming aggregation — the online form of verbatim dedup
+    * at serving time (StreamingSpec proves stream == batch). */
+  private[graft] def verbatimAgainstIndex(inv: DataFrame, dfIndex: DataFrame): DataFrame =
+    inv.join(dfIndex, "sng")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_ppm", expr("(n_shared * 1000000L) DIV n_shingles"))
 
   val qDedupVerbatimSql: String =
     shinglesCte + """,

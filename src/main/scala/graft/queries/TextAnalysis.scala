@@ -254,6 +254,39 @@ object TextAnalysis {
       |  coalesce(top_bigram_count, 0) AS top_bigram_count
       |FROM ts LEFT JOIN bs ON bs.doc_id = ts.doc_id""".stripMargin
 
+  /** Per-row formulation of [[qTextRepetition]]'s metrics: every count is
+    * computed with higher-order functions over the row's own token array,
+    * no shuffle at all — so the SAME function runs unchanged on a
+    * streaming DataFrame in append mode (stateless map; StreamingSpec
+    * proves stream == batch == the shuffle form). The exploded/groupBy
+    * form stays the batch hot path (HOF lambdas are interpreted per
+    * element); this is the serving-time form, where per-doc latency
+    * beats corpus throughput. */
+  def repetitionColsPerRow(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", tokens($"text").as("t"))
+      .filter(size($"t") > 0) // matches explode semantics: no tokens, no row
+      .withColumn("counts",
+        expr("transform(array_distinct(t), x -> size(filter(t, y -> y = x)))"))
+      .withColumn("bgs", expr(
+        """CASE WHEN size(t) >= 2
+          |  THEN zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+          |                (a, b) -> concat_ws(' ', a, b))
+          |  ELSE array() END""".stripMargin))
+      .select($"doc_id",
+        size($"t").cast("long").as("n_tokens"),
+        expr("CAST(array_max(counts) AS LONG)").as("top_tok_count"),
+        expr("CAST(aggregate(counts, 0, (a, c) -> a + IF(c >= 2, c, 0)) AS LONG)")
+          .as("rep_tokens"),
+        expr("CAST(size(bgs) AS LONG)").as("n_bgs"),
+        expr("""CAST(CASE WHEN size(bgs) = 0 THEN 0
+                |  ELSE array_max(transform(array_distinct(bgs), x -> size(filter(bgs, y -> y = x))))
+                |  END AS LONG)""".stripMargin).as("top_bigram_count"))
+      .select($"doc_id", $"n_tokens", $"top_tok_count", $"rep_tokens",
+        expr("(rep_tokens * 1000000L) DIV n_tokens").as("rep_ppm"),
+        $"top_bigram_count")
+  }
+
   /** Text normalization (the P5-cleanup analog for corpora): lowercase,
     * strip non-alphanumerics, collapse whitespace; emit the cleaned hash
     * and size deltas so the transform is fully oracle-checked.

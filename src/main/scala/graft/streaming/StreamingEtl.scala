@@ -74,6 +74,30 @@ object StreamingEtl {
       }
   }
 
+  /** Streaming VERBATIM scoring — the online form of
+    * queries.Dedup.qDedupVerbatim at serving time: each arriving document
+    * explodes into (doc_id, shingle) rows statelessly, joins stream-static
+    * against a batch-built shingle document-frequency index (see
+    * Dedup.shingleDfIndex), and rolls up per doc — one streaming
+    * aggregation, state bounded by in-flight documents. The batch and
+    * stream sides share verbatimAgainstIndex verbatim, so StreamingSpec's
+    * stream == batch equality is structural, not coincidental. */
+  def verbatimScoreStream(docs: DataFrame, dfIndex: DataFrame): DataFrame = {
+    val inv = docs
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.shingleSet(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(col("sh")).as("sng"))
+    graft.queries.Dedup.verbatimAgainstIndex(inv, dfIndex)
+  }
+
+  /** Streaming repetition metrics (Gopher rules): the per-row HOF
+    * formulation (TextAnalysis.repetitionColsPerRow) touches only the
+    * row's own token array — a stateless map, so it runs unchanged in
+    * append mode with zero state. */
+  def repetitionStream(docs: DataFrame): DataFrame =
+    graft.queries.TextAnalysis.repetitionColsPerRow(docs)
+
   /** Streaming exact dedup by key with watermark-bounded state — the
     * idempotence the reference lacks (duplicate competência appends). */
   def dedupStream(events: DataFrame, keys: Seq[String], lateness: String = "2 hours"): DataFrame =

@@ -55,6 +55,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  /** documents (doc_id, text) as a JSON input dir, shared by the text
+    * stream == batch tests. */
+  private lazy val docsInputDir: String = {
+    val dir = s"$tmp/docs_text_input"
+    Tables.documents(spark, sf).select("doc_id", "text").write.json(dir)
+    dir
+  }
+
+  private def docsStream() = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(docsInputDir)
+  }
+
+  test("verbatim scoring on a document stream equals the batch operator (stream == batch)") {
+    val index = graft.queries.Dedup.shingleDfIndex(
+      graft.queries.Dedup.explodedShingles(spark, sf))
+    StreamingEtl.runToMemory(
+      StreamingEtl.verbatimScoreStream(docsStream(), index),
+      "verbatim", s"$tmp/cp_verbatim") // streaming agg: complete mode
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_shingles", "n_shared", "shared_ppm").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = key(spark.table("verbatim"))
+    val batch = key(SparkEntry.queries("q_dedup_verbatim")(spark, sf))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("per-row repetition metrics on a stream equal the batch shuffle form") {
+    StreamingEtl.runToMemory(
+      StreamingEtl.repetitionStream(docsStream()), "repetition",
+      s"$tmp/cp_repetition", outputMode = "append") // stateless map
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_tokens", "top_tok_count", "rep_tokens",
+          "rep_ppm", "top_bigram_count").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+    val streamed = key(spark.table("repetition"))
+    val batch = key(SparkEntry.queries("q_text_repetition")(spark, sf))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("windowed counts over the stream equal the batch aggregation") {
     StreamingEtl.runToMemory(
       StreamingEtl.windowedCounts(streamDf()), "wc", s"$tmp/cp_wc")
