@@ -429,6 +429,26 @@ object NativeExprs {
   }
 
   // Column-level wrappers
+
+  /** Spark's own bloom-filter sketch aggregate (the engine uses it for
+    * runtime shuffle pruning; here it powers the decontamination
+    * prefilter). Input must be an xxhash64 LongType column; the sketch
+    * size is fixed by (expectedItems, numBits) — corpus-independent. */
+  def bloomFilterAgg(h: Column, expectedItems: Long, numBits: Long): Column =
+    ExpressionUtils.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ExpressionUtils.expression(h),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits),
+        0, 0).toAggregateExpression())
+
+  /** Probe of [[bloomFilterAgg]]'s sketch: no false negatives, so an
+    * exact verify join downstream restores exact semantics. */
+  def bloomMightContain(bloom: Column, h: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ExpressionUtils.expression(bloom), ExpressionUtils.expression(h)))
+
   def tokenShingles(text: Column, n: Int = 3): Column =
     ExpressionUtils.column(TokenShingles(ExpressionUtils.expression(text), n))
   def arrayCosine(a: Column, b: Column): Column =

@@ -392,6 +392,45 @@ object Dedup {
         ($"n_eval_hits" * 2 >= $"n_shingles").cast("long"))
   }
 
+  /** Bloom-prefiltered decontamination — byte-identical output to
+    * [[qDecontaminate]] (shares its oracle), but the 100 TB plan: the eval
+    * shingle set collapses to a FIXED-size bloom sketch (1M expected items
+    * / 8M bits ≈ 1 MB, corpus-independent — the same bounded-driver-state
+    * class as the ANN query set), every train shingle probes the sketch as
+    * a compiled scalar predicate BEFORE any shuffle, and only the
+    * surviving ~hit-rate fraction reaches the exact-verify join. Bloom
+    * filters have no false negatives, so the verify join restores exact
+    * semantics; false positives die in the join. At web scale this turns
+    * the decontamination shuffle from O(corpus shingles) to
+    * O(contaminated shingles) — the identical mechanism Spark itself
+    * injects for runtime shuffle pruning (InjectRuntimeFilter), applied
+    * where the optimizer can't see it (the eval relation is only known to
+    * be small semantically, not statistically). */
+  def qDecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.graft.NativeExprs
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"source", shingleSet($"text").as("sh"))
+      .filter(size($"sh") > 0)
+    val evalSh = docs.filter($"source" === "src0")
+      .select(explode($"sh").as("sng")).distinct()
+    val bloomBytes = evalSh
+      .agg(NativeExprs.bloomFilterAgg(xxhash64($"sng"), 1000000L, 8000000L))
+      .head.getAs[Array[Byte]](0)
+    val train = docs.filter($"source" =!= "src0")
+      .select($"doc_id", explode($"sh").as("sng"))
+    val counts = train.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = train
+      .filter(NativeExprs.bloomMightContain(lit(bloomBytes), xxhash64($"sng")))
+      .join(evalSh, Seq("sng")) // exact verify: bloom false positives die here
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_eval_hits"))
+    counts.join(hits, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_shingles",
+        coalesce($"n_eval_hits", lit(0L)).as("n_eval_hits"))
+      .withColumn("contaminated",
+        ($"n_eval_hits" * 2 >= $"n_shingles").cast("long"))
+  }
+
   val qDecontaminateSql: String =
     shinglesCte + """,
       | ev AS (
@@ -573,6 +612,7 @@ object Dedup {
     "q_dedup_keep"    -> (qDedupKeep _),
     "q_dedup_verbatim" -> (qDedupVerbatim _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_dedup_jaccard_prefix" -> (qDedupJaccardPrefix _),
     "q_dedup_embed_lsh" -> (qDedupEmbedLsh _),
     "q_dedup_cluster" -> (qDedupCluster _),
@@ -589,6 +629,7 @@ object Dedup {
     "q_dedup_keep"    -> qDedupKeepSql,
     "q_dedup_verbatim" -> qDedupVerbatimSql,
     "q_decontaminate" -> qDecontaminateSql,
+    "q_decontaminate_bloom" -> qDecontaminateSql, // bloom has no false negatives; verify join restores exactness
     "q_dedup_jaccard_prefix" -> bruteJaccardSql, // exact-equivalent by theorem
     "q_dedup_embed_lsh" -> qDedupEmbedFullSql, // same semantic output as exact, full corpus
     "q_dedup_cluster" -> qDedupClusterSql,

@@ -314,7 +314,40 @@ object TextAnalysis {
       |  length(text) AS len_raw, length(cleaned) AS len_clean
       |FROM c""".stripMargin
 
+  /** Per-source vocabulary richness (Heaps'-law style corpus health
+    * signals): token volume, distinct types, hapax legomena (types seen
+    * once — the growth frontier of the vocabulary), and type-token ratio
+    * in exact ppm. Template/machine-generated sources show depressed TTR
+    * and hapax share; a corpus whose hapax count stops growing has
+    * saturated its source. Two key-partitioned shuffles ((source, tok)
+    * then source) with map-side partials — linear, no cross-doc work. */
+  def qTextVocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"source", explode(tokens($"text")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"source")
+      .agg(sum($"c").as("n_tokens"),
+           count(lit(1)).as("n_types"),
+           sum(when($"c" === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr_ppm", expr("(n_types * 1000000L) DIV n_tokens"))
+      .withColumn("hapax_ppm", expr("(n_hapax * 1000000L) DIV n_types"))
+  }
+
+  val qTextVocabSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |tc AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+      |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  count(*) AS n_types,
+      |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  (count(*) * 1000000) // CAST(sum(c) AS BIGINT) AS ttr_ppm,
+      |  (CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*) AS hapax_ppm
+      |FROM tc GROUP BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_vocab"       -> (qTextVocab _),
     "q_text_clean"       -> (qTextClean _),
     "q_text_repetition"  -> (qTextRepetition _),
     "q_text_tfidf"       -> (qTextTfidf _),
@@ -326,6 +359,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_text_vocab"       -> qTextVocabSql,
     "q_text_clean"       -> qTextCleanSql,
     "q_text_repetition"  -> qTextRepetitionSql,
     "q_text_tfidf"       -> qTextTfidfSql,

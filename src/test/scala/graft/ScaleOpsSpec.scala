@@ -153,6 +153,41 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plain == pref && plain.size == 50)
   }
 
+  test("bloom-prefiltered decontamination equals the exact operator") {
+    import graft.queries.Dedup
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_shingles", "n_eval_hits", "contaminated").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val exact = key(Dedup.qDecontaminate(spark, sf))
+    val bloom = key(Dedup.qDecontaminateBloom(spark, sf))
+    assert(bloom == exact)
+    assert(exact.nonEmpty)
+    // both decision directions are exercised on this corpus
+    val flags = exact.map(_._4)
+    assert(flags.contains(0L) && flags.contains(1L))
+  }
+
+  test("bloom prefilter prunes non-contaminated shingle volume before the join") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.NativeExprs
+    // disjoint eval/train vocabularies: every train probe must miss
+    val eval_ = (0L until 500L).map(i => s"ev$i").toDF("sng")
+    val bloom = eval_
+      .agg(NativeExprs.bloomFilterAgg(xxhash64($"sng"), 1000000L, 8000000L))
+      .head.getAs[Array[Byte]](0)
+    val train = (0L until 5000L).map(i => s"tr$i").toDF("sng")
+    val survivors = train
+      .filter(NativeExprs.bloomMightContain(lit(bloom), xxhash64($"sng")))
+      .count()
+    // fpp at 500 items in 8M bits is ~0; allow a handful of collisions
+    assert(survivors <= 5, s"bloom passed $survivors of 5000 known-miss probes")
+    // and no false negatives: every eval member must survive its own sketch
+    val selfHits = eval_
+      .filter(NativeExprs.bloomMightContain(lit(bloom), xxhash64($"sng")))
+      .count()
+    assert(selfHits == 500)
+  }
+
   test("decoders fail cleanly on corrupt input") {
     import graft.sources.{Blast, Dbc, Dbf}
     assertThrows[IllegalArgumentException](Dbc.toDbf(Array[Byte](1, 2, 3)))
