@@ -50,6 +50,75 @@ object TrainingData {
        |  CAST(min(rate_pct) AS BIGINT) AS rate_pct
        |FROM hashed GROUP BY source""".stripMargin
 
+  /** Deterministic exact-N per-source sample — the "take exactly 5 docs
+    * per source, reproducibly" primitive (fixed-size eval/holdout carving,
+    * spot-check drawing). Rank within source by a content-stable hash and
+    * keep rank <= N: no RNG, engine-identical, stable under corpus
+    * growth *of other sources*. Scale shape: Spark 4 rewrites the
+    * row_number-then-filter into WindowGroupLimit — per-partition bounded
+    * top-N heaps BEFORE the source shuffle (plan-asserted in
+    * TrainingOpsSpec), so a skewed source never implies a full sort. */
+  def qSampleTopn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"h", $"doc_id")
+    Tables.documents(s, dir)
+      .select($"source", $"doc_id", md5($"doc_id".cast("string")).as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 5)
+      .select($"source", $"doc_id", $"rk")
+  }
+
+  val qSampleTopnSql: String =
+    """SELECT source, doc_id, rk FROM (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 5""".stripMargin
+
+  /** Curriculum binning: per-source quality DECILES over the lexical-
+    * diversity score (distinct-token ratio in exact ppm, tie-broken by
+    * doc_id so ntile is engine-deterministic). The curriculum/mixing
+    * primitive: train schedules draw from bins in difficulty order, and
+    * per-source binning keeps every domain represented in every bin.
+    * Shuffles only on source (the window partition key); per-bin stats
+    * make the cut points auditable. */
+  def qQualityDeciles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"score", $"doc_id")
+    Tables.documents(s, dir)
+      .select($"source", $"doc_id",
+        size(toks).cast("long").as("nt"),
+        size(array_distinct(toks)).cast("long").as("nd"))
+      .filter($"nt" > 0)
+      .withColumn("score", expr("(nd * 1000000L) DIV nt"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy($"source", $"decile")
+      .agg(count(lit(1)).as("n_docs"),
+           min($"score").as("min_score"),
+           max($"score").as("max_score"))
+  }
+
+  val qQualityDecilesSql: String =
+    """WITH m AS (
+      |  SELECT source, doc_id,
+      |    len(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS nt,
+      |    len(list_distinct(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> ''))) AS nd
+      |  FROM documents),
+      |scored AS (
+      |  SELECT source, doc_id, (nd * 1000000) // nt AS score FROM m WHERE nt > 0),
+      |binned AS (
+      |  SELECT source, score,
+      |    ntile(10) OVER (PARTITION BY source ORDER BY score, doc_id) AS decile
+      |  FROM scored)
+      |SELECT source, CAST(decile AS BIGINT) AS decile, count(*) AS n_docs,
+      |  CAST(min(score) AS BIGINT) AS min_score,
+      |  CAST(max(score) AS BIGINT) AS max_score
+      |FROM binned GROUP BY source, decile""".stripMargin
+
   /** Context-window packing: contiguous-fill documents (ordered by doc_id
     * within source) into 8192-token bins by running token count — the
     * sequence-packing step of pretraining batch assembly. One window pass
@@ -320,6 +389,8 @@ object TrainingData {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bigram_lm"         -> (qBigramLm _),
     "q_sample_stratified" -> (qSampleStratified _),
+    "q_sample_topn"       -> (qSampleTopn _),
+    "q_quality_deciles"   -> (qQualityDeciles _),
     "q_pack_bins"         -> ((s: SparkSession, dir: String) => packBinsDistributed(s, dir)),
     "q_pii_scrub"         -> (qPiiScrub _),
     "q_quality_filter"    -> (qQualityFilter _),
@@ -329,6 +400,8 @@ object TrainingData {
   def oracles: Map[String, String] = Map(
     "q_bigram_lm"         -> qBigramLmSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
+    "q_sample_topn"       -> qSampleTopnSql,
+    "q_quality_deciles"   -> qQualityDecilesSql,
     "q_pack_bins"         -> qPackBinsSql,
     "q_pii_scrub"         -> qPiiScrubSql,
     "q_quality_filter"    -> qQualityFilterSql,

@@ -278,4 +278,33 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(pruned == baseline)
     assert(pruned.size == 20 || pruned.size == baseline.size)
   }
+
+  test("hash-ranked top-N sample: exactly N per source, and WindowGroupLimit in the plan") {
+    val df = graft.queries.TrainingData.qSampleTopn(spark, sf)
+    val perSource = df.groupBy("source").count().collect()
+      .map(r => r.getLong(1))
+    assert(perSource.nonEmpty && perSource.forall(_ == 5L))
+    // Spark 4 pushes rank<=k into WindowGroupLimit: bounded per-partition
+    // heaps before the shuffle — the reason the declarative form scales
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
+  test("quality deciles: each source splits into 10 ordered, near-equal bins") {
+    val rows = graft.queries.TrainingData.qQualityDeciles(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val bySource = rows.groupBy(_._1)
+    bySource.foreach { case (src, bins) =>
+      assert(bins.length == 10, s"$src has ${bins.length} bins")
+      val sorted = bins.sortBy(_._2)
+      // ntile balance: bin sizes differ by at most 1
+      val sizes = sorted.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$src sizes: ${sizes.mkString(",")}")
+      // monotone score ranges across deciles
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a._5 <= b._4 || a._5 <= b._5, s"$src deciles out of order")
+      }
+    }
+  }
 }
