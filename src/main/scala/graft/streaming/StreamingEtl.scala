@@ -91,6 +91,39 @@ object StreamingEtl {
     graft.queries.Dedup.verbatimAgainstIndex(inv, dfIndex)
   }
 
+  /** Streaming DECONTAMINATION at ingest — the online form of
+    * queries.Dedup.qDecontaminateBloom: train documents arriving on the
+    * stream explode into shingles, probe the fixed-size eval bloom sketch
+    * as a compiled per-row predicate, and only bloom survivors reach the
+    * stream-static verify join against the exact eval shingle set (bloom
+    * false positives die there; no false negatives exist). Misses bypass
+    * the join entirely and rejoin via self-union so per-doc totals stay
+    * exact — one streaming aggregation, output identical to the batch
+    * operator (StreamingSpec). At ingest scale the join input is
+    * O(contaminated shingles), not O(arriving shingles). */
+  def decontaminateStream(docs: DataFrame, evalSh: DataFrame,
+                          bloomBytes: Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.graft.NativeExprs
+    val inv = docs
+      .filter(col("source") =!= "src0")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.shingleSet(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(col("sh")).as("sng"))
+    val probed = inv.withColumn("maybe",
+      NativeExprs.bloomMightContain(lit(bloomBytes), xxhash64(col("sng"))))
+    val hitSide = probed.filter(col("maybe"))
+      .join(evalSh.withColumn("hit", lit(1L)), Seq("sng"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(0L)).as("hit"))
+    val missSide = probed.filter(!col("maybe"))
+      .select(col("doc_id"), lit(0L).as("hit"))
+    hitSide.union(missSide)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("hit")).as("n_eval_hits"))
+      .withColumn("contaminated",
+        (col("n_eval_hits") * 2 >= col("n_shingles")).cast("long"))
+  }
+
   /** Streaming repetition metrics (Gopher rules): the per-row HOF
     * formulation (TextAnalysis.repetitionColsPerRow) touches only the
     * row's own token array — a stateless map, so it runs unchanged in

@@ -85,6 +85,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming decontamination equals the batch operator (bloom + verify, stream == batch)") {
+    import graft.functions.TextFunctions.shingleSet
+    import org.apache.spark.sql.graft.NativeExprs
+    val dir = s"$tmp/docs_decon_input"
+    Tables.documents(spark, sf).select("doc_id", "source", "text").write.json(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(dir)
+    // eval side (static): exact distinct shingles + the fixed-size sketch
+    val evalSh = Tables.documents(spark, sf)
+      .filter(col("source") === "src0")
+      .select(explode(shingleSet(col("text"))).as("sng")).distinct()
+    val bloom = evalSh
+      .agg(NativeExprs.bloomFilterAgg(xxhash64(col("sng")), 1000000L, 8000000L))
+      .head.getAs[Array[Byte]](0)
+    StreamingEtl.runToMemory(
+      StreamingEtl.decontaminateStream(stream, evalSh, bloom),
+      "decon", s"$tmp/cp_decon") // streaming agg: complete mode
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_shingles", "n_eval_hits", "contaminated").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = key(spark.table("decon"))
+    val batch = key(SparkEntry.queries("q_decontaminate")(spark, sf))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("per-row repetition metrics on a stream equal the batch shuffle form") {
     StreamingEtl.runToMemory(
       StreamingEtl.repetitionStream(docsStream()), "repetition",
