@@ -205,6 +205,51 @@ object Dedup {
 
   val qDedupMinhashSql: String = bruteJaccardSql
 
+  /** INCREMENTAL dedup — the daily-ingest operating mode: dedup today's
+    * batch (doc_id % 5 == 0 stands in for the arriving slice) against the
+    * HISTORICAL corpus (the rest) without ever pairing historical docs
+    * with each other. The historical band index is write-once state — at
+    * scale it persists bucketed by (band, bkey) so each day's run computes
+    * signatures only for the arriving slice and joins them against the
+    * index co-partitioned (no historical re-hash, no historical shuffle).
+    * Candidate volume is O(band collisions with the index), and the exact
+    * verify keeps the output identical to the brute cross-pair oracle.
+    * Asymmetric by construction: new-new pairs (deduped tomorrow when one
+    * of them is historical) and old-old pairs are never generated. */
+  def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = docShingles(s, dir)
+    val isNew = $"doc_id" % 5 === 0
+    val sig = sh.select($"doc_id", minhashSig($"sh").as("sig"))
+    val bandDf = sig.select($"doc_id", explode(minhashBands($"sig", 32, 4)).as("b"))
+      .select($"doc_id", $"b.band".as("band"), $"b.bkey".as("bkey"))
+    val cand = bandDf.filter(isNew).as("x")
+      .join(bandDf.filter(!isNew).as("y"),
+        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey")
+      .select($"x.doc_id".as("new_doc"), $"y.doc_id".as("hist_doc"))
+      .distinct()
+    cand
+      .join(sh.select($"doc_id".as("new_doc"), $"sh".as("sha")), "new_doc")
+      .join(sh.select($"doc_id".as("hist_doc"), $"sh".as("shb")), "hist_doc")
+      .withColumn("i", org.apache.spark.sql.graft.NativeExprs
+        .arrayIntersectSize($"sha", $"shb"))
+      .withColumn("u", (size($"sha") + size($"shb")).cast("long") - $"i")
+      .filter($"i" * 5 >= $"u" * 3)
+      .select($"new_doc", $"hist_doc", expr("(i * 1000000L) DIV u").as("jaccard_ppm"))
+  }
+
+  val qDedupIncrementalSql: String =
+    shinglesCte + """,
+      | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      | inter AS (
+      |   SELECT a.doc_id AS new_doc, b.doc_id AS hist_doc, count(*) AS i
+      |   FROM sh a JOIN sh b ON a.s = b.s
+      |   WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+      |   GROUP BY 1, 2)
+      |SELECT new_doc, hist_doc, (i * 1000000) // (x.n + y.n - i) AS jaccard_ppm
+      |FROM inter JOIN sz x ON x.doc_id = new_doc JOIN sz y ON y.doc_id = hist_doc
+      |WHERE i * 5 >= (x.n + y.n - i) * 3""".stripMargin
+
   /** SimHash near-dup pairs: shared-hash 60-bit signatures, 6 pigeonhole
     * bands (lossless for hamming <= 5), exact hamming verify. The oracle
     * recomputes the identical signature in SQL via the shared 60-bit hash. */
@@ -621,6 +666,7 @@ object Dedup {
     "q_contamination" -> (qContamination _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embed"   -> (qDedupEmbed _),
   )
@@ -638,6 +684,7 @@ object Dedup {
     "q_contamination" -> qContaminationSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
+    "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_dedup_embed"   -> qDedupEmbedSql,
   )

@@ -279,6 +279,20 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(pruned.size == 20 || pruned.size == baseline.size)
   }
 
+  test("incremental dedup equals the new-vs-historical slice of full minhash dedup") {
+    val full = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+      .select("doc_a", "doc_b", "jaccard_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = full.collect {
+      case (a, b, j) if a % 5 == 0 && b % 5 != 0 => (a, b, j)
+      case (a, b, j) if b % 5 == 0 && a % 5 != 0 => (b, a, j)
+    }.toSet
+    val inc = SparkEntry.queries("q_dedup_incremental")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == expected)
+    assert(inc.nonEmpty)
+  }
+
   test("hash-ranked top-N sample: exactly N per source, and WindowGroupLimit in the plan") {
     val df = graft.queries.TrainingData.qSampleTopn(spark, sf)
     val perSource = df.groupBy("source").count().collect()
