@@ -547,6 +547,76 @@ object Dedup {
       |   SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
       |SELECT u AS doc_id, min(v) AS cluster FROM reach GROUP BY u""".stripMargin
 
+  /** Integer PageRank over the near-dup graph — centrality-based
+    * canonical-document selection: within a near-dup cluster, the doc most
+    * similar to the most others (the hub) is the best representative, a
+    * strictly richer keep-decision than min-id ([[qDedupKeep]]). Three
+    * unrolled power iterations in pure BIGINT ppb arithmetic (damping
+    * 0.85 as integer 85/100 DIV, contributions r DIV deg) — sums of
+    * integers are order-independent, so the result hash-gates
+    * cross-engine with zero float anywhere. Scale shape: per iteration
+    * ONE key-partitioned join (edges ⋈ ranks on the edge source) and one
+    * shuffle (contribution sum on the edge target); the edge list is
+    * checkpointed once and at 100 TB persists bucketed by source so every
+    * iteration co-partitions. Node count folds in as a broadcast 1-row
+    * aggregate (the TokenPairs pattern), never a driver action. */
+  def qDedupPagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Scale = 1000000000L
+    val pairs = qDedupJaccard(s, dir).select($"doc_a", $"doc_b")
+    val edges = pairs.union(pairs.select($"doc_b", $"doc_a")).toDF("u", "v")
+      .localCheckpoint(true) // consumed 3x+deg: don't re-run the sim join
+    val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
+    val nNodes = deg.select(count(lit(1)).as("n_nodes"))
+    var ranks = deg.crossJoin(broadcast(nNodes))
+      .select($"u".as("doc_id"), $"deg", $"n_nodes",
+        expr(s"$Scale DIV n_nodes").as("r"))
+    (1 to 3).foreach { _ =>
+      val contrib = edges.join(ranks, edges("u") === ranks("doc_id"))
+        .select($"v", expr("r DIV deg").as("c"))
+        .groupBy($"v").agg(sum($"c").as("cs"))
+      ranks = ranks.drop("r")
+        .join(contrib, ranks("doc_id") === contrib("v"))
+        .select($"doc_id", $"deg", $"n_nodes",
+          (expr(s"(15 * ($Scale DIV n_nodes)) DIV 100") +
+            expr("(85 * cs) DIV 100")).as("r"))
+    }
+    ranks.select($"doc_id", $"deg", $"r".as("rank_ppb"))
+  }
+
+  val qDedupPagerankSql: String = {
+    def iter(prev: String, cur: String): String =
+      s""" $cur AS (
+         |   SELECT p.doc_id, p.deg, p.n_nodes,
+         |     (15 * (1000000000 // p.n_nodes)) // 100 + (85 * c.cs) // 100 AS r
+         |   FROM $prev p JOIN (
+         |     SELECT e.v AS doc_id, CAST(sum(q.r // q.deg) AS BIGINT) AS cs
+         |     FROM edges e JOIN $prev q ON e.u = q.doc_id GROUP BY 1) c USING (doc_id))""".stripMargin
+    shinglesCte + s""",
+      | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      | inter AS (
+      |   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |   GROUP BY 1, 2),
+      | pairs AS (
+      |   SELECT doc_a, doc_b
+      |   FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+      |   WHERE i * 5 >= (x.n + y.n - i) * 3),
+      | edges AS (
+      |   SELECT doc_a AS u, doc_b AS v FROM pairs
+      |   UNION ALL SELECT doc_b, doc_a FROM pairs),
+      | deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY 1),
+      | nn AS (SELECT count(*) AS n_nodes FROM deg),
+      | r0 AS (
+      |   SELECT u AS doc_id, deg, n_nodes, 1000000000 // n_nodes AS r
+      |   FROM deg CROSS JOIN nn),
+      |${iter("r0", "r1")},
+      |${iter("r1", "r2")},
+      |${iter("r2", "r3")}
+      |SELECT doc_id, CAST(deg AS BIGINT) AS deg, CAST(r AS BIGINT) AS rank_ppb
+      |FROM r3""".stripMargin
+  }
+
   /** Embedding near-dup, sub-quadratic: random-hyperplane LSH bucketing
     * (128 bands x 8 bits) generates candidates, exact cosine verifies —
     * same output as the O(n²) qDedupEmbed on this data (fixed
@@ -667,6 +737,7 @@ object Dedup {
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_dedup_pagerank" -> (qDedupPagerank _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embed"   -> (qDedupEmbed _),
   )
@@ -685,6 +756,7 @@ object Dedup {
     "q_dedup_jaccard" -> qDedupJaccardSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
+    "q_dedup_pagerank" -> qDedupPagerankSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_dedup_embed"   -> qDedupEmbedSql,
   )

@@ -279,6 +279,24 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(pruned.size == 20 || pruned.size == baseline.size)
   }
 
+  test("integer pagerank: mass conserved within truncation loss, nodes == jaccard graph") {
+    val rows = SparkEntry.queries("q_dedup_pagerank")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, deg, rank) => deg >= 1 && rank > 0 })
+    // integer DIV only loses mass: sum <= Scale, and the loss is bounded
+    // by a few units per node per iteration
+    val total = rows.map(_._3).sum
+    val scale = 1000000000L
+    assert(total <= scale, s"rank mass exceeds scale: $total")
+    assert(total >= scale - 1000L * rows.length, s"too much truncation loss: $total")
+    // node set == endpoints of the jaccard pair graph
+    val pairNodes = SparkEntry.queries("q_dedup_jaccard")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(_._1).toSet == pairNodes)
+  }
+
   test("incremental dedup equals the new-vs-historical slice of full minhash dedup") {
     val full = SparkEntry.queries("q_dedup_minhash")(spark, sf)
       .select("doc_a", "doc_b", "jaccard_ppm").collect()
