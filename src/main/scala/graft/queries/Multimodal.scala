@@ -108,13 +108,66 @@ object Multimodal {
       |SELECT (total * 10) // (16 * 255) AS bucket, count(*) AS n
       |FROM t GROUP BY 1""".stripMargin
 
+  /** Perceptual-hash near-dup over the media column — the image-dedup
+    * step of a multimodal curation pipeline, run on the honest byte
+    * payload (aHash: bit i set iff byte i >= the blob's integer mean;
+    * with a real codec the same operator runs on decoded luma blocks).
+    * Sub-quadratic by the simhash pigeonhole: 16 hash bits split into 4
+    * nibble bands — any pair within hamming <= 3 shares at least one
+    * intact band (lossless), so candidates come from a band-bucket join
+    * and only they pay the exact bit_count(xor) verify. Identical
+    * payloads (the injected dups) land at hamming 0; the oracle is the
+    * brute all-pairs form. */
+  def qMmPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = media(s, dir)
+      .map { m =>
+        val bs = m.blob.map(_ & 0xff)
+        val mean = bs.sum / bs.length
+        var h = 0L
+        var i = 0
+        while (i < bs.length) { if (bs(i) >= mean) h |= 1L << i; i += 1 }
+        (m.docId, h)
+      }
+      .toDF("doc_id", "ah")
+    val bands = hashes.select($"doc_id", $"ah",
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), shiftright($"ah", 4 * b).mod(16).as("nib"))): _*)).as("bn"))
+      .select($"doc_id", $"ah", $"bn.band".as("band"), $"bn.nib".as("nib"))
+    bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.nib" === $"y.nib" &&
+        $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+        $"x.ah".as("ah_a"), $"y.ah".as("ah_b"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(ah_a ^ ah_b) AS LONG)"))
+      .filter($"hamming" <= 3)
+      .select($"doc_a", $"doc_b", $"hamming")
+  }
+
+  val qMmPhashSql: String =
+    """WITH px AS (
+      |  SELECT doc_id, i, ('0x' || substr(md5(text), 2 * i + 1, 2))::INT AS b
+      |  FROM documents, range(0, 16) r(i)),
+      |mn AS (SELECT doc_id, CAST(sum(b) AS BIGINT) // 16 AS mean FROM px GROUP BY 1),
+      |h AS (
+      |  SELECT px.doc_id,
+      |    CAST(sum(CASE WHEN b >= mean THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS ah
+      |  FROM px JOIN mn ON px.doc_id = mn.doc_id GROUP BY 1)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.ah, b.ah)) AS BIGINT) AS hamming
+      |FROM h a JOIN h b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.ah, b.ah)) <= 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_phash"      -> (qMmPhash _),
     "q_mm_decode"     -> (qMmDecode _),
     "q_mm_frames"     -> (qMmFrames _),
     "q_mm_resize_agg" -> (qMmResizeAgg _),
   )
 
   def oracles: Map[String, String] = Map(
+    "q_mm_phash"      -> qMmPhashSql,
     "q_mm_decode"     -> qMmDecodeSql,
     "q_mm_frames"     -> qMmFramesSql,
     "q_mm_resize_agg" -> qMmResizeAggSql,

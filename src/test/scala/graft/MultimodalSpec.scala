@@ -7,6 +7,7 @@ import graft.functions.MediaFunctions.MediaBlob
 
 /** Batch-decode plumbing + byte-feature invariants for the multimodal layer. */
 class MultimodalSpec extends AnyFunSuite {
+  import SparkTestSession._
 
   private def blob(n: Int) = Array.tabulate(n)(i => (i * 37 % 256).toByte)
 
@@ -57,5 +58,37 @@ class MultimodalSpec extends AnyFunSuite {
     }
     val frames = MediaFunctions.sampleFrames(blob(16), 4)
     assert(frames.length == 4 && frames(1) == blob(16)(4))
+  }
+
+  test("phash near-dup: threshold respected, hamming is the true bit distance") {
+    import org.apache.spark.sql.functions._
+    val pairs = SparkEntry.queries("q_mm_phash")(spark, sf)
+    val rows = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 <= 3))
+    // recompute each doc's aHash independently (through the md5 hex path,
+    // not the operator's byte path) and check the reported hamming
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), unhex(md5(col("text"))).as("blob")).collect()
+      .map { r =>
+        val bs = r.getAs[Array[Byte]]("blob").map(_ & 0xff)
+        val mean = bs.sum / bs.length
+        var h = 0L
+        bs.zipWithIndex.foreach { case (b, i) => if (b >= mean) h |= 1L << i }
+        r.getLong(0) -> h
+      }.toMap
+    rows.foreach { case (a, b, ham) =>
+      assert(java.lang.Long.bitCount(docs(a) ^ docs(b)) == ham,
+        s"pair ($a,$b) reported $ham")
+    }
+    // pigeonhole completeness: brute-force over the recomputed hashes
+    // finds exactly the operator's pair set
+    val ids = docs.keys.toArray.sorted
+    val brute = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      if java.lang.Long.bitCount(docs(ids(i)) ^ docs(ids(j))) <= 3
+    } yield (ids(i), ids(j))).toSet
+    assert(rows.map(p => (p._1, p._2)).toSet == brute)
   }
 }
