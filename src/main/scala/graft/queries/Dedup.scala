@@ -617,6 +617,47 @@ object Dedup {
       |FROM r3""".stripMargin
   }
 
+  /** Centrality-based canonical selection — [[qDedupPagerank]] composed
+    * with [[clusters]]: per near-dup cluster, keep the member with the
+    * highest PageRank (tie → lowest id). This is the keep-decision a
+    * curation pipeline actually wants: the hub of a near-dup cluster is
+    * its most representative member, where min-id ([[qDedupKeep]]) is
+    * arbitrary. Hash-aggregate argmax (max-of-struct) — reduces map-side,
+    * no window sort; cluster assignment is memoized with the other
+    * cluster consumers. */
+  def qDedupKeepCentral(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cl = clusters(s, dir)
+    val pr = qDedupPagerank(s, dir)
+    cl.join(pr, "doc_id")
+      .groupBy($"cluster")
+      .agg(max(struct($"rank_ppb", (-$"doc_id").as("neg_id"))).as("best"),
+           count(lit(1)).as("cluster_size"))
+      .select($"cluster", (-$"best.neg_id").as("kept_doc"),
+        $"best.rank_ppb".as("kept_rank_ppb"), $"cluster_size")
+  }
+
+  val qDedupKeepCentralSql: String =
+    qDedupPagerankSql
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
+      .replace(
+        """SELECT doc_id, CAST(deg AS BIGINT) AS deg, CAST(r AS BIGINT) AS rank_ppb
+          |FROM r3""".stripMargin,
+        """, reach AS (
+          |   SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
+          |   UNION
+          |   SELECT e.u, rc.v FROM edges e JOIN reach rc ON e.v = rc.u),
+          | cl AS (SELECT u AS doc_id, min(v) AS cluster FROM reach GROUP BY u),
+          | ranked AS (
+          |   SELECT cl.cluster, cl.doc_id, r3.r,
+          |     row_number() OVER (PARTITION BY cl.cluster
+          |       ORDER BY r3.r DESC, cl.doc_id ASC) AS rn,
+          |     count(*) OVER (PARTITION BY cl.cluster) AS cluster_size
+          |   FROM cl JOIN r3 ON cl.doc_id = r3.doc_id)
+          |SELECT cluster, doc_id AS kept_doc, CAST(r AS BIGINT) AS kept_rank_ppb,
+          |  CAST(cluster_size AS BIGINT) AS cluster_size
+          |FROM ranked WHERE rn = 1""".stripMargin)
+
   /** Embedding near-dup, sub-quadratic: random-hyperplane LSH bucketing
     * (128 bands x 8 bits) generates candidates, exact cosine verifies —
     * same output as the O(n²) qDedupEmbed on this data (fixed
@@ -738,6 +779,7 @@ object Dedup {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_pagerank" -> (qDedupPagerank _),
+    "q_dedup_keep_central" -> (qDedupKeepCentral _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embed"   -> (qDedupEmbed _),
   )
@@ -757,6 +799,7 @@ object Dedup {
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dedup_pagerank" -> qDedupPagerankSql,
+    "q_dedup_keep_central" -> qDedupKeepCentralSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_dedup_embed"   -> qDedupEmbedSql,
   )

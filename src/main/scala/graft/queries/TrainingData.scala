@@ -119,6 +119,36 @@ object TrainingData {
       |  CAST(max(score) AS BIGINT) AS max_score
       |FROM binned GROUP BY source, decile""".stripMargin
 
+  /** The corpus card — one row per source joining the library's own
+    * per-source signals: exact-dup stats ([[Dedup.qDedupExact]]), quality
+    * pass rate ([[qQualityFilter]]), and vocabulary richness
+    * ([[TextAnalysis.qTextVocab]]). Exists to prove the operators COMPOSE
+    * as library functions (the oracle composes the same three SQL
+    * constants verbatim as sub-CTEs), and because a per-source health
+    * report is the first artifact a curation run publishes. Three
+    * source-keyed aggregates joined on the same key — co-partitioned,
+    * no extra exchange beyond the three upstream shuffles. */
+  def qCorpusReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dedup = graft.queries.Dedup.qDedupExact(s, dir)
+    val qual = qQualityFilter(s, dir).select($"source", $"n_pass", $"pass_ppm")
+    val vocab = graft.queries.TextAnalysis.qTextVocab(s, dir)
+      .select($"source", $"n_tokens", $"n_types", $"ttr_ppm")
+    dedup.join(qual, "source").join(vocab, "source")
+      .withColumn("dup_ppm", expr("(n_dups * 1000000L) DIV n_docs"))
+      .select($"source", $"n_docs", $"n_unique", $"dup_ppm",
+        $"n_pass", $"pass_ppm", $"n_tokens", $"n_types", $"ttr_ppm")
+  }
+
+  def qCorpusReportSql: String =
+    s"""WITH d AS (SELECT * FROM (${graft.queries.Dedup.qDedupExactSql}) dd),
+       |q AS (SELECT * FROM ($qQualityFilterSql) qq),
+       |v AS (SELECT * FROM (${graft.queries.TextAnalysis.qTextVocabSql}) vv)
+       |SELECT d.source, d.n_docs, d.n_unique,
+       |  (d.n_dups * 1000000) // d.n_docs AS dup_ppm,
+       |  q.n_pass, q.pass_ppm, v.n_tokens, v.n_types, v.ttr_ppm
+       |FROM d JOIN q ON d.source = q.source JOIN v ON d.source = v.source""".stripMargin
+
   /** Context-window packing: contiguous-fill documents (ordered by doc_id
     * within source) into 8192-token bins by running token count — the
     * sequence-packing step of pretraining batch assembly. One window pass
@@ -391,6 +421,7 @@ object TrainingData {
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_topn"       -> (qSampleTopn _),
     "q_quality_deciles"   -> (qQualityDeciles _),
+    "q_corpus_report"     -> (qCorpusReport _),
     "q_pack_bins"         -> ((s: SparkSession, dir: String) => packBinsDistributed(s, dir)),
     "q_pii_scrub"         -> (qPiiScrub _),
     "q_quality_filter"    -> (qQualityFilter _),
@@ -402,6 +433,7 @@ object TrainingData {
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_sample_topn"       -> qSampleTopnSql,
     "q_quality_deciles"   -> qQualityDecilesSql,
+    "q_corpus_report"     -> qCorpusReportSql,
     "q_pack_bins"         -> qPackBinsSql,
     "q_pii_scrub"         -> qPiiScrubSql,
     "q_quality_filter"    -> qQualityFilterSql,
