@@ -499,11 +499,26 @@ object Dedup {
     * same-key callers block on each other (Verify fans out on a pool).
     * Entries live for the session — bounded by the handful of sf dirs a
     * process touches; the checkpointed result is rows-scale tiny. */
-  private final class LazyClusters(compute: () => DataFrame) {
+  private final class LazyDf(compute: () => DataFrame) {
     lazy val df: DataFrame = compute()
   }
   private val clusterCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), LazyClusters]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), LazyDf]()
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), LazyDf]()
+
+  /** Memoized, materialized jaccard>=0.6 pair graph — the similarity join
+    * is the most expensive stage in the dedup pipeline and THREE
+    * downstream consumers need its output (cluster assignment, PageRank,
+    * centrality keep). At scale this is the pair-graph materialization a
+    * pipeline writes once and fans out from; here it is computed once per
+    * (session, sf-dir) and localCheckpointed (rows-scale tiny). */
+  private def jaccardPairsCached(s: SparkSession, dir: String): DataFrame = {
+    pairsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    pairsCache.computeIfAbsent((s, dir), _ => new LazyDf(() =>
+      qDedupJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint(true))).df
+  }
 
   private def clusters(s: SparkSession, dir: String): DataFrame = {
     // evict dead-session entries so stopped sessions (and their pinned
@@ -511,10 +526,9 @@ object Dedup {
     // for the process lifetime — the cache holds a handful of entries,
     // so the sweep is O(sessions seen), effectively free
     clusterCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    clusterCache.computeIfAbsent((s, dir), _ => new LazyClusters(() => {
+    clusterCache.computeIfAbsent((s, dir), _ => new LazyDf(() => {
       import s.implicits._
-      val pairs = qDedupJaccard(s, dir).select($"doc_a", $"doc_b")
-      graft.operators.ConnectedComponents.run(pairs)
+      graft.operators.ConnectedComponents.run(jaccardPairsCached(s, dir))
         .select($"id".as("doc_id"), $"cluster")
         .localCheckpoint(true) // materialized: second consumer reuses
     })).df
@@ -563,9 +577,8 @@ object Dedup {
   def qDedupPagerank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val Scale = 1000000000L
-    val pairs = qDedupJaccard(s, dir).select($"doc_a", $"doc_b")
+    val pairs = jaccardPairsCached(s, dir)
     val edges = pairs.union(pairs.select($"doc_b", $"doc_a")).toDF("u", "v")
-      .localCheckpoint(true) // consumed 3x+deg: don't re-run the sim join
     val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
     val nNodes = deg.select(count(lit(1)).as("n_nodes"))
     var ranks = deg.crossJoin(broadcast(nNodes))

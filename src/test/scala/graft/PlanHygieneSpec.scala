@@ -22,7 +22,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_ivfpq_codebook", // coarse-assign crossJoin(broadcast(centroids))
     "q_sql_api",       // scalar-subquery style broadcast of a 1-row agg
     "q_scalar_subquery",
-    "q_text_tfidf")    // crossJoin(broadcast(1-row corpus-size agg))
+    "q_text_tfidf",    // crossJoin(broadcast(1-row corpus-size agg))
+    "q_dedup_pagerank",     // crossJoin(broadcast(1-row node-count agg))
+    "q_dedup_keep_central") // inherits qDedupPagerank's node-count broadcast
 
   test("no gated query plans an unlisted cartesian / broadcast nested loop") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
