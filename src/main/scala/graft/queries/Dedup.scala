@@ -516,8 +516,7 @@ object Dedup {
   private def jaccardPairsCached(s: SparkSession, dir: String): DataFrame = {
     pairsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     pairsCache.computeIfAbsent((s, dir), _ => new LazyDf(() =>
-      qDedupJaccard(s, dir).select(col("doc_a"), col("doc_b"))
-        .localCheckpoint(true))).df
+      qDedupJaccard(s, dir).localCheckpoint(true))).df
   }
 
   private def clusters(s: SparkSession, dir: String): DataFrame = {
@@ -528,7 +527,8 @@ object Dedup {
     clusterCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     clusterCache.computeIfAbsent((s, dir), _ => new LazyDf(() => {
       import s.implicits._
-      graft.operators.ConnectedComponents.run(jaccardPairsCached(s, dir))
+      graft.operators.ConnectedComponents.run(
+        jaccardPairsCached(s, dir).select($"doc_a", $"doc_b"))
         .select($"id".as("doc_id"), $"cluster")
         .localCheckpoint(true) // materialized: second consumer reuses
     })).df
@@ -577,7 +577,7 @@ object Dedup {
   def qDedupPagerank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val Scale = 1000000000L
-    val pairs = jaccardPairsCached(s, dir)
+    val pairs = jaccardPairsCached(s, dir).select($"doc_a", $"doc_b")
     val edges = pairs.union(pairs.select($"doc_b", $"doc_a")).toDF("u", "v")
     val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
     val nNodes = deg.select(count(lit(1)).as("n_nodes"))
@@ -628,6 +628,62 @@ object Dedup {
       |${iter("r2", "r3")}
       |SELECT doc_id, CAST(deg AS BIGINT) AS deg, CAST(r AS BIGINT) AS rank_ppb
       |FROM r3""".stripMargin
+  }
+
+  /** Similarity-WEIGHTED PageRank — [[qDedupPagerank]] with each edge
+    * weighted by its jaccard_ppm: a node's rank flows to neighbors in
+    * proportion to how similar they are (contribution
+    * (r·w) DIV Σw, still pure BIGINT — r ~1e9 × w ~1e6 stays far inside
+    * 64 bits). The centrality signal this adds over the unweighted form:
+    * a doc loosely similar to many is no longer ranked above a doc
+    * near-identical to a few. Same plan shape: one join + one shuffle
+    * per unrolled iteration over the memoized pair graph. */
+  def qDedupPagerankWeighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Scale = 1000000000L
+    val p = jaccardPairsCached(s, dir)
+    val edges = p.select($"doc_a".as("u"), $"doc_b".as("v"), $"jaccard_ppm".as("w"))
+      .union(p.select($"doc_b".as("u"), $"doc_a".as("v"), $"jaccard_ppm".as("w")))
+    val sw = edges.groupBy($"u").agg(sum($"w").as("sw"))
+    val nNodes = sw.select(count(lit(1)).as("n_nodes"))
+    var ranks = sw.crossJoin(broadcast(nNodes))
+      .select($"u".as("doc_id"), $"sw", $"n_nodes",
+        expr(s"$Scale DIV n_nodes").as("r"))
+    (1 to 3).foreach { _ =>
+      val contrib = edges.join(ranks, edges("u") === ranks("doc_id"))
+        .select($"v", expr("(r * w) DIV sw").as("c"))
+        .groupBy($"v").agg(sum($"c").as("cs"))
+      ranks = ranks.drop("r")
+        .join(contrib, ranks("doc_id") === contrib("v"))
+        .select($"doc_id", $"sw", $"n_nodes",
+          (expr(s"(15 * ($Scale DIV n_nodes)) DIV 100") +
+            expr("(85 * cs) DIV 100")).as("r"))
+    }
+    ranks.select($"doc_id", $"sw".as("w_total"), $"r".as("rank_ppb"))
+  }
+
+  val qDedupPagerankWeightedSql: String = {
+    def iter(prev: String, cur: String): String =
+      s""" $cur AS (
+         |   SELECT p.doc_id, p.sw, p.n_nodes,
+         |     (15 * (1000000000 // p.n_nodes)) // 100 + (85 * c.cs) // 100 AS r
+         |   FROM $prev p JOIN (
+         |     SELECT e.v AS doc_id, CAST(sum((q.r * e.w) // q.sw) AS BIGINT) AS cs
+         |     FROM edges e JOIN $prev q ON e.u = q.doc_id GROUP BY 1) c USING (doc_id))""".stripMargin
+    s"""WITH pj AS (SELECT * FROM ($bruteJaccardSql) bb),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v, jaccard_ppm AS w FROM pj
+       |  UNION ALL SELECT doc_b, doc_a, jaccard_ppm FROM pj),
+       |swt AS (SELECT u, CAST(sum(w) AS BIGINT) AS sw FROM edges GROUP BY 1),
+       |nn AS (SELECT count(*) AS n_nodes FROM swt),
+       |r0 AS (
+       |  SELECT u AS doc_id, sw, n_nodes, 1000000000 // n_nodes AS r
+       |  FROM swt CROSS JOIN nn),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT doc_id, sw AS w_total, CAST(r AS BIGINT) AS rank_ppb
+       |FROM r3""".stripMargin
   }
 
   /** Centrality-based canonical selection — [[qDedupPagerank]] composed
@@ -793,6 +849,7 @@ object Dedup {
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_pagerank" -> (qDedupPagerank _),
     "q_dedup_keep_central" -> (qDedupKeepCentral _),
+    "q_dedup_pagerank_w" -> (qDedupPagerankWeighted _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embed"   -> (qDedupEmbed _),
   )
@@ -813,6 +870,7 @@ object Dedup {
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dedup_pagerank" -> qDedupPagerankSql,
     "q_dedup_keep_central" -> qDedupKeepCentralSql,
+    "q_dedup_pagerank_w" -> qDedupPagerankWeightedSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_dedup_embed"   -> qDedupEmbedSql,
   )

@@ -180,7 +180,46 @@ object Events {
       |FROM weekly w JOIN cohorts c USING (user_id)
       |GROUP BY 1, 2""".stripMargin
 
+  /** Hourly-volume anomaly detection per event type — 3-sigma outliers in
+    * EXACT integer arithmetic: |n − μ| > 3σ multiplied through by N²
+    * becomes (n·N − S)² > 9·(N·SS − S²) over raw moments
+    * (N hours, S = Σn, SS = Σn²), so no float mean or variance ever
+    * exists and the flag hash-gates cross-engine. Two shuffles (hourly
+    * rollup, per-type moments) + a broadcast moments join — linear.
+    * At web-scale counts, rescale n (DIV k) before the test or lift the
+    * comparison to DECIMAL(38,0): the decision is invariant under common
+    * rescaling up to rounding. */
+  def qEvAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourly = Tables.events(s, dir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("hour_ts"), $"event_type", $"n")
+    val moments = hourly.groupBy($"event_type")
+      .agg(count(lit(1)).as("nh"), sum($"n").as("sn"),
+           sum($"n" * $"n").as("ssn"))
+    hourly.join(broadcast(moments), "event_type")
+      .withColumn("dev", $"n" * $"nh" - $"sn")
+      .withColumn("is_anomaly",
+        ($"dev" * $"dev" > ($"nh" * $"ssn" - $"sn" * $"sn") * 9L).cast("long"))
+      .select($"event_type", $"hour_ts", $"n", $"is_anomaly")
+  }
+
+  val qEvAnomalySql: String =
+    """WITH hourly AS (
+      |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour_ts, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, count(*) AS nh, CAST(sum(n) AS BIGINT) AS sn,
+      |    CAST(sum(n * n) AS BIGINT) AS ssn
+      |  FROM hourly GROUP BY 1)
+      |SELECT h.event_type, hour_ts, n,
+      |  CAST(CASE WHEN (n * nh - sn) * (n * nh - sn) > 9 * (nh * ssn - sn * sn)
+      |       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+      |FROM hourly h JOIN m ON h.event_type = m.event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ev_anomaly"   -> (qEvAnomaly _),
     "q_ev_retention" -> (qEvRetention _),
     "q_ev_hourly"  -> (qEvHourly _),
     "q_ev_session" -> (qEvSession _),
@@ -190,6 +229,7 @@ object Events {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_ev_anomaly"   -> qEvAnomalySql,
     "q_ev_retention" -> qEvRetentionSql,
     "q_ev_hourly"  -> qEvHourlySql,
     "q_ev_session" -> qEvSessionSql,

@@ -297,6 +297,36 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rows.map(_._1).toSet == pairNodes)
   }
 
+  test("weighted pagerank: mass conserved, same node set, ranking differs from unweighted") {
+    val w = SparkEntry.queries("q_dedup_pagerank_w")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val u = SparkEntry.queries("q_dedup_pagerank")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(w.nonEmpty && w.map(_._1).toSet == u.keySet)
+    val scale = 1000000000L
+    val total = w.map(_._3).sum
+    assert(total <= scale && total >= scale - 1000L * w.length)
+    assert(w.forall(_._3 > 0))
+  }
+
+  test("hourly anomaly flags: both directions, and each flag matches the 3-sigma moments") {
+    val rows = SparkEntry.queries("q_ev_anomaly")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    val byType = rows.groupBy(_._1)
+    byType.foreach { case (t, hs) =>
+      val flags = hs.map(_._3).toSet
+      assert(flags.contains(0L) && flags.contains(1L), s"$t flags one-sided")
+      // recompute the integer 3-sigma decision from raw moments
+      val ns = hs.map(_._2)
+      val nh = ns.length.toLong; val sn = ns.sum; val ssn = ns.map(n => n * n).sum
+      hs.foreach { case (_, n, flag) =>
+        val dev = n * nh - sn
+        val expected = if (dev * dev > 9L * (nh * ssn - sn * sn)) 1L else 0L
+        assert(flag == expected, s"$t hour with n=$n")
+      }
+    }
+  }
+
   test("incremental dedup equals the new-vs-historical slice of full minhash dedup") {
     val full = SparkEntry.queries("q_dedup_minhash")(spark, sf)
       .select("doc_a", "doc_b", "jaccard_ppm").collect()
