@@ -131,6 +131,28 @@ object StreamingEtl {
   def repetitionStream(docs: DataFrame): DataFrame =
     graft.queries.TextAnalysis.repetitionColsPerRow(docs)
 
+  /** Streaming hourly anomaly flagging — the online form of
+    * queries.Events.qEvAnomaly: arriving events join the HISTORICAL
+    * per-type moments (static, broadcast — the production shape: the
+    * baseline is trained offline, not recomputed per batch) BEFORE the
+    * windowed aggregation (streaming forbids joins after aggregations),
+    * with the per-type constants riding the group key; the integer
+    * 3-sigma flag is a post-aggregation projection. Stream == batch when
+    * the moments come from the same corpus (StreamingSpec). */
+  def anomalyStream(events: DataFrame, moments: DataFrame,
+                    lateness: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .join(moments, Seq("event_type"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"),
+        col("nh"), col("sn"), col("ssn"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dev", col("n") * col("nh") - col("sn"))
+      .withColumn("is_anomaly",
+        (col("dev") * col("dev") >
+          (col("nh") * col("ssn") - col("sn") * col("sn")) * 9L).cast("long"))
+      .select(col("event_type"), col("window.start").as("hour_ts"),
+        col("n"), col("is_anomaly"))
+
   /** Streaming exact dedup by key with watermark-bounded state — the
     * idempotence the reference lacks (duplicate competência appends). */
   def dedupStream(events: DataFrame, keys: Seq[String], lateness: String = "2 hours"): DataFrame =

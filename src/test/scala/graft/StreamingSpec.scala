@@ -129,6 +129,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming anomaly flags against historical moments equal the batch operator") {
+    // historical baseline: per-type moments computed batch-side
+    val moments = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nh"), sum(col("n")).as("sn"),
+        sum(col("n") * col("n")).as("ssn"))
+    StreamingEtl.runToMemory(
+      StreamingEtl.anomalyStream(streamDf(), moments),
+      "anomaly", s"$tmp/cp_anomaly")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_type", "hour_ts", "n", "is_anomaly").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = key(spark.table("anomaly"))
+    val batch = key(SparkEntry.queries("q_ev_anomaly")(spark, sf))
+    assert(streamed == batch)
+    assert(streamed.exists(_._4 == 1L) && streamed.exists(_._4 == 0L))
+  }
+
   test("windowed counts over the stream equal the batch aggregation") {
     StreamingEtl.runToMemory(
       StreamingEtl.windowedCounts(streamDf()), "wc", s"$tmp/cp_wc")
