@@ -149,6 +149,78 @@ object TrainingData {
        |  q.n_pass, q.pass_ppm, v.n_tokens, v.n_types, v.ttr_ppm
        |FROM d JOIN q ON d.source = q.source JOIN v ON d.source = v.source""".stripMargin
 
+  /** The END-TO-END curation pipeline as ONE query — the funnel a corpus
+    * actually runs: quality gate (the C4-flavored composite rules) →
+    * near-dup removal (keep each cluster's canonical doc) → deterministic
+    * 50% hash sample → context-window packing manifest. Output is the
+    * per-source assembly report (counts surviving each stage, token
+    * volume, bin count) — the corpus manifest a training run consumes.
+    * Every stage is a per-row flag over ONE pass of the documents table
+    * (the near-dup removal set joins in from the memoized cluster
+    * assignment), so the funnel costs one scan + one source-keyed
+    * aggregate beyond the shared pair-graph pipeline. Oracle composes
+    * the cluster-closure SQL in a derived table (DuckDB allows WITH
+    * RECURSIVE there) with the same per-doc flags. */
+  def qPipelineCurate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val m = Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        size(toks).cast("long").as("nt"),
+        size(array_distinct(toks)).cast("long").as("nd"),
+        length(regexp_replace($"text", "[a-z0-9 ]", "")).cast("long").as("np"),
+        length($"text").cast("long").as("nc"),
+        (expr("n_chars DIV 4") + 1L).as("tok_est"),
+        graft.functions.Hashing.bucket("doc_id", 100).as("bucket"))
+      .withColumn("q_pass",
+        $"nt" >= 10 && $"nt" <= 5000 &&
+        $"np" * 1000000L <= $"nc" * 300000L &&
+        $"nd" * 1000000L >= $"nt" * 300000L)
+    val removed = graft.queries.Dedup.qDedupKeep(s, dir)
+      .select($"removed_doc".as("doc_id"), lit(1L).as("rm"))
+    m.join(removed, Seq("doc_id"), "left")
+      .withColumn("kept_dedup", $"q_pass" && $"rm".isNull)
+      .withColumn("sampled", $"kept_dedup" && $"bucket" < 50)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_input"),
+           sum($"q_pass".cast("long")).as("n_quality"),
+           sum($"kept_dedup".cast("long")).as("n_dedup"),
+           sum($"sampled".cast("long")).as("n_sampled"),
+           coalesce(sum(when($"sampled", $"tok_est")), lit(0L)).as("tok_total"))
+      .withColumn("n_bins", expr("(tok_total + 8191L) DIV 8192"))
+  }
+
+  def qPipelineCurateSql: String =
+    s"""WITH rm AS (
+       |  SELECT doc_id FROM (
+       |    SELECT * FROM (${graft.queries.Dedup.qDedupClusterSql}) cc) c
+       |  WHERE doc_id <> cluster),
+       |m AS (
+       |  SELECT doc_id, source,
+       |    len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x <> '')) AS nt,
+       |    len(list_distinct(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x <> ''))) AS nd,
+       |    length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS np,
+       |    length(text) AS nc,
+       |    n_chars // 4 + 1 AS tok_est,
+       |    ${h60Duck("doc_id")} % 100 AS bucket
+       |  FROM documents),
+       |f AS (
+       |  SELECT m.*,
+       |    (nt >= 10 AND nt <= 5000 AND np * 1000000 <= nc * 300000
+       |     AND nd * 1000000 >= nt * 300000) AS q_pass,
+       |    rm.doc_id IS NOT NULL AS is_removed
+       |  FROM m LEFT JOIN rm ON m.doc_id = rm.doc_id),
+       |g AS (
+       |  SELECT source, count(*) AS n_input,
+       |    CAST(sum(CASE WHEN q_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       |    CAST(sum(CASE WHEN q_pass AND NOT is_removed THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+       |    CAST(sum(CASE WHEN q_pass AND NOT is_removed AND bucket < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       |    CAST(coalesce(sum(CASE WHEN q_pass AND NOT is_removed AND bucket < 50 THEN tok_est END), 0) AS BIGINT) AS tok_total
+       |  FROM f GROUP BY source)
+       |SELECT source, n_input, n_quality, n_dedup, n_sampled, tok_total,
+       |  (tok_total + 8191) // 8192 AS n_bins
+       |FROM g""".stripMargin
+
   /** Context-window packing: contiguous-fill documents (ordered by doc_id
     * within source) into 8192-token bins by running token count — the
     * sequence-packing step of pretraining batch assembly. One window pass
@@ -422,6 +494,7 @@ object TrainingData {
     "q_sample_topn"       -> (qSampleTopn _),
     "q_quality_deciles"   -> (qQualityDeciles _),
     "q_corpus_report"     -> (qCorpusReport _),
+    "q_pipeline_curate"   -> (qPipelineCurate _),
     "q_pack_bins"         -> ((s: SparkSession, dir: String) => packBinsDistributed(s, dir)),
     "q_pii_scrub"         -> (qPiiScrub _),
     "q_quality_filter"    -> (qQualityFilter _),
@@ -434,6 +507,7 @@ object TrainingData {
     "q_sample_topn"       -> qSampleTopnSql,
     "q_quality_deciles"   -> qQualityDecilesSql,
     "q_corpus_report"     -> qCorpusReportSql,
+    "q_pipeline_curate"   -> qPipelineCurateSql,
     "q_pack_bins"         -> qPackBinsSql,
     "q_pii_scrub"         -> qPiiScrubSql,
     "q_quality_filter"    -> qQualityFilterSql,
