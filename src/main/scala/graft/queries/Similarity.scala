@@ -550,7 +550,41 @@ object Similarity {
        |FROM scored WHERE rank <= $TopK""".stripMargin
   }
 
+  /** The VECTOR corpus card — per-label embedding health stats in exact
+    * integer space (the same x1e7 quantization as the integer Lloyd
+    * rounds): vector count, min/max/sum of the integer squared norm.
+    * Catches the failure modes vector pipelines actually hit (zero or
+    * exploded norms from a bad encoder run, label-conditional norm
+    * drift) before any index is built. One narrow scan + one label
+    * aggregate — linear; the per-row HOF runs once per vector, not in
+    * any hot loop. */
+  def qEmbedStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"label".cast("long").as("label"),
+        expr("""aggregate(
+          |  transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS LONG)),
+          |  0L, (a, q) -> a + q * q)""".stripMargin).as("sq"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+           min($"sq").as("min_sq"), max($"sq").as("max_sq"),
+           sum($"sq").as("sum_sq"))
+  }
+
+  val qEmbedStatsSql: String =
+    """WITH q AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    list_sum(list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)
+      |           * CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT))) AS sq
+      |  FROM embeddings)
+      |SELECT label, count(*) AS n_vecs,
+      |  CAST(min(sq) AS BIGINT) AS min_sq, CAST(max(sq) AS BIGINT) AS max_sq,
+      |  CAST(sum(sq) AS BIGINT) AS sum_sq
+      |FROM q GROUP BY label""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_stats"  -> (qEmbedStats _),
     "q_ann_brute"    -> (qAnnBrute _),
     "q_ann_ivf"      -> (qAnnIvf _),
     "q_ann_kmeans"   -> (qAnnKmeans _),
@@ -558,6 +592,7 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_embed_stats"  -> qEmbedStatsSql,
     "q_ann_brute"    -> qAnnBruteSql,
     "q_ann_ivf"      -> qAnnIvfSql,
     "q_ann_kmeans"   -> qAnnKmeansSql, // fully gated since round 3 (integer Lloyd)

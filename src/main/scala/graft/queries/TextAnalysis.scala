@@ -346,7 +346,38 @@ object TextAnalysis {
       |  (CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*) AS hapax_ppm
       |FROM tc GROUP BY source""".stripMargin
 
+  /** Per-source heavy hitters: each source's top-3 tokens by frequency
+    * (ties → lexicographic) — the domain-vocabulary signature used for
+    * source fingerprinting and template detection. Same WindowGroupLimit
+    * shape as the top-N sampler: the rank filter pushes into bounded
+    * per-partition heaps before the (source) shuffle, so a dominant
+    * source never forces a full sort of its token counts. */
+  def qTextHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"c".desc, $"tok".asc)
+    Tables.documents(s, dir)
+      .select($"source", explode(tokens($"text")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"source", $"rk", $"tok", $"c")
+  }
+
+  val qTextHeavyHittersSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |tc AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT source, tok, c,
+      |    row_number() OVER (PARTITION BY source ORDER BY c DESC, tok ASC) AS rk
+      |  FROM tc)
+      |SELECT source, CAST(rk AS BIGINT) AS rk, tok, c
+      |FROM rk WHERE rk <= 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_hh"          -> (qTextHeavyHitters _),
     "q_text_vocab"       -> (qTextVocab _),
     "q_text_clean"       -> (qTextClean _),
     "q_text_repetition"  -> (qTextRepetition _),
@@ -359,6 +390,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_text_hh"          -> qTextHeavyHittersSql,
     "q_text_vocab"       -> qTextVocabSql,
     "q_text_clean"       -> qTextCleanSql,
     "q_text_repetition"  -> qTextRepetitionSql,
