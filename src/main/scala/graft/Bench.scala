@@ -57,12 +57,14 @@ object Bench {
     var decodeResweeps = 0
     def guardDecode(runs: Seq[Double], n: Int): Seq[Double] = {
       // >3x spread across repeats = a contended measurement, not the
-      // engine; one replacement of the worst run, flagged in the artifact
+      // engine; one replacement of the worst run, flagged in the artifact.
+      // The replacement targets the slowest SUCCESSFUL run (ok.min) — a
+      // failed 0.0 run is not the contended one the spread check fired on.
       val ok = runs.filter(_ > 0)
       if (ok.isEmpty || ok.max <= 3 * ok.min) runs
       else {
         decodeResweeps += 1
-        runs.updated(runs.indexOf(runs.min), decodeOnce(n))
+        runs.updated(runs.indexOf(ok.min), decodeOnce(n))
       }
     }
     val decodeRuns = guardDecode((1 to NRuns).map(_ => decodeOnce()), 500000)
@@ -89,10 +91,15 @@ object Bench {
     // engine does not get 3x slower between back-to-back identical runs);
     // re-run it once and record that the guard fired.
     var resweeps = 0
-    if (totals(runs).max > 3 * totals(runs).min) {
+    // a sweep whose total is 0 means every query failed (e.g. transient
+    // executor loss) — re-run IT, don't let it masquerade as "fastest"
+    val dead = totals(runs).indexWhere(_ <= 0)
+    if (dead >= 0) { resweeps += 1; runs = runs.updated(dead, sweep()) }
+    val ts = totals(runs)
+    val pos = ts.filter(_ > 0)
+    if (pos.nonEmpty && ts.max > 3 * pos.min) {
       resweeps += 1
-      val worst = totals(runs).indexOf(totals(runs).max)
-      runs = runs.updated(worst, sweep())
+      runs = runs.updated(ts.indexOf(ts.max), sweep())
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
     val perP50 = names.map { n =>
@@ -118,10 +125,17 @@ object Bench {
       n / secs
     }.getOrElse(0.0)
     val env = s"""{"cpus":"$cpus","max_heap_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)},"spark":"${spark.version}"}"""
-    // Field order is load-bearing (see scaladoc): p90 map first, primary
-    // p50 map + totals + decode figures LAST so tail truncation can only
-    // ever cost the secondary map.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$NRuns,"sf":"$sfDir","env":$env,"queries_p90":${jmap(perP90)},"queries":${jmap(perP50)},"totals_per_run":[${totalsPerRun.map(r3).mkString(",")}],"resweeps":$resweeps,"decode_resweeps":$decodeResweeps,"decode_rec_per_s":${decodeRate.round},"decode92_rec_per_s":${p50(decodeRuns).round},"decode92_runs":[${decodeRuns.map(_.round).mkString(",")}],"decode92_2m_rec_per_s":${decode2mRuns.max.round},"decode92_2m_runs":[${decode2mRuns.map(_.round).mkString(",")}]}"""
+    // Field order is load-bearing (see scaladoc): the LAST field is a
+    // compact integer-millisecond p50 map ("queries_ms") preceded by the
+    // small totals/resweeps/decode fields — measured suffix ≈1.9k chars,
+    // inside the driver's ~2000-char tail capture even as the query set
+    // grows (int-ms halves the map vs 3-decimal seconds). The full
+    // 3-decimal "queries"/"queries_p90" maps ride earlier in the line for
+    // complete captures, and the whole line lands in BENCH_LOCAL.json.
+    val qMs = names.map(n => s"\"" + n + "\":" +
+      (if (perP50(n) < 0) -1 else math.rint(perP50(n) * 1000).toLong))
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$NRuns,"sf":"$sfDir","env":$env,"queries_p90":${jmap(perP90)},"queries":${jmap(perP50)},"decode_rec_per_s":${decodeRate.round},"decode92_rec_per_s":${p50(decodeRuns).round},"decode92_runs":[${decodeRuns.map(_.round).mkString(",")}],"decode92_2m_rec_per_s":${decode2mRuns.max.round},"decode92_2m_runs":[${decode2mRuns.map(_.round).mkString(",")}],"totals_per_run":[${totalsPerRun.map(r3).mkString(",")}],"resweeps":$resweeps,"decode_resweeps":$decodeResweeps,"queries_ms":$qMs}"""
     // Belt and braces: the full line also lands in the repo, immune to any
     // stdout tail capture.
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),

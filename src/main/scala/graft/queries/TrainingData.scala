@@ -163,19 +163,9 @@ object TrainingData {
     * RECURSIVE there) with the same per-doc flags. */
   def qPipelineCurate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = tokens($"text")
-    val m = Tables.documents(s, dir)
-      .select($"doc_id", $"source",
-        size(toks).cast("long").as("nt"),
-        size(array_distinct(toks)).cast("long").as("nd"),
-        length(regexp_replace($"text", "[a-z0-9 ]", "")).cast("long").as("np"),
-        length($"text").cast("long").as("nc"),
-        (expr("n_chars DIV 4") + 1L).as("tok_est"),
-        graft.functions.Hashing.bucket("doc_id", 100).as("bucket"))
-      .withColumn("q_pass",
-        $"nt" >= 10 && $"nt" <= 5000 &&
-        $"np" * 1000000L <= $"nc" * 300000L &&
-        $"nd" * 1000000L >= $"nt" * 300000L)
+    val m = qualityMetrics(s, dir)
+      .withColumn("tok_est", expr("n_chars DIV 4") + 1L)
+      .withColumn("bucket", graft.functions.Hashing.bucket("doc_id", 100))
     val removed = graft.queries.Dedup.qDedupKeep(s, dir)
       .select($"removed_doc".as("doc_id"), lit(1L).as("rm"))
     m.join(removed, Seq("doc_id"), "left")
@@ -195,21 +185,12 @@ object TrainingData {
        |  SELECT doc_id FROM (
        |    SELECT * FROM (${graft.queries.Dedup.qDedupClusterSql}) cc) c
        |  WHERE doc_id <> cluster),
-       |m AS (
-       |  SELECT doc_id, source,
-       |    len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x <> '')) AS nt,
-       |    len(list_distinct(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x <> ''))) AS nd,
-       |    length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS np,
-       |    length(text) AS nc,
-       |    n_chars // 4 + 1 AS tok_est,
-       |    ${h60Duck("doc_id")} % 100 AS bucket
-       |  FROM documents),
+       |$qualityMetricsCte,
        |f AS (
-       |  SELECT m.*,
-       |    (nt >= 10 AND nt <= 5000 AND np * 1000000 <= nc * 300000
-       |     AND nd * 1000000 >= nt * 300000) AS q_pass,
+       |  SELECT mq.*, n_chars // 4 + 1 AS tok_est,
+       |    ${h60Duck("mq.doc_id")} % 100 AS bucket,
        |    rm.doc_id IS NOT NULL AS is_removed
-       |  FROM m LEFT JOIN rm ON m.doc_id = rm.doc_id),
+       |  FROM mq LEFT JOIN rm ON mq.doc_id = rm.doc_id),
        |g AS (
        |  SELECT source, count(*) AS n_input,
        |    CAST(sum(CASE WHEN q_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
@@ -366,42 +347,58 @@ object TrainingData {
   /** Composite quality filter (C4-flavored rules over integer metrics):
     * token-count bounds, punctuation ratio cap, type-token-ratio floor.
     * Emits the per-source pass rate — the knob a corpus curator tunes. */
-  def qQualityFilter(s: SparkSession, dir: String): DataFrame = {
+  /** THE per-doc quality rule — single definition consumed by both
+    * qQualityFilter (the per-source aggregate) and qPipelineCurate (the
+    * funnel's first stage), so a threshold tweak can never silently
+    * diverge between the two. Mirrored once on the SQL side
+    * ([[qualityMetricsCte]]). */
+  private[graft] def qualityMetrics(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = tokens($"text")
     Tables.documents(s, dir)
-      .select($"source",
+      .select($"doc_id", $"source", $"n_chars",
         size(toks).cast("long").as("nt"),
         size(array_distinct(toks)).cast("long").as("nd"),
         length(regexp_replace($"text", "[a-z0-9 ]", "")).cast("long").as("np"),
         length($"text").cast("long").as("nc"))
-      .withColumn("pass",
-        ($"nt" >= 10 && $"nt" <= 5000 &&
-         $"np" * 1000000L <= $"nc" * 300000L &&
-         $"nd" * 1000000L >= $"nt" * 300000L).cast("long"))
+      .withColumn("q_pass",
+        $"nt" >= 10 && $"nt" <= 5000 &&
+        $"np" * 1000000L <= $"nc" * 300000L &&
+        $"nd" * 1000000L >= $"nt" * 300000L)
+  }
+
+  def qQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    qualityMetrics(s, dir)
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
-           sum($"pass").as("n_pass"))
+           sum($"q_pass".cast("long")).as("n_pass"))
       .withColumn("pass_ppm", expr("(n_pass * 1000000L) DIV n_docs"))
   }
 
-  val qQualityFilterSql: String =
-    """WITH m AS (
-      |  SELECT source,
+  /** SQL twin of [[qualityMetrics]] — plain (non-interpolated) literal so
+    * regex backslashes stay single. */
+  private[graft] val qualityMetricsCte: String =
+    """m AS (
+      |  SELECT doc_id, source, n_chars,
       |    len(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS nt,
       |    len(list_distinct(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> ''))) AS nd,
       |    length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS np,
       |    length(text) AS nc
-      |  FROM documents)
-      |SELECT source, count(*) AS n_docs,
-      |  CAST(sum(CASE WHEN nt >= 10 AND nt <= 5000
-      |            AND np * 1000000 <= nc * 300000
-      |            AND nd * 1000000 >= nt * 300000 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
-      |  (CAST(sum(CASE WHEN nt >= 10 AND nt <= 5000
-      |            AND np * 1000000 <= nc * 300000
-      |            AND nd * 1000000 >= nt * 300000 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+      |  FROM documents),
+      |mq AS (
+      |  SELECT m.*,
+      |    (nt >= 10 AND nt <= 5000 AND np * 1000000 <= nc * 300000
+      |     AND nd * 1000000 >= nt * 300000) AS q_pass
+      |  FROM m)""".stripMargin
+
+  val qQualityFilterSql: String =
+    "WITH " + qualityMetricsCte + "\n" +
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN q_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      |  (CAST(sum(CASE WHEN q_pass THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
       |    // count(*) AS pass_ppm
-      |FROM m GROUP BY source""".stripMargin
+      |FROM mq GROUP BY source""".stripMargin
 
   /** PMI collocations: top-20 co-occurring token pairs (integer-ordered,
     * like qTextCooc) scored by pointwise mutual information — the
