@@ -188,6 +188,21 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(selfHits == 500)
   }
 
+  test("bloom decontamination with no eval source mirrors exact zero-hit semantics") {
+    import graft.queries.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_noeval").toFile.getPath
+    Tables.documents(spark, sf).filter(col("source") =!= "src0")
+      .write.parquet(s"$dir/documents.parquet")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_shingles", "n_eval_hits", "contaminated").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val bloom = key(Dedup.qDecontaminateBloom(spark, dir))
+    val exact = key(Dedup.qDecontaminate(spark, dir))
+    assert(bloom == exact)
+    assert(bloom.nonEmpty)
+    assert(bloom.forall(r => r._3 == 0L && r._4 == 0L)) // zero hits, zero flags
+  }
+
   test("decoders fail cleanly on corrupt input") {
     import graft.sources.{Blast, Dbc, Dbf}
     assertThrows[IllegalArgumentException](Dbc.toDbf(Array[Byte](1, 2, 3)))
