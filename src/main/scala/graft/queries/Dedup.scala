@@ -251,6 +251,25 @@ object Dedup {
       .select($"new_doc", $"hist_doc", expr("(i * 1000000L) DIV u").as("jaccard_ppm"))
   }
 
+  /** The two write-once sides of incremental dedup, exposed for the
+    * streaming twin (StreamingEtl.incrementalDedupStream): the historical
+    * band index and the historical shingle store. In production these are
+    * persisted tables bucketed by their join keys; here they're built
+    * from the same corpus slice the batch operator uses. */
+  private[graft] def historicalBandIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docShingles(s, dir).filter(!($"doc_id" % 5 === 0))
+      .select($"doc_id".as("hist_doc"),
+        explode(minhashBands(minhashSig($"sh"), 32, 4)).as("b"))
+      .select($"hist_doc", $"b.band".as("band"), $"b.bkey".as("bkey"))
+  }
+
+  private[graft] def historicalShingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docShingles(s, dir).filter(!($"doc_id" % 5 === 0))
+      .select($"doc_id".as("hist_doc"), $"sh".as("shb"))
+  }
+
   val qDedupIncrementalSql: String =
     shinglesCte + """,
       | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

@@ -124,6 +124,37 @@ object StreamingEtl {
         (col("n_eval_hits") * 2 >= col("n_shingles")).cast("long"))
   }
 
+  /** Streaming INCREMENTAL dedup — the online form of
+    * queries.Dedup.qDedupIncremental: each arriving document computes its
+    * minhash signature and band keys statelessly (native expressions, no
+    * shuffle), probes the write-once historical band index stream-static,
+    * and verifies candidates exactly against the historical shingle store
+    * — emitting (new_doc, hist_doc, jaccard_ppm) matches in append mode.
+    * The only state is the emitted-pair dedup (band collisions produce
+    * identical verified rows); bound it with a watermark on ingest time
+    * in production. This is dedup-at-ingest: per-document latency, no
+    * historical re-hash, ever. */
+  def incrementalDedupStream(docs: DataFrame, histBands: DataFrame,
+                             histSh: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.{minhashBands, minhashSig, shingleSet}
+    val sh = docs
+      .select(col("doc_id"), shingleSet(col("text")).as("sha"))
+      .filter(size(col("sha")) > 0)
+    val banded = sh.select(col("doc_id").as("new_doc"), col("sha"),
+        explode(minhashBands(minhashSig(col("sha")), 32, 4)).as("b"))
+      .select(col("new_doc"), col("sha"),
+        col("b.band").as("band"), col("b.bkey").as("bkey"))
+    banded.join(histBands, Seq("band", "bkey"))
+      .join(histSh, Seq("hist_doc"))
+      .withColumn("i", org.apache.spark.sql.graft.NativeExprs
+        .arrayIntersectSize(col("sha"), col("shb")))
+      .withColumn("u", (size(col("sha")) + size(col("shb"))).cast("long") - col("i"))
+      .filter(col("i") * 5 >= col("u") * 3)
+      .select(col("new_doc"), col("hist_doc"),
+        expr("(i * 1000000L) DIV u").as("jaccard_ppm"))
+      .dropDuplicates("new_doc", "hist_doc")
+  }
+
   /** Streaming repetition metrics (Gopher rules): the per-row HOF
     * formulation (TextAnalysis.repetitionColsPerRow) touches only the
     * row's own token array — a stateless map, so it runs unchanged in

@@ -129,6 +129,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming incremental dedup against the historical index equals the batch operator") {
+    val dir = s"$tmp/docs_incr_input"
+    Tables.documents(spark, sf).filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "text").write.json(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(dir)
+    StreamingEtl.runToMemory(
+      StreamingEtl.incrementalDedupStream(stream,
+        graft.queries.Dedup.historicalBandIndex(spark, sf),
+        graft.queries.Dedup.historicalShingles(spark, sf)),
+      "incr", s"$tmp/cp_incr", outputMode = "append")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("new_doc", "hist_doc", "jaccard_ppm").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = key(spark.table("incr"))
+    val batch = key(SparkEntry.queries("q_dedup_incremental")(spark, sf))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming anomaly flags against historical moments equal the batch operator") {
     // historical baseline: per-type moments computed batch-side
     val moments = Tables.events(spark, sf)
