@@ -88,7 +88,13 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q_text_fingerprint" -> Set("doc_id", "text"),
       "q_dedup_verbatim" -> Set("doc_id", "text"),
       "q_text_repetition" -> Set("doc_id", "text"),
-      "q_pack_bins"      -> Set("source", "doc_id", "n_chars"))
+      "q_pack_bins"      -> Set("source", "doc_id", "n_chars"),
+      "q_text_vocab"     -> Set("source", "text"),
+      "q_text_hh"        -> Set("source", "text"),
+      "q_sample_topn"    -> Set("source", "doc_id"),
+      "q_quality_deciles" -> Set("source", "doc_id", "text"),
+      "q_pipeline_curate" -> Set("source", "doc_id", "text", "n_chars"),
+      "q_mm_phash"       -> Set("doc_id", "text"))
     expected.foreach { case (name, cols) =>
       val scans = SparkEntry.queries(name)(spark, sf)
         .queryExecution.sparkPlan.collect {
