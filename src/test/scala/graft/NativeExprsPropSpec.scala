@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized equivalence of the native Catalyst expressions against
+  * independent plain-Scala models, evaluated THROUGH Spark (DataFrame →
+  * codegen) so the generated Java — not just nullSafeEval — is what's
+  * checked. Inputs are seeded-random (300 rows each, collision-rich
+  * alphabets, zero vectors, length mismatches, empties) to cover the edge
+  * shapes the corpus fixtures never produce. */
+class NativeExprsPropSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val rnd = new scala.util.Random(42)
+
+  test("ArrayCosine codegen equals the sequential-accumulation model bit-for-bit") {
+    import spark.implicits._
+    val rows = Seq.fill(300) {
+      val n = rnd.nextInt(8) + 1
+      val mk = () => Seq.fill(n)(
+        if (rnd.nextInt(10) == 0) 0.0 else rnd.nextDouble() * 20 - 10)
+      (mk(), mk())
+    }
+    val got = rows.toDF("a", "b")
+      .select(org.apache.spark.sql.graft.NativeExprs.arrayCosine($"a", $"b"))
+      .collect().map(_.getDouble(0))
+    rows.zip(got).foreach { case ((a, b), g) =>
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      (0 until n).foreach { i =>
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      }
+      val want = dot / math.sqrt(na * nb)
+      assert(java.lang.Double.doubleToLongBits(want) ==
+             java.lang.Double.doubleToLongBits(g),
+        s"cosine($a, $b): want $want got $g")
+    }
+  }
+
+  test("ArrayLongSqL2 codegen equals the min-length loop model on random vectors") {
+    import spark.implicits._
+    val rows = Seq.fill(300) {
+      val mk = () => Seq.fill(rnd.nextInt(8) + 1)(rnd.nextLong() % 100000L)
+      (mk(), mk()) // independent lengths: exercises the min-length contract
+    }
+    val got = rows.toDF("a", "b")
+      .select(org.apache.spark.sql.graft.NativeExprs.arrayLongSqL2($"a", $"b"))
+      .collect().map(_.getLong(0))
+    rows.zip(got).foreach { case ((a, b), g) =>
+      val n = math.min(a.length, b.length)
+      val want = (0 until n).map { i => val d = a(i) - b(i); d * d }.sum
+      assert(want == g, s"sqL2($a, $b)")
+    }
+  }
+
+  test("ArrayIntersectSize codegen equals the membership-count model (dups included)") {
+    import spark.implicits._
+    val alpha = Vector("a", "b", "c", "d", "e") // small alphabet: dense collisions
+    val rows = Seq.fill(300) {
+      val mk = () => Seq.fill(rnd.nextInt(10))(alpha(rnd.nextInt(alpha.length)))
+      (mk(), mk())
+    }
+    val got = rows.toDF("a", "b")
+      .select(org.apache.spark.sql.graft.NativeExprs.arrayIntersectSize($"a", $"b"))
+      .collect().map(_.getLong(0))
+    rows.zip(got).foreach { case ((a, b), g) =>
+      val want = b.count(a.toSet.contains).toLong
+      assert(want == g, s"intersectSize($a, $b): want $want got $g")
+    }
+  }
+
+  test("TokenShingles equals the sliding-window distinct model on messy whitespace") {
+    import spark.implicits._
+    val words = Vector("x", "yy", "zzz", "w", "v")
+    val rows = Seq.fill(300) {
+      val n = rnd.nextInt(8)
+      val seps = Vector(" ", "  ", "\t", " \t ")
+      Seq.fill(n)(words(rnd.nextInt(words.length)))
+        .mkString(seps(rnd.nextInt(seps.length))) +
+        (if (rnd.nextBoolean()) " " else "")
+    }
+    val got = rows.toDF("text")
+      .select(org.apache.spark.sql.graft.NativeExprs.tokenShingles($"text", 3))
+      .collect().map(_.getSeq[String](0))
+    rows.zip(got).foreach { case (t, g) =>
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val want =
+        if (toks.length < 3) Seq.empty[String]
+        else toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+      assert(want.toSet == g.toSet && g.distinct.length == g.length,
+        s"shingles('$t'): want $want got $g")
+    }
+  }
+}
