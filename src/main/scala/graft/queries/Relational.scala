@@ -603,7 +603,42 @@ object Relational {
       |  CAST(round(avg(l_discount) * 1e6) AS BIGINT) AS avg_disc_u
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Table profiling — the first query any pipeline runs against an
+    * unknown table: one row per numeric measure with count, null count,
+    * and exact-cents min/max/sum. Single scan, one aggregate row
+    * unpivoted driver-free via stack(): at 100 TB this is one pass with
+    * map-side partials, never a per-column job. */
+  def qProfileNumeric(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"cnt_$c"),
+          sum(col(c).isNull.cast("long")).as(s"nul_$c"),
+          min(cents(col(c))).as(s"min_$c"),
+          max(cents(col(c))).as(s"max_$c"),
+          sum(cents(col(c))).as(s"sum_$c"))
+    }
+    val one = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+    val stackExpr = cols.map(c =>
+      s"'$c', cnt_$c, nul_$c, min_$c, max_$c, sum_$c").mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.length}, $stackExpr) AS (col_name, n, n_null, min_c, max_c, sum_c)")
+  }
+
+  val qProfileNumericSql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name, count($c) AS n,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(min(round($c * 100)) AS BIGINT) AS min_c,
+         |  CAST(max(round($c * 100)) AS BIGINT) AS max_c,
+         |  CAST(sum(round($c * 100)) AS BIGINT) AS sum_c
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile_numeric" -> (qProfileNumeric _),
     "q_stats"          -> (qStats _),
     "q_sql_api"        -> (qSqlApi _),
     "q_window_fns"     -> (qWindowFns _),
@@ -642,6 +677,7 @@ object Relational {
     "q_explode"         -> qExplodeSql,
     "q_unpivot"         -> qUnpivotSql,
     "q1_agg"            -> q1AggSql,
+    "q_profile_numeric" -> qProfileNumericSql,
     "q6_filter_sum"     -> q6FilterSumSql,
     "q3_join_topk"      -> q3JoinSql,
     "q5_star_join"      -> q5StarJoinSql,
