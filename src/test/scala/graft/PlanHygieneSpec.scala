@@ -43,7 +43,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     // lineitem is the wide fact table: any query reading it must prune
     // its read schema below the full 16 columns
     val readers = Seq("q1_agg", "q6_filter_sum", "q_distinct", "q_cube",
-      "q_percentile", "q_in_subquery", "q_stats")
+      "q_percentile", "q_in_subquery", "q_stats", "q_profile_numeric")
     readers.foreach { name =>
       val scans = SparkEntry.queries(name)(spark, sf)
         .queryExecution.sparkPlan.collect {
