@@ -203,6 +203,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(bloom.forall(r => r._3 == 0L && r._4 == 0L)) // zero hits, zero flags
   }
 
+  test("lake compaction: flagged partitions coalesce, others untouched, data identical") {
+    import graft.sources.LakeMaintenance
+    val dir = java.nio.file.Files.createTempDirectory("graft_lake").toFile.getPath + "/lake"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "source")
+    // source=src0 written fragmented (8 files), others 1 file each
+    docs.filter(col("source") === "src0").repartition(8)
+      .write.partitionBy("source").parquet(dir)
+    docs.filter(col("source") =!= "src0").repartition(1)
+      .write.mode("append").partitionBy("source").parquet(dir)
+    val before = LakeMaintenance.fileStats(spark, dir).map(p => p.partition -> p.nFiles).toMap
+    assert(before("source=src0") == 8)
+    val healthyBefore = before.filter(_._1 != "source=src0")
+    val rowsBefore = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+    val rewritten = LakeMaintenance.compact(spark, dir, Seq("source"), maxFilesPerPart = 4)
+    assert(rewritten == Seq("source=src0"))
+    val after = LakeMaintenance.fileStats(spark, dir).map(p => p.partition -> p.nFiles).toMap
+    assert(after("source=src0") == 1, s"src0 still ${after("source=src0")} files")
+    assert(after.filter(_._1 != "source=src0") == healthyBefore) // untouched
+    val rowsAfter = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rowsAfter == rowsBefore)
+    // idempotent: nothing left to compact
+    assert(LakeMaintenance.compact(spark, dir, Seq("source"), maxFilesPerPart = 4).isEmpty)
+  }
+
   test("decoders fail cleanly on corrupt input") {
     import graft.sources.{Blast, Dbc, Dbf}
     assertThrows[IllegalArgumentException](Dbc.toDbf(Array[Byte](1, 2, 3)))
