@@ -142,7 +142,10 @@ object Events {
         purchases, views, keys = Seq("user_id"),
         leftTs = "ts", rightTs = "ts", payload = Seq("view_id" -> "view_id"))
       .select($"user_id", $"event_id", $"ts".cast("long").as("purchase_s"),
-        $"purchase_value_c", $"view_id")
+        $"purchase_value_c",
+        // -1 encodes "no prior view": non-null BIGINT end to end (the
+        // operator's null semantics stay spec'd in AsOfJoinSpec)
+        coalesce($"view_id", lit(-1L)).as("view_id"))
   }
 
   val qEvAsofSql: String =
@@ -154,7 +157,7 @@ object Events {
       |  SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS purchase_value_c
       |  FROM events WHERE event_type = 'purchase')
       |SELECT p.user_id, p.event_id, epoch_us(p.ts) // 1000000 AS purchase_s,
-      |  p.purchase_value_c, v.view_id
+      |  p.purchase_value_c, coalesce(v.view_id, -1) AS view_id
       |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin
 
   /** Cohort retention: users bucketed by first-activity week (cohort),

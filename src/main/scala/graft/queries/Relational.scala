@@ -509,8 +509,10 @@ object Relational {
     val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     Tables.orders(s, dir)
       .select($"o_custkey", $"o_orderkey",
-        lag($"o_orderkey", 1).over(w).as("prev_order"),
-        lead($"o_orderkey", 1).over(w).as("next_order"),
+        // -1 encodes "no prior/next": keeps the column non-null BIGINT so
+        // neither engine's read path ever renders it as float (gate rule)
+        coalesce(lag($"o_orderkey", 1).over(w), lit(-1L)).as("prev_order"),
+        coalesce(lead($"o_orderkey", 1).over(w), lit(-1L)).as("next_order"),
         ntile(4).over(w).cast("long").as("quartile"),
         first($"o_orderkey").over(wf).as("first_order"),
         last($"o_orderkey").over(wf).as("last_order"),
@@ -519,8 +521,8 @@ object Relational {
 
   val qWindowFnsSql: String =
     """SELECT o_custkey, o_orderkey,
-      |  lag(o_orderkey, 1) OVER w AS prev_order,
-      |  lead(o_orderkey, 1) OVER w AS next_order,
+      |  coalesce(lag(o_orderkey, 1) OVER w, -1) AS prev_order,
+      |  coalesce(lead(o_orderkey, 1) OVER w, -1) AS next_order,
       |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
       |  first_value(o_orderkey) OVER wf AS first_order,
       |  last_value(o_orderkey) OVER wf AS last_order,
