@@ -583,7 +583,38 @@ object Similarity {
       |  CAST(sum(sq) AS BIGINT) AS sum_sq
       |FROM q GROUP BY label""".stripMargin
 
+  /** In-engine index-quality evaluation — recall@10 of the IVF index
+    * against exact brute force, per query: the measurement loop of ANN
+    * tuning (nprobe/centroid sweeps) expressed as a QUERY, so index
+    * quality is monitored by the same engine (and the same oracle gate)
+    * as the retrieval itself. Both inputs are already-gated operators;
+    * the oracle composes their SQL verbatim as sub-CTEs. Set arithmetic
+    * only — no float reaches the output. */
+  def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val brute = qAnnBrute(s, dir).select($"q_id", $"neighbor_id")
+    val ivf = qAnnIvf(s, dir).select($"q_id", $"neighbor_id")
+    brute.join(ivf, Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy($"q_id").agg(count(lit(1)).as("n_hit"))
+      .join(brute.groupBy($"q_id").agg(count(lit(1)).as("n_true")), Seq("q_id"), "right")
+      .select($"q_id", coalesce($"n_hit", lit(0L)).as("n_hit"), $"n_true")
+      .withColumn("recall_ppm", expr("(n_hit * 1000000L) DIV n_true"))
+  }
+
+  val qAnnRecallSql: String =
+    s"""WITH brute AS (SELECT * FROM ($qAnnBruteSql) b),
+       |ivf AS (SELECT * FROM ($qAnnIvfSql) i)
+       |SELECT brute.q_id,
+       |  CAST(sum(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  count(*) AS n_true,
+       |  (CAST(sum(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+       |    // count(*) AS recall_ppm
+       |FROM brute LEFT JOIN ivf
+       |  ON brute.q_id = ivf.q_id AND brute.neighbor_id = ivf.neighbor_id
+       |GROUP BY brute.q_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_recall"   -> (qAnnRecall _),
     "q_embed_stats"  -> (qEmbedStats _),
     "q_ann_brute"    -> (qAnnBrute _),
     "q_ann_ivf"      -> (qAnnIvf _),
@@ -592,6 +623,7 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_ann_recall"   -> qAnnRecallSql,
     "q_embed_stats"  -> qEmbedStatsSql,
     "q_ann_brute"    -> qAnnBruteSql,
     "q_ann_ivf"      -> qAnnIvfSql,
