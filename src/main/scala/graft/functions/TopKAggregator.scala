@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded top-k typed aggregator over (score, id) pairs — keeps the k
+  * best by (score desc, id asc) with O(k) state per group, so a
+  * streaming groupBy can rank candidates without a window (non-time
+  * windows are unsupported on streams) and without unbounded
+  * collect_list state. The buffer stays a sorted Vector: insert is
+  * O(k) — fine for retrieval-sized k. Input is (qId, score, id); the
+  * qId rides only because typed agg inputs see the full row. */
+class TopKAggregator(k: Int)
+    extends Aggregator[(Long, Double, Long), Vector[(Double, Long)], Seq[(Double, Long)]] {
+
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def insert(buf: Vector[(Double, Long)], x: (Double, Long)): Vector[(Double, Long)] = {
+    if (buf.length >= k && !better(x, buf.last)) buf
+    else {
+      val i = buf.indexWhere(e => better(x, e))
+      val grown = if (i < 0) buf :+ x else (buf.take(i) :+ x) ++ buf.drop(i)
+      if (grown.length > k) grown.take(k) else grown
+    }
+  }
+
+  override def zero: Vector[(Double, Long)] = Vector.empty
+  override def reduce(b: Vector[(Double, Long)], a: (Long, Double, Long)): Vector[(Double, Long)] =
+    insert(b, (a._2, a._3))
+  override def merge(b1: Vector[(Double, Long)], b2: Vector[(Double, Long)]): Vector[(Double, Long)] =
+    b2.foldLeft(b1)(insert)
+  override def finish(b: Vector[(Double, Long)]): Seq[(Double, Long)] = b
+  override def bufferEncoder: Encoder[Vector[(Double, Long)]] =
+    ExpressionEncoder[Vector[(Double, Long)]]()
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    ExpressionEncoder[Seq[(Double, Long)]]()
+}

@@ -32,7 +32,7 @@ object Similarity {
     * scales WITH the corpus — collected+broadcast in the brute path that
     * would be 10M driver-side vectors at a billion rows; with the bound,
     * driver memory is O(10 x dims) at any scale. */
-  private def isQuery(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def isQuery(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c % 100 === 0 && c < 1000
   private val isQuerySql = "vec_id % 100 = 0 AND vec_id < 1000"
 
@@ -66,7 +66,7 @@ object Similarity {
     * the scoring AND makes every later groupBy(vec_id) argmax shuffle-free
     * (the aggregation requirement is already satisfied). One narrow
     * row-width shuffle, paid once per query. */
-  private def vectors(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def vectors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, dir)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
@@ -105,20 +105,7 @@ object Similarity {
     import s.implicits._
     val v = vectors(s, dir)
     val cents = centroidSeeds(v, 25)
-
-    // Inverted lists: nearest centroid per vector (ties → lowest c_id).
-    // Hash-aggregate argmax (same winner as the row_number window; see
-    // assignInt): partial aggregation collapses the cross product map-side.
-    // Only (vec_id, score-struct) flows through the argmax; the raw vector
-    // rejoins by vec_id afterwards (both sides already hash-partitioned on
-    // vec_id — no extra exchange, and the agg buffer never carries vectors).
-    val lists = v.select($"vec_id", $"v").crossJoin(broadcast(cents))
-      .select($"vec_id", $"c_id", cosine($"v", $"cv").as("c_cos"))
-      .groupBy($"vec_id")
-      .agg(max(struct($"c_cos", (-$"c_id").as("neg_id"))).as("best"))
-      .select($"vec_id", (-$"best.neg_id").as("c_id"))
-      .join(v, Seq("vec_id"))
-      .select($"vec_id", $"v", $"c_id")
+    val lists = ivfLists(s, dir)
 
     // Queries probe their NProbe nearest centroids.
     val q = v.filter(isQuery($"vec_id")).select($"vec_id".as("q_id"), $"v".as("qv"))
@@ -138,6 +125,35 @@ object Similarity {
       .filter($"rank" <= TopK)
       .select($"q_id", $"neighbor_id",
         round($"cos_sim" * 1e9).cast("long").as("cos_ppb"), $"rank")
+  }
+
+  /** The IVF inverted lists — nearest centroid per vector (ties → lowest
+    * c_id). Hash-aggregate argmax (same winner as the row_number window;
+    * see assignInt): partial aggregation collapses the cross product
+    * map-side. Only (vec_id, score-struct) flows through the argmax; the
+    * raw vector rejoins by vec_id afterwards (co-partitioned — no extra
+    * exchange, and the agg buffer never carries vectors). Exposed for the
+    * streaming serving path (StreamingEtl.annServeStream), where this is
+    * the write-once static index side. */
+  private[graft] def ivfLists(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = vectors(s, dir)
+    val cents = centroidSeeds(v, 25)
+    v.select($"vec_id", $"v").crossJoin(broadcast(cents))
+      .select($"vec_id", $"c_id", cosine($"v", $"cv").as("c_cos"))
+      .groupBy($"vec_id")
+      .agg(max(struct($"c_cos", (-$"c_id").as("neg_id"))).as("best"))
+      .select($"vec_id", (-$"best.neg_id").as("c_id"))
+      .join(v, Seq("vec_id"))
+      .select($"vec_id", $"v", $"c_id")
+  }
+
+  /** The bounded centroid set as a driver-side array (≤40 entries at any
+    * corpus size by construction) — the literal the streaming serving
+    * path embeds per row. */
+  private[graft] def centroidArray(s: SparkSession, dir: String): Seq[(Long, Seq[Double])] = {
+    import s.implicits._
+    centroidSeeds(vectors(s, dir), 25).as[(Long, Seq[Double])].collect().toSeq
   }
 
   val qAnnIvfSql: String =

@@ -155,6 +155,54 @@ object StreamingEtl {
       .dropDuplicates("new_doc", "hist_doc")
   }
 
+  /** Streaming VECTOR-SEARCH serving — IVF retrieval for queries arriving
+    * on a stream, against the write-once static index (the serving shape
+    * of queries.Similarity.qAnnIvf):
+    *  1. probe: each arriving query picks its nprobe nearest centroids
+    *     with array HOFs over the BOUNDED centroid literal (≤40 entries
+    *     by construction — rides the plan, no join, no shuffle);
+    *  2. candidates: stream-static equi-join against the inverted lists
+    *     on the centroid id (bucketed by c_id at scale — co-partitioned);
+    *  3. rank: one streaming aggregation with the bounded TopKAggregator
+    *     (O(k) state per query; non-time windows don't exist on streams).
+    * Output matches the batch IVF operator row-for-row (StreamingSpec).
+    * Run in update/complete mode; each query's result finalizes once its
+    * candidates are through. */
+  def annServeStream(queries: DataFrame, cents: Seq[(Long, Seq[Double])],
+                     lists: DataFrame, k: Int = 10, nprobe: Int = 3): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.graft.NativeExprs
+    val centLit = typedLit(cents)
+    // per-row probe: sort the (neg-cos, c_id) structs; lexicographic struct
+    // order == (cos desc, c_id asc) — same tie-break as the batch window
+    val probed = queries
+      .withColumn("probe", transform(
+        slice(array_sort(transform(centLit, c =>
+          struct((-NativeExprs.arrayCosine(col("qv"), c.getField("_2"))).as("nc"),
+            c.getField("_1").as("cid")))), 1, nprobe),
+        p => p.getField("cid")))
+      .select(col("q_id"), col("qv"), explode(col("probe")).as("c_id"))
+    val scored = probed.join(lists, Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"),
+        NativeExprs.arrayCosine(col("qv"), col("v")).as("cos_sim"),
+        col("vec_id"))
+      .as[(Long, Double, Long)]
+    val topk = new graft.functions.TopKAggregator(k).toColumn
+    scored.groupByKey(_._1)
+      .agg(topk.name("top"))
+      .flatMap { case (qId, top) =>
+        top.iterator.zipWithIndex.map { case ((cos, id), i) =>
+          // HALF_UP to match the batch side's Spark round()
+          (qId, id,
+            BigDecimal(cos * 1e9).setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong,
+            (i + 1).toLong)
+        }
+      }
+      .toDF("q_id", "neighbor_id", "cos_ppb", "rank")
+  }
+
   /** Streaming repetition metrics (Gopher rules): the per-row HOF
     * formulation (TextAnalysis.repetitionColsPerRow) touches only the
     * row's own token array — a stateless map, so it runs unchanged in

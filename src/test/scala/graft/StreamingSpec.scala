@@ -129,6 +129,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming ANN serving over the static IVF index equals the batch operator") {
+    import graft.queries.Similarity
+    val dir = s"$tmp/ann_queries"
+    Similarity.vectors(spark, sf)
+      .filter(Similarity.isQuery(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .write.json(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("q_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("qv",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(dir)
+    StreamingEtl.runToMemory(
+      StreamingEtl.annServeStream(stream,
+        Similarity.centroidArray(spark, sf),
+        Similarity.ivfLists(spark, sf)),
+      "ann_serve", s"$tmp/cp_ann", outputMode = "update")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "neighbor_id", "cos_ppb", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // each query is ONE stream row, so its candidates complete within a
+    // single micro-batch and update mode emits its top-k exactly once —
+    // the raw emissions must equal the batch operator verbatim
+    val streamed = key(spark.table("ann_serve"))
+    val batch = key(SparkEntry.queries("q_ann_ivf")(spark, sf))
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming incremental dedup against the historical index equals the batch operator") {
     val dir = s"$tmp/docs_incr_input"
     Tables.documents(spark, sf).filter(col("doc_id") % 5 === 0)
