@@ -14,8 +14,13 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKAggregator(k: Int)
     extends Aggregator[(Long, Double, Long), Vector[(Double, Long)], Seq[(Double, Long)]] {
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // java Double.compare (not primitive >): NaN sorts as the LARGEST score,
+  // matching Spark SQL's ordering — so the aggregator ranks identically to
+  // the batch window even on degenerate (zero-vector) cosines
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   private def insert(buf: Vector[(Double, Long)], x: (Double, Long)): Vector[(Double, Long)] = {
     if (buf.length >= k && !better(x, buf.last)) buf

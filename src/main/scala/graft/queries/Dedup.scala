@@ -229,12 +229,20 @@ object Dedup {
     * verify keeps the output identical to the brute cross-pair oracle.
     * Asymmetric by construction: new-new pairs (deduped tomorrow when one
     * of them is historical) and old-old pairs are never generated. */
+  /** One definition of the incremental family's knobs — the arriving-slice
+    * predicate and band geometry are shared by the batch operator, the
+    * index builders, and the streaming twin, so they cannot drift. */
+  private[graft] val IncrBands = 32
+  private[graft] val IncrRowsPerBand = 4
+  private[graft] def isNewDoc(c: Column): Column = c % 5 === 0
+
   def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = docShingles(s, dir)
-    val isNew = $"doc_id" % 5 === 0
+    val isNew = isNewDoc($"doc_id")
     val sig = sh.select($"doc_id", minhashSig($"sh").as("sig"))
-    val bandDf = sig.select($"doc_id", explode(minhashBands($"sig", 32, 4)).as("b"))
+    val bandDf = sig.select($"doc_id",
+      explode(minhashBands($"sig", IncrBands, IncrRowsPerBand)).as("b"))
       .select($"doc_id", $"b.band".as("band"), $"b.bkey".as("bkey"))
     val cand = bandDf.filter(isNew).as("x")
       .join(bandDf.filter(!isNew).as("y"),
@@ -258,15 +266,15 @@ object Dedup {
     * from the same corpus slice the batch operator uses. */
   private[graft] def historicalBandIndex(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docShingles(s, dir).filter(!($"doc_id" % 5 === 0))
+    docShingles(s, dir).filter(!isNewDoc($"doc_id"))
       .select($"doc_id".as("hist_doc"),
-        explode(minhashBands(minhashSig($"sh"), 32, 4)).as("b"))
+        explode(minhashBands(minhashSig($"sh"), IncrBands, IncrRowsPerBand)).as("b"))
       .select($"hist_doc", $"b.band".as("band"), $"b.bkey".as("bkey"))
   }
 
   private[graft] def historicalShingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    docShingles(s, dir).filter(!($"doc_id" % 5 === 0))
+    docShingles(s, dir).filter(!isNewDoc($"doc_id"))
       .select($"doc_id".as("hist_doc"), $"sh".as("shb"))
   }
 

@@ -47,26 +47,36 @@ object LakeMaintenance {
     }.filter(_.nFiles > 0).sortBy(_.partition)
   }
 
-  /** Compact every partition whose file count exceeds `maxFilesPerPart`
-    * down to `targetFiles` files, leaving other partitions untouched
-    * (dynamic overwrite). Returns the partitions rewritten. Partition
-    * column values are parsed from the hive-style leaf paths, so the
-    * rewrite scan prunes to exactly the flagged partitions. */
+  /** Compact every hive-layout partition whose file count exceeds
+    * `maxFilesPerPart` down to ONE file each (repartitioning BY the
+    * partition columns routes each partition value to a single task —
+    * that is the only file count this shape can produce, so the API
+    * promises exactly that), leaving other partitions untouched (dynamic
+    * overwrite). Returns the partitions rewritten. Leaf path values are
+    * hive-unescaped before building predicates; the null partition
+    * (__HIVE_DEFAULT_PARTITION__) matches via isNull; non-hive leaf dirs
+    * (no '=' segment) are skipped, never crashed on. */
   def compact(spark: SparkSession, dir: String, partitionCols: Seq[String],
-              maxFilesPerPart: Int = 4, targetFiles: Int = 1): Seq[String] = {
-    val flagged = fileStats(spark, dir).filter(_.nFiles > maxFilesPerPart)
+              maxFilesPerPart: Int = 4): Seq[String] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val hiveLeaf = (p: PartitionFiles) =>
+      p.partition != "." && p.partition.split("/").forall(_.contains("="))
+    val flagged = fileStats(spark, dir)
+      .filter(p => p.nFiles > maxFilesPerPart && hiveLeaf(p))
     if (flagged.isEmpty) return Seq.empty
     // hive-style leaf "col1=v1/col2=v2" -> per-partition predicate
     val preds = flagged.map { pf =>
       pf.partition.split("/").toSeq.map { seg =>
         val Array(k, v) = seg.split("=", 2)
-        col(k) === lit(v)
+        val value = ExternalCatalogUtils.unescapePathName(v)
+        if (value == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) col(k).isNull
+        else col(k) === lit(value)
       }.reduce(_ && _)
     }
     val toRewrite = preds.reduce(_ || _)
     spark.read.parquet(dir)
       .filter(toRewrite) // partition pruning: only flagged partitions scan
-      .repartition(targetFiles * flagged.length, partitionCols.map(col): _*)
+      .repartition(flagged.length, partitionCols.map(col): _*)
       // materialize before writing: Spark refuses to overwrite a path its
       // plan is reading, and correctness requires the read to finish
       // first anyway. Memory bound = the flagged partitions only — at

@@ -141,10 +141,15 @@ object StreamingEtl {
       .select(col("doc_id"), shingleSet(col("text")).as("sha"))
       .filter(size(col("sha")) > 0)
     val banded = sh.select(col("doc_id").as("new_doc"), col("sha"),
-        explode(minhashBands(minhashSig(col("sha")), 32, 4)).as("b"))
+        explode(minhashBands(minhashSig(col("sha")),
+          graft.queries.Dedup.IncrBands, graft.queries.Dedup.IncrRowsPerBand)).as("b"))
       .select(col("new_doc"), col("sha"),
         col("b.band").as("band"), col("b.bkey").as("bkey"))
     banded.join(histBands, Seq("band", "bkey"))
+      // candidate dedup BEFORE the shingle-store join: a high-jaccard pair
+      // collides in many bands and must pay the exact verify once, not
+      // once per band (state keys are the same (new, hist) pairs either way)
+      .dropDuplicates("new_doc", "hist_doc")
       .join(histSh, Seq("hist_doc"))
       .withColumn("i", org.apache.spark.sql.graft.NativeExprs
         .arrayIntersectSize(col("sha"), col("shb")))
@@ -152,7 +157,6 @@ object StreamingEtl {
       .filter(col("i") * 5 >= col("u") * 3)
       .select(col("new_doc"), col("hist_doc"),
         expr("(i * 1000000L) DIV u").as("jaccard_ppm"))
-      .dropDuplicates("new_doc", "hist_doc")
   }
 
   /** Streaming VECTOR-SEARCH serving — IVF retrieval for queries arriving
@@ -174,13 +178,21 @@ object StreamingEtl {
     import spark.implicits._
     import org.apache.spark.sql.graft.NativeExprs
     val centLit = typedLit(cents)
-    // per-row probe: sort the (neg-cos, c_id) structs; lexicographic struct
-    // order == (cos desc, c_id asc) — same tie-break as the batch window
+    // per-row probe: explicit comparator for (cos desc, c_id asc) — the
+    // negate-and-sort trick would put a NaN cosine at the wrong end
+    // (Spark SQL orders NaN largest; -NaN is still NaN), diverging from
+    // the batch window's desc ordering on zero vectors
+    val cmp = (l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =>
+      when(l.getField("c") > r.getField("c"), lit(-1))
+        .when(l.getField("c") < r.getField("c"), lit(1))
+        .when(l.getField("cid") < r.getField("cid"), lit(-1))
+        .when(l.getField("cid") > r.getField("cid"), lit(1))
+        .otherwise(lit(0))
     val probed = queries
       .withColumn("probe", transform(
         slice(array_sort(transform(centLit, c =>
-          struct((-NativeExprs.arrayCosine(col("qv"), c.getField("_2"))).as("nc"),
-            c.getField("_1").as("cid")))), 1, nprobe),
+          struct(NativeExprs.arrayCosine(col("qv"), c.getField("_2")).as("c"),
+            c.getField("_1").as("cid"))), cmp), 1, nprobe),
         p => p.getField("cid")))
       .select(col("q_id"), col("qv"), explode(col("probe")).as("c_id"))
     val scored = probed.join(lists, Seq("c_id"))
