@@ -376,7 +376,64 @@ object TextAnalysis {
       |SELECT source, CAST(rk AS BIGINT) AS rk, tok, c
       |FROM rk WHERE rk <= 3""".stripMargin
 
+  /** Corpus DRIFT measurement — total-variation distance between each
+    * source's unigram distribution and the reference source (src0), in
+    * EXACT integer arithmetic: TV = Σ|p_s − p_0|/2 over the token union,
+    * computed as Σ|c_s·N_0 − c_0·N_s| over cross-multiplied raw counts
+    * (never a float probability), with the disjoint-token tail folded in
+    * as (N_0 − Σ matched c_0)·N_s — so the full-outer union never
+    * materializes, only a left join from each source's tokens. The
+    * domain-shift / dataset-drift statistic of corpus monitoring; TV = 0
+    * iff identical distributions, 1e6 ppm iff disjoint. One (source, tok)
+    * count shuffle + a broadcast reference join — linear. */
+  def qTextDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tc = Tables.documents(s, dir)
+      .select($"source", explode(tokens($"text")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+    val totals = tc.groupBy($"source").agg(sum($"c").as("n"))
+    val ref = tc.filter($"source" === "src0")
+      .select($"tok", $"c".as("c0"))
+    val n0 = totals.filter($"source" === "src0").select($"n".as("n0"))
+    tc.filter($"source" =!= "src0")
+      .join(broadcast(ref), Seq("tok"), "left")
+      .join(totals.filter($"source" =!= "src0"), Seq("source")) // N_s rides each row
+      .crossJoin(broadcast(n0))
+      .groupBy($"source")
+      .agg(first($"n").as("n_tokens"), first($"n0").as("n0"),
+           count(lit(1)).as("n_types"),
+           sum(coalesce($"c0", lit(0L))).as("matched0"),
+           sum(abs($"c" * $"n0" - coalesce($"c0", lit(0L)) * $"n")).as("sum_d"))
+      .select($"source", $"n_tokens", $"n_types",
+        expr("((sum_d + (n0 - matched0) * n_tokens) * 1000000L) DIV (2 * n0 * n_tokens)")
+          .as("tv_ppm"))
+  }
+
+  val qTextDriftSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |tc AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+      |totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM tc GROUP BY 1),
+      |ref AS (SELECT tok, c AS c0 FROM tc WHERE source = 'src0'),
+      |n0t AS (SELECT n AS n0 FROM totals WHERE source = 'src0'),
+      |j AS (
+      |  SELECT tc.source, tc.c, coalesce(ref.c0, 0) AS c0
+      |  FROM tc LEFT JOIN ref ON tc.tok = ref.tok
+      |  WHERE tc.source <> 'src0'),
+      |agg AS (
+      |  SELECT j.source,
+      |    CAST(sum(abs(j.c * n0 - j.c0 * t.n)) AS BIGINT) AS sum_d,
+      |    count(*) AS n_types,
+      |    CAST(sum(j.c0) AS BIGINT) AS matched0
+      |  FROM j JOIN totals t ON j.source = t.source CROSS JOIN n0t
+      |  GROUP BY j.source)
+      |SELECT a.source, t.n AS n_tokens, a.n_types,
+      |  ((a.sum_d + (n0 - a.matched0) * t.n) * 1000000) // (2 * n0 * t.n) AS tv_ppm
+      |FROM agg a JOIN totals t ON a.source = t.source CROSS JOIN n0t""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_drift"       -> (qTextDrift _),
     "q_text_hh"          -> (qTextHeavyHitters _),
     "q_text_vocab"       -> (qTextVocab _),
     "q_text_clean"       -> (qTextClean _),
@@ -390,6 +447,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_text_drift"       -> qTextDriftSql,
     "q_text_hh"          -> qTextHeavyHittersSql,
     "q_text_vocab"       -> qTextVocabSql,
     "q_text_clean"       -> qTextCleanSql,

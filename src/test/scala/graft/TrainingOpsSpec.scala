@@ -297,6 +297,19 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(rows.map(_._1).toSet == pairNodes)
   }
 
+  test("drift TV distance: bounded [0, 1e6], zero against an identical distribution") {
+    val rows = SparkEntry.queries("q_text_drift")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, tv) => tv >= 0L && tv <= 1000000L })
+    // sanity of the identity case via the same integer formula in-memory:
+    // a distribution compared to itself gives sum_d = 0 and matched0 = N0
+    val counts = Map("a" -> 3L, "b" -> 2L); val n0 = counts.values.sum
+    val sumD = counts.map { case (_, c) => math.abs(c * n0 - c * n0) }.sum
+    val tvSelf = (sumD + (n0 - counts.values.sum) * n0) * 1000000L / (2 * n0 * n0)
+    assert(tvSelf == 0L)
+  }
+
   test("curation pipeline funnel: monotone stage counts, bins match token volume") {
     val rows = SparkEntry.queries("q_pipeline_curate")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
