@@ -26,7 +26,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_dedup_pagerank",     // crossJoin(broadcast(1-row node-count agg))
     "q_dedup_keep_central", // inherits qDedupPagerank's node-count broadcast
     "q_dedup_pagerank_w",   // same 1-row node-count broadcast
-    "q_ann_recall")         // composes q_ann_brute + q_ann_ivf (their listed cross joins)
+    "q_ann_recall",         // composes q_ann_brute + q_ann_ivf (their listed cross joins)
+    "q_text_drift")         // crossJoin(broadcast(1-row reference-total agg))
 
   test("no gated query plans an unlisted cartesian / broadcast nested loop") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
