@@ -221,7 +221,104 @@ object Events {
       |       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
       |FROM hourly h JOIN m ON h.event_type = m.event_type""".stripMargin
 
+  /** Time-series gap fill: the zero-filled hourly series per event type —
+    * the densification step every downstream window/forecast op assumes
+    * (a missing hour must be an explicit 0, not an absent row). Plan
+    * shape: the raw events collapse to the hourly rollup FIRST (one
+    * shuffle), the dense axis derives from the per-type [min, max] hour
+    * bounds via `sequence` explode — its size is O(types × hours), a
+    * function of calendar time, NOT of event volume, so it is unchanged
+    * at 100× data. The bounded series side then left-joins the rollup. */
+  def qEvGapfill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourly = Tables.events(s, dir)
+      .select($"event_type", expr("CAST(ts AS LONG) DIV 3600 * 3600").as("hour_s"))
+      .groupBy($"event_type", $"hour_s")
+      .agg(count(lit(1)).as("n"))
+    val series = hourly.groupBy($"event_type")
+      .agg(min($"hour_s").as("h0"), max($"hour_s").as("h1"))
+      .select($"event_type", explode(sequence($"h0", $"h1", lit(3600L))).as("hour_s"))
+    series.join(hourly, Seq("event_type", "hour_s"), "left")
+      .select($"event_type", $"hour_s",
+        coalesce($"n", lit(0L)).as("n"),
+        $"n".isNull.cast("long").as("is_gap"))
+  }
+
+  val qEvGapfillSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, epoch_us(ts) // 1000000 // 3600 * 3600 AS hour_s, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(hour_s) AS h0, max(hour_s) AS h1 FROM hourly GROUP BY 1),
+      |series AS (
+      |  SELECT event_type, unnest(generate_series(h0, h1, 3600)) AS hour_s FROM b)
+      |SELECT s.event_type, s.hour_s,
+      |  CAST(coalesce(h.n, 0) AS BIGINT) AS n,
+      |  CAST(CASE WHEN h.n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+      |FROM series s LEFT JOIN hourly h
+      |  ON s.event_type = h.event_type AND s.hour_s = h.hour_s""".stripMargin
+
+  /** SCD type-2 interval construction — the warehouse "history table"
+    * build: each user's purchase stream defines a spend-tier dimension
+    * (cents DIV 2500), consecutive same-tier rows collapse into ONE
+    * validity interval (gaps-and-islands), and each interval carries
+    * [valid_from_s, valid_to_s) with -1 marking the open current row.
+    * Everything windows/aggregates on the user_id partition key, so the
+    * whole build is ONE shuffle: lag → change flag → running-sum island
+    * id → per-island rollup → lead for the closing timestamp. */
+  def qEvScd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"sec".asc, $"event_id".asc)
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byFrom = Window.partitionBy($"user_id").orderBy($"valid_from_s".asc)
+    Tables.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts".cast("long").as("sec"),
+        expr("CAST(round(value * 100) AS BIGINT) DIV 2500").as("tier"))
+      .withColumn("prev_tier", lag($"tier", 1).over(byUser))
+      .withColumn("is_change",
+        when($"prev_tier".isNull || $"tier" =!= $"prev_tier", 1L).otherwise(0L))
+      .withColumn("version", sum($"is_change").over(run))
+      .groupBy($"user_id", $"version")
+      .agg(min($"tier").as("tier"),
+           min($"sec").as("valid_from_s"),
+           count(lit(1)).as("n_events"))
+      .withColumn("valid_to_s",
+        coalesce(lead($"valid_from_s", 1).over(byFrom), lit(-1L)))
+      .withColumn("is_current",
+        ($"valid_to_s" === -1L).cast("long"))
+      .select($"user_id", $"version", $"tier",
+        $"valid_from_s", $"valid_to_s", $"n_events", $"is_current")
+  }
+
+  val qEvScd2Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec,
+      |    CAST(round(value * 100) AS BIGINT) // 2500 AS tier
+      |  FROM events WHERE event_type = 'purchase'),
+      |flagged AS (
+      |  SELECT *, CASE WHEN lag(tier) OVER w IS NULL
+      |    OR tier <> lag(tier) OVER w THEN 1 ELSE 0 END AS is_change
+      |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY sec ASC, event_id ASC)),
+      |runs AS (
+      |  SELECT *, CAST(sum(is_change) OVER (PARTITION BY user_id
+      |    ORDER BY sec ASC, event_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+      |  FROM flagged),
+      |islands AS (
+      |  SELECT user_id, version, min(tier) AS tier, min(sec) AS valid_from_s,
+      |    count(*) AS n_events
+      |  FROM runs GROUP BY 1, 2)
+      |SELECT user_id, version, tier, valid_from_s,
+      |  coalesce(lead(valid_from_s) OVER (PARTITION BY user_id
+      |    ORDER BY valid_from_s ASC), -1) AS valid_to_s,
+      |  n_events,
+      |  CAST(CASE WHEN lead(valid_from_s) OVER (PARTITION BY user_id
+      |    ORDER BY valid_from_s ASC) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |FROM islands""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ev_gapfill"   -> (qEvGapfill _),
+    "q_ev_scd2"      -> (qEvScd2 _),
     "q_ev_anomaly"   -> (qEvAnomaly _),
     "q_ev_retention" -> (qEvRetention _),
     "q_ev_hourly"  -> (qEvHourly _),
@@ -232,6 +329,8 @@ object Events {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_ev_gapfill"   -> qEvGapfillSql,
+    "q_ev_scd2"      -> qEvScd2Sql,
     "q_ev_anomaly"   -> qEvAnomalySql,
     "q_ev_retention" -> qEvRetentionSql,
     "q_ev_hourly"  -> qEvHourlySql,

@@ -411,6 +411,59 @@ object Relational {
       |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
       |GROUP BY o_orderstatus""".stripMargin
 
+  /** Correlated EXISTS / NOT EXISTS as *projection* predicates (inside
+    * CASE, not WHERE) — the subquery surface beyond the semi/anti joins:
+    * Catalyst decorrelates both into left-semi/left-anti joins under the
+    * aggregate, so each EXISTS costs one key-partitioned join, never a
+    * per-row re-scan. Textually identical SQL runs on both engines. */
+  def qExists(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT c_mktsegment, count(*) AS n_customers,
+        CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderpriority = '1-URGENT') THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+        CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive
+      FROM customer c GROUP BY c_mktsegment""")
+  }
+
+  val qExistsSql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers,
+      |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_orderpriority = '1-URGENT') THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+      |  CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive
+      |FROM customer c GROUP BY c_mktsegment""".stripMargin
+
+  /** Correlated LATERAL derived table with per-row ORDER BY + LIMIT — the
+    * "top-2 orders for each (filtered) customer" shape. Catalyst rewrites
+    * the correlated limit through a DomainJoin into a window-style
+    * per-key group limit (no per-customer re-execution), which is the
+    * same bounded-heap plan the engine uses for q_sample_topn. Both
+    * engines run textually identical SQL. */
+  def qLateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT c.c_custkey, t.o_orderkey, t.price_c, t.rk
+      FROM customer c,
+      LATERAL (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+                 row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+               FROM orders o WHERE o.o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      WHERE c.c_acctbal > 9000""")
+  }
+
+  val qLateralSql: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.price_c, t.rk
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+      |           row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |         FROM orders o WHERE o.o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |WHERE c.c_acctbal > 9000""".stripMargin
+
   /** Explode/lateral: token frequency top-20 over documents (array ops +
     * generate + top-k — the §2.2 table-valued surface as a query). */
   def qExplode(s: SparkSession, dir: String): DataFrame = {
@@ -639,7 +692,61 @@ object Relational {
     }.mkString("\nUNION ALL\n")
   }
 
+  /** Categorical column profiling — the companion to [[qProfileNumeric]]
+    * for string columns: per column, row/null/distinct counts and the
+    * most frequent value (the "mode", tie → lexicographically smallest).
+    * Two key-partitioned aggregations: (column, value) counts, then a
+    * per-column rollup whose mode is a hash-aggregate argmax over
+    * (count, reversed-tie value) — no window, no sort, no driver state.
+    * Profiling lang/source of documents + event_type of events exercises
+    * multi-table stacking in one gated result. */
+  def qProfileCats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val ev = Tables.events(s, dir)
+    val long = docs.select(lit("documents.lang").as("col_name"), $"lang".as("val"))
+      .unionByName(docs.select(lit("documents.source").as("col_name"), $"source".as("val")))
+      .unionByName(ev.select(lit("events.event_type").as("col_name"), $"event_type".as("val")))
+    val vc = long.groupBy($"col_name", $"val")
+      .agg(count(lit(1)).as("n"), sum($"val".isNull.cast("long")).as("n_null_part"))
+    vc.groupBy($"col_name")
+      .agg(sum($"n").as("n_rows"),
+           sum($"n_null_part").as("n_nulls"),
+           sum($"val".isNotNull.cast("long")).as("n_distinct"),
+           // argmax by (count, then SMALLEST value): max of (n, negated
+           // lexicographic order) isn't expressible for strings, so use
+           // min over (-n, val) — highest count, then smallest value
+           min(when($"val".isNotNull, struct((-$"n").as("neg_n"), $"val"))).as("top"))
+      .select($"col_name", $"n_rows", $"n_nulls", $"n_distinct",
+        $"top.val".as("top_val"), (-$"top.neg_n").as("top_n"))
+  }
+
+  val qProfileCatsSql: String =
+    """WITH long AS (
+      |  SELECT 'documents.lang' AS col_name, lang AS val FROM documents
+      |  UNION ALL
+      |  SELECT 'documents.source', source FROM documents
+      |  UNION ALL
+      |  SELECT 'events.event_type', event_type FROM events),
+      |vc AS (
+      |  SELECT col_name, val, count(*) AS n,
+      |    CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_part
+      |  FROM long GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT col_name, val, n,
+      |    row_number() OVER (PARTITION BY col_name ORDER BY n DESC, val ASC) AS rk
+      |  FROM vc WHERE val IS NOT NULL)
+      |SELECT v.col_name,
+      |  CAST(sum(v.n) AS BIGINT) AS n_rows,
+      |  CAST(sum(v.n_null_part) AS BIGINT) AS n_nulls,
+      |  CAST(sum(CASE WHEN v.val IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct,
+      |  min(r.val) AS top_val,
+      |  CAST(min(r.n) AS BIGINT) AS top_n
+      |FROM vc v JOIN ranked r ON v.col_name = r.col_name AND r.rk = 1
+      |GROUP BY v.col_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile_cats"    -> (qProfileCats _),
     "q_profile_numeric" -> (qProfileNumeric _),
     "q_stats"          -> (qStats _),
     "q_sql_api"        -> (qSqlApi _),
@@ -666,6 +773,8 @@ object Relational {
     "q_percentile"     -> (qPercentile _),
     "q_string_funcs"   -> (qStringFuncs _),
     "q_in_subquery"    -> (qInSubquery _),
+    "q_exists"         -> (qExists _),
+    "q_lateral"        -> (qLateral _),
     "q_scalar_subquery"-> (qScalarSubquery _),
   )
 
@@ -679,6 +788,7 @@ object Relational {
     "q_explode"         -> qExplodeSql,
     "q_unpivot"         -> qUnpivotSql,
     "q1_agg"            -> q1AggSql,
+    "q_profile_cats"    -> qProfileCatsSql,
     "q_profile_numeric" -> qProfileNumericSql,
     "q6_filter_sum"     -> q6FilterSumSql,
     "q3_join_topk"      -> q3JoinSql,
@@ -696,6 +806,8 @@ object Relational {
     "q_percentile"      -> qPercentileSql,
     "q_string_funcs"    -> qStringFuncsSql,
     "q_in_subquery"     -> qInSubquerySql,
+    "q_exists"          -> qExistsSql,
+    "q_lateral"         -> qLateralSql,
     "q_scalar_subquery" -> qScalarSubquerySql,
   )
 }

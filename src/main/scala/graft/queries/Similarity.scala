@@ -629,7 +629,41 @@ object Similarity {
        |  ON brute.q_id = ivf.q_id AND brute.neighbor_id = ivf.neighbor_id
        |GROUP BY brute.q_id""".stripMargin
 
+  /** Range (radius) similarity search — the OTHER retrieval primitive
+    * next to top-k: ALL neighbors with cosine >= 0.1 for each query.
+    * Plan shape: the bounded query set broadcasts, every partition scores
+    * and filters its own vectors map-side, and NOTHING shuffles — the
+    * output is exactly the matches (no window, no heap, no exchange;
+    * PlanHygieneSpec asserts the zero-shuffle plan). The threshold is
+    * applied to the ROUNDED ppb integer on both engines, so the boundary
+    * row can never disagree cross-engine. */
+  def qAnnRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // deliberately NOT vectors(s, dir): that helper pre-repartitions for
+    // later groupBy(vec_id) stages, but range search has no aggregation —
+    // scan parallelism comes from file splits (plentiful at any real
+    // corpus size), and the plan stays shuffle-free end to end
+    val v = Tables.embeddings(s, dir)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val q = v.filter(isQuery($"vec_id")).select($"vec_id".as("q_id"), $"v".as("qv"))
+    v.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id".as("neighbor_id"),
+        round(cosine($"qv", $"v") * 1e9).cast("long").as("cos_ppb"))
+      .filter($"cos_ppb" >= RangeThreshPpb)
+  }
+
+  private val RangeThreshPpb = 100000000L // cosine >= 0.1 in ppb fixed-point
+
+  val qAnnRangeSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE $isQuerySql)
+       |SELECT q_id, vec_id AS neighbor_id,
+       |  CAST(round(list_cosine_similarity(qv, v) * 1e9) AS BIGINT) AS cos_ppb
+       |FROM q JOIN v ON vec_id <> q_id
+       |WHERE CAST(round(list_cosine_similarity(qv, v) * 1e9) AS BIGINT) >= $RangeThreshPpb""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_range"    -> (qAnnRange _),
     "q_ann_recall"   -> (qAnnRecall _),
     "q_embed_stats"  -> (qEmbedStats _),
     "q_ann_brute"    -> (qAnnBrute _),
@@ -639,6 +673,7 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_ann_range"    -> qAnnRangeSql,
     "q_ann_recall"   -> qAnnRecallSql,
     "q_embed_stats"  -> qEmbedStatsSql,
     "q_ann_brute"    -> qAnnBruteSql,

@@ -204,6 +204,37 @@ object TextAnalysis {
       |FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
       |GROUP BY 1, 2 ORDER BY n_docs DESC, tok_a ASC, tok_b ASC LIMIT 20""".stripMargin
 
+  /** Triangle structure among the strongest co-occurrence pairs — the
+    * graph-analytics view of the [[TokenPairs]] top-20 edge set: a token's
+    * triangle participation counts how many cohesive token cliques it
+    * anchors (the local-cohesion signal behind clustering coefficients).
+    * Reuses the memoized support-pruned pair pipeline as the edge list and
+    * [[graft.operators.Triangles]] as the counting operator — the
+    * degree-oriented O(E^1.5) plan, exact per-node counts (randomized
+    * brute-force spec in ScaleOpsSpec). */
+  def qTextTri(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Triangles.perNode(
+        TokenPairs.top20(s, dir).select($"tok_a", $"tok_b"))
+      .select($"id".as("tok"), $"n_triangles")
+  }
+
+  val qTextTriSql: String =
+    """WITH dt AS (
+      |  SELECT DISTINCT doc_id, unnest(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.tok AS ta, b.tok AS tb, count(*) AS n_docs
+      |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      |  GROUP BY 1, 2 ORDER BY n_docs DESC, ta ASC, tb ASC LIMIT 20),
+      |tr AS (
+      |  SELECT p1.ta AS a, p1.tb AS b, p2.tb AS c
+      |  FROM p p1 JOIN p p2 ON p2.ta = p1.tb
+      |  JOIN p p3 ON p3.ta = p1.ta AND p3.tb = p2.tb)
+      |SELECT tok, count(*) AS n_triangles FROM (
+      |  SELECT a AS tok FROM tr UNION ALL SELECT b FROM tr UNION ALL SELECT c FROM tr)
+      |GROUP BY tok""".stripMargin
+
   /** Within-document repetition metrics (the Gopher/MassiveText-style
     * repetition quality rules — public Rae et al. 2021 filter family):
     * most-frequent-token count, most-frequent-bigram count, and the
@@ -444,6 +475,7 @@ object TextAnalysis {
     "q_text_langid"      -> (qTextLangid _),
     "q_text_tokens"      -> (qTextTokens _),
     "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_text_tri"         -> (qTextTri _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -458,5 +490,6 @@ object TextAnalysis {
     "q_text_langid"      -> qTextLangidSql,
     "q_text_tokens"      -> qTextTokensSql,
     "q_text_fingerprint" -> qTextFingerprintSql,
+    "q_text_tri"         -> qTextTriSql,
   )
 }

@@ -440,15 +440,27 @@ object TrainingData {
     * per-doc total is an exact integer on both engines (float sums are
     * order-dependent; integer sums are not). Two shuffles (bigram count,
     * doc re-aggregation) — both key-partitioned, linear at scale. */
+  /** (doc_id, bg) — one row per bigram OCCURRENCE (duplicates kept) of any
+    * (doc_id, text, …) relation; stateless per-row explode, so it runs
+    * unchanged on a stream (StreamingEtl.lmScoreStream). */
+  private[graft] def bigramsOf(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(
+        zip_with(slice(col("t"), lit(1), size(col("t")) - 1),
+                 slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bg"))
+  }
+
+  /** (doc_id, bg) — shared by the LM trainer ([[qBigramLm]]) and the
+    * LM-coverage scorer ([[qLmScore]]). */
+  private def docBigrams(s: SparkSession, dir: String): DataFrame =
+    bigramsOf(Tables.documents(s, dir))
+
   def qBigramLm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = tokens($"text")
-    val docBigrams = Tables.documents(s, dir)
-      .select($"doc_id", toks.as("t"))
-      .filter(size($"t") >= 2)
-      .select($"doc_id", explode(
-        zip_with(slice($"t", lit(1), size($"t") - 1), slice($"t", lit(2), size($"t") - 1),
-          (a, b) => concat_ws(" ", a, b))).as("bg"))
+    val docBigrams = this.docBigrams(s, dir)
     val bgCount = docBigrams.groupBy($"bg").agg(count(lit(1)).as("c12"))
     val w1Count = docBigrams
       .select($"doc_id", split($"bg", " ").getItem(0).as("w1"))
@@ -485,7 +497,90 @@ object TrainingData {
       |  CAST(sum(nll_u) AS BIGINT) // count(*) AS mean_nll_u
       |FROM scored GROUP BY doc_id""".stripMargin
 
+  /** LM-coverage quality score — the "model-based filtering" step of a
+    * curation pipeline with the corpus's own top-500 bigram table as the
+    * (deterministic) language model: a doc whose bigrams rarely appear in
+    * the model's head is flagged low-coverage (boilerplate, non-language,
+    * OCR noise). The model is a FIXED-size artifact (top-500 by count,
+    * tie-broken by bigram text) so it broadcasts at any corpus size; the
+    * scoring join is then map-side against the broadcast set — the per-doc
+    * aggregation is the only shuffle. Coverage is exact integer ppm. */
+  def qLmScore(s: SparkSession, dir: String): DataFrame = {
+    val bg = docBigrams(s, dir)
+    lmScoreAgainstIndex(bg, lmTop500(bg))
+  }
+
+  /** The fixed-size LM artifact: top-500 bigrams by count (ties →
+    * bigram text) with a constant in_lm marker — broadcastable at any
+    * corpus size. */
+  private[graft] def lmTop500(bg: DataFrame): DataFrame =
+    bg.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+      .orderBy(col("c12").desc, col("bg").asc).limit(500)
+      .select(col("bg"), lit(1L).as("in_lm"))
+
+  /** Score (doc_id, bg) rows against a broadcast LM index — shared
+    * verbatim by the batch operator and StreamingEtl.lmScoreStream, so
+    * the stream == batch equality is structural. */
+  private[graft] def lmScoreAgainstIndex(bg: DataFrame, top: DataFrame): DataFrame =
+    bg.join(broadcast(top), Seq("bg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum(coalesce(col("in_lm"), lit(0L))).as("n_hits"))
+      .withColumn("lm_cov_ppm", expr("(n_hits * 1000000L) DIV n_bigrams"))
+
+  val qLmScoreSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bg
+      |  FROM t WHERE len(toks) >= 2),
+      |top AS (
+      |  SELECT bg, 1 AS in_lm FROM (
+      |    SELECT bg, count(*) AS c12 FROM bg GROUP BY bg
+      |    ORDER BY c12 DESC, bg ASC LIMIT 500))
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(coalesce(in_lm, 0)) AS BIGINT) AS n_hits,
+      |  (CAST(sum(coalesce(in_lm, 0)) AS BIGINT) * 1000000) // count(*) AS lm_cov_ppm
+      |FROM bg LEFT JOIN top USING (bg)
+      |GROUP BY doc_id""".stripMargin
+
+  /** Weighted deterministic sampling — keep probability proportional to a
+    * per-doc weight (here: document length, capped), decided by the shared
+    * content-stable 60-bit hash against a basis-point threshold. The
+    * quality/length-weighted variant of [[qSampleStratified]]: no RNG, no
+    * per-partition state, identical membership on any cluster size or
+    * engine. Weights are exact integers (bp = min(9500, n_chars/2)). */
+  def qSampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"n_chars",
+        least(lit(9500L), expr("n_chars DIV 2")).as("w_bp"),
+        graft.functions.Hashing.bucket("doc_id", 10000).as("bucket"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_total"),
+           sum(when($"bucket" < $"w_bp", 1L).otherwise(0L)).as("n_kept"),
+           // .otherwise(0): a source whose every doc misses the threshold
+           // yields 0, not NULL (NULL would render float64 at the gate)
+           sum(when($"bucket" < $"w_bp", $"doc_id").otherwise(0L)).as("kept_id_sum"),
+           sum($"w_bp").as("sum_w_bp"))
+  }
+
+  val qSampleWeightedSql: String =
+    s"""WITH hashed AS (
+       |  SELECT doc_id, source, n_chars,
+       |    least(9500, n_chars // 2) AS w_bp,
+       |    ${h60Duck("doc_id")} % 10000 AS bucket
+       |  FROM documents)
+       |SELECT source, count(*) AS n_total,
+       |  CAST(sum(CASE WHEN bucket < w_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN bucket < w_bp THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum,
+       |  CAST(sum(w_bp) AS BIGINT) AS sum_w_bp
+       |FROM hashed GROUP BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lm_score"          -> (qLmScore _),
+    "q_sample_weighted"   -> (qSampleWeighted _),
     "q_bigram_lm"         -> (qBigramLm _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_sample_topn"       -> (qSampleTopn _),
@@ -499,6 +594,8 @@ object TrainingData {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_lm_score"          -> qLmScoreSql,
+    "q_sample_weighted"   -> qSampleWeightedSql,
     "q_bigram_lm"         -> qBigramLmSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_sample_topn"       -> qSampleTopnSql,

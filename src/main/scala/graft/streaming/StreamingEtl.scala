@@ -91,6 +91,18 @@ object StreamingEtl {
     graft.queries.Dedup.verbatimAgainstIndex(inv, dfIndex)
   }
 
+  /** Streaming LM-COVERAGE scoring — the online form of
+    * queries.TrainingData.qLmScore at serving time: each arriving document
+    * explodes into (doc_id, bigram) rows statelessly
+    * (TrainingData.bigramsOf runs unchanged on a stream), joins
+    * stream-static against the batch-trained broadcastable top-500 bigram
+    * LM, and rolls up coverage per doc — one streaming aggregation. The
+    * batch and stream sides share lmScoreAgainstIndex verbatim, so
+    * StreamingSpec's stream == batch equality is structural. */
+  def lmScoreStream(docs: DataFrame, lmIndex: DataFrame): DataFrame =
+    graft.queries.TrainingData.lmScoreAgainstIndex(
+      graft.queries.TrainingData.bigramsOf(docs), lmIndex)
+
   /** Streaming DECONTAMINATION at ingest — the online form of
     * queries.Dedup.qDecontaminateBloom: train documents arriving on the
     * stream explode into shingles, probe the fixed-size eval bloom sketch

@@ -27,6 +27,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_dedup_keep_central", // inherits qDedupPagerank's node-count broadcast
     "q_dedup_pagerank_w",   // same 1-row node-count broadcast
     "q_ann_recall",         // composes q_ann_brute + q_ann_ivf (their listed cross joins)
+    "q_ann_range",          // broadcast(≤10-row query set) nested loop — bounded by isQuery
     "q_text_drift")         // crossJoin(broadcast(1-row reference-total agg))
 
   test("no gated query plans an unlisted cartesian / broadcast nested loop") {
@@ -79,6 +80,16 @@ class PlanHygieneSpec extends AnyFunSuite {
     val t2 = queries.Similarity.kmeansCentroids(corpus(4000), iters = 1).count()
     assert(t1 <= 40 && t2 <= 40 && t1 == t2,
       s"trained centroid count scales with the corpus ($t1 -> $t2)")
+  }
+
+  test("range search plans zero shuffle exchanges (map-side score + filter)") {
+    // q_ann_range = broadcast(bounded query set) + per-partition score and
+    // filter: matches stream straight out of the scan — any shuffle here
+    // is a regression (the whole point of the operator's plan shape)
+    val plan = SparkEntry.queries("q_ann_range")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q_ann_range plans a shuffle:\n$plan")
   }
 
   test("documents-table queries prune to the columns they actually use") {

@@ -230,6 +230,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(LakeMaintenance.compact(spark, dir, Seq("source"), maxFilesPerPart = 4).isEmpty)
   }
 
+  test("degree-oriented triangle counting equals brute force on random graphs") {
+    import spark.implicits._
+    // fixed seeds: deterministic spec, three densities incl. a hub-heavy
+    // graph (node 0 connects to everything — the case degree orientation
+    // exists for) and duplicate/reversed/self-loop edges to exercise
+    // canonicalization
+    for ((seed, n, m) <- Seq((42L, 12, 20), (7L, 20, 60), (13L, 15, 40))) {
+      val rnd = new scala.util.Random(seed)
+      val raw = Seq.tabulate(m)(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) ++
+        Seq.tabulate(n - 1)(i => (0L, (i + 1).toLong)) ++ // hub
+        Seq((1L, 1L), (2L, 1L), (1L, 2L))                 // self-loop + reversed dup
+      val got = graft.operators.Triangles.perNode(raw.toDF("u", "v"))
+        .as[(Long, Long)].collect().toMap
+      val want = graft.operators.Triangles.bruteCounts(raw)
+      assert(got == want, s"seed=$seed: $got != $want")
+      assert(want.nonEmpty, s"seed=$seed produced a triangle-free graph (weak spec)")
+    }
+  }
+
   test("decoders fail cleanly on corrupt input") {
     import graft.sources.{Blast, Dbc, Dbf}
     assertThrows[IllegalArgumentException](Dbc.toDbf(Array[Byte](1, 2, 3)))

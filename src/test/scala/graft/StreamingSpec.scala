@@ -85,6 +85,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("LM-coverage scoring on a document stream equals the batch operator (stream == batch)") {
+    val lm = graft.queries.TrainingData.lmTop500(
+      graft.queries.TrainingData.bigramsOf(Tables.documents(spark, sf)))
+    StreamingEtl.runToMemory(
+      StreamingEtl.lmScoreStream(docsStream(), lm),
+      "lmscore", s"$tmp/cp_lmscore") // streaming agg: complete mode
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_bigrams", "n_hits", "lm_cov_ppm").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = key(spark.table("lmscore"))
+    val batch = key(SparkEntry.queries("q_lm_score")(spark, sf))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming decontamination equals the batch operator (bloom + verify, stream == batch)") {
     import graft.functions.TextFunctions.shingleSet
     import org.apache.spark.sql.graft.NativeExprs
