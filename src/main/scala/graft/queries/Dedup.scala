@@ -893,7 +893,81 @@ object Dedup {
         |  SELECT u AS doc_id, min(v) AS cluster FROM reach GROUP BY u)
         |WHERE doc_id != cluster""".stripMargin)
 
+  /** MinHash ESTIMATOR QUALITY, measured in-engine and hash-gated: for
+    * every exact near-dup pair, the jaccard estimate implied by signature
+    * agreement (matches/128) next to the true value — the sketch-accuracy
+    * report that justifies the LSH candidate thresholds at 100 TB (the
+    * production minhash path, [[qDedupMinhash]], verifies exactly, so
+    * estimator error can be MONITORED without ever affecting results).
+    *
+    * Uses a PORTABLE signature — permutations (a·h+b) mod p over the
+    * shared md5-based 60-bit shingle hash reduced mod p — so the DuckDB
+    * oracle reproduces every signature bit-for-bit (the production
+    * signature uses Spark-internal xxhash64; same constants, different
+    * base hash). All arithmetic stays in BIGINT: h,a < p ≈ 2^31 keeps
+    * a·h < 2^62. Scale shape: signatures are computed ONLY for members
+    * of the (already bounded) pair graph — a semi-join prunes the corpus
+    * first, then one HOF pass per doc builds all 128 minima map-side;
+    * the pair join is against the memoized pair set. */
+  def qMinhashEst(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val P = graft.functions.TextFunctions.MinhashP
+    val perms = graft.functions.TextFunctions.minhashPerms(128)
+    val pairs = jaccardPairsCached(s, dir)
+    val members = pairs.select($"doc_a".as("doc_id"))
+      .union(pairs.select($"doc_b".as("doc_id"))).distinct()
+    val sigs = docShingles(s, dir)
+      .join(members, Seq("doc_id"), "left_semi")
+      .withColumn("hs", transform($"sh", x => graft.functions.TextFunctions.hash60(x) % P))
+      .select($"doc_id", array(perms.map { case (a, b) =>
+        array_min(transform($"hs", h => (h * a + b) % P))
+      }: _*).as("sig"))
+    pairs
+      .join(sigs.select($"doc_id".as("doc_a"), $"sig".as("sa")), Seq("doc_a"))
+      .join(sigs.select($"doc_id".as("doc_b"), $"sig".as("sb")), Seq("doc_b"))
+      .withColumn("n_match",
+        size(filter(zip_with($"sa", $"sb", (x, y) => x === y), b => b)).cast("long"))
+      .select($"doc_a", $"doc_b", $"jaccard_ppm",
+        expr("(n_match * 1000000L) DIV 128").as("est_ppm"),
+        abs($"jaccard_ppm" - expr("(n_match * 1000000L) DIV 128")).as("abs_err_ppm"))
+  }
+
+  val qMinhashEstSql: String = {
+    val perms = graft.functions.TextFunctions.minhashPerms(128)
+    val permValues = perms.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    shinglesCte + s""",
+       | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       | inter AS (
+       |   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |   GROUP BY 1, 2),
+       | pairs2 AS (
+       |   SELECT doc_a, doc_b, (i * 1000000) // (x.n + y.n - i) AS jaccard_ppm
+       |   FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+       |   WHERE i * 5 >= (x.n + y.n - i) * 3),
+       | perms(pid, a, b) AS (VALUES $permValues),
+       | hs AS (
+       |   SELECT doc_id, ('0x' || substr(md5(s), 18, 15))::BIGINT % 2147483647 AS h
+       |   FROM sh
+       |   WHERE doc_id IN (SELECT doc_a FROM pairs2 UNION SELECT doc_b FROM pairs2)),
+       | sig AS (
+       |   SELECT doc_id, pid, min((a * h + b) % 2147483647) AS mh
+       |   FROM hs CROSS JOIN perms GROUP BY 1, 2),
+       | est AS (
+       |   SELECT p.doc_a, p.doc_b, p.jaccard_ppm,
+       |     CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT) AS m
+       |   FROM pairs2 p
+       |   JOIN sig x ON x.doc_id = p.doc_a
+       |   JOIN sig y ON y.doc_id = p.doc_b AND y.pid = x.pid
+       |   GROUP BY 1, 2, 3)
+       |SELECT doc_a, doc_b, jaccard_ppm, (m * 1000000) // 128 AS est_ppm,
+       |  abs(jaccard_ppm - (m * 1000000) // 128) AS abs_err_ppm
+       |FROM est""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_minhash_est"   -> (qMinhashEst _),
     "q_dedup_keep"    -> (qDedupKeep _),
     "q_dedup_verbatim" -> (qDedupVerbatim _),
     "q_decontaminate" -> (qDecontaminate _),
@@ -915,6 +989,7 @@ object Dedup {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_minhash_est"   -> qMinhashEstSql,
     "q_dedup_keep"    -> qDedupKeepSql,
     "q_dedup_verbatim" -> qDedupVerbatimSql,
     "q_decontaminate" -> qDecontaminateSql,

@@ -316,7 +316,76 @@ object Events {
       |    ORDER BY valid_from_s ASC) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
       |FROM islands""".stripMargin
 
+  /** Time-weighted average — the correct mean for irregularly-sampled
+    * series (a value holds until the next observation; a plain avg
+    * over-weights bursts): per user, Σ value·Δt over the observed span,
+    * all in exact integers (cents × seconds; values are non-negative so
+    * Spark's truncating DIV == DuckDB's floor //). ONE shuffle on the
+    * user key (window and aggregation share the partitioning); users with
+    * a degenerate zero-length span drop out on both engines. */
+  def qEvTwa(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"sec".asc, $"event_id".asc)
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"ts".cast("long").as("sec"),
+        cents($"value").as("vc"))
+      .withColumn("next_s", lead($"sec", 1).over(byUser))
+      .filter($"next_s".isNotNull)
+      .withColumn("dt", $"next_s" - $"sec")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+           sum($"dt").as("span_s"),
+           sum($"vc" * $"dt").as("vt_cs"))
+      .filter($"span_s" > 0)
+      .withColumn("twa_c", expr("vt_cs DIV span_s"))
+  }
+
+  val qEvTwaSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec,
+      |    CAST(round(value * 100) AS BIGINT) AS vc,
+      |    lead(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC, event_id ASC) AS next_s
+      |  FROM events),
+      |iv AS (SELECT user_id, vc, next_s - sec AS dt FROM o WHERE next_s IS NOT NULL)
+      |SELECT user_id, count(*) AS n_intervals,
+      |  CAST(sum(dt) AS BIGINT) AS span_s,
+      |  CAST(sum(vc * dt) AS BIGINT) AS vt_cs,
+      |  CAST(sum(vc * dt) AS BIGINT) // CAST(sum(dt) AS BIGINT) AS twa_c
+      |FROM iv GROUP BY user_id
+      |HAVING sum(dt) > 0""".stripMargin
+
+  /** SLIDING (hopping) windows — 2-hour windows every 1 hour, the
+    * overlapping-window shape Structured Streaming emits for
+    * window(ts, "2 hours", "1 hour"): each event lands in exactly two
+    * windows. The oracle reproduces Spark's epoch-aligned window
+    * assignment arithmetically (starts h·3600 and (h−1)·3600). Map-side
+    * 2× row expansion then one keyed aggregation — linear, and the
+    * expansion factor is windows/slide, a constant. */
+  def qEvSliding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "2 hours", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum(cents($"value")).as("total_value_c"))
+      .select($"window.start".cast("long").as("win_start_s"),
+        $"event_type", $"n", $"total_value_c")
+  }
+
+  val qEvSlidingSql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc,
+      |    epoch_us(ts) // 1000000 // 3600 AS h
+      |  FROM events),
+      |expanded AS (
+      |  SELECT event_type, vc, unnest([h * 3600, (h - 1) * 3600]) AS win_start_s
+      |  FROM e)
+      |SELECT win_start_s, event_type, count(*) AS n,
+      |  CAST(sum(vc) AS BIGINT) AS total_value_c
+      |FROM expanded GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ev_sliding"   -> (qEvSliding _),
+    "q_ev_twa"       -> (qEvTwa _),
     "q_ev_gapfill"   -> (qEvGapfill _),
     "q_ev_scd2"      -> (qEvScd2 _),
     "q_ev_anomaly"   -> (qEvAnomaly _),
@@ -329,6 +398,8 @@ object Events {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_ev_sliding"   -> qEvSlidingSql,
+    "q_ev_twa"       -> qEvTwaSql,
     "q_ev_gapfill"   -> qEvGapfillSql,
     "q_ev_scd2"      -> qEvScd2Sql,
     "q_ev_anomaly"   -> qEvAnomalySql,

@@ -18,6 +18,20 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("minhash estimator tracks exact jaccard within the 128-perm error bound") {
+    // sigma = sqrt(j(1-j)/128) <= 0.0442; pairs are all j >= 0.6, so a
+    // 200000 ppm (4.5+ sigma) per-pair bound and a 50000 ppm mean bound
+    // hold with huge margin unless the estimator is actually broken
+    val rows = SparkEntry.queries("q_minhash_est")(spark, sf)
+      .select("jaccard_ppm", "est_ppm", "abs_err_ppm").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) == math.abs(r.getLong(0) - r.getLong(1)))
+      assert(r.getLong(2) <= 200000L, s"estimator off by ${r.getLong(2)} ppm")
+    }
+    assert(rows.map(_.getLong(2)).sum / rows.length <= 50000L)
+  }
+
   test("native shingleSet equals the HOF array_distinct(shingles3(tokens)) spec") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).limit(200)
