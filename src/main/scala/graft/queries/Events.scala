@@ -383,7 +383,39 @@ object Events {
       |  CAST(sum(vc) AS BIGINT) AS total_value_c
       |FROM expanded GROUP BY 1, 2""".stripMargin
 
+  /** Dynamic-schema JSON payloads as a MAP — the §2.6 surface beyond
+    * fixed-path extraction (q_ev_json): from_json to map<string,string>,
+    * entry explode, per-key rollup. The shape for payloads whose key set
+    * is NOT known at query-author time (the common case for event
+    * property bags). Map-side explode (expansion = keys per payload) +
+    * one keyed aggregation. */
+  def qEvPropsMap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = from_json($"props",
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+    Tables.events(s, dir)
+      .select(explode(m).as(Seq("k", "v")))
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n"),
+           countDistinct($"v").as("n_vals"),
+           sum($"v".cast("long")).as("sum_v"),
+           min($"v".cast("long")).as("min_v"),
+           max($"v".cast("long")).as("max_v"))
+  }
+
+  val qEvPropsMapSql: String =
+    """WITH kv AS (
+      |  SELECT unnest(json_keys(props)) AS k, props FROM events),
+      |vv AS (SELECT k, json_extract_string(props, '$.' || k) AS v FROM kv)
+      |SELECT k, count(*) AS n, count(DISTINCT v) AS n_vals,
+      |  CAST(sum(CAST(v AS BIGINT)) AS BIGINT) AS sum_v,
+      |  CAST(min(CAST(v AS BIGINT)) AS BIGINT) AS min_v,
+      |  CAST(max(CAST(v AS BIGINT)) AS BIGINT) AS max_v
+      |FROM vv GROUP BY k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ev_props_map" -> (qEvPropsMap _),
     "q_ev_sliding"   -> (qEvSliding _),
     "q_ev_twa"       -> (qEvTwa _),
     "q_ev_gapfill"   -> (qEvGapfill _),
@@ -398,6 +430,7 @@ object Events {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_ev_props_map" -> qEvPropsMapSql,
     "q_ev_sliding"   -> qEvSlidingSql,
     "q_ev_twa"       -> qEvTwaSql,
     "q_ev_gapfill"   -> qEvGapfillSql,

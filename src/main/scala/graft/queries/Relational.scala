@@ -745,7 +745,45 @@ object Relational {
       |FROM vc v JOIN ranked r ON v.col_name = r.col_name AND r.rk = 1
       |GROUP BY v.col_name""".stripMargin
 
+  /** Join-key skew diagnostics — the statistics a planner (or an engineer
+    * choosing between plain, broadcast, and salted joins;
+    * operators.Skew) reads BEFORE running the join at 100 TB: for each
+    * candidate key of the fact table, key cardinality, the hottest key's
+    * row count, and its ratio to the uniform share (×1000). One
+    * hash-aggregate per key column over the same single scan; the
+    * hottest key is a hash-aggregate argmax (no window, no sort). */
+  def qSkewKeys(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val perKey = Seq("l_orderkey", "l_partkey", "l_suppkey").map { k =>
+      li.groupBy(col(k).as("key")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_keys"),
+             sum($"c").as("n_rows"),
+             max(struct($"c", (-$"key").as("neg_key"))).as("hot"))
+        .select(lit(k).as("col_name"), $"n_keys", $"n_rows",
+          (-$"hot.neg_key").as("hot_key"), $"hot.c".as("hot_rows"))
+    }
+    perKey.reduce(_ unionByName _)
+      // hot/uniform ratio x1000: 1000 = perfectly uniform
+      .withColumn("skew_x1000", expr("(hot_rows * n_keys * 1000L) DIV n_rows"))
+  }
+
+  val qSkewKeysSql: String =
+    Seq("l_orderkey", "l_partkey", "l_suppkey").map { k =>
+      s"""SELECT '$k' AS col_name, n_keys, n_rows, hot_key, hot_rows,
+         |  (hot_rows * n_keys * 1000) // n_rows AS skew_x1000
+         |FROM (
+         |  SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+         |    min(hk) AS hot_key, CAST(max(c) AS BIGINT) AS hot_rows
+         |  FROM (
+         |    SELECT c, CASE WHEN rk = 1 THEN key END AS hk FROM (
+         |      SELECT $k AS key, count(*) AS c,
+         |        row_number() OVER (ORDER BY count(*) DESC, $k ASC) AS rk
+         |      FROM lineitem GROUP BY $k)))""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_keys"       -> (qSkewKeys _),
     "q_profile_cats"    -> (qProfileCats _),
     "q_profile_numeric" -> (qProfileNumeric _),
     "q_stats"          -> (qStats _),
@@ -788,6 +826,7 @@ object Relational {
     "q_explode"         -> qExplodeSql,
     "q_unpivot"         -> qUnpivotSql,
     "q1_agg"            -> q1AggSql,
+    "q_skew_keys"       -> qSkewKeysSql,
     "q_profile_cats"    -> qProfileCatsSql,
     "q_profile_numeric" -> qProfileNumericSql,
     "q6_filter_sum"     -> q6FilterSumSql,

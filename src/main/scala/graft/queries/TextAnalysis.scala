@@ -204,6 +204,47 @@ object TextAnalysis {
       |FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
       |GROUP BY 1, 2 ORDER BY n_docs DESC, tok_a ASC, tok_b ASC LIMIT 20""".stripMargin
 
+  /** Chi-square contingency cells for lang × source independence — the
+    * "is my metadata balanced?" audit every corpus card needs, in EXACT
+    * integer arithmetic: the per-cell statistic (o−e)²/e with e = r·c/n
+    * is multiplied through to (o·n − r·c)² / (r·c·n), evaluated as
+    * staged BIGINT floor divisions (identical operation order on both
+    * engines, so the gate hash-matches; magnitudes stay under 2^63 —
+    * (o·n − r·c)² ≤ (n²)² needs n ≤ ~55k cells-scale counts; rescale
+    * counts DIV k first at web scale, the decision statistic is
+    * invariant up to rounding). Plan: one (lang, source) cell aggregate,
+    * row/col/grand totals derived from the CELLS (not the base table —
+    * the scan is paid once), folded back as broadcast joins. */
+  def qChisq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.documents(s, dir)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy($"lang").agg(sum($"o").as("r_tot"))
+    val cols = cells.groupBy($"source").agg(sum($"o").as("c_tot"))
+    val n = cells.agg(sum($"o").as("n_tot"))
+    cells.join(broadcast(rows), "lang")
+      .join(broadcast(cols), "source")
+      .crossJoin(broadcast(n))
+      .withColumn("dev2",
+        ($"o" * $"n_tot" - $"r_tot" * $"c_tot") * ($"o" * $"n_tot" - $"r_tot" * $"c_tot"))
+      .withColumn("cell_chi2_m",
+        expr("((dev2 DIV (r_tot * c_tot)) * 1000L) DIV n_tot"))
+      .select($"lang", $"source", $"o", $"r_tot", $"c_tot", $"n_tot",
+        $"dev2", $"cell_chi2_m")
+  }
+
+  val qChisqSql: String =
+    """WITH cells AS (
+      |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+      |r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r_tot FROM cells GROUP BY 1),
+      |c AS (SELECT source, CAST(sum(o) AS BIGINT) AS c_tot FROM cells GROUP BY 1),
+      |n AS (SELECT CAST(sum(o) AS BIGINT) AS n_tot FROM cells)
+      |SELECT lang, source, o, r_tot, c_tot, n_tot,
+      |  (o * n_tot - r_tot * c_tot) * (o * n_tot - r_tot * c_tot) AS dev2,
+      |  (((o * n_tot - r_tot * c_tot) * (o * n_tot - r_tot * c_tot))
+      |     // (r_tot * c_tot) * 1000) // n_tot AS cell_chi2_m
+      |FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n""".stripMargin
+
   /** Triangle structure among the strongest co-occurrence pairs — the
     * graph-analytics view of the [[TokenPairs]] top-20 edge set: a token's
     * triangle participation counts how many cohesive token cliques it
@@ -476,6 +517,7 @@ object TextAnalysis {
     "q_text_tokens"      -> (qTextTokens _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_text_tri"         -> (qTextTri _),
+    "q_chisq"            -> (qChisq _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -491,5 +533,6 @@ object TextAnalysis {
     "q_text_tokens"      -> qTextTokensSql,
     "q_text_fingerprint" -> qTextFingerprintSql,
     "q_text_tri"         -> qTextTriSql,
+    "q_chisq"            -> qChisqSql,
   )
 }

@@ -38,6 +38,18 @@ object StreamingEtl {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** SLIDING (hopping) windowed counts — window(ts, len, slide) emits one
+    * row per overlapping window (len/slide windows per event); watermark
+    * bounds state exactly as for tumbling windows. The streaming twin of
+    * queries.Events.qEvSliding (StreamingSpec: stream == batch). */
+  def slidingCounts(events: DataFrame, windowLen: String = "2 hours",
+                    slide: String = "1 hour", lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
   /** Streaming hash-deterministic sampling: the batch training-mix
     * operator (queries.TrainingData.qSampleStratified) is stateless
     * per-row, so the SAME predicate runs unchanged on an unbounded

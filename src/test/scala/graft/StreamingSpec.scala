@@ -229,6 +229,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("sliding windowed counts over the stream equal the batch aggregation") {
+    StreamingEtl.runToMemory(
+      StreamingEtl.slidingCounts(streamDf()), "swc", s"$tmp/cp_swc")
+    val streamed = spark.table("swc")
+      .select("window_start", "event_type", "n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    // every tumbling hour appears in two overlapping windows
+    assert(streamed.nonEmpty)
+  }
+
   test("hash-deterministic sampling on a stream equals the batch sample exactly") {
     StreamingEtl.runToMemory(
       StreamingEtl.sampleStream(streamDf(), "event_id", 37).select(col("event_id")),
