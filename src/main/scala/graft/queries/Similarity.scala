@@ -662,7 +662,50 @@ object Similarity {
        |FROM q JOIN v ON vec_id <> q_id
        |WHERE CAST(round(list_cosine_similarity(qv, v) * 1e9) AS BIGINT) >= $RangeThreshPpb""".stripMargin
 
+  /** Label-centroid separation audit — the class-geometry companion to
+    * [[qEmbedStats]]: per label, the exact-integer centroid (the same
+    * x1e7 quantization and sum-DIV-count per-dimension mean as the
+    * integer Lloyd rounds, via the algebraic LongVectorMeanAggregator),
+    * then the integer squared-L2 distance between every label pair —
+    * collapsed classes (dist ~ 0) or an exploded encoder run show up
+    * before any index is built. The centroid relation is label-count
+    * tiny at any corpus size, so the pair join is a broadcast
+    * nested-loop over ≤ |labels|² rows — bounded by construction. */
+  def qEmbedCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vq = Tables.embeddings(s, dir)
+      .select($"label".cast("long").as("label"),
+        transform($"embedding", x => round(x.cast("double") * 1e7).cast("long")).as("vq"))
+    val agg = new graft.functions.LongVectorMeanAggregator().toColumn
+    val cents = vq.as[(Long, Seq[Long])]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(agg.name("cq")).toDF("label", "cq")
+      .join(vq.groupBy($"label").agg(count(lit(1)).as("n_vecs")), "label")
+      .localCheckpoint(true) // label-count tiny; consumed twice below
+    cents.as("a").join(broadcast(cents.as("b")), $"a.label" < $"b.label")
+      .select($"a.label".as("label_a"), $"b.label".as("label_b"),
+        $"a.n_vecs".as("n_a"), $"b.n_vecs".as("n_b"),
+        aggregate(zip_with($"a.cq", $"b.cq", (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, d) => acc + d).as("dist_sq"))
+  }
+
+  val qEmbedCentroidsSql: String =
+    """WITH vq AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS vq
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label, list(s // n ORDER BY i) AS cq, CAST(min(n) AS BIGINT) AS n_vecs FROM (
+      |    SELECT label, i, CAST(sum(vq[i]) AS BIGINT) AS s, count(*) AS n
+      |    FROM vq, range(1, 65) r(i) GROUP BY 1, 2) GROUP BY label)
+      |SELECT a.label AS label_a, b.label AS label_b,
+      |  a.n_vecs AS n_a, b.n_vecs AS n_b,
+      |  CAST(list_sum(list_transform(range(1, 65),
+      |    i -> (a.cq[i] - b.cq[i]) * (a.cq[i] - b.cq[i]))) AS BIGINT) AS dist_sq
+      |FROM cent a JOIN cent b ON a.label < b.label""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_centroids" -> (qEmbedCentroids _),
     "q_ann_range"    -> (qAnnRange _),
     "q_ann_recall"   -> (qAnnRecall _),
     "q_embed_stats"  -> (qEmbedStats _),
@@ -673,6 +716,7 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_embed_centroids" -> qEmbedCentroidsSql,
     "q_ann_range"    -> qAnnRangeSql,
     "q_ann_recall"   -> qAnnRecallSql,
     "q_embed_stats"  -> qEmbedStatsSql,

@@ -578,7 +578,50 @@ object TrainingData {
        |  CAST(sum(w_bp) AS BIGINT) AS sum_w_bp
        |FROM hashed GROUP BY source""".stripMargin
 
+  /** Hashed-linear-classifier scoring — the "apply the trained quality
+    * classifier to every document" step (the C4/CCNet-style model-based
+    * filter) with the REAL production plumbing: features are hashed
+    * tokens (no vocabulary lookup — the weight of a token is derived
+    * arithmetically from the shared 60-bit hash, the hashing-trick
+    * feature map), scoring is a per-row fold over the token array, and
+    * the keep decision is the score's sign. The weight table here is a
+    * deterministic stand-in ((h mod 1001) − 500, i.e. uniform in
+    * [−500, 500]) so the gate can hash-check the machinery on both
+    * engines; swapping in trained weights changes one expression.
+    * Fully map-side (zero shuffle — the per-doc output IS the result). */
+  def qClfScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val w = (tk: org.apache.spark.sql.Column) =>
+      graft.functions.TextFunctions.hash60(tk) % 1001L - 500L
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source", toks.as("t"))
+      .filter(size($"t") > 0)
+      .select($"doc_id", $"source",
+        size($"t").cast("long").as("n_tokens"),
+        aggregate($"t", lit(0L), (acc, tk) => acc + w(tk)).as("score_sum"))
+      .withColumn("clf_u", expr("(score_sum * 1000000L) DIV (n_tokens * 500L)"))
+      .withColumn("keep", ($"score_sum" > 0).cast("long"))
+  }
+
+  val qClfScoreSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '') AS toks
+      |  FROM documents)
+      |SELECT doc_id, source, len(toks)::BIGINT AS n_tokens,
+      |  CAST(list_sum(list_transform(toks,
+      |    x -> ('0x' || substr(md5(x), 18, 15))::BIGINT % 1001 - 500)) AS BIGINT) AS score_sum,
+      |  CAST(list_sum(list_transform(toks,
+      |    x -> ('0x' || substr(md5(x), 18, 15))::BIGINT % 1001 - 500)) AS BIGINT)
+      |    * 1000000 // (len(toks) * 500) AS clf_u,
+      |  CAST(CASE WHEN CAST(list_sum(list_transform(toks,
+      |    x -> ('0x' || substr(md5(x), 18, 15))::BIGINT % 1001 - 500)) AS BIGINT) > 0
+      |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM t WHERE len(toks) > 0""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_clf_score"         -> (qClfScore _),
     "q_lm_score"          -> (qLmScore _),
     "q_sample_weighted"   -> (qSampleWeighted _),
     "q_bigram_lm"         -> (qBigramLm _),
@@ -594,6 +637,7 @@ object TrainingData {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_clf_score"         -> qClfScoreSql,
     "q_lm_score"          -> qLmScoreSql,
     "q_sample_weighted"   -> qSampleWeightedSql,
     "q_bigram_lm"         -> qBigramLmSql,
