@@ -53,8 +53,23 @@ object Dedup {
       |FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
       |WHERE i * 5 >= (x.n + y.n - i) * 3""".stripMargin
 
-  /** documents with their distinct shingle sets (docs with >= 3 tokens). */
+  /** documents with their distinct shingle sets (docs with >= 3 tokens).
+    * MEMOIZED + MATERIALIZED per (session, sf-dir): every dedup-family
+    * operator starts from this relation (jaccard, minhash, simhash,
+    * verbatim, contamination, decontamination, incremental, the
+    * estimator), and a real pipeline shingles the corpus ONCE and fans
+    * out — so the engine does too. Same holder pattern (and the same
+    * dead-session sweep) as the pair-graph cache; the checkpointed
+    * relation is one array row per doc. */
+  private val shinglesCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), LazyDf]()
   private def docShingles(s: SparkSession, dir: String): DataFrame = {
+    shinglesCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    shinglesCache.computeIfAbsent((s, dir), _ => new LazyDf(() =>
+      docShinglesUncached(s, dir).localCheckpoint(true))).df
+  }
+
+  private[graft] def docShinglesUncached(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
       .select($"doc_id", shingleSet($"text").as("sh"))
