@@ -454,9 +454,21 @@ object TrainingData {
   }
 
   /** (doc_id, bg) — shared by the LM trainer ([[qBigramLm]]) and the
-    * LM-coverage scorer ([[qLmScore]]). */
-  private def docBigrams(s: SparkSession, dir: String): DataFrame =
-    bigramsOf(Tables.documents(s, dir))
+    * LM-coverage scorer ([[qLmScore]]). MEMOIZED + MATERIALIZED per
+    * (session, sf-dir): qBigramLm alone reads this relation in THREE
+    * subtrees of one plan (bigram counts, unigram counts, scoring), and
+    * a real pipeline extracts n-grams once and fans out — same holder
+    * pattern and dead-session sweep as Dedup's caches. */
+  private final class LazyDf(compute: () => DataFrame) {
+    lazy val df: DataFrame = compute()
+  }
+  private val bigramsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), LazyDf]()
+  private def docBigrams(s: SparkSession, dir: String): DataFrame = {
+    bigramsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    bigramsCache.computeIfAbsent((s, dir), _ => new LazyDf(() =>
+      bigramsOf(Tables.documents(s, dir)).localCheckpoint(true))).df
+  }
 
   def qBigramLm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
