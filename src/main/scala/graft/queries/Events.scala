@@ -269,7 +269,11 @@ object Events {
     import s.implicits._
     val byUser = Window.partitionBy($"user_id").orderBy($"sec".asc, $"event_id".asc)
     val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val byFrom = Window.partitionBy($"user_id").orderBy($"valid_from_s".asc)
+    // version tie-breaks the closing lead: two islands can share a
+    // floored valid_from_s (same-second tier flip), and version is the
+    // unique time-ordered island id on both engines
+    val byFrom = Window.partitionBy($"user_id")
+      .orderBy($"valid_from_s".asc, $"version".asc)
     Tables.events(s, dir)
       .filter($"event_type" === "purchase")
       .select($"user_id", $"event_id", $"ts".cast("long").as("sec"),
@@ -310,10 +314,10 @@ object Events {
       |  FROM runs GROUP BY 1, 2)
       |SELECT user_id, version, tier, valid_from_s,
       |  coalesce(lead(valid_from_s) OVER (PARTITION BY user_id
-      |    ORDER BY valid_from_s ASC), -1) AS valid_to_s,
+      |    ORDER BY valid_from_s ASC, version ASC), -1) AS valid_to_s,
       |  n_events,
       |  CAST(CASE WHEN lead(valid_from_s) OVER (PARTITION BY user_id
-      |    ORDER BY valid_from_s ASC) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |    ORDER BY valid_from_s ASC, version ASC) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
       |FROM islands""".stripMargin
 
   /** Time-weighted average — the correct mean for irregularly-sampled
@@ -325,6 +329,9 @@ object Events {
     * a degenerate zero-length span drop out on both engines. */
   def qEvTwa(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // order by the FLOORED second (the emitted grain) + event_id on BOTH
+    // engines — ordering by raw ts here while emitting floored seconds
+    // would let sub-second neighbors order differently cross-engine
     val byUser = Window.partitionBy($"user_id").orderBy($"sec".asc, $"event_id".asc)
     Tables.events(s, dir)
       .select($"user_id", $"event_id", $"ts".cast("long").as("sec"),
@@ -345,7 +352,7 @@ object Events {
       |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec,
       |    CAST(round(value * 100) AS BIGINT) AS vc,
       |    lead(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id
-      |      ORDER BY ts ASC, event_id ASC) AS next_s
+      |      ORDER BY epoch_us(ts) // 1000000 ASC, event_id ASC) AS next_s
       |  FROM events),
       |iv AS (SELECT user_id, vc, next_s - sec AS dt FROM o WHERE next_s IS NOT NULL)
       |SELECT user_id, count(*) AS n_intervals,
