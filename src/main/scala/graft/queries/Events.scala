@@ -421,7 +421,46 @@ object Events {
       |  CAST(max(CAST(v AS BIGINT)) AS BIGINT) AS max_v
       |FROM vv GROUP BY k""".stripMargin
 
+  /** Trailing-hour burst detection via RANGE-frame windows — the frame
+    * type the engine had not yet exercised: for every event, the count
+    * and value-sum of the user's events in the trailing 3600 s (a
+    * value-range frame over the epoch second, so same-second peers are
+    * always included — deterministic without an ordering tie-break),
+    * rolled up to each user's PEAK burst. One shuffle on user_id; the
+    * window and the rollup share the partitioning. */
+  def qEvRolling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wr = Window.partitionBy($"user_id").orderBy($"sec")
+      .rangeBetween(-3599L, Window.currentRow)
+    Tables.events(s, dir)
+      .select($"user_id", $"ts".cast("long").as("sec"), cents($"value").as("vc"))
+      .withColumn("n_1h", count(lit(1)).over(wr))
+      .withColumn("sum_1h_c", sum($"vc").over(wr))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+           max($"n_1h").as("peak_1h_n"),
+           max($"sum_1h_c").as("peak_1h_value_c"))
+  }
+
+  val qEvRollingSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 1000000 AS sec,
+      |    CAST(round(value * 100) AS BIGINT) AS vc
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id,
+      |    count(*) OVER w AS n_1h,
+      |    CAST(sum(vc) OVER w AS BIGINT) AS sum_1h_c
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY sec
+      |    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(max(n_1h) AS BIGINT) AS peak_1h_n,
+      |  CAST(max(sum_1h_c) AS BIGINT) AS peak_1h_value_c
+      |FROM r GROUP BY user_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ev_rolling"   -> (qEvRolling _),
     "q_ev_props_map" -> (qEvPropsMap _),
     "q_ev_sliding"   -> (qEvSliding _),
     "q_ev_twa"       -> (qEvTwa _),
@@ -437,6 +476,7 @@ object Events {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_ev_rolling"   -> qEvRollingSql,
     "q_ev_props_map" -> qEvPropsMapSql,
     "q_ev_sliding"   -> qEvSlidingSql,
     "q_ev_twa"       -> qEvTwaSql,

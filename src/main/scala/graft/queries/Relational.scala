@@ -585,6 +585,48 @@ object Relational {
       |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
 
+  /** Rank-ratio window functions — dense_rank plus percent_rank and
+    * cume_dist computed as EXACT integers instead of the built-in
+    * doubles: pr_u = (rank−1)·1e6 DIV (n−1), cd_u = peers_cum·1e6 DIV n,
+    * where peers_cum is a RANGE-framed count (peer rows always included)
+    * — bit-identical cross-engine with no float division anywhere. */
+  def qWindowRanks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"price_c".desc, $"o_orderkey".asc)
+    val wp = Window.partitionBy($"o_custkey")
+    // peers share (price_c, o_orderkey) — unique, so the RANGE frame on
+    // the full ordering equals rows; still exercises the frame type
+    val wr = w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", cents($"o_totalprice").as("price_c"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(wp))
+      .withColumn("peers_cum", count(lit(1)).over(wr))
+      .withColumn("pr_u",
+        when($"cnt" > 1, expr("((rnk - 1) * 1000000L) DIV (cnt - 1)")).otherwise(0L))
+      .withColumn("cd_u", expr("(peers_cum * 1000000L) DIV cnt"))
+      .select($"o_custkey", $"o_orderkey", $"price_c", $"rnk", $"drnk", $"pr_u", $"cd_u")
+  }
+
+  val qWindowRanksSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+      |  FROM orders),
+      |r AS (
+      |  SELECT o_custkey, o_orderkey, price_c,
+      |    CAST(rank() OVER w AS BIGINT) AS rnk,
+      |    CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      |    count(*) OVER (PARTITION BY o_custkey) AS cnt,
+      |    count(*) OVER (w RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peers_cum
+      |  FROM o
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY price_c DESC, o_orderkey ASC))
+      |SELECT o_custkey, o_orderkey, price_c, rnk, drnk,
+      |  CASE WHEN cnt > 1 THEN ((rnk - 1) * 1000000) // (cnt - 1) ELSE 0 END AS pr_u,
+      |  (peers_cum * 1000000) // cnt AS cd_u
+      |FROM r""".stripMargin
+
   /** Explicit GROUPING SETS (beyond rollup/cube) + grouping() marker. */
   def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -784,6 +826,7 @@ object Relational {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skew_keys"       -> (qSkewKeys _),
+    "q_window_ranks"    -> (qWindowRanks _),
     "q_profile_cats"    -> (qProfileCats _),
     "q_profile_numeric" -> (qProfileNumeric _),
     "q_stats"          -> (qStats _),
@@ -827,6 +870,7 @@ object Relational {
     "q_unpivot"         -> qUnpivotSql,
     "q1_agg"            -> q1AggSql,
     "q_skew_keys"       -> qSkewKeysSql,
+    "q_window_ranks"    -> qWindowRanksSql,
     "q_profile_cats"    -> qProfileCatsSql,
     "q_profile_numeric" -> qProfileNumericSql,
     "q6_filter_sum"     -> q6FilterSumSql,
