@@ -285,6 +285,35 @@ object Relational {
       |       SELECT c_custkey, 'intersect' AS op FROM (SELECT * FROM building INTERSECT SELECT * FROM open_cust))
       |SELECT op, count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_sum FROM both_ops GROUP BY op""".stripMargin
 
+  /** Multiset (bag) set operations — EXCEPT ALL / INTERSECT ALL over two
+    * relations that genuinely carry duplicates (a customer places many
+    * open and many urgent orders): INTERSECT ALL keeps min(multiplicity),
+    * EXCEPT ALL subtracts multiplicities. Catalyst plans both as
+    * count-bearing aggregates + a generate (no row-by-row anti join), so
+    * the shuffle carries one row per distinct key. */
+  def qSetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, dir)
+    val open   = ord.filter($"o_orderstatus" === "O").select($"o_custkey")
+    val urgent = ord.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    val exceptAll    = open.exceptAll(urgent).withColumn("op", lit("except_all"))
+    val intersectAll = open.intersectAll(urgent).withColumn("op", lit("intersect_all"))
+    exceptAll.unionByName(intersectAll)
+      .groupBy($"op").agg(count(lit(1)).as("n"), sum($"o_custkey").as("key_sum"))
+  }
+
+  val qSetOpsAllSql: String =
+    """WITH open_o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+      |     urgent_o AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |     both_ops AS (
+      |       SELECT o_custkey, 'except_all' AS op
+      |       FROM (SELECT * FROM open_o EXCEPT ALL SELECT * FROM urgent_o)
+      |       UNION ALL
+      |       SELECT o_custkey, 'intersect_all' AS op
+      |       FROM (SELECT * FROM open_o INTERSECT ALL SELECT * FROM urgent_o))
+      |SELECT op, count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS key_sum
+      |FROM both_ops GROUP BY op""".stripMargin
+
   /** Conditional aggregation (sum(CASE WHEN ...)) — pivot-style counts. */
   def qCaseAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -827,6 +856,7 @@ object Relational {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skew_keys"       -> (qSkewKeys _),
     "q_window_ranks"    -> (qWindowRanks _),
+    "q_setops_all"      -> (qSetOpsAll _),
     "q_profile_cats"    -> (qProfileCats _),
     "q_profile_numeric" -> (qProfileNumeric _),
     "q_stats"          -> (qStats _),
@@ -871,6 +901,7 @@ object Relational {
     "q1_agg"            -> q1AggSql,
     "q_skew_keys"       -> qSkewKeysSql,
     "q_window_ranks"    -> qWindowRanksSql,
+    "q_setops_all"      -> qSetOpsAllSql,
     "q_profile_cats"    -> qProfileCatsSql,
     "q_profile_numeric" -> qProfileNumericSql,
     "q6_filter_sum"     -> q6FilterSumSql,

@@ -601,19 +601,24 @@ object TrainingData {
     * [−500, 500]) so the gate can hash-check the machinery on both
     * engines; swapping in trained weights changes one expression.
     * Fully map-side (zero shuffle — the per-doc output IS the result). */
-  def qClfScore(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val toks = tokens($"text")
+  def qClfScore(s: SparkSession, dir: String): DataFrame =
+    clfScoreCols(Tables.documents(s, dir))
+
+  /** The scoring columns on any (doc_id, source, text, …) relation —
+    * stateless per-row expressions, so the SAME code scores an unbounded
+    * stream (StreamingEtl.clfScoreStream; stream == batch spec'd). */
+  private[graft] def clfScoreCols(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
     val w = (tk: org.apache.spark.sql.Column) =>
       graft.functions.TextFunctions.hash60(tk) % 1001L - 500L
-    Tables.documents(s, dir)
-      .select($"doc_id", $"source", toks.as("t"))
-      .filter(size($"t") > 0)
-      .select($"doc_id", $"source",
-        size($"t").cast("long").as("n_tokens"),
-        aggregate($"t", lit(0L), (acc, tk) => acc + w(tk)).as("score_sum"))
+    docs
+      .select(col("doc_id"), col("source"), toks.as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("source"),
+        size(col("t")).cast("long").as("n_tokens"),
+        aggregate(col("t"), lit(0L), (acc, tk) => acc + w(tk)).as("score_sum"))
       .withColumn("clf_u", expr("(score_sum * 1000000L) DIV (n_tokens * 500L)"))
-      .withColumn("keep", ($"score_sum" > 0).cast("long"))
+      .withColumn("keep", (col("score_sum") > 0).cast("long"))
   }
 
   val qClfScoreSql: String =

@@ -115,6 +115,16 @@ object StreamingEtl {
     graft.queries.TrainingData.lmScoreAgainstIndex(
       graft.queries.TrainingData.bigramsOf(docs), lmIndex)
 
+  /** Streaming CLASSIFIER scoring — the online form of
+    * queries.TrainingData.qClfScore: the hashing-trick linear model is a
+    * pure per-row fold over the token array (weights derived from the
+    * token hash — no vocabulary state, no shuffle, no watermark), so the
+    * batch operator's column expressions run UNCHANGED on an unbounded
+    * stream in append mode. Per-document filtering decisions at ingest
+    * latency. */
+  def clfScoreStream(docs: DataFrame): DataFrame =
+    graft.queries.TrainingData.clfScoreCols(docs)
+
   /** Streaming DECONTAMINATION at ingest — the online form of
     * queries.Dedup.qDecontaminateBloom: train documents arriving on the
     * stream explode into shingles, probe the fixed-size eval bloom sketch

@@ -249,6 +249,18 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("triangle counting on degenerate graphs: empty, triangle-free, self-loops only") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      graft.operators.Triangles.perNode(edges.toDF("u", "v"))
+        .as[(Long, Long)].collect().toMap
+    assert(run(Seq.empty) == Map.empty)                     // empty graph
+    assert(run(Seq((1L, 2L), (3L, 4L), (5L, 6L))) == Map.empty) // matching, no wedges
+    assert(run(Seq((1L, 1L), (2L, 2L))) == Map.empty)       // self-loops only
+    assert(run(Seq((1L, 2L), (2L, 3L), (1L, 3L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))                    // one triangle
+  }
+
   test("decoders fail cleanly on corrupt input") {
     import graft.sources.{Blast, Dbc, Dbf}
     assertThrows[IllegalArgumentException](Dbc.toDbf(Array[Byte](1, 2, 3)))

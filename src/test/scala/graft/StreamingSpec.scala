@@ -85,6 +85,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("classifier scoring on a document stream equals the batch operator (stream == batch)") {
+    val dir = s"$tmp/docs_clf_input"
+    Tables.documents(spark, sf).select("doc_id", "source", "text").write.json(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(dir)
+    StreamingEtl.runToMemory(
+      StreamingEtl.clfScoreStream(stream),
+      "clfscore", s"$tmp/cp_clfscore", outputMode = "append") // stateless per-row
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_tokens", "score_sum", "clf_u", "keep").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val streamed = key(spark.table("clfscore"))
+    val batch = key(SparkEntry.queries("q_clf_score")(spark, sf))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("LM-coverage scoring on a document stream equals the batch operator (stream == batch)") {
     val lm = graft.queries.TrainingData.lmTop500(
       graft.queries.TrainingData.bigramsOf(Tables.documents(spark, sf)))
