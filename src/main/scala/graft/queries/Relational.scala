@@ -285,6 +285,43 @@ object Relational {
       |       SELECT c_custkey, 'intersect' AS op FROM (SELECT * FROM building INTERSECT SELECT * FROM open_cust))
       |SELECT op, count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_sum FROM both_ops GROUP BY op""".stripMargin
 
+  /** Full outer join — the reconciliation shape (orders placed vs items
+    * shipped per epoch day): the ship calendar trails the order calendar
+    * on both ends, so BOTH null-fill sides are genuinely exercised.
+    * USING-style key join coalesces the day key; counts null-fill to 0
+    * and presence flags stay BIGINT. Sort-merge full outer on the
+    * (already aggregated) daily relations — the join input is
+    * O(distinct days), not O(rows). */
+  def qFullJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .groupBy(expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) DIV 86400").as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val l = Tables.lineitem(s, dir)
+      .groupBy(expr("CAST(CAST(l_shipdate AS TIMESTAMP) AS LONG) DIV 86400").as("day"))
+      .agg(count(lit(1)).as("n_ships"))
+    o.join(l, Seq("day"), "full_outer")
+      .select($"day",
+        coalesce($"n_orders", lit(0L)).as("n_orders"),
+        coalesce($"n_ships", lit(0L)).as("n_ships"),
+        $"n_orders".isNotNull.cast("long").as("had_orders"),
+        $"n_ships".isNotNull.cast("long").as("had_ships"))
+  }
+
+  val qFullJoinSql: String =
+    """WITH o AS (
+      |  SELECT epoch_us(o_orderdate) // 1000000 // 86400 AS day, count(*) AS n_orders
+      |  FROM orders GROUP BY 1),
+      |l AS (
+      |  SELECT epoch_us(l_shipdate) // 1000000 // 86400 AS day, count(*) AS n_ships
+      |  FROM lineitem GROUP BY 1)
+      |SELECT day,
+      |  CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+      |  CAST(coalesce(n_ships, 0) AS BIGINT) AS n_ships,
+      |  CAST(CASE WHEN n_orders IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS had_orders,
+      |  CAST(CASE WHEN n_ships IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS had_ships
+      |FROM o FULL JOIN l USING (day)""".stripMargin
+
   /** Multiset (bag) set operations — EXCEPT ALL / INTERSECT ALL over two
     * relations that genuinely carry duplicates (a customer places many
     * open and many urgent orders): INTERSECT ALL keeps min(multiplicity),
@@ -857,6 +894,7 @@ object Relational {
     "q_skew_keys"       -> (qSkewKeys _),
     "q_window_ranks"    -> (qWindowRanks _),
     "q_setops_all"      -> (qSetOpsAll _),
+    "q_full_join"       -> (qFullJoin _),
     "q_profile_cats"    -> (qProfileCats _),
     "q_profile_numeric" -> (qProfileNumeric _),
     "q_stats"          -> (qStats _),
@@ -902,6 +940,7 @@ object Relational {
     "q_skew_keys"       -> qSkewKeysSql,
     "q_window_ranks"    -> qWindowRanksSql,
     "q_setops_all"      -> qSetOpsAllSql,
+    "q_full_join"       -> qFullJoinSql,
     "q_profile_cats"    -> qProfileCatsSql,
     "q_profile_numeric" -> qProfileNumericSql,
     "q6_filter_sum"     -> q6FilterSumSql,
