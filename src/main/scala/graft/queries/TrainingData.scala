@@ -637,7 +637,53 @@ object TrainingData {
       |    THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM t WHERE len(toks) > 0""".stripMargin
 
+  /** Domain-mixing plan — the sampling-rate table a training run consumes:
+    * given per-source token counts and an equal-share token budget, the
+    * per-source keep rate (capped at 1), expected kept tokens, and the
+    * deficit a low-resource source leaves unfilled. All exact integer
+    * arithmetic: rate_ppm = min(1e6, budget·1e6 DIV tokens). One
+    * aggregate over the token-count scan + a broadcast 1-row total —
+    * the plan output is |sources| rows at any corpus size. */
+  def qMixPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perSource = Tables.documents(s, dir)
+      .select($"source", size(tokens($"text")).cast("long").as("nt"))
+      .groupBy($"source")
+      .agg(sum($"nt").as("src_tokens"), count(lit(1)).as("n_docs"))
+    val totals = perSource.agg(
+      sum($"src_tokens").as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("budget_tokens", expr("total_tokens DIV n_sources"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("(budget_tokens * 1000000L) DIV src_tokens")))
+      .withColumn("expected_tokens", expr("(src_tokens * rate_ppm) DIV 1000000L"))
+      .withColumn("deficit_tokens",
+        greatest(lit(0L), expr("budget_tokens - expected_tokens")))
+      .select($"source", $"n_docs", $"src_tokens", $"budget_tokens",
+        $"rate_ppm", $"expected_tokens", $"deficit_tokens")
+  }
+
+  val qMixPlanSql: String =
+    """WITH per_source AS (
+      |  SELECT source,
+      |    CAST(sum(len(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> ''))) AS BIGINT) AS src_tokens,
+      |    count(*) AS n_docs
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+      |             count(*) AS n_sources FROM per_source),
+      |p AS (
+      |  SELECT source, n_docs, src_tokens,
+      |    total_tokens // n_sources AS budget_tokens,
+      |    least(1000000, ((total_tokens // n_sources) * 1000000) // src_tokens) AS rate_ppm
+      |  FROM per_source CROSS JOIN t)
+      |SELECT source, n_docs, src_tokens, budget_tokens, rate_ppm,
+      |  (src_tokens * rate_ppm) // 1000000 AS expected_tokens,
+      |  greatest(0, budget_tokens - (src_tokens * rate_ppm) // 1000000) AS deficit_tokens
+      |FROM p""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_plan"          -> (qMixPlan _),
     "q_clf_score"         -> (qClfScore _),
     "q_lm_score"          -> (qLmScore _),
     "q_sample_weighted"   -> (qSampleWeighted _),
@@ -655,6 +701,7 @@ object TrainingData {
 
   def oracles: Map[String, String] = Map(
     "q_clf_score"         -> qClfScoreSql,
+    "q_mix_plan"          -> qMixPlanSql,
     "q_lm_score"          -> qLmScoreSql,
     "q_sample_weighted"   -> qSampleWeightedSql,
     "q_bigram_lm"         -> qBigramLmSql,
