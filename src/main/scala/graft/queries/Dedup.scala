@@ -761,6 +761,68 @@ object Dedup {
        |FROM r3""".stripMargin
   }
 
+  /** PERSONALIZED PageRank — [[qDedupPagerank]] with the restart mass
+    * concentrated on a seed set (here: even doc ids, standing in for
+    * "trusted/curated documents"): rank measures closeness to the seeds
+    * through the near-dup graph, the primitive behind trust propagation
+    * and seed-anchored canonical selection. Same plan shape as the
+    * global variant (one key-partitioned join + one shuffle per unrolled
+    * iteration over the memoized pair graph); the only change is the
+    * restart term — seeds get 15% of their personalized base back every
+    * round, non-seeds get restart 0. Pure BIGINT ppb, hash-gated against
+    * the unrolled-CTE oracle. */
+  def qDedupPpr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Scale = 1000000000L
+    val pairs = jaccardPairsCached(s, dir).select($"doc_a", $"doc_b")
+    val edges = pairs.union(pairs.select($"doc_b", $"doc_a")).toDF("u", "v")
+    val deg = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
+      .withColumn("is_seed", ($"u" % 2 === 0).cast("long"))
+    val nSeeds = deg.agg(sum($"is_seed").as("n_seeds"))
+    var ranks = deg.crossJoin(broadcast(nSeeds))
+      .select($"u".as("doc_id"), $"deg", $"is_seed", $"n_seeds",
+        expr(s"is_seed * ($Scale DIV n_seeds)").as("r"))
+    (1 to 3).foreach { _ =>
+      val contrib = edges.join(ranks, edges("u") === ranks("doc_id"))
+        .select($"v", expr("r DIV deg").as("c"))
+        .groupBy($"v").agg(sum($"c").as("cs"))
+      ranks = ranks.drop("r")
+        .join(contrib, ranks("doc_id") === contrib("v"))
+        .select($"doc_id", $"deg", $"is_seed", $"n_seeds",
+          (expr(s"(15 * is_seed * ($Scale DIV n_seeds)) DIV 100") +
+            expr("(85 * cs) DIV 100")).as("r"))
+    }
+    ranks.select($"doc_id", $"is_seed", $"deg", $"r".as("rank_ppb"))
+  }
+
+  val qDedupPprSql: String = {
+    def iter(prev: String, cur: String): String =
+      s""" $cur AS (
+         |   SELECT p.doc_id, p.deg, p.is_seed, p.n_seeds,
+         |     (15 * p.is_seed * (1000000000 // p.n_seeds)) // 100 + (85 * c.cs) // 100 AS r
+         |   FROM $prev p JOIN (
+         |     SELECT e.v AS doc_id, CAST(sum(q.r // q.deg) AS BIGINT) AS cs
+         |     FROM edges e JOIN $prev q ON e.u = q.doc_id GROUP BY 1) c USING (doc_id))""".stripMargin
+    s"""WITH pj AS (SELECT * FROM ($bruteJaccardSql) bb),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pj
+       |  UNION ALL SELECT doc_b, doc_a FROM pj),
+       |deg AS (
+       |  SELECT u, count(*) AS deg,
+       |    CAST(CASE WHEN u % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_seed
+       |  FROM edges GROUP BY u),
+       |ns AS (SELECT CAST(sum(is_seed) AS BIGINT) AS n_seeds FROM deg),
+       |r0 AS (
+       |  SELECT u AS doc_id, deg, is_seed, n_seeds,
+       |    is_seed * (1000000000 // n_seeds) AS r
+       |  FROM deg CROSS JOIN ns),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT doc_id, is_seed, CAST(deg AS BIGINT) AS deg, CAST(r AS BIGINT) AS rank_ppb
+       |FROM r3""".stripMargin
+  }
+
   /** Centrality-based canonical selection — [[qDedupPagerank]] composed
     * with [[clusters]]: per near-dup cluster, keep the member with the
     * highest PageRank (tie → lowest id). This is the keep-decision a
@@ -983,6 +1045,7 @@ object Dedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_est"   -> (qMinhashEst _),
+    "q_dedup_ppr"     -> (qDedupPpr _),
     "q_dedup_keep"    -> (qDedupKeep _),
     "q_dedup_verbatim" -> (qDedupVerbatim _),
     "q_decontaminate" -> (qDecontaminate _),
@@ -1005,6 +1068,7 @@ object Dedup {
 
   def oracles: Map[String, String] = Map(
     "q_minhash_est"   -> qMinhashEstSql,
+    "q_dedup_ppr"     -> qDedupPprSql,
     "q_dedup_keep"    -> qDedupKeepSql,
     "q_dedup_verbatim" -> qDedupVerbatimSql,
     "q_decontaminate" -> qDecontaminateSql,

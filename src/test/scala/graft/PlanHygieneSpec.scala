@@ -31,7 +31,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_text_drift",         // crossJoin(broadcast(1-row reference-total agg))
     "q_chisq",              // crossJoin(broadcast(1-row grand-total agg))
     "q_embed_centroids",    // broadcast(label-count-tiny centroid relation) pair join
-    "q_mix_plan")           // crossJoin(broadcast(1-row totals agg))
+    "q_mix_plan",           // crossJoin(broadcast(1-row totals agg))
+    "q_dedup_ppr")          // crossJoin(broadcast(1-row seed-count agg))
 
   test("no gated query plans an unlisted cartesian / broadcast nested loop") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>

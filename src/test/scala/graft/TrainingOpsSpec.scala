@@ -293,6 +293,25 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(pruned.size == 20 || pruned.size == baseline.size)
   }
 
+  test("personalized pagerank: mass bounded, seeds hold more than uniform share") {
+    val rows = SparkEntry.queries("q_dedup_ppr")(spark, sf)
+      .select("doc_id", "is_seed", "rank_ppb").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val scale = 1000000000L
+    val total = rows.map(_._3).sum
+    assert(total <= scale, s"rank mass exceeds scale: $total")
+    // restart mass flows only to seeds: the seed set's aggregate rank
+    // must exceed its population share (strictly, unless ALL are seeds)
+    val (seeds, rest) = rows.partition(_._2 == 1L)
+    assert(seeds.nonEmpty)
+    if (rest.nonEmpty) {
+      val seedMass = seeds.map(_._3).sum
+      assert(seedMass * rows.length > total * seeds.length,
+        s"seed mass $seedMass not above uniform share")
+    }
+  }
+
   test("integer pagerank: mass conserved within truncation loss, nodes == jaccard graph") {
     val rows = SparkEntry.queries("q_dedup_pagerank")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
