@@ -17,8 +17,13 @@ import org.apache.spark.sql.SparkSession
   * Round-4 hardening (the round-3 artifact lost its p50 map to tail
   * truncation — the driver keeps only the last ~2000 chars of output):
   *  - field order on the emitted line puts the secondary p90 map FIRST and
-  *    the primary payload (p50 map, totals_per_run, decode figures) LAST,
-  *    so a tail capture always preserves the numbers that matter;
+  *    the primary payload LAST, so a tail capture always preserves the
+  *    numbers that matter. As the query set grew past ~90 entries the
+  *    NAMED p50 map outgrew the tail budget, so the tail-safe payload is
+  *    now a positional int-ms array (queries_ms_arr, sorted-name order —
+  *    re-key against the sorted names in any named map here or the
+  *    CORRECTNESS_r{N}.json keys) + decode figures + totals_per_run +
+  *    resweep flags: ~0.9k chars at 116 queries;
   *  - the full line is ALSO written to BENCH_LOCAL.json in the working
   *    directory (the repo), so the artifact survives any stdout capture;
   *  - contention guard: a query sweep whose total is >3x the best sweep is
@@ -125,17 +130,24 @@ object Bench {
       n / secs
     }.getOrElse(0.0)
     val env = s"""{"cpus":"$cpus","max_heap_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)},"spark":"${spark.version}"}"""
-    // Field order is load-bearing (see scaladoc): the LAST field is a
-    // compact integer-millisecond p50 map ("queries_ms") preceded by the
-    // small totals/resweeps/decode fields — measured suffix ≈1.9k chars,
-    // inside the driver's ~2000-char tail capture even as the query set
-    // grows (int-ms halves the map vs 3-decimal seconds). The full
-    // 3-decimal "queries"/"queries_p90" maps ride earlier in the line for
-    // complete captures, and the whole line lands in BENCH_LOCAL.json.
+    // Field order is load-bearing (see scaladoc). At 116 queries the NAMED
+    // int-ms p50 map alone is ~2.3k chars — it no longer fits the driver's
+    // ~2000-char tail capture, so the tail-safe primary payload is now a
+    // POSITIONAL int-ms p50 array ("queries_ms_arr", values in sorted
+    // query-name order — the same sorted names as the "queries"/"queries_ms"
+    // maps and the CORRECTNESS_r{N}.json keys, so it re-keys trivially)
+    // preceded by the decode figures, totals_per_run and resweep flags:
+    // measured suffix ≈0.9k chars, with ~2x headroom for future query
+    // growth. The full NAMED maps (3-decimal "queries"/"queries_p90" and
+    // int-ms "queries_ms") ride earlier in the line for complete captures,
+    // and the whole line lands in BENCH_LOCAL.json in the repo.
     val qMs = names.map(n => s"\"" + n + "\":" +
       (if (perP50(n) < 0) -1 else math.rint(perP50(n) * 1000).toLong))
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$NRuns,"sf":"$sfDir","env":$env,"queries_p90":${jmap(perP90)},"queries":${jmap(perP50)},"decode_rec_per_s":${decodeRate.round},"decode92_rec_per_s":${p50(decodeRuns).round},"decode92_runs":[${decodeRuns.map(_.round).mkString(",")}],"decode92_2m_rec_per_s":${decode2mRuns.max.round},"decode92_2m_runs":[${decode2mRuns.map(_.round).mkString(",")}],"totals_per_run":[${totalsPerRun.map(r3).mkString(",")}],"resweeps":$resweeps,"decode_resweeps":$decodeResweeps,"queries_ms":$qMs}"""
+    val qMsArr = names.map(n =>
+      if (perP50(n) < 0) -1L else math.rint(perP50(n) * 1000).toLong)
+      .mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$NRuns,"sf":"$sfDir","env":$env,"queries_p90":${jmap(perP90)},"queries":${jmap(perP50)},"queries_ms":$qMs,"decode_rec_per_s":${decodeRate.round},"decode92_rec_per_s":${p50(decodeRuns).round},"decode92_runs":[${decodeRuns.map(_.round).mkString(",")}],"decode92_2m_rec_per_s":${decode2mRuns.max.round},"decode92_2m_runs":[${decode2mRuns.map(_.round).mkString(",")}],"totals_per_run":[${totalsPerRun.map(r3).mkString(",")}],"resweeps":$resweeps,"decode_resweeps":$decodeResweeps,"queries_ms_arr":$qMsArr}"""
     // Belt and braces: the full line also lands in the repo, immune to any
     // stdout tail capture.
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
