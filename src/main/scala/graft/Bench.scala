@@ -38,6 +38,34 @@ object Bench {
     val s = xs.sorted; s(s.length / 2)
   }
 
+  /** The emitted artifact line. Field order is load-bearing (see object
+    * scaladoc). At 116 queries the NAMED int-ms p50 map alone is ~2.3k
+    * chars — it no longer fits the driver's ~2000-char tail capture, so
+    * the tail-safe primary payload is a POSITIONAL int-ms p50 array
+    * ("queries_ms_arr", values in sorted query-name order — the same
+    * sorted names as the "queries"/"queries_ms" maps and the
+    * CORRECTNESS_r{N}.json keys, so it re-keys trivially) preceded by the
+    * decode figures, totals_per_run and resweep flags: suffix ≈0.7k chars
+    * at 116 queries. The full NAMED maps ride earlier in the line for
+    * complete captures. BenchFormatSpec asserts the suffix budget holds
+    * even at 250 queries. */
+  private[graft] def renderLine(names: Seq[String],
+      perP50: Map[String, Double], perP90: Map[String, Double],
+      env: String, sfDir: String, total: Double, decodeRate: Double,
+      decodeRuns: Seq[Double], decode2mRuns: Seq[Double],
+      totalsPerRun: Seq[Double], resweeps: Int, decodeResweeps: Int): String = {
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    def jmap(m: Map[String, Double]): String =
+      names.map(n => s"\"" + n + "\":" + r3(m(n))).mkString("{", ",", "}")
+    val qMs = names.map(n => s"\"" + n + "\":" +
+      (if (perP50(n) < 0) -1 else math.rint(perP50(n) * 1000).toLong))
+      .mkString("{", ",", "}")
+    val qMsArr = names.map(n =>
+      if (perP50(n) < 0) -1L else math.rint(perP50(n) * 1000).toLong)
+      .mkString("[", ",", "]")
+    s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$NRuns,"sf":"$sfDir","env":$env,"queries_p90":${jmap(perP90)},"queries":${jmap(perP50)},"queries_ms":$qMs,"decode_rec_per_s":${decodeRate.round},"decode92_rec_per_s":${p50(decodeRuns).round},"decode92_runs":[${decodeRuns.map(_.round).mkString(",")}],"decode92_2m_rec_per_s":${decode2mRuns.max.round},"decode92_2m_runs":[${decode2mRuns.map(_.round).mkString(",")}],"totals_per_run":[${totalsPerRun.map(r3).mkString(",")}],"resweeps":$resweeps,"decode_resweeps":$decodeResweeps,"queries_ms_arr":$qMsArr}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -117,11 +145,6 @@ object Bench {
     }.toMap
     val totalsPerRun = totals(runs)
 
-    // ms precision on the per-query maps keeps the primary (p50) map small
-    // enough to survive a ~2000-char tail capture of the line
-    def r3(x: Double): Double = math.rint(x * 1000) / 1000
-    def jmap(m: Map[String, Double]): String =
-      names.map(n => s"\"" + n + "\":" + r3(m(n))).mkString("{", ",", "}")
     val total = perP50.values.filter(_ >= 0).sum
     // BASELINE.md's one comparable number: decode throughput. q_dbc_scan
     // decodes one record per `orders` row through zip->blast->DBF.
@@ -130,24 +153,8 @@ object Bench {
       n / secs
     }.getOrElse(0.0)
     val env = s"""{"cpus":"$cpus","max_heap_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)},"spark":"${spark.version}"}"""
-    // Field order is load-bearing (see scaladoc). At 116 queries the NAMED
-    // int-ms p50 map alone is ~2.3k chars — it no longer fits the driver's
-    // ~2000-char tail capture, so the tail-safe primary payload is now a
-    // POSITIONAL int-ms p50 array ("queries_ms_arr", values in sorted
-    // query-name order — the same sorted names as the "queries"/"queries_ms"
-    // maps and the CORRECTNESS_r{N}.json keys, so it re-keys trivially)
-    // preceded by the decode figures, totals_per_run and resweep flags:
-    // measured suffix ≈0.9k chars, with ~2x headroom for future query
-    // growth. The full NAMED maps (3-decimal "queries"/"queries_p90" and
-    // int-ms "queries_ms") ride earlier in the line for complete captures,
-    // and the whole line lands in BENCH_LOCAL.json in the repo.
-    val qMs = names.map(n => s"\"" + n + "\":" +
-      (if (perP50(n) < 0) -1 else math.rint(perP50(n) * 1000).toLong))
-      .mkString("{", ",", "}")
-    val qMsArr = names.map(n =>
-      if (perP50(n) < 0) -1L else math.rint(perP50(n) * 1000).toLong)
-      .mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$NRuns,"sf":"$sfDir","env":$env,"queries_p90":${jmap(perP90)},"queries":${jmap(perP50)},"queries_ms":$qMs,"decode_rec_per_s":${decodeRate.round},"decode92_rec_per_s":${p50(decodeRuns).round},"decode92_runs":[${decodeRuns.map(_.round).mkString(",")}],"decode92_2m_rec_per_s":${decode2mRuns.max.round},"decode92_2m_runs":[${decode2mRuns.map(_.round).mkString(",")}],"totals_per_run":[${totalsPerRun.map(r3).mkString(",")}],"resweeps":$resweeps,"decode_resweeps":$decodeResweeps,"queries_ms_arr":$qMsArr}"""
+    val line = renderLine(names, perP50, perP90, env, sfDir, total, decodeRate,
+      decodeRuns, decode2mRuns, totalsPerRun, resweeps, decodeResweeps)
     // Belt and braces: the full line also lands in the repo, immune to any
     // stdout tail capture.
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),

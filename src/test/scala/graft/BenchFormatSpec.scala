@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression net for the bench artifact's tail-capture contract: the
+  * driver keeps only the last ~2000 chars of Bench's stdout, and twice
+  * now (round 3: p50 map ordered first; round 4: the named p50 map
+  * outgrowing the budget) the primary measurement drifted outside the
+  * capture as the query set grew. This spec renders the line with MORE
+  * queries than the engine will plausibly have and asserts the primary
+  * payload stays inside the tail. */
+class BenchFormatSpec extends AnyFunSuite {
+
+  private def render(n: Int): String = {
+    // realistic name lengths (the longest real name is 22 chars)
+    val names = (1 to n).map(i => f"q_dedup_jaccard_pref$i%03d").sorted
+    val p50 = names.map(_ -> 3.141).toMap
+    val p90 = names.map(_ -> 9.999).toMap
+    Bench.renderLine(names, p50, p90,
+      env = """{"cpus":"4","max_heap_mb":8192,"spark":"4.1.2"}""",
+      sfDir = "/root/testdata/sf0.1", total = 57.3, decodeRate = 123456.0,
+      decodeRuns = Seq(245931.0, 250000.0, 240000.0),
+      decode2mRuns = Seq(318304.0, 320000.0),
+      totalsPerRun = Seq(57.749, 53.19, 55.554), resweeps = 1, decodeResweeps = 0)
+  }
+
+  test("primary payload survives a 2000-char tail capture even at 250 queries") {
+    for (n <- Seq(116, 250)) {
+      val line = render(n)
+      val tail = line.takeRight(2000)
+      // everything from the decode figures onward must be inside the tail
+      assert(tail.contains("\"decode_rec_per_s\""), s"n=$n: decode figures truncated")
+      assert(tail.contains("\"totals_per_run\":[57.749,53.19,55.554]"))
+      assert(tail.contains("\"resweeps\":1"))
+      assert(tail.contains("\"queries_ms_arr\":["), s"n=$n: p50 array truncated")
+      // and the array itself is complete (line ends with it)
+      assert(line.endsWith("]}"))
+      assert(line.count(_ == '{') == line.count(_ == '}'), "unbalanced JSON")
+    }
+  }
+
+  test("the positional p50 array re-keys exactly against the sorted names") {
+    val line = render(5)
+    // values are int-ms of 3.141 s = 3141 for every query
+    assert(line.contains("\"queries_ms_arr\":[3141,3141,3141,3141,3141]}"))
+  }
+}
