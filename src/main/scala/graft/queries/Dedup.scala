@@ -970,6 +970,43 @@ object Dedup {
         |  SELECT u AS doc_id, min(v) AS cluster FROM reach GROUP BY u)
         |WHERE doc_id != cluster""".stripMargin)
 
+  /** Asymmetric CONTAINMENT near-dup (|A∩B| / |A| >= 0.9) — the subset
+    * detector symmetric jaccard structurally misses: a short document
+    * quoted whole inside a much longer one has low jaccard but
+    * containment ≈ 1. Directional output: doc_a is the CONTAINED side.
+    * Same inverted-shingle-index plan as [[qDedupJaccard]] (shuffle on
+    * the shingle key, pair counts, size join — reads the memoized
+    * shingle relation), with the threshold as the exact integer
+    * comparison 10·i >= 9·|A|; at web scale the directional prefix
+    * filter (order by df, index only the first |A|−⌈0.9·|A|⌉+1 of the
+    * CONTAINED side) bounds candidates exactly as in the jaccard
+    * prefix plan. */
+  def qDedupContain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = docShingles(s, dir)
+    val inv = sh.select($"doc_id", explode($"sh").as("sng"))
+    val inter = inv.as("a").join(inv.as("b"),
+        $"a.sng" === $"b.sng" && $"a.doc_id" =!= $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val sz = sh.select($"doc_id".as("doc_a"), size($"sh").cast("long").as("n_a"))
+    inter.join(sz, "doc_a")
+      .filter($"i" * 10 >= $"n_a" * 9)
+      .select($"doc_a", $"doc_b", $"n_a", $"i",
+        expr("(i * 1000000L) DIV n_a").as("containment_ppm"))
+  }
+
+  val qDedupContainSql: String =
+    shinglesCte + """,
+      | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      | inter AS (
+      |   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      |   GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, x.n AS n_a, i, (i * 1000000) // x.n AS containment_ppm
+      |FROM inter JOIN sz x ON x.doc_id = doc_a
+      |WHERE i * 10 >= x.n * 9""".stripMargin
+
   /** MinHash ESTIMATOR QUALITY, measured in-engine and hash-gated: for
     * every exact near-dup pair, the jaccard estimate implied by signature
     * agreement (matches/128) next to the true value — the sketch-accuracy
@@ -1046,6 +1083,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_est"   -> (qMinhashEst _),
     "q_dedup_ppr"     -> (qDedupPpr _),
+    "q_dedup_contain" -> (qDedupContain _),
     "q_dedup_keep"    -> (qDedupKeep _),
     "q_dedup_verbatim" -> (qDedupVerbatim _),
     "q_decontaminate" -> (qDecontaminate _),
@@ -1069,6 +1107,7 @@ object Dedup {
   def oracles: Map[String, String] = Map(
     "q_minhash_est"   -> qMinhashEstSql,
     "q_dedup_ppr"     -> qDedupPprSql,
+    "q_dedup_contain" -> qDedupContainSql,
     "q_dedup_keep"    -> qDedupKeepSql,
     "q_dedup_verbatim" -> qDedupVerbatimSql,
     "q_decontaminate" -> qDecontaminateSql,
