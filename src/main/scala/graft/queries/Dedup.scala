@@ -985,15 +985,23 @@ object Dedup {
     import s.implicits._
     val sh = docShingles(s, dir)
     val inv = sh.select($"doc_id", explode($"sh").as("sng"))
+    // intersection sizes are SYMMETRIC: build the ordered (x < y) pair
+    // counts once (half the join volume of a directional self-join) and
+    // emit both containment directions from the same relation
     val inter = inv.as("a").join(inv.as("b"),
-        $"a.sng" === $"b.sng" && $"a.doc_id" =!= $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        $"a.sng" === $"b.sng" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("x"), $"b.doc_id".as("y"))
       .agg(count(lit(1)).as("i"))
-    val sz = sh.select($"doc_id".as("doc_a"), size($"sh").cast("long").as("n_a"))
-    inter.join(sz, "doc_a")
-      .filter($"i" * 10 >= $"n_a" * 9)
-      .select($"doc_a", $"doc_b", $"n_a", $"i",
-        expr("(i * 1000000L) DIV n_a").as("containment_ppm"))
+    val sz = sh.select($"doc_id", size($"sh").cast("long").as("n"))
+    val sized = inter
+      .join(sz.select($"doc_id".as("x"), $"n".as("n_x")), "x")
+      .join(sz.select($"doc_id".as("y"), $"n".as("n_y")), "y")
+    def side(contained: String, container: String, nCol: String) =
+      sized.filter($"i" * 10 >= col(nCol) * 9)
+        .select(col(contained).as("doc_a"), col(container).as("doc_b"),
+          col(nCol).as("n_a"), $"i",
+          expr(s"(i * 1000000L) DIV $nCol").as("containment_ppm"))
+    side("x", "y", "n_x").unionByName(side("y", "x", "n_y"))
   }
 
   val qDedupContainSql: String =
