@@ -1015,6 +1015,62 @@ object Dedup {
       |FROM inter JOIN sz x ON x.doc_id = doc_a
       |WHERE i * 10 >= x.n * 9""".stripMargin
 
+  /** Duplication-chain analysis via RECURSIVE SQL (WITH RECURSIVE ...
+    * UNION ALL — the §2 recursive-query surface, run by BOTH engines as
+    * near-identical SQL): orient each near-dup pair from the earlier doc
+    * (lower id) to the later one; from every chain ROOT (no incoming
+    * edge), walk the DAG and report how far its content propagates —
+    * distinct descendants and maximum chain depth. Terminates because
+    * the orientation is acyclic by construction (Spark 4 supports only
+    * UNION ALL recursion, so a cyclic closure would not); repeated paths
+    * are collapsed by the final count(DISTINCT). Gate-scale demo of the
+    * recursive operator — for genuinely deep or dense graphs the
+    * iterative [[graft.operators.ConnectedComponents]] remains the
+    * scale path (O(log n) rounds vs one shuffle per recursion level). */
+  def qDedupChain(s: SparkSession, dir: String): DataFrame = {
+    jaccardPairsCached(s, dir).select(col("doc_a"), col("doc_b"))
+      .createOrReplaceTempView("nd_pairs")
+    s.sql(chainRecursionSql("nd_pairs"))
+  }
+
+  /** The recursion text both engines run (only the pair-relation name
+    * differs: a temp view on the Spark side, a CTE in the oracle). */
+  private def chainRecursionSql(pairs: String): String =
+    s"""WITH RECURSIVE roots AS (
+       |  SELECT DISTINCT doc_a AS u FROM $pairs
+       |  WHERE doc_a NOT IN (SELECT doc_b FROM $pairs)),
+       |down(root, node, depth) AS (
+       |  SELECT u, u, 0 FROM roots
+       |  UNION ALL
+       |  SELECT d.root, e.doc_b, d.depth + 1
+       |  FROM $pairs e JOIN down d ON e.doc_a = d.node)
+       |SELECT root, CAST(count(DISTINCT node) - 1 AS BIGINT) AS n_descendants,
+       |  CAST(max(depth) AS BIGINT) AS max_depth
+       |FROM down GROUP BY root""".stripMargin
+
+  val qDedupChainSql: String =
+    shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
+       | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       | inter AS (
+       |   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |   GROUP BY 1, 2),
+       | nd_pairs AS (
+       |   SELECT doc_a, doc_b
+       |   FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+       |   WHERE i * 5 >= (x.n + y.n - i) * 3),
+       | roots AS (
+       |   SELECT DISTINCT doc_a AS u FROM nd_pairs
+       |   WHERE doc_a NOT IN (SELECT doc_b FROM nd_pairs)),
+       | down(root, node, depth) AS (
+       |   SELECT u, u, 0 FROM roots
+       |   UNION ALL
+       |   SELECT d.root, e.doc_b, d.depth + 1
+       |   FROM nd_pairs e JOIN down d ON e.doc_a = d.node)
+       |SELECT root, CAST(count(DISTINCT node) - 1 AS BIGINT) AS n_descendants,
+       |  CAST(max(depth) AS BIGINT) AS max_depth
+       |FROM down GROUP BY root""".stripMargin
+
   /** MinHash ESTIMATOR QUALITY, measured in-engine and hash-gated: for
     * every exact near-dup pair, the jaccard estimate implied by signature
     * agreement (matches/128) next to the true value — the sketch-accuracy
@@ -1092,6 +1148,7 @@ object Dedup {
     "q_minhash_est"   -> (qMinhashEst _),
     "q_dedup_ppr"     -> (qDedupPpr _),
     "q_dedup_contain" -> (qDedupContain _),
+    "q_dedup_chain"   -> (qDedupChain _),
     "q_dedup_keep"    -> (qDedupKeep _),
     "q_dedup_verbatim" -> (qDedupVerbatim _),
     "q_decontaminate" -> (qDecontaminate _),
@@ -1116,6 +1173,7 @@ object Dedup {
     "q_minhash_est"   -> qMinhashEstSql,
     "q_dedup_ppr"     -> qDedupPprSql,
     "q_dedup_contain" -> qDedupContainSql,
+    "q_dedup_chain"   -> qDedupChainSql,
     "q_dedup_keep"    -> qDedupKeepSql,
     "q_dedup_verbatim" -> qDedupVerbatimSql,
     "q_decontaminate" -> qDecontaminateSql,
