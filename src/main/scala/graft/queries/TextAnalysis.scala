@@ -204,6 +204,77 @@ object TextAnalysis {
       |FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
       |GROUP BY 1, 2 ORDER BY n_docs DESC, tok_a ASC, tok_b ASC LIMIT 20""".stripMargin
 
+  /** KMV (k-minimum-values) DISTINCT-COUNT SKETCH, k = 256 — the
+    * mergeable approximate-distinct sketch (Bar-Yossef et al. 2002; the
+    * theta-sketch core) with a property HLL lacks here: it is fully
+    * DETERMINISTIC given the shared 60-bit hash, so the sketch estimate
+    * itself sits under the exact cross-engine hash gate, next to the
+    * true distinct count and its error. Estimator: keep the k smallest
+    * distinct hash values; est = (k−1)·2⁶⁰ / h_k (exact n when fewer
+    * than k hashes exist). The division runs in float64 on BOTH engines
+    * (identical IEEE operands → identical result) because the integer
+    * form overflows 2⁶³; the OUTPUT is still BIGINT. Scale shape:
+    * per-key k-smallest is the WindowGroupLimit bounded-heap plan (no
+    * full sort), and the sketch merges by union-then-trim — the
+    * distributed-combine property that makes KMV a sketch at all. */
+  def qKmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val K = 256
+    // domain = distinct 3-gram shingles per source (thousands per source
+    // even at sf0.01, so the estimator branch genuinely fires; the
+    // per-source token vocabulary is ~30 — it would always take the
+    // exact branch and prove nothing)
+    def sng = Tables.documents(s, dir)
+      .select($"source", explode(shingleSet($"text")).as("sng"))
+    val hs = sng
+      .groupBy($"source")
+      .agg(countDistinct($"sng").as("n_exact"),
+           countDistinct(hash60($"sng")).as("n_h"))
+    val kth = sng
+      .select($"source", hash60($"sng").as("h")).distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"h".asc)).cast("long"))
+      .filter($"rk" <= K)
+      .groupBy($"source").agg(max($"h").as("h_k"), count(lit(1)).as("k_eff"))
+    hs.join(kth, "source")
+      .withColumn("est",
+        when($"n_h" < K, $"n_h")
+          .otherwise(round(lit((K - 1).toDouble) * lit(1.152921504606846976e18) /
+            $"h_k".cast("double")).cast("long")))
+      .withColumn("err_ppm",
+        expr("(abs(est - n_exact) * 1000000L) DIV n_exact"))
+      .select($"source", $"n_exact", $"n_h", $"h_k", $"est", $"err_ppm")
+  }
+
+  val qKmvDistinctSql: String =
+    """WITH toks AS (
+      |  SELECT source, list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |dt AS (
+      |  SELECT DISTINCT source, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sng
+      |  FROM toks WHERE len(t) >= 3),
+      |hashed AS (
+      |  SELECT source, sng, ('0x' || substr(md5(sng), 18, 15))::BIGINT AS h FROM dt),
+      |agg AS (
+      |  SELECT source, count(DISTINCT sng) AS n_exact, count(DISTINCT h) AS n_h
+      |  FROM hashed GROUP BY source),
+      |dh AS (SELECT DISTINCT source, h FROM hashed),
+      |ranked AS (
+      |  SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rk
+      |  FROM dh),
+      |kth AS (
+      |  SELECT source, CAST(max(h) AS BIGINT) AS h_k FROM ranked
+      |  WHERE rk <= 256 GROUP BY source)
+      |SELECT a.source, a.n_exact, a.n_h, k.h_k,
+      |  CAST(CASE WHEN a.n_h < 256 THEN a.n_h
+      |    ELSE CAST(round(255.0 * 1152921504606846976.0 / CAST(k.h_k AS DOUBLE)) AS BIGINT)
+      |    END AS BIGINT) AS est,
+      |  (abs(CAST(CASE WHEN a.n_h < 256 THEN a.n_h
+      |    ELSE CAST(round(255.0 * 1152921504606846976.0 / CAST(k.h_k AS DOUBLE)) AS BIGINT)
+      |    END AS BIGINT) - a.n_exact) * 1000000) // a.n_exact AS err_ppm
+      |FROM agg a JOIN kth k USING (source)""".stripMargin
+
   /** Chi-square contingency cells for lang × source independence — the
     * "is my metadata balanced?" audit every corpus card needs, in EXACT
     * integer arithmetic: the per-cell statistic (o−e)²/e with e = r·c/n
@@ -518,6 +589,7 @@ object TextAnalysis {
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_text_tri"         -> (qTextTri _),
     "q_chisq"            -> (qChisq _),
+    "q_kmv_distinct"     -> (qKmvDistinct _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -534,5 +606,6 @@ object TextAnalysis {
     "q_text_fingerprint" -> qTextFingerprintSql,
     "q_text_tri"         -> qTextTriSql,
     "q_chisq"            -> qChisqSql,
+    "q_kmv_distinct"     -> qKmvDistinctSql,
   )
 }

@@ -230,6 +230,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(LakeMaintenance.compact(spark, dir, Seq("source"), maxFilesPerPart = 4).isEmpty)
   }
 
+  test("KMV sketch: error inside theory bound, and k-minima merge distributively") {
+    // gated estimator: mean error should sit near 1/sqrt(k-1) ~ 6.3%
+    val rows = SparkEntry.queries("q_kmv_distinct")(spark, sf)
+      .select("n_exact", "n_h", "est", "err_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (nExact, nH, est, err) =>
+      if (nH < 256) assert(est == nH) // exact branch below k
+      else assert(err <= 400000L, s"estimator off by $err ppm (exact=$nExact est=$est)")
+    }
+    // the property that makes KMV a SKETCH: trimming the union of two
+    // partitions' k-minima equals the k-minima of the union (so partial
+    // sketches combine associatively on executors)
+    val rnd = new scala.util.Random(99L)
+    val a = Seq.fill(2000)(rnd.nextLong() & Long.MaxValue).distinct
+    val b = Seq.fill(2000)(rnd.nextLong() & Long.MaxValue).distinct
+    def kmin(xs: Seq[Long], k: Int = 256) = xs.distinct.sorted.take(k)
+    assert(kmin(kmin(a) ++ kmin(b)) == kmin(a ++ b))
+  }
+
   test("degree-oriented triangle counting equals brute force on random graphs") {
     import spark.implicits._
     // fixed seeds: deterministic spec, three densities incl. a hub-heavy
