@@ -459,7 +459,46 @@ object Events {
       |  CAST(max(sum_1h_c) AS BIGINT) AS peak_1h_value_c
       |FROM r GROUP BY user_id""".stripMargin
 
+  /** Event-type transition matrix — the sequence-mining primitive behind
+    * next-action prediction and funnel discovery: adjacent event pairs
+    * within a user's 30-minute session (the same session break as
+    * [[qEvSession]]), counted into P(next | current) rows with exact
+    * integer ppm normalization. One shuffle on user_id (lag + session
+    * windows share the partitioning), then one keyed count; the matrix
+    * is |event_types|² rows at any scale. */
+  def qEvTransitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val pairs = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(byUser))
+      .withColumn("prev_s", lag($"ts".cast("long"), 1).over(byUser))
+      .filter($"prev_type".isNotNull &&
+        $"ts".cast("long") - $"prev_s" <= 1800L)
+      .groupBy($"prev_type".as("from_type"), $"event_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy($"from_type").agg(sum($"n").as("n_from"))
+    pairs.join(totals, "from_type")
+      .withColumn("p_ppm", expr("(n * 1000000L) DIV n_from"))
+  }
+
+  val qEvTransitionsSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type, epoch_us(ts) // 1000000 AS sec,
+      |    lag(event_type) OVER w AS prev_type,
+      |    lag(epoch_us(ts) // 1000000) OVER w AS prev_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |p AS (
+      |  SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+      |  FROM o WHERE prev_type IS NOT NULL AND sec - prev_s <= 1800
+      |  GROUP BY 1, 2),
+      |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM p GROUP BY 1)
+      |SELECT from_type, to_type, n, n_from, (n * 1000000) // n_from AS p_ppm
+      |FROM p JOIN t USING (from_type)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ev_transitions" -> (qEvTransitions _),
     "q_ev_rolling"   -> (qEvRolling _),
     "q_ev_props_map" -> (qEvPropsMap _),
     "q_ev_sliding"   -> (qEvSliding _),
@@ -476,6 +515,7 @@ object Events {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_ev_transitions" -> qEvTransitionsSql,
     "q_ev_rolling"   -> qEvRollingSql,
     "q_ev_props_map" -> qEvPropsMapSql,
     "q_ev_sliding"   -> qEvSlidingSql,

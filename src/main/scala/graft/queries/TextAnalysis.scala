@@ -275,6 +275,73 @@ object TextAnalysis {
       |    END AS BIGINT) - a.n_exact) * 1000000) // a.n_exact AS err_ppm
       |FROM agg a JOIN kth k USING (source)""".stripMargin
 
+  /** TWO-LEVEL KMV MERGE — the distributed-sketch rollup itself, run and
+    * gated in-engine: per-source k-minima (the partial sketches a
+    * 1000-executor job would emit) union and re-trim to the global
+    * k-minima, whose estimate is compared — inside the same gated row —
+    * to the estimate computed directly from the global hash set. The
+    * union-then-trim law says they are IDENTICAL, and the hash gate
+    * locks that as data, not doctrine. Level 2 processes only
+    * |sources|·k rows regardless of corpus size — the whole point of
+    * sketch-based distinct counting at 100 TB. */
+  def qKmvMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val K = 256
+    val hashes = Tables.documents(s, dir)
+      .select($"source", explode(shingleSet($"text")).as("sng"))
+      .select($"source", hash60($"sng").as("h"))
+    def estOf(kMinima: DataFrame): DataFrame =
+      kMinima.agg(max($"h").as("h_k"), count(lit(1)).as("k_eff"))
+        .select(round(lit(255.0) * lit(1.152921504606846976e18) /
+          $"h_k".cast("double")).cast("long").as("est"), $"k_eff")
+    // direct: global k-minima of the full distinct hash set
+    val direct = estOf(hashes.select($"h").distinct().orderBy($"h".asc).limit(K))
+    // merged: per-source partial sketches (k-minima), union, re-trim
+    val partials = hashes.distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"h".asc)).cast("long"))
+      .filter($"rk" <= K)
+    val merged = estOf(partials.select($"h").distinct().orderBy($"h".asc).limit(K))
+    val exact = hashes.agg(countDistinct($"h").as("n_exact"),
+      countDistinct($"source").as("n_sources"))
+    exact
+      .crossJoin(broadcast(direct.select($"est".as("est_direct"))))
+      .crossJoin(broadcast(merged.select($"est".as("est_merged"))))
+      .withColumn("merge_law_holds", ($"est_direct" === $"est_merged").cast("long"))
+      .withColumn("err_ppm", expr("(abs(est_direct - n_exact) * 1000000L) DIV n_exact"))
+  }
+
+  val qKmvMergeSql: String =
+    """WITH toks AS (
+      |  SELECT source, list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT source, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sng
+      |  FROM toks WHERE len(t) >= 3),
+      |hashes AS (
+      |  SELECT DISTINCT source, ('0x' || substr(md5(sng), 18, 15))::BIGINT AS h FROM sh),
+      |direct_k AS (
+      |  SELECT h FROM (SELECT DISTINCT h FROM hashes) ORDER BY h ASC LIMIT 256),
+      |direct AS (
+      |  SELECT CAST(round(255.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE)) AS BIGINT) AS est_direct
+      |  FROM direct_k),
+      |partials AS (
+      |  SELECT h FROM (
+      |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rk
+      |    FROM hashes) WHERE rk <= 256),
+      |merged_k AS (
+      |  SELECT h FROM (SELECT DISTINCT h FROM partials) ORDER BY h ASC LIMIT 256),
+      |merged AS (
+      |  SELECT CAST(round(255.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE)) AS BIGINT) AS est_merged
+      |  FROM merged_k),
+      |exact AS (
+      |  SELECT count(DISTINCT h) AS n_exact, count(DISTINCT source) AS n_sources FROM hashes)
+      |SELECT n_exact, n_sources, est_direct, est_merged,
+      |  CAST(CASE WHEN est_direct = est_merged THEN 1 ELSE 0 END AS BIGINT) AS merge_law_holds,
+      |  (abs(est_direct - n_exact) * 1000000) // n_exact AS err_ppm
+      |FROM exact CROSS JOIN direct CROSS JOIN merged""".stripMargin
+
   /** Chi-square contingency cells for lang × source independence — the
     * "is my metadata balanced?" audit every corpus card needs, in EXACT
     * integer arithmetic: the per-cell statistic (o−e)²/e with e = r·c/n
@@ -590,6 +657,7 @@ object TextAnalysis {
     "q_text_tri"         -> (qTextTri _),
     "q_chisq"            -> (qChisq _),
     "q_kmv_distinct"     -> (qKmvDistinct _),
+    "q_kmv_merge"        -> (qKmvMerge _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -607,5 +675,6 @@ object TextAnalysis {
     "q_text_tri"         -> qTextTriSql,
     "q_chisq"            -> qChisqSql,
     "q_kmv_distinct"     -> qKmvDistinctSql,
+    "q_kmv_merge"        -> qKmvMergeSql,
   )
 }
