@@ -63,7 +63,14 @@ object Dedup {
     * relation is one array row per doc. */
   private val shinglesCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), LazyDf]()
-  private def docShingles(s: SparkSession, dir: String): DataFrame = {
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    docShinglesSrc(s, dir).select(col("doc_id"), col("sh"))
+
+  /** The cached relation with the source column retained — the KMV
+    * sketch queries (TextAnalysis) aggregate shingles BY source, and
+    * carrying the one extra string column in the checkpoint is free
+    * compared to re-shingling the corpus. */
+  private[graft] def docShinglesSrc(s: SparkSession, dir: String): DataFrame = {
     shinglesCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     shinglesCache.computeIfAbsent((s, dir), _ => new LazyDf(() =>
       docShinglesUncached(s, dir).localCheckpoint(true))).df
@@ -72,7 +79,7 @@ object Dedup {
   private[graft] def docShinglesUncached(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .select($"doc_id", shingleSet($"text").as("sh"))
+      .select($"doc_id", $"source", shingleSet($"text").as("sh"))
       .filter(size($"sh") > 0)
   }
 

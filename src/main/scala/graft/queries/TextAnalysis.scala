@@ -224,9 +224,10 @@ object TextAnalysis {
     // domain = distinct 3-gram shingles per source (thousands per source
     // even at sf0.01, so the estimator branch genuinely fires; the
     // per-source token vocabulary is ~30 — it would always take the
-    // exact branch and prove nothing)
-    def sng = Tables.documents(s, dir)
-      .select($"source", explode(shingleSet($"text")).as("sng"))
+    // exact branch and prove nothing). Reads the memoized shingle
+    // relation (Dedup.docShinglesSrc) — shingle once, fan out.
+    def sng = graft.queries.Dedup.docShinglesSrc(s, dir)
+      .select($"source", explode($"sh").as("sng"))
     val hs = sng
       .groupBy($"source")
       .agg(countDistinct($"sng").as("n_exact"),
@@ -288,8 +289,8 @@ object TextAnalysis {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val K = 256
-    val hashes = Tables.documents(s, dir)
-      .select($"source", explode(shingleSet($"text")).as("sng"))
+    val hashes = graft.queries.Dedup.docShinglesSrc(s, dir)
+      .select($"source", explode($"sh").as("sng"))
       .select($"source", hash60($"sng").as("h"))
     def estOf(kMinima: DataFrame): DataFrame =
       kMinima.agg(max($"h").as("h_k"), count(lit(1)).as("k_eff"))
