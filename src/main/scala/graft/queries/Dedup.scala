@@ -137,6 +137,7 @@ object Dedup {
     * Both forms are exact and share the brute-force oracle, so the choice
     * can never change the answer — only the plan. */
   def qDedupJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val sh = docShingles(s, dir)
     // the df-stats aggregate is a real Spark job (a shuffle comparable to
     // the inverted index itself) — memoize the CHOICE per (session, dir)
@@ -147,8 +148,40 @@ object Dedup {
       _ => new LazyVal(() => jaccardPlanChoice(sh))).v
     choice match {
       case "prefix" => jaccardPairsPrefix(sh)
-      case _        => jaccardPairsPlain(sh)
+      case _ =>
+        // plain plan over the MEMOIZED sized-intersection relation
+        // (shared with the containment filters); jaccardPairsPlain(sh)
+        // stays as the un-memoized executable spec of this filter
+        sizedIntersections(s, dir)
+          .filter($"i" * 5 >= ($"n_x" + $"n_y" - $"i") * 3)
+          .select($"x".as("doc_a"), $"y".as("doc_b"),
+            expr("(i * 1000000L) DIV (n_x + n_y - i)").as("jaccard_ppm"))
     }
+  }
+
+  /** Unthresholded shared-shingle pair relation (x < y, intersection
+    * size i, both set sizes) — THE expensive join of the dedup family,
+    * shared by the jaccard >= 0.6 filter (plain plan) and both
+    * containment filters; materialized once per (session, dir). Rows =
+    * document pairs sharing at least one shingle — the same volume the
+    * plain jaccard join already shuffles, now paid once. */
+  private val interCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), LazyDf]()
+  private def sizedIntersections(s: SparkSession, dir: String): DataFrame = {
+    interCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    interCache.computeIfAbsent((s, dir), _ => new LazyDf(() => {
+      import s.implicits._
+      val sh = docShingles(s, dir)
+      val inv = sh.select($"doc_id", explode($"sh").as("sng"))
+      val sizes = sh.select($"doc_id", size($"sh").cast("long").as("n"))
+      inv.as("a").join(inv.as("b"),
+          $"a.sng" === $"b.sng" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("x"), $"b.doc_id".as("y"))
+        .agg(count(lit(1)).as("i"))
+        .join(sizes.select($"doc_id".as("x"), $"n".as("n_x")), "x")
+        .join(sizes.select($"doc_id".as("y"), $"n".as("n_y")), "y")
+        .localCheckpoint(true)
+    })).df
   }
 
   private final class LazyVal[A](compute: () => A) {
@@ -990,19 +1023,10 @@ object Dedup {
     * prefix plan. */
   def qDedupContain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = docShingles(s, dir)
-    val inv = sh.select($"doc_id", explode($"sh").as("sng"))
-    // intersection sizes are SYMMETRIC: build the ordered (x < y) pair
-    // counts once (half the join volume of a directional self-join) and
-    // emit both containment directions from the same relation
-    val inter = inv.as("a").join(inv.as("b"),
-        $"a.sng" === $"b.sng" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("x"), $"b.doc_id".as("y"))
-      .agg(count(lit(1)).as("i"))
-    val sz = sh.select($"doc_id", size($"sh").cast("long").as("n"))
-    val sized = inter
-      .join(sz.select($"doc_id".as("x"), $"n".as("n_x")), "x")
-      .join(sz.select($"doc_id".as("y"), $"n".as("n_y")), "y")
+    // intersection sizes are SYMMETRIC: the ordered (x < y) pair counts
+    // come from the memoized sized-intersection relation (shared with the
+    // plain jaccard filter) and both containment directions derive from it
+    val sized = sizedIntersections(s, dir)
     def side(contained: String, container: String, nCol: String) =
       sized.filter($"i" * 10 >= col(nCol) * 9)
         .select(col(contained).as("doc_a"), col(container).as("doc_b"),
