@@ -682,7 +682,53 @@ object TrainingData {
       |  greatest(0, budget_tokens - (src_tokens * rate_ppm) // 1000000) AS deficit_tokens
       |FROM p""".stripMargin
 
+  /** Shard manifest — the last step of the assembly pipeline (curate →
+    * pack → SHARD → publish): every document deterministically assigned
+    * to one of 64 shards by the shared content-stable hash (reproducible
+    * on any cluster size, no RNG, no coordination), with the per-shard
+    * balance audit a publisher checks before shipping: doc count, token
+    * mass, id range, and the shard's deviation from the mean token load
+    * in exact ppm. Map-side assignment + ONE keyed aggregation; the
+    * manifest is 64 rows at any corpus size. */
+  def qShardManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Shards = 64
+    val perShard = Tables.documents(s, dir)
+      .select($"doc_id", size(tokens($"text")).cast("long").as("nt"),
+        graft.functions.Hashing.bucket("doc_id", Shards).as("shard"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"),
+           min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+    val mean = perShard.agg(
+      sum($"n_tokens").as("total_tokens"), count(lit(1)).as("n_shards"))
+    perShard.crossJoin(broadcast(mean))
+      .withColumn("mean_tokens", expr("total_tokens DIV n_shards"))
+      .withColumn("dev_ppm",
+        expr("(abs(n_tokens - mean_tokens) * 1000000L) DIV mean_tokens"))
+      .select($"shard", $"n_docs", $"n_tokens", $"min_doc", $"max_doc",
+        $"mean_tokens", $"dev_ppm")
+  }
+
+  val qShardManifestSql: String =
+    s"""WITH assigned AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x <> '')) AS nt,
+       |    ${h60Duck("doc_id")} % 64 AS shard
+       |  FROM documents),
+       |per_shard AS (
+       |  SELECT shard, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |    min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |  FROM assigned GROUP BY shard),
+       |m AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |             count(*) AS n_shards FROM per_shard)
+       |SELECT shard, n_docs, n_tokens, min_doc, max_doc,
+       |  total_tokens // n_shards AS mean_tokens,
+       |  (abs(n_tokens - total_tokens // n_shards) * 1000000)
+       |    // (total_tokens // n_shards) AS dev_ppm
+       |FROM per_shard CROSS JOIN m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shard_manifest"    -> (qShardManifest _),
     "q_mix_plan"          -> (qMixPlan _),
     "q_clf_score"         -> (qClfScore _),
     "q_lm_score"          -> (qLmScore _),
@@ -702,6 +748,7 @@ object TrainingData {
   def oracles: Map[String, String] = Map(
     "q_clf_score"         -> qClfScoreSql,
     "q_mix_plan"          -> qMixPlanSql,
+    "q_shard_manifest"    -> qShardManifestSql,
     "q_lm_score"          -> qLmScoreSql,
     "q_sample_weighted"   -> qSampleWeightedSql,
     "q_bigram_lm"         -> qBigramLmSql,
