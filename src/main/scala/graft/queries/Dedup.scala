@@ -967,11 +967,14 @@ object Dedup {
     val inv = sh.select($"doc_id", explode($"sh").as("s"))
     val dfreq = inv.groupBy($"s").agg(count(lit(1)).as("df"))
     // global rarity order: (df, shingle) ascending
+    // doc size rides the same doc_id window partitioning as pos — zero
+    // extra exchange, and (unlike a join against a per-document sizes
+    // relation) nothing corpus-proportional is ever broadcast
     val ranked = inv.join(dfreq, "s")
       .withColumn("pos", row_number().over(
         Window.partitionBy($"doc_id").orderBy($"df".asc, $"s".asc)))
-    val sizes = sh.select($"doc_id", size($"sh").as("n"))
-    val prefixes = ranked.join(broadcast(sizes), "doc_id")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+    val prefixes = ranked
       .filter($"pos" <= $"n" - ceil($"n" * t) + 1)
       .select($"doc_id", $"s")
     prefixes.as("a").join(prefixes.as("b"),

@@ -416,9 +416,9 @@ object Events {
       |  SELECT unnest(json_keys(props)) AS k, props FROM events),
       |vv AS (SELECT k, json_extract_string(props, '$.' || k) AS v FROM kv)
       |SELECT k, count(*) AS n, count(DISTINCT v) AS n_vals,
-      |  CAST(sum(CAST(v AS BIGINT)) AS BIGINT) AS sum_v,
-      |  CAST(min(CAST(v AS BIGINT)) AS BIGINT) AS min_v,
-      |  CAST(max(CAST(v AS BIGINT)) AS BIGINT) AS max_v
+      |  CAST(sum(TRY_CAST(v AS BIGINT)) AS BIGINT) AS sum_v,
+      |  CAST(min(TRY_CAST(v AS BIGINT)) AS BIGINT) AS min_v,
+      |  CAST(max(TRY_CAST(v AS BIGINT)) AS BIGINT) AS max_v
       |FROM vv GROUP BY k""".stripMargin
 
   /** Trailing-hour burst detection via RANGE-frame windows — the frame

@@ -95,7 +95,10 @@ object Relational {
       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
 
   /** TPC-H Q3 flavor: fact-fact sort-merge join (lineitem ⋈ orders) with a
-    * broadcast dimension filter (customer segment). Top-10 revenue. */
+    * customer-segment filter. No broadcast hint on customer: the segment
+    * slice is ~1/5 of all customers and grows with the corpus — a pinned
+    * broadcast is a driver OOM at 100×. AQE broadcasts it adaptively when
+    * runtime stats say it is actually small. Top-10 revenue. */
   def q3Join(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cust = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
@@ -104,7 +107,7 @@ object Relational {
     val li   = Tables.lineitem(s, dir)
       .filter($"l_shipdate" > lit("1998-01-01").cast("timestamp"))
     li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
       .agg(sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
         .as("revenue_c4"))
@@ -125,14 +128,17 @@ object Relational {
       |ORDER BY revenue_c4 DESC, l_orderkey ASC
       |LIMIT 10""".stripMargin
 
-  /** Multi-dim star join: region→nation→customer→orders, dims broadcast. */
+  /** Multi-dim star join: region→nation→customer→orders. Only the
+    * genuinely bounded dims (nation: 25 rows, region: 5 rows — fixed by
+    * the data model at any SF) carry broadcast hints; customer grows with
+    * the corpus, so its join to orders is left to AQE. */
   def q5StarJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dims = Tables.customer(s, dir)
       .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
     Tables.orders(s, dir)
-      .join(broadcast(dims), $"o_custkey" === $"c_custkey")
+      .join(dims, $"o_custkey" === $"c_custkey")
       .groupBy($"r_name", $"n_name")
       .agg(sum(cents($"o_totalprice")).as("total_price_c"),
            count(lit(1)).as("n_orders"))
@@ -850,7 +856,7 @@ object Relational {
       |  CAST(sum(CASE WHEN v.val IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct,
       |  min(r.val) AS top_val,
       |  CAST(min(r.n) AS BIGINT) AS top_n
-      |FROM vc v JOIN ranked r ON v.col_name = r.col_name AND r.rk = 1
+      |FROM vc v LEFT JOIN ranked r ON v.col_name = r.col_name AND r.rk = 1
       |GROUP BY v.col_name""".stripMargin
 
   /** Join-key skew diagnostics — the statistics a planner (or an engineer

@@ -292,10 +292,15 @@ object TextAnalysis {
     val hashes = graft.queries.Dedup.docShinglesSrc(s, dir)
       .select($"source", explode($"sh").as("sng"))
       .select($"source", hash60($"sng").as("h"))
+    // exact branch mirrors qKmvDistinct: with fewer than K distinct
+    // hashes the k-minima ARE the whole set — the (K-1)/h_k estimator is
+    // meaningless there, the distinct count is exact
     def estOf(kMinima: DataFrame): DataFrame =
       kMinima.agg(max($"h").as("h_k"), count(lit(1)).as("k_eff"))
-        .select(round(lit(255.0) * lit(1.152921504606846976e18) /
-          $"h_k".cast("double")).cast("long").as("est"), $"k_eff")
+        .select(when($"k_eff" < K, $"k_eff")
+          .otherwise(round(lit(255.0) * lit(1.152921504606846976e18) /
+            $"h_k".cast("double")).cast("long"))
+          .cast("long").as("est"), $"k_eff")
     // direct: global k-minima of the full distinct hash set
     val direct = estOf(hashes.select($"h").distinct().orderBy($"h".asc).limit(K))
     // merged: per-source partial sketches (k-minima), union, re-trim
@@ -325,7 +330,9 @@ object TextAnalysis {
       |direct_k AS (
       |  SELECT h FROM (SELECT DISTINCT h FROM hashes) ORDER BY h ASC LIMIT 256),
       |direct AS (
-      |  SELECT CAST(round(255.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE)) AS BIGINT) AS est_direct
+      |  SELECT CAST(CASE WHEN count(*) < 256 THEN count(*)
+      |    ELSE CAST(round(255.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE)) AS BIGINT)
+      |    END AS BIGINT) AS est_direct
       |  FROM direct_k),
       |partials AS (
       |  SELECT h FROM (
@@ -334,7 +341,9 @@ object TextAnalysis {
       |merged_k AS (
       |  SELECT h FROM (SELECT DISTINCT h FROM partials) ORDER BY h ASC LIMIT 256),
       |merged AS (
-      |  SELECT CAST(round(255.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE)) AS BIGINT) AS est_merged
+      |  SELECT CAST(CASE WHEN count(*) < 256 THEN count(*)
+      |    ELSE CAST(round(255.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE)) AS BIGINT)
+      |    END AS BIGINT) AS est_merged
       |  FROM merged_k),
       |exact AS (
       |  SELECT count(DISTINCT h) AS n_exact, count(DISTINCT source) AS n_sources FROM hashes)
@@ -364,6 +373,16 @@ object TextAnalysis {
     cells.join(broadcast(rows), "lang")
       .join(broadcast(cols), "source")
       .crossJoin(broadcast(n))
+      // runtime enforcement of the 2^63 bound the scaladoc states:
+      // dev2 ≤ n_tot^4 overflows silently past n_tot ≈ 55k, so refuse to
+      // emit wrong numbers — rescale counts DIV k upstream instead. The
+      // guard lives in the data path (n_tot is an output column), so
+      // column pruning cannot eliminate it.
+      .withColumn("n_tot", when($"n_tot" > lit(55000L),
+          raise_error(concat(lit("qChisq: n_tot="), $"n_tot".cast("string"),
+            lit(" exceeds the int64-safe bound 55000; rescale counts DIV k first")))
+            .cast("long"))
+        .otherwise($"n_tot"))
       .withColumn("dev2",
         ($"o" * $"n_tot" - $"r_tot" * $"c_tot") * ($"o" * $"n_tot" - $"r_tot" * $"c_tot"))
       .withColumn("cell_chi2_m",
@@ -596,7 +615,11 @@ object TextAnalysis {
     * materializes, only a left join from each source's tokens. The
     * domain-shift / dataset-drift statistic of corpus monitoring; TV = 0
     * iff identical distributions, 1e6 ppm iff disjoint. One (source, tok)
-    * count shuffle + a broadcast reference join — linear. */
+    * count shuffle + a tok-keyed reference join — linear. The reference
+    * vocabulary is NOT broadcast: vocabulary grows with the corpus
+    * (Heaps' law — 1e8–1e9 types at 100 TB), so the left join shuffles on
+    * tok, co-partitioned with the count shuffle already present; only the
+    * 1-row N_0 total is broadcast. */
   def qTextDrift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tc = Tables.documents(s, dir)
@@ -607,7 +630,7 @@ object TextAnalysis {
       .select($"tok", $"c".as("c0"))
     val n0 = totals.filter($"source" === "src0").select($"n".as("n0"))
     tc.filter($"source" =!= "src0")
-      .join(broadcast(ref), Seq("tok"), "left")
+      .join(ref, Seq("tok"), "left")
       .join(totals.filter($"source" =!= "src0"), Seq("source")) // N_s rides each row
       .crossJoin(broadcast(n0))
       .groupBy($"source")
