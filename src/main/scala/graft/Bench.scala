@@ -38,6 +38,18 @@ object Bench {
     val s = xs.sorted; s(s.length / 2)
   }
 
+  /** Trimmed median for the decode probes (round-4 finding: the 2M figure
+    * reported `.max`, a best-case, and 3 runs let one contended run skew
+    * the spread). Successful runs only; with ≥5 runs the single best and
+    * worst are dropped before taking the median, so one outlier in either
+    * direction cannot move the reported number. */
+  private[graft] def trimmedP50(xs: Seq[Double]): Double = {
+    val ok = xs.filter(_ > 0).sorted
+    if (ok.isEmpty) 0.0
+    else if (ok.length >= 5) p50(ok.slice(1, ok.length - 1))
+    else p50(ok)
+  }
+
   /** The emitted artifact line. Field order is load-bearing (see object
     * scaladoc). At 116 queries the NAMED int-ms p50 map alone is ~2.3k
     * chars — it no longer fits the driver's ~2000-char tail capture, so
@@ -63,7 +75,7 @@ object Bench {
     val qMsArr = names.map(n =>
       if (perP50(n) < 0) -1L else math.rint(perP50(n) * 1000).toLong)
       .mkString("[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$NRuns,"sf":"$sfDir","env":$env,"queries_p90":${jmap(perP90)},"queries":${jmap(perP50)},"queries_ms":$qMs,"decode_rec_per_s":${decodeRate.round},"decode92_rec_per_s":${p50(decodeRuns).round},"decode92_runs":[${decodeRuns.map(_.round).mkString(",")}],"decode92_2m_rec_per_s":${decode2mRuns.max.round},"decode92_2m_runs":[${decode2mRuns.map(_.round).mkString(",")}],"totals_per_run":[${totalsPerRun.map(r3).mkString(",")}],"resweeps":$resweeps,"decode_resweeps":$decodeResweeps,"queries_ms_arr":$qMsArr}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$NRuns,"sf":"$sfDir","env":$env,"queries_p90":${jmap(perP90)},"queries":${jmap(perP50)},"queries_ms":$qMs,"decode_rec_per_s":${decodeRate.round},"decode92_rec_per_s":${trimmedP50(decodeRuns).round},"decode92_runs":[${decodeRuns.map(_.round).mkString(",")}],"decode92_2m_rec_per_s":${trimmedP50(decode2mRuns).round},"decode92_2m_max":${decode2mRuns.max.round},"decode92_2m_runs":[${decode2mRuns.map(_.round).mkString(",")}],"totals_per_run":[${totalsPerRun.map(r3).mkString(",")}],"resweeps":$resweeps,"decode_resweeps":$decodeResweeps,"queries_ms_arr":$qMsArr}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -100,10 +112,15 @@ object Bench {
         runs.updated(runs.indexOf(ok.min), decodeOnce(n))
       }
     }
-    val decodeRuns = guardDecode((1 to NRuns).map(_ => decodeOnce()), 500000)
+    // 5 runs each, reported as the trimmed median (drop best + worst,
+    // median of the middle 3): BENCH_r04's decode92_runs spread 4.3x
+    // inside one artifact while the >3x guard only catches outright
+    // failures — a stat robust to one outlier beats a wider guard.
+    val DecodeRuns = 5
+    val decodeRuns = guardDecode((1 to DecodeRuns).map(_ => decodeOnce()), 500000)
     // second corpus scale: 4x the records — shows the number is not a
-    // small-corpus cache artifact (2 repeats: each is already 2-pass)
-    val decode2mRuns = guardDecode((1 to 2).map(_ => decodeOnce(2000000)), 2000000)
+    // small-corpus cache artifact
+    val decode2mRuns = guardDecode((1 to DecodeRuns).map(_ => decodeOnce(2000000)), 2000000)
 
     // Warm-up pass: JIT + codegen + parquet footer caches, so the timed
     // passes measure steady-state throughput rather than JVM start-up.

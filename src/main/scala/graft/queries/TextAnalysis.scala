@@ -628,7 +628,9 @@ object TextAnalysis {
     val totals = tc.groupBy($"source").agg(sum($"c").as("n"))
     val ref = tc.filter($"source" === "src0")
       .select($"tok", $"c".as("c0"))
-    val n0 = totals.filter($"source" === "src0").select($"n".as("n0"))
+    // global (no-grouping) aggregate: mechanically ≤1 row at any corpus
+    // size, which is what PlanHygieneSpec's pinned-broadcast rule checks
+    val n0 = tc.filter($"source" === "src0").agg(sum($"c").as("n0"))
     tc.filter($"source" =!= "src0")
       .join(ref, Seq("tok"), "left")
       .join(totals.filter($"source" =!= "src0"), Seq("source")) // N_s rides each row

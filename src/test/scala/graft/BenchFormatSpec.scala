@@ -44,4 +44,18 @@ class BenchFormatSpec extends AnyFunSuite {
     // values are int-ms of 3.141 s = 3141 for every query
     assert(line.contains("\"queries_ms_arr\":[3141,3141,3141,3141,3141]}"))
   }
+
+  test("decode figures report the trimmed median, with max as a secondary stat") {
+    val line = render(5)
+    // decodeRuns [245931, 250000, 240000] -> median 245931 (< 5 runs: no trim)
+    assert(line.contains("\"decode92_rec_per_s\":245931"))
+    // 2M probe: median reported as the headline, max as a separate field
+    assert(line.contains("\"decode92_2m_rec_per_s\":319152") ||
+      line.contains("\"decode92_2m_rec_per_s\":320000"))
+    assert(line.contains("\"decode92_2m_max\":320000"))
+    // trimmed median drops exactly one best + one worst at >=5 runs, and
+    // failed (0.0) runs never count
+    assert(Bench.trimmedP50(Seq(100.0, 0.0, 900.0, 300.0, 310.0, 320.0, 305.0)) == 310.0)
+    assert(Bench.trimmedP50(Seq(0.0, 0.0)) == 0.0)
+  }
 }

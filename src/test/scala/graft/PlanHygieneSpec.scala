@@ -88,6 +88,70 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"trained centroid count scales with the corpus ($t1 -> $t2)")
   }
 
+  // Queries whose PINNED broadcast side IS bounded at any corpus size,
+  // but not by a construct the mechanical bounder check below can see
+  // (global agg / Limit). Each entry documents the actual bound.
+  private val boundedBroadcastOk = Set(
+    // ANN quantizer family: broadcast(centroids) where the centroid set
+    // is capped by the isCentroid filter (% step && < CentBound) — the
+    // "quantizer centroid cardinality is corpus-independent" test in
+    // this suite proves the cap holds when the corpus doubles
+    "q_ann_ivf", "q_kmeans_round", "q_pq_codebook", "q_ivfpq_codebook",
+    // bounded query set (≤10 at any scale) broadcast-nested-loop probe
+    "q_ann_range",
+    // composes q_ann_brute + q_ann_ivf → inherits their centroid/query
+    // broadcasts (both bounded as above)
+    "q_ann_recall",
+    // per-event_type moments: grouped on a fixed-domain key
+    "q_ev_anomaly",
+    // row/col totals grouped by lang / source — fixed domains
+    "q_chisq")
+
+  test("no pinned broadcast hint feeds from a corpus-proportional relation") {
+    // The 100 TB contract behind round-4's findings: a broadcast() HINT
+    // pinned on a relation that grows with the corpus (documents,
+    // embeddings, lineitem, customer, ...) is a driver OOM at scale no
+    // matter what AQE would have chosen. Mechanically: walk each gated
+    // query's OPTIMIZED logical plan (pinned hints survive as JoinHint;
+    // AQE's adaptive runtime choices never appear here, so only
+    // hard-coded hints can fail), and for every BROADCAST-hinted join
+    // side whose leaves scan a growing table, require a cardinality
+    // bounder in the side's subtree: a global (no-grouping) aggregate
+    // (≤1 row at any scale) or an explicit Limit. Grouped aggregates
+    // over bounded domains go on the documented whitelist above.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val growing = Set("documents", "embeddings", "lineitem", "orders",
+      "customer", "events", "part", "supplier", "partsupp")
+    def tablesOf(p: LogicalPlan): Set[String] = p.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(_.getName.stripSuffix(".parquet")).toSet
+        case _ => Set.empty[String]
+      }
+    }.flatten.toSet
+    def hasBounder(p: LogicalPlan): Boolean = p.collect {
+      case a: Aggregate if a.groupingExpressions.isEmpty => a
+      case l: GlobalLimit => l
+    }.nonEmpty
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val plan =
+        try fn(spark, sf).queryExecution.optimizedPlan
+        catch { case e: Throwable => fail(s"$name failed to optimize: ${e.getMessage}") }
+      val pinnedSides = plan.collect {
+        case j: Join => Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right)
+          .collect { case (Some(h), side) if h.strategy.contains(BROADCAST) => side }
+      }.flatten
+      val bad = pinnedSides.filter(side =>
+        (tablesOf(side) intersect growing).nonEmpty && !hasBounder(side))
+      if (bad.nonEmpty && !boundedBroadcastOk.contains(name))
+        Some(s"$name broadcasts ${bad.flatMap(tablesOf).toSet.mkString(",")}")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"corpus-proportional pinned broadcast in: ${offenders.mkString("; ")}")
+  }
+
   test("range search plans zero shuffle exchanges (map-side score + filter)") {
     // q_ann_range = broadcast(bounded query set) + per-partition score and
     // filter: matches stream straight out of the scan — any shuffle here
