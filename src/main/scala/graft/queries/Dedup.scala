@@ -139,14 +139,7 @@ object Dedup {
   def qDedupJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = docShingles(s, dir)
-    // the df-stats aggregate is a real Spark job (a shuffle comparable to
-    // the inverted index itself) — memoize the CHOICE per (session, dir)
-    // so repeated constructions (bench sweeps, plan inspections, the
-    // cluster/pagerank consumers) don't re-pay it
-    planChoiceCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    val choice = planChoiceCache.computeIfAbsent((s, dir),
-      _ => new LazyVal(() => jaccardPlanChoice(sh))).v
-    choice match {
+    shinglePlanChoice(s, dir) match {
       case "prefix" => jaccardPairsPrefix(sh)
       case _ =>
         // plain plan over the MEMOIZED sized-intersection relation
@@ -189,6 +182,17 @@ object Dedup {
   }
   private val planChoiceCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), LazyVal[String]]()
+
+  /** Memoized df-distribution plan choice per (session, dir): the stats
+    * aggregate is a real Spark job (a shuffle comparable to the inverted
+    * index itself), and BOTH set-similarity entries — jaccard and
+    * containment — key their plain-vs-prefix routing off the same
+    * posting-list distribution, so the choice is paid once. */
+  private[graft] def shinglePlanChoice(s: SparkSession, dir: String): String = {
+    planChoiceCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    planChoiceCache.computeIfAbsent((s, dir),
+      _ => new LazyVal(() => jaccardPlanChoice(docShingles(s, dir)))).v
+  }
 
   val qDedupJaccardSql: String = bruteJaccardSql
 
@@ -1026,6 +1030,10 @@ object Dedup {
     * prefix plan. */
   def qDedupContain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    if (shinglePlanChoice(s, dir) == "prefix")
+      // stop-shingle regime: the symmetric sized-intersection relation
+      // explodes with df² — route to the directional prefix filter
+      return containPairsPrefix(docShingles(s, dir))
     // intersection sizes are SYMMETRIC: the ordered (x < y) pair counts
     // come from the memoized sized-intersection relation (shared with the
     // plain jaccard filter) and both containment directions derive from it
@@ -1036,6 +1044,58 @@ object Dedup {
           col(nCol).as("n_a"), $"i",
           expr(s"(i * 1000000L) DIV $nCol").as("containment_ppm"))
     side("x", "y", "n_x").unionByName(side("y", "x", "n_y"))
+  }
+
+  /** Candidate stage of the DIRECTIONAL containment prefix filter: if
+    * |A∩B| ≥ ⌈t·|A|⌉ then A's first |A|−⌈t·|A|⌉+1 shingles in global
+    * rarity order cannot all miss B (pigeonhole) — so only the CONTAINED
+    * side's prefix enters the inverted index, while the container side
+    * probes with its full shingle set. Stop-shingles (max df) sort last
+    * and fall outside every non-trivial prefix, exactly as in
+    * [[prefixCandidates]]; candidates are (contained, container) ORDERED
+    * pairs, so both directions emerge without a symmetric pair relation. */
+  private[graft] def containPrefixCandidates(sh: DataFrame, t: Double = 0.9): DataFrame = {
+    import sh.sparkSession.implicits._
+    val inv = sh.select($"doc_id", explode($"sh").as("s"))
+    val dfreq = inv.groupBy($"s").agg(count(lit(1)).as("df"))
+    // doc size rides the doc_id window (same partitioning as pos) — the
+    // same zero-broadcast shape as the jaccard prefix plan
+    val ranked = inv.join(dfreq, "s")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df".asc, $"s".asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+    val prefixes = ranked
+      .filter($"pos" <= $"n" - ceil($"n" * t) + 1)
+      .select($"doc_id", $"s")
+    prefixes.as("a").join(inv.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" =!= $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+  }
+
+  /** Gated entry for the directional prefix-filter containment plan —
+    * always takes the web-scale form regardless of the df-stats routing,
+    * sharing [[qDedupContain]]'s oracle (same output by the pigeonhole
+    * theorem), exactly as `q_dedup_jaccard_prefix` gates the jaccard
+    * prefix plan. */
+  def qDedupContainPrefix(s: SparkSession, dir: String): DataFrame =
+    containPairsPrefix(docShingles(s, dir))
+
+  /** Exact containment pairs via the directional prefix filter — the
+    * web-scale form of [[qDedupContain]] (same output, same oracle):
+    * prefix-bounded candidates, then exact intersection verify against
+    * the full shingle arrays. doc_a is the contained side. */
+  private[graft] def containPairsPrefix(sh: DataFrame, t: Double = 0.9): DataFrame = {
+    import sh.sparkSession.implicits._
+    containPrefixCandidates(sh, t)
+      .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sha")), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"sh".as("shb")), "doc_b")
+      .withColumn("i", org.apache.spark.sql.graft.NativeExprs
+        .arrayIntersectSize($"sha", $"shb").cast("long"))
+      .withColumn("n_a", size($"sha").cast("long"))
+      .filter($"i" * 10 >= $"n_a" * 9) // == containment >= t for t = 0.9, exactly
+      .select($"doc_a", $"doc_b", $"n_a", $"i",
+        expr("(i * 1000000L) DIV n_a").as("containment_ppm"))
   }
 
   val qDedupContainSql: String =
@@ -1182,6 +1242,7 @@ object Dedup {
     "q_minhash_est"   -> (qMinhashEst _),
     "q_dedup_ppr"     -> (qDedupPpr _),
     "q_dedup_contain" -> (qDedupContain _),
+    "q_dedup_contain_prefix" -> (qDedupContainPrefix _),
     "q_dedup_chain"   -> (qDedupChain _),
     "q_dedup_keep"    -> (qDedupKeep _),
     "q_dedup_verbatim" -> (qDedupVerbatim _),
@@ -1207,6 +1268,7 @@ object Dedup {
     "q_minhash_est"   -> qMinhashEstSql,
     "q_dedup_ppr"     -> qDedupPprSql,
     "q_dedup_contain" -> qDedupContainSql,
+    "q_dedup_contain_prefix" -> qDedupContainSql, // exact-equivalent by the pigeonhole theorem
     "q_dedup_chain"   -> qDedupChainSql,
     "q_dedup_keep"    -> qDedupKeepSql,
     "q_dedup_verbatim" -> qDedupVerbatimSql,

@@ -153,6 +153,45 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plain == pref && plain.size == 50)
   }
 
+  test("directional containment prefix filter: bounded candidates, exact result") {
+    import graft.queries.Dedup
+    import spark.implicits._
+    // stop-shingle corpus (same shape as the jaccard test): the max-df
+    // shingle sorts LAST in rarity order, outside every contained-side
+    // prefix, so it generates ZERO candidates — the symmetric
+    // sized-intersection relation would shuffle n(n-1)/2 pairs here
+    val n = 400L
+    val skewed = (0L until n).map { i =>
+      (i, Seq("the of and", s"u$i a b", s"u$i b c", s"u$i c d", s"u$i d e"))
+    }.toDF("doc_id", "sh")
+    assert(Dedup.containPrefixCandidates(skewed).count() == 0,
+      "stop-shingle leaked into containment prefix candidates")
+
+    // corpus with TRUE containment pairs that symmetric jaccard misses:
+    // a 5-shingle doc quoted whole inside a 15-shingle doc has
+    // jaccard = 5/15 < 0.6 but containment = 1.0
+    val dup = (0L until 30L).flatMap { i =>
+      val core = (0 until 5).map(j => s"x$i c$j")
+      Seq((i, core), (i + 1000L, core ++ (0 until 10).map(j => s"t$i u$j")))
+    }.toDF("doc_id", "sh")
+    // brute-force directional containment as the equivalence oracle
+    val inv = dup.select($"doc_id", explode($"sh").as("s"))
+    val sizes = dup.select($"doc_id", size($"sh").cast("long").as("n"))
+    val brute = inv.as("a").join(inv.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" =!= $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("n_a")), "doc_a")
+      .filter($"i" * 10 >= $"n_a" * 9)
+      .select($"doc_a", $"doc_b", $"n_a", $"i")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val pref = asSet(Dedup.containPairsPrefix(dup)
+      .select($"doc_a", $"doc_b", $"n_a", $"i"))
+    assert(pref == asSet(brute) && pref.size == 30,
+      s"directional prefix containment diverged (${pref.size} pairs)")
+  }
+
   test("bloom-prefiltered decontamination equals the exact operator") {
     import graft.queries.Dedup
     def key(df: org.apache.spark.sql.DataFrame) =
