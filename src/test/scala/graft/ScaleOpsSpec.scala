@@ -192,6 +192,43 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"directional prefix containment diverged (${pref.size} pairs)")
   }
 
+  test("incremental band index persists through the lake and joins shuffle-free") {
+    import graft.queries.Dedup
+    // reload == in-memory: the bucketed round-trip loses nothing
+    val mem = Dedup.historicalBandIndex(spark, sf)
+    val reloaded = Dedup.persistedBandIndex(spark, sf)
+    assert(reloaded.count() == mem.count())
+    assert(reloaded.exceptAll(mem).isEmpty && mem.exceptAll(reloaded).isEmpty,
+      "reloaded band index diverges from the in-memory build")
+    // write-once contract: the gated query joins the CATALOG TABLE (a
+    // bucketed scan), and the index side of that join plans ZERO
+    // exchanges — only the arriving slice shuffles
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    // at sf0.001 the tiny index would be broadcast (fine, adaptive); the
+    // contract under test is the 100 TB shape, where the join shuffles —
+    // disable auto-broadcast so the shuffle path is what gets planned
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val plan = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      SparkEntry.queries("q_dedup_incremental")(spark, sf)
+        .queryExecution.sparkPlan
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    val joinSides = plan.collect {
+      case j: SortMergeJoinExec => Seq(j.left, j.right)
+      case j: ShuffledHashJoinExec => Seq(j.left, j.right)
+    }.flatten
+    val indexSides = joinSides.filter(_.collect {
+      case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f
+    }.nonEmpty)
+    assert(indexSides.nonEmpty, "no join against the bucketed index in the plan")
+    indexSides.foreach { side =>
+      assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"bucketed index side re-shuffles:\n$side")
+    }
+  }
+
   test("bloom-prefiltered decontamination equals the exact operator") {
     import graft.queries.Dedup
     def key(df: org.apache.spark.sql.DataFrame) =

@@ -203,7 +203,10 @@ class StreamingSpec extends AnyFunSuite {
     val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(dir)
     StreamingEtl.runToMemory(
       StreamingEtl.incrementalDedupStream(stream,
-        graft.queries.Dedup.historicalBandIndex(spark, sf),
+        // the PERSISTED index (written once, read back from the bucketed
+        // lake table) — the streaming twin serves from the same
+        // write-once state the batch operator proves against
+        graft.queries.Dedup.persistedBandIndex(spark, sf),
         graft.queries.Dedup.historicalShingles(spark, sf)),
       "incr", s"$tmp/cp_incr", outputMode = "append")
     def key(df: org.apache.spark.sql.DataFrame) =
