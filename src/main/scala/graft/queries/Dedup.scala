@@ -140,7 +140,8 @@ object Dedup {
     import s.implicits._
     val sh = docShingles(s, dir)
     shinglePlanChoice(s, dir) match {
-      case "prefix" => jaccardPairsPrefix(sh)
+      case "prefix" =>
+        jaccardVerify(prefixCandidatesFrom(rankedShingles(s, dir)), sh)
       case _ =>
         // plain plan over the MEMOIZED sized-intersection relation
         // (shared with the containment filters); jaccardPairsPlain(sh)
@@ -998,37 +999,66 @@ object Dedup {
     * [[qDedupJaccard]] entry selects between them from the measured df
     * distribution — data-driven, not dogma. */
   def qDedupJaccardPrefix(s: SparkSession, dir: String): DataFrame =
-    jaccardPairsPrefix(docShingles(s, dir))
+    jaccardVerify(prefixCandidatesFrom(rankedShingles(s, dir)), docShingles(s, dir))
+
+  /** (doc_id, s, pos, n): every document's shingles in GLOBAL RARITY
+    * ORDER — pos = row_number over (df asc, shingle asc), n = doc size
+    * riding the same doc_id window (zero extra exchange, nothing
+    * corpus-proportional broadcast). This is the shared base of BOTH
+    * prefix-filter plans (jaccard and containment): the df count and the
+    * per-doc rank are the two expensive shuffles of the prefix family. */
+  private[graft] def rankedOf(sh: DataFrame): DataFrame = {
+    import sh.sparkSession.implicits._
+    val inv = sh.select($"doc_id", explode($"sh").as("s"))
+    val dfreq = inv.groupBy($"s").agg(count(lit(1)).as("df"))
+    inv.join(dfreq, "s")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df".asc, $"s".asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .select($"doc_id", $"s", $"pos", $"n")
+  }
+
+  /** Memoized rarity-ranked relation per (session, dir) — same LazyDf +
+    * dead-session-sweep lifecycle as the shingle/pair caches. Postings-
+    * scale like the shingle cache itself; a bench/session optimization,
+    * not a cluster-state assumption. */
+  private val rankedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), LazyDf]()
+  private def rankedShingles(s: SparkSession, dir: String): DataFrame = {
+    rankedCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    rankedCache.computeIfAbsent((s, dir), _ => new LazyDf(() =>
+      rankedOf(docShingles(s, dir)).localCheckpoint(true))).df
+  }
+
+  /** Rarity-first prefix of every document: the first n−⌈t·n⌉+1 shingles
+    * in global rarity order — the only postings that enter the inverted
+    * index in either prefix plan. */
+  private def prefixSetFrom(ranked: DataFrame, t: Double): DataFrame = {
+    import ranked.sparkSession.implicits._
+    ranked.filter($"pos" <= $"n" - ceil($"n" * t) + 1).select($"doc_id", $"s")
+  }
 
   /** Candidate stage of the prefix-filter plan: pairs sharing a shingle
     * within both docs' rarity-first prefixes. Exposed so the spec can
     * assert the df-bound — a stop-shingle (highest df) sorts LAST in
     * every doc's rarity order and falls outside the prefix, so it
     * generates no candidates at all. */
-  private[graft] def prefixCandidates(sh: DataFrame, t: Double = 0.6): DataFrame = {
-    import sh.sparkSession.implicits._
-    val inv = sh.select($"doc_id", explode($"sh").as("s"))
-    val dfreq = inv.groupBy($"s").agg(count(lit(1)).as("df"))
-    // global rarity order: (df, shingle) ascending
-    // doc size rides the same doc_id window partitioning as pos — zero
-    // extra exchange, and (unlike a join against a per-document sizes
-    // relation) nothing corpus-proportional is ever broadcast
-    val ranked = inv.join(dfreq, "s")
-      .withColumn("pos", row_number().over(
-        Window.partitionBy($"doc_id").orderBy($"df".asc, $"s".asc)))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
-    val prefixes = ranked
-      .filter($"pos" <= $"n" - ceil($"n" * t) + 1)
-      .select($"doc_id", $"s")
+  private[graft] def prefixCandidates(sh: DataFrame, t: Double = 0.6): DataFrame =
+    prefixCandidatesFrom(rankedOf(sh), t)
+
+  private def prefixCandidatesFrom(ranked: DataFrame, t: Double = 0.6): DataFrame = {
+    import ranked.sparkSession.implicits._
+    val prefixes = prefixSetFrom(ranked, t)
     prefixes.as("a").join(prefixes.as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
   }
 
-  private[graft] def jaccardPairsPrefix(sh: DataFrame, t: Double = 0.6): DataFrame = {
+  /** Exact verify of prefix candidates against the full shingle arrays. */
+  private def jaccardVerify(cand: DataFrame, sh: DataFrame): DataFrame = {
     import sh.sparkSession.implicits._
-    prefixCandidates(sh, t)
+    cand
       .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sha")), "doc_a")
       .join(sh.select($"doc_id".as("doc_b"), $"sh".as("shb")), "doc_b")
       .withColumn("i", org.apache.spark.sql.graft.NativeExprs
@@ -1037,6 +1067,9 @@ object Dedup {
       .filter($"i" * 5 >= $"u" * 3) // == jaccard >= t for t = 0.6, exactly
       .select($"doc_a", $"doc_b", expr("(i * 1000000L) DIV u").as("jaccard_ppm"))
   }
+
+  private[graft] def jaccardPairsPrefix(sh: DataFrame, t: Double = 0.6): DataFrame =
+    jaccardVerify(prefixCandidatesFrom(rankedOf(sh), t), sh)
 
   /** The dedup decision itself: documents REMOVED by near-dup clustering
     * (every cluster keeps its min-id representative). The complement is
@@ -1072,7 +1105,7 @@ object Dedup {
     if (shinglePlanChoice(s, dir) == "prefix")
       // stop-shingle regime: the symmetric sized-intersection relation
       // explodes with df² — route to the directional prefix filter
-      return containPairsPrefix(docShingles(s, dir))
+      return qDedupContainPrefix(s, dir)
     // intersection sizes are SYMMETRIC: the ordered (x < y) pair counts
     // come from the memoized sized-intersection relation (shared with the
     // plain jaccard filter) and both containment directions derive from it
@@ -1093,20 +1126,16 @@ object Dedup {
     * and fall outside every non-trivial prefix, exactly as in
     * [[prefixCandidates]]; candidates are (contained, container) ORDERED
     * pairs, so both directions emerge without a symmetric pair relation. */
-  private[graft] def containPrefixCandidates(sh: DataFrame, t: Double = 0.9): DataFrame = {
-    import sh.sparkSession.implicits._
-    val inv = sh.select($"doc_id", explode($"sh").as("s"))
-    val dfreq = inv.groupBy($"s").agg(count(lit(1)).as("df"))
-    // doc size rides the doc_id window (same partitioning as pos) — the
-    // same zero-broadcast shape as the jaccard prefix plan
-    val ranked = inv.join(dfreq, "s")
-      .withColumn("pos", row_number().over(
-        Window.partitionBy($"doc_id").orderBy($"df".asc, $"s".asc)))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
-    val prefixes = ranked
-      .filter($"pos" <= $"n" - ceil($"n" * t) + 1)
-      .select($"doc_id", $"s")
-    prefixes.as("a").join(inv.as("b"),
+  private[graft] def containPrefixCandidates(sh: DataFrame, t: Double = 0.9): DataFrame =
+    containPrefixCandidatesFrom(rankedOf(sh), t)
+
+  private def containPrefixCandidatesFrom(ranked: DataFrame, t: Double = 0.9): DataFrame = {
+    import ranked.sparkSession.implicits._
+    // contained side: rarity prefix only; container side: FULL shingle
+    // set (ranked minus the rank columns — the same rows as the inverted
+    // index), so ordered (contained, container) pairs emerge directly
+    val prefixes = prefixSetFrom(ranked, t)
+    prefixes.as("a").join(ranked.select($"doc_id", $"s").as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" =!= $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
@@ -1116,17 +1145,17 @@ object Dedup {
     * always takes the web-scale form regardless of the df-stats routing,
     * sharing [[qDedupContain]]'s oracle (same output by the pigeonhole
     * theorem), exactly as `q_dedup_jaccard_prefix` gates the jaccard
-    * prefix plan. */
+    * prefix plan. Reads the memoized rarity-ranked relation — the
+    * df-count + window shuffles are shared with the jaccard prefix entry. */
   def qDedupContainPrefix(s: SparkSession, dir: String): DataFrame =
-    containPairsPrefix(docShingles(s, dir))
+    containVerify(containPrefixCandidatesFrom(rankedShingles(s, dir)),
+      docShingles(s, dir))
 
-  /** Exact containment pairs via the directional prefix filter — the
-    * web-scale form of [[qDedupContain]] (same output, same oracle):
-    * prefix-bounded candidates, then exact intersection verify against
-    * the full shingle arrays. doc_a is the contained side. */
-  private[graft] def containPairsPrefix(sh: DataFrame, t: Double = 0.9): DataFrame = {
+  /** Exact containment verify of ordered candidates against the full
+    * shingle arrays. doc_a is the contained side. */
+  private def containVerify(cand: DataFrame, sh: DataFrame): DataFrame = {
     import sh.sparkSession.implicits._
-    containPrefixCandidates(sh, t)
+    cand
       .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sha")), "doc_a")
       .join(sh.select($"doc_id".as("doc_b"), $"sh".as("shb")), "doc_b")
       .withColumn("i", org.apache.spark.sql.graft.NativeExprs
@@ -1136,6 +1165,11 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"n_a", $"i",
         expr("(i * 1000000L) DIV n_a").as("containment_ppm"))
   }
+
+  /** Exact containment pairs via the directional prefix filter — the
+    * web-scale form of [[qDedupContain]] (same output, same oracle). */
+  private[graft] def containPairsPrefix(sh: DataFrame, t: Double = 0.9): DataFrame =
+    containVerify(containPrefixCandidatesFrom(rankedOf(sh), t), sh)
 
   val qDedupContainSql: String =
     shinglesCte + """,
@@ -1147,6 +1181,78 @@ object Dedup {
       |SELECT doc_a, doc_b, x.n AS n_a, i, (i * 1000000) // x.n AS containment_ppm
       |FROM inter JOIN sz x ON x.doc_id = doc_a
       |WHERE i * 10 >= x.n * 9""".stripMargin
+
+  /** Longest shared VERBATIM token span per near-dup pair — the
+    * contamination-forensics statistic that set-level jaccard erases: a
+    * pair can share 60% of its shingles as scattered fragments or as one
+    * contiguous quoted block, and only the span length tells them apart.
+    * Sequence alignment done relationally: positional trigrams of the
+    * pair-graph members (semi-join pruned — positions are computed ONLY
+    * for documents that appear in a near-dup pair, the same prune the
+    * minhash estimator uses for signatures), matched within each pair,
+    * then the classic diagonal gaps-and-islands — a shared trigram at
+    * positions (pa, pb) extends a run iff the next one sits at
+    * (pa+1, pb+1), i.e. same diagonal pa−pb with consecutive pa. Longest
+    * run of r trigrams = r+2 shared tokens. One window over
+    * (pair, diagonal) — partitioning rides the pair join's shuffle;
+    * match volume is bounded by shared-shingle counts of VERIFIED
+    * near-dup pairs, not the corpus. */
+  def qDedupSpan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = jaccardPairsCached(s, dir).select($"doc_a", $"doc_b")
+    val members = pairs.select($"doc_a".as("doc_id"))
+      .unionByName(pairs.select($"doc_b".as("doc_id"))).distinct()
+    val pos = Tables.documents(s, dir)
+      .select($"doc_id", tokens($"text").as("t"))
+      .filter(size($"t") >= 3)
+      .join(members, Seq("doc_id"), "left_semi")
+      .select($"doc_id", posexplode(shingles3($"t")))
+      .toDF("doc_id", "p", "sng")
+    val m = pairs
+      .join(pos.select($"doc_id".as("doc_a"), $"p".as("pa"), $"sng"), "doc_a")
+      .join(pos.select($"doc_id".as("doc_b"), $"p".as("pb"), $"sng"),
+        Seq("doc_b", "sng"))
+      .withColumn("diag", $"pa" - $"pb")
+    val wd = Window.partitionBy($"doc_a", $"doc_b", $"diag").orderBy($"pa".asc)
+    m.withColumn("isl", $"pa" - row_number().over(wd))
+      .groupBy($"doc_a", $"doc_b", $"diag", $"isl")
+      .agg(count(lit(1)).as("run"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg((max($"run") + 2).cast("long").as("span_tokens"),
+           count(lit(1)).as("n_runs"))
+  }
+
+  val qDedupSpanSql: String =
+    shinglesCte + """,
+      | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      | inter AS (
+      |   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |   GROUP BY 1, 2),
+      | pairs AS (
+      |   SELECT doc_a, doc_b
+      |   FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+      |   WHERE i * 5 >= (x.n + y.n - i) * 3),
+      | pshu AS (
+      |   SELECT doc_id, unnest([{'p': i, 'sng': t[i] || ' ' || t[i+1] || ' ' || t[i+2]}
+      |                          for i in range(1, len(t) - 1)]) AS u
+      |   FROM toks WHERE len(t) >= 3),
+      | psh AS (SELECT doc_id, u.p AS p, u.sng AS sng FROM pshu),
+      | m AS (
+      |   SELECT pr.doc_a, pr.doc_b, a.p AS pa, b.p AS pb
+      |   FROM pairs pr
+      |   JOIN psh a ON a.doc_id = pr.doc_a
+      |   JOIN psh b ON b.doc_id = pr.doc_b AND b.sng = a.sng),
+      | isl AS (
+      |   SELECT doc_a, doc_b, pa - pb AS diag,
+      |     pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa ASC) AS isl
+      |   FROM m),
+      | runs AS (
+      |   SELECT doc_a, doc_b, diag, isl, count(*) AS run
+      |   FROM isl GROUP BY 1, 2, 3, 4)
+      |SELECT doc_a, doc_b, CAST(max(run) + 2 AS BIGINT) AS span_tokens,
+      |  count(*) AS n_runs
+      |FROM runs GROUP BY 1, 2""".stripMargin
 
   /** Duplication-chain analysis via RECURSIVE SQL (WITH RECURSIVE ...
     * UNION ALL — the §2 recursive-query surface, run by BOTH engines as
@@ -1282,6 +1388,7 @@ object Dedup {
     "q_dedup_ppr"     -> (qDedupPpr _),
     "q_dedup_contain" -> (qDedupContain _),
     "q_dedup_contain_prefix" -> (qDedupContainPrefix _),
+    "q_dedup_span"    -> (qDedupSpan _),
     "q_dedup_chain"   -> (qDedupChain _),
     "q_dedup_keep"    -> (qDedupKeep _),
     "q_dedup_verbatim" -> (qDedupVerbatim _),
@@ -1308,6 +1415,7 @@ object Dedup {
     "q_dedup_ppr"     -> qDedupPprSql,
     "q_dedup_contain" -> qDedupContainSql,
     "q_dedup_contain_prefix" -> qDedupContainSql, // exact-equivalent by the pigeonhole theorem
+    "q_dedup_span"    -> qDedupSpanSql,
     "q_dedup_chain"   -> qDedupChainSql,
     "q_dedup_keep"    -> qDedupKeepSql,
     "q_dedup_verbatim" -> qDedupVerbatimSql,

@@ -668,7 +668,88 @@ object TextAnalysis {
       |  ((a.sum_d + (n0 - a.matched0) * t.n) * 1000000) // (2 * n0 * t.n) AS tv_ppm
       |FROM agg a JOIN totals t ON a.source = t.source CROSS JOIN n0t""".stripMargin
 
+  /** Cross-source shingle-overlap matrix — the "how much does source A
+    * repeat source B" corpus card every multi-source training mix needs
+    * (near-identical crawls, mirrored sites, re-crawled snapshots show
+    * up here before any doc-level dedup runs). Exact distinct-shingle
+    * jaccard per source PAIR, from one inverted index: the self-join key
+    * is the shingle, and each shingle carries at most |sources| rows per
+    * side, so the blow-up per posting is bounded by a CONSTANT (|sources|²)
+    * — linear in postings at any corpus size, output |sources|² rows.
+    * Reads the memoized per-doc shingle relation (one corpus shingling,
+    * shared with the whole dedup family). */
+  def qTextOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ss = graft.queries.Dedup.docShinglesSrc(s, dir)
+      .select($"source", explode($"sh").as("sng")).distinct()
+    val sz = ss.groupBy($"source").agg(count(lit(1)).as("n"))
+    ss.as("a").join(ss.as("b"),
+        $"a.sng" === $"b.sng" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+      .agg(count(lit(1)).as("i"))
+      .join(sz.select($"source".as("src_a"), $"n".as("n_a")), "src_a")
+      .join(sz.select($"source".as("src_b"), $"n".as("n_b")), "src_b")
+      .select($"src_a", $"src_b", $"n_a", $"n_b", $"i",
+        expr("(i * 1000000L) DIV (n_a + n_b - i)").as("jaccard_ppm"))
+  }
+
+  val qTextOverlapSql: String =
+    """WITH toks AS (
+      |  SELECT source, list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |ssh AS (
+      |  SELECT DISTINCT source, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sng
+      |  FROM toks WHERE len(t) >= 3),
+      |sz AS (SELECT source, count(*) AS n FROM ssh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS i
+      |  FROM ssh a JOIN ssh b ON a.sng = b.sng AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, x.n AS n_a, y.n AS n_b, i,
+      |  (i * 1000000) // (x.n + y.n - i) AS jaccard_ppm
+      |FROM inter JOIN sz x ON x.source = src_a JOIN sz y ON y.source = src_b""".stripMargin
+
+  /** First-round BPE merge learning — the tokenizer-training primitive,
+    * distributed: count every adjacent character pair across all token
+    * instances of the corpus and rank the top 20 merge candidates with a
+    * deterministic (count desc, pair asc) tie-break. Plan: one explode →
+    * per-token pair expansion (a HOF transform riding the scan, no
+    * shuffle) → one hash-aggregate on the pair (vocabulary-bounded) →
+    * TakeOrdered 20. The rank window runs AFTER the limit, over 20 rows.
+    * Subsequent BPE rounds re-run the same aggregate over re-segmented
+    * tokens — each round is this exact plan shape. */
+  def qTextBpe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Tables.documents(s, dir)
+      .select(explode(tokens($"text")).as("tok"))
+      .filter(length($"tok") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, char_length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+    pairs.groupBy($"pair").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"pair".asc).limit(20)
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"n".desc, $"pair".asc)).cast("long"))
+      .select($"rk", $"pair", $"n")
+  }
+
+  val qTextBpeSql: String =
+    """WITH tok AS (
+      |  SELECT unnest(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |bp AS (
+      |  SELECT unnest([substr(tok, i, 2) for i in range(1, len(tok))]) AS pair
+      |  FROM tok WHERE len(tok) >= 2),
+      |pc AS (SELECT pair, count(*) AS n FROM bp GROUP BY 1),
+      |top AS (SELECT pair, n FROM pc ORDER BY n DESC, pair ASC LIMIT 20)
+      |SELECT CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS BIGINT) AS rk,
+      |  pair, n
+      |FROM top""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_overlap"     -> (qTextOverlap _),
+    "q_text_bpe"         -> (qTextBpe _),
     "q_text_drift"       -> (qTextDrift _),
     "q_text_hh"          -> (qTextHeavyHitters _),
     "q_text_vocab"       -> (qTextVocab _),
@@ -687,6 +768,8 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_text_overlap"     -> qTextOverlapSql,
+    "q_text_bpe"         -> qTextBpeSql,
     "q_text_drift"       -> qTextDriftSql,
     "q_text_hh"          -> qTextHeavyHittersSql,
     "q_text_vocab"       -> qTextVocabSql,

@@ -727,7 +727,62 @@ object TrainingData {
        |    // (total_tokens // n_shards) AS dev_ppm
        |FROM per_shard CROSS JOIN m""".stripMargin
 
+  /** WINSORIZED per-source length statistics — the robust-stats pass a
+    * quality dashboard runs before trusting any mean: a handful of
+    * pathological documents (empty stubs, concatenated dumps) can move a
+    * raw mean arbitrarily, so lengths are clipped to the exact
+    * rank-based [p05, p95] before averaging. Percentiles as pure integer
+    * rank arithmetic — the p-th bound is the value at row ⌈p·n⌉ of the
+    * per-source length ordering, computed as (n·k+99) DIV 100, so both
+    * engines agree exactly (no float percentile semantics involved, no
+    * interpolation). One window per source + one aggregate; the bounds
+    * relation is |sources| rows and joins back unhinted (AQE broadcasts
+    * it adaptively). */
+  def qQualityWinsor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .select($"source", $"n_chars".cast("long").as("v"))
+    val ranked = d
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"v".asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"source")))
+    val bounds = ranked.groupBy($"source")
+      .agg(max(when($"rk" === expr("(n * 5 + 99) DIV 100"), $"v")).as("lo"),
+           max(when($"rk" === expr("(n * 95 + 99) DIV 100"), $"v")).as("hi"))
+    d.join(bounds, "source")
+      .withColumn("cv", least(greatest($"v", $"lo"), $"hi"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+           max($"lo").as("p05"), max($"hi").as("p95"),
+           expr("(sum(v) * 100) DIV count(1)").as("mean_c"),
+           expr("(sum(cv) * 100) DIV count(1)").as("wmean_c"),
+           sum(($"v" < $"lo").cast("long")).as("n_clip_lo"),
+           sum(($"v" > $"hi").cast("long")).as("n_clip_hi"))
+  }
+
+  val qQualityWinsorSql: String =
+    """WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents),
+      |ranked AS (
+      |  SELECT source, v,
+      |    row_number() OVER (PARTITION BY source ORDER BY v ASC) AS rk,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM d),
+      |bounds AS (
+      |  SELECT source,
+      |    max(CASE WHEN rk = (n * 5 + 99) // 100 THEN v END) AS lo,
+      |    max(CASE WHEN rk = (n * 95 + 99) // 100 THEN v END) AS hi
+      |  FROM ranked GROUP BY source)
+      |SELECT d.source, count(*) AS n_docs,
+      |  CAST(max(lo) AS BIGINT) AS p05, CAST(max(hi) AS BIGINT) AS p95,
+      |  CAST((sum(v) * 100) // count(*) AS BIGINT) AS mean_c,
+      |  CAST((sum(least(greatest(v, lo), hi)) * 100) // count(*) AS BIGINT) AS wmean_c,
+      |  CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+      |  CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi
+      |FROM d JOIN bounds USING (source)
+      |GROUP BY d.source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_winsor"    -> (qQualityWinsor _),
     "q_shard_manifest"    -> (qShardManifest _),
     "q_mix_plan"          -> (qMixPlan _),
     "q_clf_score"         -> (qClfScore _),
@@ -746,6 +801,7 @@ object TrainingData {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_quality_winsor"    -> qQualityWinsorSql,
     "q_clf_score"         -> qClfScoreSql,
     "q_mix_plan"          -> qMixPlanSql,
     "q_shard_manifest"    -> qShardManifestSql,
