@@ -303,9 +303,15 @@ object Dedup {
     // historical side comes back from the write-once bucketed lake index
     // — the contract the scaladoc claims, exercised for real: no
     // historical re-hash on any daily run after the first
+    // sig MUST be materialized in its own projection: inlining
+    // minhashSig inside minhashBands makes every element_at of the 32×4
+    // band slices re-evaluate the full 128-perm signature (CollapseProject
+    // keeps the split because sig is referenced 128 times — measured 2.8×
+    // slower when fused)
     val newBands = sh.filter(isNewDoc($"doc_id"))
+      .select($"doc_id", minhashSig($"sh").as("sig"))
       .select($"doc_id",
-        explode(minhashBands(minhashSig($"sh"), IncrBands, IncrRowsPerBand)).as("b"))
+        explode(minhashBands($"sig", IncrBands, IncrRowsPerBand)).as("b"))
       .select($"doc_id", $"b.band".as("band"), $"b.bkey".as("bkey"))
     val cand = newBands.as("x")
       .join(persistedBandIndex(s, dir).as("y"),
@@ -329,9 +335,11 @@ object Dedup {
     * from the same corpus slice the batch operator uses. */
   private[graft] def historicalBandIndex(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // sig in its own projection — see the note in qDedupIncremental
     docShingles(s, dir).filter(!isNewDoc($"doc_id"))
-      .select($"doc_id".as("hist_doc"),
-        explode(minhashBands(minhashSig($"sh"), IncrBands, IncrRowsPerBand)).as("b"))
+      .select($"doc_id".as("hist_doc"), minhashSig($"sh").as("sig"))
+      .select($"hist_doc",
+        explode(minhashBands($"sig", IncrBands, IncrRowsPerBand)).as("b"))
       .select($"hist_doc", $"b.band".as("band"), $"b.bkey".as("bkey"))
   }
 

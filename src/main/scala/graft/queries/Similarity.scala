@@ -704,7 +704,66 @@ object Similarity {
       |    i -> (a.cq[i] - b.cq[i]) * (a.cq[i] - b.cq[i]))) AS BIGINT) AS dist_sq
       |FROM cent a JOIN cent b ON a.label < b.label""".stripMargin
 
+  /** INT8 SCALAR QUANTIZATION (SQ8) audit — the third leg of the vector
+    * compression family (IVF partitions, PQ subspace codebooks, SQ8
+    * per-dimension affine codes): per dimension, the [min, max] affine
+    * range and the exact reconstruction-error profile of the 255-level
+    * code every serving stack uses to cut vector memory 4×. All
+    * arithmetic after the shared fixed-point step (round(x·1e7) AS LONG,
+    * same as q_embed_stats) is integer — code = round-half-up via
+    * (510·Δ + w) DIV 2w, reconstruction via (q·w·2 + 255) DIV 510 — so
+    * both engines agree bit-for-bit with no float aggregation order
+    * anywhere. Plan: one posexplode scan → dims-bounded min/max
+    * aggregate → unhinted join back (AQE broadcasts the |dims|-row
+    * bounds) → one aggregate; output is |dims| rows at any corpus size. */
+  def qEmbedQuant(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val xq = Tables.embeddings(s, dir)
+      .select(posexplode(expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS LONG))")))
+      .toDF("dim", "xq")
+      .select($"dim".cast("long").as("dim"), $"xq")
+    val bounds = xq.groupBy($"dim").agg(min($"xq").as("lo"), max($"xq").as("hi"))
+    xq.join(bounds, "dim")
+      .withColumn("q", when($"hi" === $"lo", lit(0L))
+        .otherwise(expr("((xq - lo) * 510 + (hi - lo)) DIV ((hi - lo) * 2)")))
+      .withColumn("r", $"lo" + when($"hi" === $"lo", lit(0L))
+        .otherwise(expr("(q * (hi - lo) * 2 + 255) DIV 510")))
+      .withColumn("err", abs($"xq" - $"r"))
+      .groupBy($"dim")
+      .agg(count(lit(1)).as("n"),
+           max($"lo").as("lo_e7"), max($"hi").as("hi_e7"),
+           expr("sum(err) DIV count(1)").as("mean_err_e7"),
+           max($"err").as("max_err_e7"))
+  }
+
+  val qEmbedQuantSql: String =
+    """WITH xe AS (
+      |  SELECT unnest([{'d': i - 1, 'x': embedding[i]} for i in range(1, len(embedding) + 1)]) AS u
+      |  FROM embeddings),
+      |xq AS (
+      |  SELECT CAST(u.d AS BIGINT) AS dim,
+      |    CAST(round(CAST(u.x AS DOUBLE) * 1e7) AS BIGINT) AS xq
+      |  FROM xe),
+      |b AS (SELECT dim, min(xq) AS lo, max(xq) AS hi FROM xq GROUP BY 1),
+      |qz AS (
+      |  SELECT dim, xq, lo, hi,
+      |    CASE WHEN hi = lo THEN 0
+      |      ELSE ((xq - lo) * 510 + (hi - lo)) // ((hi - lo) * 2) END AS q
+      |  FROM xq JOIN b USING (dim)),
+      |rr AS (
+      |  SELECT dim, xq, lo, hi,
+      |    lo + CASE WHEN hi = lo THEN 0
+      |      ELSE (q * (hi - lo) * 2 + 255) // 510 END AS r
+      |  FROM qz)
+      |SELECT dim, count(*) AS n,
+      |  CAST(max(lo) AS BIGINT) AS lo_e7, CAST(max(hi) AS BIGINT) AS hi_e7,
+      |  CAST(sum(abs(xq - r)) // count(*) AS BIGINT) AS mean_err_e7,
+      |  CAST(max(abs(xq - r)) AS BIGINT) AS max_err_e7
+      |FROM rr GROUP BY dim""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_quant"  -> (qEmbedQuant _),
     "q_embed_centroids" -> (qEmbedCentroids _),
     "q_ann_range"    -> (qAnnRange _),
     "q_ann_recall"   -> (qAnnRecall _),
@@ -716,6 +775,7 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_embed_quant"  -> qEmbedQuantSql,
     "q_embed_centroids" -> qEmbedCentroidsSql,
     "q_ann_range"    -> qAnnRangeSql,
     "q_ann_recall"   -> qAnnRecallSql,

@@ -174,8 +174,13 @@ object StreamingEtl {
     val sh = docs
       .select(col("doc_id"), shingleSet(col("text")).as("sha"))
       .filter(size(col("sha")) > 0)
+    // sig materialized in its own projection — inlining it inside
+    // minhashBands re-evaluates the 128-perm signature once per band
+    // slice element (see the batch operator's note)
     val banded = sh.select(col("doc_id").as("new_doc"), col("sha"),
-        explode(minhashBands(minhashSig(col("sha")),
+        minhashSig(col("sha")).as("sig"))
+      .select(col("new_doc"), col("sha"),
+        explode(minhashBands(col("sig"),
           graft.queries.Dedup.IncrBands, graft.queries.Dedup.IncrRowsPerBand)).as("b"))
       .select(col("new_doc"), col("sha"),
         col("b.band").as("band"), col("b.bkey").as("bkey"))

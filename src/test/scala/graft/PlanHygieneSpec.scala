@@ -177,7 +177,10 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q_sample_topn"    -> Set("source", "doc_id"),
       "q_quality_deciles" -> Set("source", "doc_id", "text"),
       "q_pipeline_curate" -> Set("source", "doc_id", "text", "n_chars"),
-      "q_mm_phash"       -> Set("doc_id", "text"))
+      "q_mm_phash"       -> Set("doc_id", "text"),
+      "q_text_bpe"       -> Set("text"),
+      "q_dedup_span"     -> Set("doc_id", "text"),
+      "q_quality_winsor" -> Set("source", "n_chars"))
     expected.foreach { case (name, cols) =>
       val scans = SparkEntry.queries(name)(spark, sf)
         .queryExecution.sparkPlan.collect {
