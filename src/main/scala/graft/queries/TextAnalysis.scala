@@ -683,10 +683,18 @@ object TextAnalysis {
     val ss = graft.queries.Dedup.docShinglesSrc(s, dir)
       .select($"source", explode($"sh").as("sng")).distinct()
     val sz = ss.groupBy($"source").agg(count(lit(1)).as("n"))
-    ss.as("a").join(ss.as("b"),
-        $"a.sng" === $"b.sng" && $"a.source" < $"b.source")
-      .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
-      .agg(count(lit(1)).as("i"))
+    // ONE aggregation per shingle (state ≤ |sources| strings), then the
+    // ordered source pairs expand IN-ROW from the sorted set — no
+    // postings-scale self-join, no second shuffle of the inverted index
+    val pairs = ss.groupBy($"sng")
+      .agg(sort_array(collect_set($"source")).as("srcs"))
+      .filter(size($"srcs") >= 2)
+      .select(explode(expr(
+        """flatten(transform(srcs, (x, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs)),
+          |    y -> named_struct('src_a', x, 'src_b', y))))""".stripMargin)).as("p"))
+      .select($"p.src_a", $"p.src_b")
+    pairs.groupBy($"src_a", $"src_b").agg(count(lit(1)).as("i"))
       .join(sz.select($"source".as("src_a"), $"n".as("n_a")), "src_a")
       .join(sz.select($"source".as("src_b"), $"n".as("n_b")), "src_b")
       .select($"src_a", $"src_b", $"n_a", $"n_b", $"i",
