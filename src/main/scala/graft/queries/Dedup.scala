@@ -1262,6 +1262,82 @@ object Dedup {
       |  count(*) AS n_runs
       |FROM runs GROUP BY 1, 2""".stripMargin
 
+  /** CLUSTER-AWARE train/val/test split — the leakage-free assignment a
+    * training pipeline must make: splitting DOCUMENTS uniformly puts
+    * near-duplicates of training docs into the test set (the classic
+    * silent eval inflation), so the unit of assignment is the near-dup
+    * CLUSTER: every doc inherits its cluster's deterministic hash bucket
+    * (content-stable 60-bit hash of the cluster id, 8/1/1), singletons
+    * are their own cluster. The gated n_straddle column PROVES the
+    * property end-to-end: pairs whose endpoints land in different splits
+    * — identically zero, and the oracle recomputes it from its own
+    * recursive-CTE closure, so a clustering divergence would break the
+    * hash match. Derives from the memoized cluster + pair relations (no
+    * new expensive job); assignment itself is a per-row hash — linear,
+    * shuffle-free past the cluster join. */
+  def qSplitLeakfree(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val asg = Tables.documents(s, dir).select($"doc_id")
+      .join(clusters(s, dir), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cluster", $"doc_id").as("cluster"))
+      .withColumn("b", hash60($"cluster".cast("string")) % 10)
+      .withColumn("split",
+        when($"b" <= 7, lit("train"))
+          .when($"b" === 8, lit("val"))
+          .otherwise(lit("test")))
+    val pairs = jaccardPairsCached(s, dir).select($"doc_a", $"doc_b")
+    val ps = pairs
+      .join(asg.select($"doc_id".as("doc_a"), $"split".as("sa")), "doc_a")
+      .join(asg.select($"doc_id".as("doc_b"), $"split".as("sb")), "doc_b")
+      .groupBy($"sa".as("split"))
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(($"sa" =!= $"sb").cast("long")).as("n_straddle"))
+    asg.groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"), countDistinct($"cluster").as("n_clusters"))
+      .join(ps, Seq("split"), "left")
+      .select($"split", $"n_docs", $"n_clusters",
+        coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+        coalesce($"n_straddle", lit(0L)).as("n_straddle"))
+  }
+
+  val qSplitLeakfreeSql: String =
+    qDedupClusterSql.replace(
+      "SELECT u AS doc_id, min(v) AS cluster FROM reach GROUP BY u",
+      """SELECT a.split, count(*) AS n_docs, count(DISTINCT a.cluster) AS n_clusters,
+        |  CAST(coalesce(max(ps.n_pairs), 0) AS BIGINT) AS n_pairs,
+        |  CAST(coalesce(max(ps.n_straddle), 0) AS BIGINT) AS n_straddle
+        |FROM (
+        |  SELECT doc_id, cluster,
+        |    CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster,
+        |      ('0x' || substr(md5(CAST(coalesce(cl.cluster, d.doc_id) AS VARCHAR)), 18, 15))::BIGINT % 10 AS b
+        |    FROM documents d
+        |    LEFT JOIN (SELECT u AS doc_id, min(v) AS cluster FROM reach GROUP BY u) cl
+        |      ON d.doc_id = cl.doc_id)) a
+        |LEFT JOIN (
+        |  SELECT x.split AS split, count(*) AS n_pairs,
+        |    sum(CASE WHEN x.split <> y.split THEN 1 ELSE 0 END) AS n_straddle
+        |  FROM pairs p
+        |  JOIN (SELECT doc_id,
+        |          CASE WHEN ('0x' || substr(md5(CAST(c2 AS VARCHAR)), 18, 15))::BIGINT % 10 <= 7 THEN 'train'
+        |               WHEN ('0x' || substr(md5(CAST(c2 AS VARCHAR)), 18, 15))::BIGINT % 10 = 8 THEN 'val'
+        |               ELSE 'test' END AS split
+        |        FROM (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS c2
+        |              FROM documents d
+        |              LEFT JOIN (SELECT u AS doc_id, min(v) AS cluster FROM reach GROUP BY u) cl
+        |                ON d.doc_id = cl.doc_id)) x ON x.doc_id = p.doc_a
+        |  JOIN (SELECT doc_id,
+        |          CASE WHEN ('0x' || substr(md5(CAST(c2 AS VARCHAR)), 18, 15))::BIGINT % 10 <= 7 THEN 'train'
+        |               WHEN ('0x' || substr(md5(CAST(c2 AS VARCHAR)), 18, 15))::BIGINT % 10 = 8 THEN 'val'
+        |               ELSE 'test' END AS split
+        |        FROM (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS c2
+        |              FROM documents d
+        |              LEFT JOIN (SELECT u AS doc_id, min(v) AS cluster FROM reach GROUP BY u) cl
+        |                ON d.doc_id = cl.doc_id)) y ON y.doc_id = p.doc_b
+        |  GROUP BY x.split) ps ON ps.split = a.split
+        |GROUP BY a.split""".stripMargin)
+
   /** Duplication-chain analysis via RECURSIVE SQL (WITH RECURSIVE ...
     * UNION ALL — the §2 recursive-query surface, run by BOTH engines as
     * near-identical SQL): orient each near-dup pair from the earlier doc
@@ -1397,6 +1473,7 @@ object Dedup {
     "q_dedup_contain" -> (qDedupContain _),
     "q_dedup_contain_prefix" -> (qDedupContainPrefix _),
     "q_dedup_span"    -> (qDedupSpan _),
+    "q_split_leakfree" -> (qSplitLeakfree _),
     "q_dedup_chain"   -> (qDedupChain _),
     "q_dedup_keep"    -> (qDedupKeep _),
     "q_dedup_verbatim" -> (qDedupVerbatim _),
@@ -1424,6 +1501,7 @@ object Dedup {
     "q_dedup_contain" -> qDedupContainSql,
     "q_dedup_contain_prefix" -> qDedupContainSql, // exact-equivalent by the pigeonhole theorem
     "q_dedup_span"    -> qDedupSpanSql,
+    "q_split_leakfree" -> qSplitLeakfreeSql,
     "q_dedup_chain"   -> qDedupChainSql,
     "q_dedup_keep"    -> qDedupKeepSql,
     "q_dedup_verbatim" -> qDedupVerbatimSql,

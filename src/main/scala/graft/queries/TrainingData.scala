@@ -781,7 +781,62 @@ object TrainingData {
       |FROM d JOIN bounds USING (source)
       |GROUP BY d.source""".stripMargin
 
+  /** Corpus SNAPSHOT DIFF — the data-versioning audit between two
+    * releases of the same corpus: per source, how many documents were
+    * added, removed, changed (same id, different content hash), or
+    * untouched. The two snapshots are deterministic views of the test
+    * corpus (yesterday = ids with doc_id % 7 != 0, and every % 11 == 0
+    * doc carries an older text revision), so the full-outer
+    * reconciliation, both null-fill sides, and the hash comparison are
+    * all genuinely exercised. Plan: one full outer join on the id (both
+    * sides hash-partitioned once), md5 compare in-row, one aggregate —
+    * linear, the diff report is |sources| rows at any scale. */
+  def qCorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"text")
+    // retired docs (ids the new snapshot no longer carries) keep the
+    // n_removed branch genuinely exercised, not vacuously zero
+    val old = docs.filter($"doc_id" % 7 =!= 0)
+      .select($"doc_id", $"source",
+        md5(when($"doc_id" % 11 === 0, concat($"text", lit(" [rev0]")))
+          .otherwise($"text")).as("h"))
+      .unionByName(docs.filter($"doc_id" % 13 === 0)
+        .select(($"doc_id" + 5000000L).as("doc_id"), $"source",
+          md5($"text").as("h")))
+    val nw = docs.select($"doc_id", $"source", md5($"text").as("h"))
+    old.as("a").join(nw.as("b"), Seq("doc_id"), "full_outer")
+      .select(
+        coalesce($"a.source", $"b.source").as("source"),
+        $"a.h".as("h_old"), $"b.h".as("h_new"))
+      .groupBy($"source")
+      .agg(sum(($"h_old".isNull && $"h_new".isNotNull).cast("long")).as("n_added"),
+           sum(($"h_old".isNotNull && $"h_new".isNull).cast("long")).as("n_removed"),
+           sum(($"h_old".isNotNull && $"h_new".isNotNull &&
+                $"h_old" =!= $"h_new").cast("long")).as("n_changed"),
+           sum(($"h_old" === $"h_new").cast("long")).as("n_unchanged"))
+  }
+
+  val qCorpusDiffSql: String =
+    """WITH old AS (
+      |  SELECT doc_id, source,
+      |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [rev0]' ELSE text END) AS h
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 5000000, source, md5(text) AS h
+      |  FROM documents WHERE doc_id % 13 = 0),
+      |nw AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+      |j AS (
+      |  SELECT coalesce(a.source, b.source) AS source, a.h AS h_old, b.h AS h_new
+      |  FROM old a FULL OUTER JOIN nw b USING (doc_id))
+      |SELECT source,
+      |  CAST(sum(CASE WHEN h_old IS NULL AND h_new IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+      |  CAST(sum(CASE WHEN h_old IS NOT NULL AND h_new IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  CAST(sum(CASE WHEN h_old IS NOT NULL AND h_new IS NOT NULL AND h_old <> h_new THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |  CAST(sum(CASE WHEN h_old = h_new THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+      |FROM j GROUP BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_diff"       -> (qCorpusDiff _),
     "q_quality_winsor"    -> (qQualityWinsor _),
     "q_shard_manifest"    -> (qShardManifest _),
     "q_mix_plan"          -> (qMixPlan _),
@@ -801,6 +856,7 @@ object TrainingData {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_corpus_diff"       -> qCorpusDiffSql,
     "q_quality_winsor"    -> qQualityWinsorSql,
     "q_clf_score"         -> qClfScoreSql,
     "q_mix_plan"          -> qMixPlanSql,
