@@ -73,7 +73,7 @@ object Dedup {
   private[graft] def docShinglesSrc(s: SparkSession, dir: String): DataFrame = {
     shinglesCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     shinglesCache.computeIfAbsent((s, dir), _ => new LazyDf(() =>
-      docShinglesUncached(s, dir).localCheckpoint(true))).df
+      Memo.materialize(docShinglesUncached(s, dir)))).df
   }
 
   private[graft] def docShinglesUncached(s: SparkSession, dir: String): DataFrame = {
@@ -174,7 +174,7 @@ object Dedup {
         .agg(count(lit(1)).as("i"))
         .join(sizes.select($"doc_id".as("x"), $"n".as("n_x")), "x")
         .join(sizes.select($"doc_id".as("y"), $"n".as("n_y")), "y")
-        .localCheckpoint(true)
+        .transform(Memo.materialize)
     })).df
   }
 
@@ -671,7 +671,7 @@ object Dedup {
   private def jaccardPairsCached(s: SparkSession, dir: String): DataFrame = {
     pairsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     pairsCache.computeIfAbsent((s, dir), _ => new LazyDf(() =>
-      qDedupJaccard(s, dir).localCheckpoint(true))).df
+      Memo.materialize(qDedupJaccard(s, dir)))).df
   }
 
   private val pagerankCache =
@@ -683,7 +683,7 @@ object Dedup {
   private def pagerankCached(s: SparkSession, dir: String): DataFrame = {
     pagerankCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     pagerankCache.computeIfAbsent((s, dir), _ => new LazyDf(() =>
-      qDedupPagerank(s, dir).localCheckpoint(true))).df
+      Memo.materialize(qDedupPagerank(s, dir)))).df
   }
 
   private def clusters(s: SparkSession, dir: String): DataFrame = {
@@ -697,7 +697,7 @@ object Dedup {
       graft.operators.ConnectedComponents.run(
         jaccardPairsCached(s, dir).select($"doc_a", $"doc_b"))
         .select($"id".as("doc_id"), $"cluster")
-        .localCheckpoint(true) // materialized: second consumer reuses
+        .transform(Memo.materialize) // materialized: second consumer reuses
     })).df
   }
 
@@ -1035,7 +1035,7 @@ object Dedup {
   private def rankedShingles(s: SparkSession, dir: String): DataFrame = {
     rankedCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     rankedCache.computeIfAbsent((s, dir), _ => new LazyDf(() =>
-      rankedOf(docShingles(s, dir)).localCheckpoint(true))).df
+      Memo.materialize(rankedOf(docShingles(s, dir))))).df
   }
 
   /** Rarity-first prefix of every document: the first n−⌈t·n⌉+1 shingles

@@ -54,7 +54,7 @@ object TokenPairs {
   def top20(s: SparkSession, dir: String): DataFrame = {
     cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     cache.computeIfAbsent((s, dir), _ => new LazyPairs(() =>
-      prunedTop20(s, dir).localCheckpoint(true))).df
+      Memo.materialize(prunedTop20(s, dir)))).df
   }
 
   /** The pruned pipeline (un-memoized; see object doc for the proof). */

@@ -467,7 +467,7 @@ object TrainingData {
   private def docBigrams(s: SparkSession, dir: String): DataFrame = {
     bigramsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     bigramsCache.computeIfAbsent((s, dir), _ => new LazyDf(() =>
-      bigramsOf(Tables.documents(s, dir)).localCheckpoint(true))).df
+      Memo.materialize(bigramsOf(Tables.documents(s, dir))))).df
   }
 
   def qBigramLm(s: SparkSession, dir: String): DataFrame = {

@@ -192,6 +192,21 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"directional prefix containment diverged (${pref.size} pairs)")
   }
 
+  test("Memo.materialize honors the reliable-checkpoint knob") {
+    import spark.implicits._
+    // default path: localCheckpoint — no files on disk, session-local
+    graft.queries.Memo.materialize(Seq(1L, 2L).toDF("x")).count()
+    // production path: conf flag + checkpoint dir → DFS-backed checkpoint
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    try {
+      assert(graft.queries.Memo.materialize(Seq(1L, 2L, 3L).toDF("x")).count() == 3)
+      val files = new java.io.File(dir).listFiles
+      assert(files != null && files.nonEmpty, "no reliable checkpoint written")
+    } finally spark.conf.unset("spark.graft.reliableCheckpoint")
+  }
+
   test("incremental band index persists through the lake and joins shuffle-free") {
     import graft.queries.Dedup
     // reload == in-memory: the bucketed round-trip loses nothing
