@@ -192,6 +192,85 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"directional prefix containment diverged (${pref.size} pairs)")
   }
 
+  test("directional containment prefix == brute force on randomized corpora") {
+    import graft.queries.Dedup
+    import spark.implicits._
+    // deterministic LCG so the corpus (and any failure) reproduces
+    var seed = 0x5DEECE66DL
+    def nxt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    for (round <- 1 to 3) {
+      val vocab = (0 until 30).map(i => s"w$i")
+      val docs = (0L until 60L).map { id =>
+        val n = 2 + nxt(8)
+        // duplicates collapse: shingle SETS, like the real relation
+        (id, (0 until n).map(_ => vocab(nxt(vocab.size))).distinct)
+      }.filter(_._2.nonEmpty)
+      val df = docs.toDF("doc_id", "sh")
+      // brute-force directional containment in plain Scala
+      val m = docs.toMap
+      val expect = (for {
+        (a, sa) <- docs; (b, sb) <- docs if a != b
+        i = sa.toSet.intersect(sb.toSet).size if i * 10 >= sa.size * 9
+      } yield (a, b, sa.size.toLong, i.toLong)).toSet
+      val got = Dedup.containPairsPrefix(df).select($"doc_a", $"doc_b", $"n_a", $"i")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expect, s"round $round: ${got.size} vs expected ${expect.size}")
+    }
+  }
+
+  test("verbatim span alignment == pure-Scala LCS-of-trigrams oracle") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // corpora with shared blocks at different offsets, repeats, and noise
+    val texts = Seq(
+      1L -> "a b c d e f g h i j",
+      2L -> "x y a b c d e f q r s t",        // shared block, shifted
+      3L -> "a b a b a b c d",                // internal repeats
+      4L -> "p q r a b a b a b c d z",        // repeats shared at offset
+      5L -> "m n o p q",                      // disjoint from 1
+      6L -> "d e f g h i j k l m")            // suffix/prefix overlap with 1
+    val pairs = Seq((1L, 2L), (3L, 4L), (1L, 6L), (1L, 5L)).toDF("doc_a", "doc_b")
+    def grams(t: String): Seq[String] = {
+      val w = t.split(" ").toSeq
+      w.sliding(3).map(_.mkString(" ")).toSeq
+    }
+    def longestSpan(a: String, b: String): Long = {
+      val (ga, gb) = (grams(a), grams(b))
+      var best = 0
+      for (i <- ga.indices; j <- gb.indices) {
+        var k = 0
+        while (i + k < ga.size && j + k < gb.size && ga(i + k) == gb(j + k)) k += 1
+        best = math.max(best, k)
+      }
+      best + 2 // r shared trigrams = r+2 shared tokens
+    }
+    val tm = texts.toMap
+    val expect = Seq((1L, 2L), (3L, 4L), (1L, 6L))
+      .map { case (a, b) => (a, b, longestSpan(tm(a), tm(b))) }.toSet
+    // run the operator's alignment stage over these fixed pairs/texts
+    // (same code shape as qDedupSpan past the pair source)
+    val pos = texts.toDF("doc_id", "text")
+      .select($"doc_id", org.apache.spark.sql.functions.posexplode(
+        graft.functions.TextFunctions.shingles3(
+          graft.functions.TextFunctions.tokens($"text"))))
+      .toDF("doc_id", "p", "sng")
+    val m = pairs
+      .join(pos.select($"doc_id".as("doc_a"), $"p".as("pa"), $"sng"), "doc_a")
+      .join(pos.select($"doc_id".as("doc_b"), $"p".as("pb"), $"sng"), Seq("doc_b", "sng"))
+      .withColumn("diag", $"pa" - $"pb")
+    val wd = Window.partitionBy($"doc_a", $"doc_b", $"diag").orderBy($"pa".asc)
+    val got = m.withColumn("isl", $"pa" - row_number().over(wd))
+      .groupBy($"doc_a", $"doc_b", $"diag", $"isl").agg(count(lit(1)).as("run"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg((max($"run") + 2).cast("long").as("span_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // pair (1,5) shares no trigram -> no row, like the gated operator
+    assert(got == expect, s"$got vs $expect")
+  }
+
   test("Memo.materialize honors the reliable-checkpoint knob") {
     import spark.implicits._
     // default path: localCheckpoint — no files on disk, session-local
