@@ -971,11 +971,15 @@ object Dedup {
     val v = Tables.embeddings(s, dir)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
     // id-only band rows: candidates shuffle bare (band, key, id) triples —
-    // vectors rejoin (broadcast) only after pair dedup
-    val banded = v.select($"vec_id",
+    // vectors rejoin (broadcast) only after pair dedup. MATERIALIZED once:
+    // the self-join otherwise evaluates the 128×8 hyperplane signature on
+    // BOTH sides (no exchange reuse under the broadcast plan — measured
+    // ~2× the hashing cost); at scale this is the band index a pipeline
+    // writes once, exactly like the minhash LSH index
+    val banded = Memo.materialize(v.select($"vec_id",
         posexplode(org.apache.spark.sql.graft.NativeExprs
           .cosineBandKeys($"v", bands = 128, rowsPerBand = 8)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey"))
     val cand = banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
         $"a.vec_id" < $"b.vec_id")
