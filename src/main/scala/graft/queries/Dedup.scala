@@ -259,8 +259,12 @@ object Dedup {
     import s.implicits._
     val sh = docShingles(s, dir)
     val sig = sh.select($"doc_id", minhashSig($"sh").as("sig"))
-    val bandDf = sig.select($"doc_id", explode(minhashBands($"sig", 32, 4)).as("b"))
-      .select($"doc_id", $"b.band".as("band"), $"b.bkey".as("bkey"))
+    // materialized once: the self-join otherwise computes the 128-perm
+    // signature on both sides (same finding as the hyperplane LSH path);
+    // the id-only band rows are the write-once LSH index at scale
+    val bandDf = Memo.materialize(
+      sig.select($"doc_id", explode(minhashBands($"sig", 32, 4)).as("b"))
+        .select($"doc_id", $"b.band".as("band"), $"b.bkey".as("bkey")))
     val cand = bandDf.as("x").join(bandDf.as("y"),
         $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" &&
         $"x.doc_id" < $"y.doc_id")
@@ -402,7 +406,11 @@ object Dedup {
     * recomputes the identical signature in SQL via the shared 60-bit hash. */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sims = docShingles(s, dir).select($"doc_id", simhash60($"sh").as("sim"))
+    // materialized once: sims feeds FOUR subtrees (both band-join sides
+    // + both verify joins), each of which would otherwise recompute the
+    // per-shingle 60-bit signature pass
+    val sims = Memo.materialize(
+      docShingles(s, dir).select($"doc_id", simhash60($"sh").as("sim")))
     val bandDf = sims.select($"doc_id", explode(simhashBands($"sim", 6)).as("b"))
       .select($"doc_id", $"b.band".as("band"), $"b.bkey".as("bkey"))
     val cand = bandDf.as("x").join(bandDf.as("y"),
@@ -440,9 +448,11 @@ object Dedup {
     * + ppm jaccard (gate convention). */
   def qContamination(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val srcSh = Tables.documents(s, dir)
+    // materialized once: the pair self-join would otherwise run the
+    // scan → shingle → distinct pipeline on both sides
+    val srcSh = Memo.materialize(Tables.documents(s, dir)
       .select($"source", explode(shingleSet($"text")).as("sh"))
-      .distinct()
+      .distinct())
     val sizes = srcSh.groupBy($"source").agg(count(lit(1)).as("n"))
     val inter = srcSh.as("a").join(srcSh.as("b"),
         $"a.sh" === $"b.sh" && $"a.source" < $"b.source")

@@ -680,8 +680,11 @@ object TextAnalysis {
     * shared with the whole dedup family). */
   def qTextOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ss = graft.queries.Dedup.docShinglesSrc(s, dir)
-      .select($"source", explode($"sh").as("sng")).distinct()
+    // materialized once: both the per-source sizes and the per-shingle
+    // pair aggregation consume the same distinct (source, shingle)
+    // relation (explode + distinct would otherwise run twice)
+    val ss = Memo.materialize(graft.queries.Dedup.docShinglesSrc(s, dir)
+      .select($"source", explode($"sh").as("sng")).distinct())
     val sz = ss.groupBy($"source").agg(count(lit(1)).as("n"))
     // ONE aggregation per shingle (state ≤ |sources| strings), then the
     // ordered source pairs expand IN-ROW from the sorted set — no
