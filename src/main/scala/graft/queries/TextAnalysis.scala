@@ -720,6 +720,44 @@ object TextAnalysis {
       |  (i * 1000000) // (x.n + y.n - i) AS jaccard_ppm
       |FROM inter JOIN sz x ON x.source = src_a JOIN sz y ON y.source = src_b""".stripMargin
 
+  /** N-GRAM NOVELTY — the memorization-risk metric of corpus curation:
+    * processing documents in corpus order (doc_id), what fraction of a
+    * document's shingles has never been seen before? A doc assembled
+    * from earlier documents' fragments scores near zero novelty even
+    * when no single pair crosses a near-dup threshold — the additive
+    * leakage jaccard and containment both miss. Exact and
+    * order-deterministic: a shingle's FIRST OWNER is min(doc_id) over
+    * its postings, one inverted-index aggregate; each doc then counts
+    * the shingles it owns first. Two shuffles on the shingle key (the
+    * aggregate and the join are co-partitioned), output one row per
+    * doc. Reads the memoized shingle relation. */
+  def qTextNovelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val inv = graft.queries.Dedup.docShinglesSrc(s, dir)
+      .select($"doc_id", explode($"sh").as("sng"))
+    val firstOwner = inv.groupBy($"sng").agg(min($"doc_id").as("first_doc"))
+    inv.join(firstOwner, "sng")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(($"doc_id" === $"first_doc").cast("long")).as("n_novel"))
+      .withColumn("novelty_ppm", expr("(n_novel * 1000000L) DIV n_shingles"))
+  }
+
+  val qTextNoveltySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sng
+      |  FROM toks WHERE len(t) >= 3),
+      |fo AS (SELECT sng, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_shingles,
+      |  CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  (CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+      |    // count(*) AS novelty_ppm
+      |FROM sh JOIN fo USING (sng)
+      |GROUP BY doc_id""".stripMargin
+
   /** First-round BPE merge learning — the tokenizer-training primitive,
     * distributed: count every adjacent character pair across all token
     * instances of the corpus and rank the top 20 merge candidates with a
@@ -761,6 +799,7 @@ object TextAnalysis {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_overlap"     -> (qTextOverlap _),
     "q_text_bpe"         -> (qTextBpe _),
+    "q_text_novelty"     -> (qTextNovelty _),
     "q_text_drift"       -> (qTextDrift _),
     "q_text_hh"          -> (qTextHeavyHitters _),
     "q_text_vocab"       -> (qTextVocab _),
@@ -781,6 +820,7 @@ object TextAnalysis {
   def oracles: Map[String, String] = Map(
     "q_text_overlap"     -> qTextOverlapSql,
     "q_text_bpe"         -> qTextBpeSql,
+    "q_text_novelty"     -> qTextNoveltySql,
     "q_text_drift"       -> qTextDriftSql,
     "q_text_hh"          -> qTextHeavyHittersSql,
     "q_text_vocab"       -> qTextVocabSql,
