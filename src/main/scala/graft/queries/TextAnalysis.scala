@@ -758,6 +758,53 @@ object TextAnalysis {
       |FROM sh JOIN fo USING (sng)
       |GROUP BY doc_id""".stripMargin
 
+  /** Shared batch/stream core of incremental novelty: per-doc counts of
+    * exploded (doc_id, sng) rows against a static distinct historical
+    * shingle set — a left stream-static join + one aggregation, so the
+    * SAME code runs on a bounded relation and on an unbounded stream
+    * (StreamingEtl.noveltyStream). */
+  private[graft] def noveltyAgainstIndex(inv: DataFrame, hist: DataFrame): DataFrame = {
+    import inv.sparkSession.implicits._
+    inv.join(hist.withColumn("seen", lit(1L)), Seq("sng"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           sum($"seen".isNull.cast("long")).as("n_novel"))
+      .withColumn("novelty_ppm", expr("(n_novel * 1000000L) DIV n_shingles"))
+  }
+
+  /** INCREMENTAL novelty — [[qTextNovelty]]'s daily-ingest form: the
+    * arriving slice (doc_id % 5 == 0, the same convention as incremental
+    * dedup) scored against the HISTORICAL distinct-shingle set only.
+    * This is the shape that runs at ingest: the history is write-once
+    * state, the arriving doc never compares to its own batch, and the
+    * streaming twin runs the identical [[noveltyAgainstIndex]] core
+    * (stream == batch proven in StreamingSpec). */
+  def qTextNoveltyIncr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = graft.queries.Dedup.docShinglesSrc(s, dir).select($"doc_id", $"sh")
+    val inv = sh.filter($"doc_id" % 5 === 0)
+      .select($"doc_id", explode($"sh").as("sng"))
+    val hist = sh.filter($"doc_id" % 5 =!= 0)
+      .select(explode($"sh").as("sng")).distinct()
+    noveltyAgainstIndex(inv, hist)
+  }
+
+  val qTextNoveltyIncrSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sng
+      |  FROM toks WHERE len(t) >= 3),
+      |hist AS (SELECT DISTINCT sng FROM sh WHERE doc_id % 5 <> 0),
+      |inv AS (SELECT doc_id, sng FROM sh WHERE doc_id % 5 = 0)
+      |SELECT doc_id, count(*) AS n_shingles,
+      |  CAST(sum(CASE WHEN h.sng IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  (CAST(sum(CASE WHEN h.sng IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+      |    // count(*) AS novelty_ppm
+      |FROM inv LEFT JOIN hist h ON inv.sng = h.sng
+      |GROUP BY doc_id""".stripMargin
+
   /** First-round BPE merge learning — the tokenizer-training primitive,
     * distributed: count every adjacent character pair across all token
     * instances of the corpus and rank the top 20 merge candidates with a
@@ -800,6 +847,7 @@ object TextAnalysis {
     "q_text_overlap"     -> (qTextOverlap _),
     "q_text_bpe"         -> (qTextBpe _),
     "q_text_novelty"     -> (qTextNovelty _),
+    "q_text_novelty_incr" -> (qTextNoveltyIncr _),
     "q_text_drift"       -> (qTextDrift _),
     "q_text_hh"          -> (qTextHeavyHitters _),
     "q_text_vocab"       -> (qTextVocab _),
@@ -821,6 +869,7 @@ object TextAnalysis {
     "q_text_overlap"     -> qTextOverlapSql,
     "q_text_bpe"         -> qTextBpeSql,
     "q_text_novelty"     -> qTextNoveltySql,
+    "q_text_novelty_incr" -> qTextNoveltyIncrSql,
     "q_text_drift"       -> qTextDriftSql,
     "q_text_hh"          -> qTextHeavyHittersSql,
     "q_text_vocab"       -> qTextVocabSql,

@@ -158,6 +158,23 @@ object StreamingEtl {
         (col("n_eval_hits") * 2 >= col("n_shingles")).cast("long"))
   }
 
+  /** Streaming NOVELTY-AT-INGEST — the online form of
+    * queries.TextAnalysis.qTextNoveltyIncr: each arriving document
+    * explodes into shingles statelessly, left-joins stream-static
+    * against the write-once historical distinct-shingle set, and rolls
+    * up its novelty fraction in one streaming aggregation. The batch and
+    * stream sides share noveltyAgainstIndex VERBATIM, so StreamingSpec's
+    * stream == batch equality is structural. The memorization-risk gate
+    * applied at ingest latency. */
+  def noveltyStream(docs: DataFrame, histSh: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.shingleSet
+    val inv = docs
+      .select(col("doc_id"), shingleSet(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(col("sh")).as("sng"))
+    graft.queries.TextAnalysis.noveltyAgainstIndex(inv, histSh)
+  }
+
   /** Streaming INCREMENTAL dedup — the online form of
     * queries.Dedup.qDedupIncremental: each arriving document computes its
     * minhash signature and band keys statelessly (native expressions, no

@@ -218,6 +218,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming novelty at ingest against the historical shingle set equals the batch operator") {
+    val dir = s"$tmp/docs_novelty_input"
+    Tables.documents(spark, sf).filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "text").write.json(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(dir)
+    val hist = graft.queries.Dedup.docShinglesSrc(spark, sf)
+      .filter(col("doc_id") % 5 =!= 0)
+      .select(explode(col("sh")).as("sng")).distinct()
+    StreamingEtl.runToMemory(
+      StreamingEtl.noveltyStream(stream, hist),
+      "novelty", s"$tmp/cp_novelty")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_shingles", "n_novel", "novelty_ppm").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = key(spark.table("novelty"))
+    val batch = key(SparkEntry.queries("q_text_novelty_incr")(spark, sf))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming anomaly flags against historical moments equal the batch operator") {
     // historical baseline: per-type moments computed batch-side
     val moments = Tables.events(spark, sf)
