@@ -271,6 +271,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got == expect, s"$got vs $expect")
   }
 
+  test("novelty laws: equal shingle totals across entries; anti-monotone in history") {
+    import spark.implicits._
+    // NOTE: no dominance law relates the two GATED entries — the
+    // historical slice (id % 5 != 0) contains ids ABOVE the arriving
+    // doc, so a shingle can be novel-in-full (min owner) yet present in
+    // history. What IS law: (a) both entries count the same per-doc
+    // shingle totals; (b) the shared core is anti-monotone in the
+    // history set — a larger history can only reduce novelty.
+    val full = SparkEntry.queries("q_text_novelty")(spark, sf)
+      .select(col("doc_id"), col("n_shingles").as("ns_f"))
+      .filter(col("doc_id") % 5 === 0)
+    val incr = SparkEntry.queries("q_text_novelty_incr")(spark, sf)
+      .select(col("doc_id"), col("n_shingles").as("ns_i"))
+    val j = full.join(incr, "doc_id").collect()
+    assert(j.nonEmpty)
+    j.foreach(r => assert(r.getAs[Long]("ns_f") == r.getAs[Long]("ns_i"),
+      s"doc ${r.getLong(0)}: shingle totals diverge"))
+
+    val inv = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "b"), (2L, "d"))
+      .toDF("doc_id", "sng")
+    val small = Seq("a").toDF("sng")
+    val big = Seq("a", "b", "d").toDF("sng")
+    def novelOf(hist: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.queries.TextAnalysis.noveltyAgainstIndex(inv, hist)
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_novel")).toMap
+    val (ns, nb) = (novelOf(small), novelOf(big))
+    assert(ns == Map(1L -> 2L, 2L -> 2L) && nb == Map(1L -> 1L, 2L -> 0L))
+    ns.foreach { case (d, n) => assert(n >= nb(d), s"doc $d: bigger history raised novelty") }
+  }
+
   test("Memo.materialize honors the reliable-checkpoint knob") {
     import spark.implicits._
     // default path: localCheckpoint — no files on disk, session-local
