@@ -25,7 +25,12 @@ object Verify {
     // queries are independent Spark jobs — run 4 at a time to overlap
     // scheduling gaps (the scheduler interleaves their stages)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // local-iteration subset: GRAFT_ONLY=q_a,q_b runs just those queries
+    // (the driver never sets it, so the gate always runs the full map)
+    val only = sys.env.get("GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val tasks = selected.map { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -77,27 +77,69 @@ object TrainingData {
       |  FROM documents)
       |WHERE rk <= 5""".stripMargin
 
+  /** Per-source value HISTOGRAM with cumulative rank spans — the shared
+    * distributed-order-statistics core behind [[qQualityDeciles]] and
+    * [[qQualityWinsor]]. Input: (source, v) rows at corpus scale. Output:
+    * one row per DISTINCT (source, v) carrying `cnt` and the 1-based rank
+    * interval [lo_rk, hi_rk] that value occupies in the per-source
+    * ascending ordering.
+    *
+    * Scale shape: the only corpus-scale operation is the (source, v)
+    * group-by — map-side partial aggregation, shuffle keyed on BOTH
+    * columns (no low-cardinality skew). The cumulative window that
+    * follows is partitioned by source but runs over the HISTOGRAM, whose
+    * per-source row count is |distinct values| — bounded by the value
+    * domain, independent of corpus row count. At 100 TB a per-source
+    * task sorts at most |domain| rows (thousands for lengths / ppm
+    * scores), never the corpus slice itself. This is the value-histogram
+    * rank-selection pattern; PlanHygieneSpec's unbounded-window rule
+    * recognizes it by the histogram aggregate under the window. */
+  private def rankSpans(d: DataFrame, valueCol: String): DataFrame = {
+    import d.sparkSession.implicits._
+    d.groupBy($"source", col(valueCol)).agg(count(lit(1)).as("cnt"))
+      .withColumn("hi_rk", sum($"cnt").over(
+        Window.partitionBy($"source").orderBy(col(valueCol).asc)))
+      .withColumn("lo_rk", $"hi_rk" - $"cnt" + 1L)
+  }
+
   /** Curriculum binning: per-source quality DECILES over the lexical-
     * diversity score (distinct-token ratio in exact ppm, tie-broken by
     * doc_id so ntile is engine-deterministic). The curriculum/mixing
     * primitive: train schedules draw from bins in difficulty order, and
     * per-source binning keeps every domain represented in every bin.
-    * Shuffles only on source (the window partition key); per-bin stats
-    * make the cut points auditable. */
+    *
+    * Distributed form (round-6): NO per-row ntile window — that sorts an
+    * entire source in one task at 100 TB. Instead the ntile output is
+    * reconstructed exactly from the [[rankSpans]] value histogram:
+    * ntile(10) over n rows assigns q+1 rows (q = n DIV 10) to the first
+    * r = n % 10 buckets and q to the rest, so each decile is a fixed
+    * rank interval [start+1, start+sz]; its row count is sz by
+    * construction and its min/max score are the values whose rank spans
+    * overlap the interval (ordering by score first means the doc_id
+    * tie-break permutes only equal scores — the score multiset at any
+    * rank interval is unique). The decile-boundary relation is
+    * 10·|sources| rows joined to the histogram on source — AQE
+    * broadcasts it; nothing unbounded is pinned. */
   def qQualityDeciles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = tokens($"text")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"source").orderBy($"score", $"doc_id")
-    Tables.documents(s, dir)
-      .select($"source", $"doc_id",
+    val scored = Tables.documents(s, dir)
+      .select($"source",
         size(toks).cast("long").as("nt"),
         size(array_distinct(toks)).cast("long").as("nd"))
       .filter($"nt" > 0)
-      .withColumn("score", expr("(nd * 1000000L) DIV nt"))
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .select($"source", expr("(nd * 1000000L) DIV nt").as("score"))
+    val spans = rankSpans(scored, "score")
+    val deciles = spans.groupBy($"source").agg(sum($"cnt").as("n"))
+      .select($"source", $"n", explode(sequence(lit(1L), lit(10L))).as("decile"))
+      .withColumn("sz", expr("n DIV 10 + CASE WHEN decile <= n % 10 THEN 1 ELSE 0 END"))
+      .filter($"sz" > 0L)
+      .withColumn("min_rk", expr("(decile - 1) * (n DIV 10) + least(decile - 1, n % 10) + 1"))
+      .withColumn("max_rk", $"min_rk" + $"sz" - 1L)
+    spans.join(deciles, Seq("source"))
+      .filter($"lo_rk" <= $"max_rk" && $"hi_rk" >= $"min_rk")
       .groupBy($"source", $"decile")
-      .agg(count(lit(1)).as("n_docs"),
+      .agg(max($"sz").as("n_docs"),
            min($"score").as("min_score"),
            max($"score").as("max_score"))
   }
@@ -735,20 +777,25 @@ object TrainingData {
     * rank arithmetic — the p-th bound is the value at row ⌈p·n⌉ of the
     * per-source length ordering, computed as (n·k+99) DIV 100, so both
     * engines agree exactly (no float percentile semantics involved, no
-    * interpolation). One window per source + one aggregate; the bounds
-    * relation is |sources| rows and joins back unhinted (AQE broadcasts
-    * it adaptively). */
+    * interpolation).
+    *
+    * Distributed form (round-6): the value at rank k is looked up in the
+    * [[rankSpans]] value histogram (the row whose [lo_rk, hi_rk] span
+    * contains k) — no per-row row_number window, so no single-task sort
+    * of a whole source. The bounds relation is |sources| rows and joins
+    * back unhinted (AQE broadcasts it adaptively). */
   def qQualityWinsor(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = Tables.documents(s, dir)
       .select($"source", $"n_chars".cast("long").as("v"))
-    val ranked = d
-      .withColumn("rk", row_number().over(
-        Window.partitionBy($"source").orderBy($"v".asc)))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"source")))
-    val bounds = ranked.groupBy($"source")
-      .agg(max(when($"rk" === expr("(n * 5 + 99) DIV 100"), $"v")).as("lo"),
-           max(when($"rk" === expr("(n * 95 + 99) DIV 100"), $"v")).as("hi"))
+    val spans = rankSpans(d, "v")
+    val withN = spans.join(
+      spans.groupBy($"source").agg(sum($"cnt").as("n")), "source")
+      .withColumn("k05", expr("(n * 5 + 99) DIV 100"))
+      .withColumn("k95", expr("(n * 95 + 99) DIV 100"))
+    val bounds = withN.groupBy($"source")
+      .agg(max(when($"lo_rk" <= $"k05" && $"k05" <= $"hi_rk", $"v")).as("lo"),
+           max(when($"lo_rk" <= $"k95" && $"k95" <= $"hi_rk", $"v")).as("hi"))
     d.join(bounds, "source")
       .withColumn("cv", least(greatest($"v", $"lo"), $"hi"))
       .groupBy($"source")

@@ -152,6 +152,77 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"corpus-proportional pinned broadcast in: ${offenders.mkString("; ")}")
   }
 
+  // Windows partitioned only by low-cardinality keys whose input IS
+  // provably bounded, but by a construct the mechanical check below
+  // cannot see. Each entry documents the actual bound.
+  private val unboundedWindowOk = Set(
+    // global row_number over DatasusVocabulary.defaultWorkload — an
+    // 89-row CONSTANT local relation (the reference's fixed filter
+    // vocabulary crossed per family), not a corpus scan; cardinality
+    // can never grow with data volume
+    "q_catalog_workload")
+
+  test("no window partitioned only by low-cardinality keys sorts unbounded input") {
+    // The round-5 verdict's scale-killer class: a Window partitioned by
+    // `source` (or any fixed-domain key) with no group-limit rewrite
+    // funnels an ENTIRE corpus slice through one task for the sort. A
+    // window like that is acceptable only when its input is already
+    // cardinality-bounded: a WindowGroupLimit rewrite (rk<=k top-N
+    // heaps), an explicit limit/TakeOrdered, or the value-histogram
+    // rank-selection pattern (an Aggregate grouped by the partition keys
+    // PLUS a value column — per-partition row count is then |value
+    // domain|, independent of corpus size). Mechanically: for every
+    // WindowExec whose partition keys are all in the low-card set (or
+    // empty — a global window), walk through order-preserving unary
+    // nodes (sort/exchange/project/filter) to the window's true input
+    // and require one of those bounders. Extra grouping keys that are
+    // row-identity columns (doc_id, ids) do NOT count as a bound — a
+    // groupBy(source, doc_id) aggregate is still corpus-proportional.
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
+    val lowCard = Set("source", "lang", "tipo", "event_type", "shard",
+      "uf", "sistema", "competencia")
+    val idLike = Set("doc_id", "vec_id", "id", "event_id", "o_orderkey",
+      "l_orderkey", "c_custkey", "s_suppkey", "p_partkey", "user_id")
+    def attrNames(es: Seq[Expression]): Set[String] =
+      es.flatMap(_.collect { case a: AttributeReference => a.name }).toSet
+    @annotation.tailrec
+    def realInput(p: SparkPlan): SparkPlan = p match {
+      case s: SortExec => realInput(s.child)
+      case e: ShuffleExchangeExec => realInput(e.child)
+      case pr: ProjectExec => realInput(pr.child)
+      case f: FilterExec => realInput(f.child)
+      case _ => p
+    }
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val plan =
+        try fn(spark, sf).queryExecution.sparkPlan
+        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      val bad = plan.collect { case w: WindowExec => w }.filter { w =>
+        val part = attrNames(w.partitionSpec)
+        part.subsetOf(lowCard) && (realInput(w.child) match {
+          case _: WindowGroupLimitExec => false            // top-N heap rewrite
+          case _: TakeOrderedAndProjectExec => false       // explicit bounded input
+          case _: GlobalLimitExec | _: LocalLimitExec => false
+          case a: BaseAggregateExec =>
+            // value-histogram pattern: grouped by partition keys + a
+            // genuine value column (not a row id)
+            val g = attrNames(a.groupingExpressions)
+            !(part.subsetOf(g) && (g -- part -- idLike).nonEmpty)
+          case _ => true
+        })
+      }
+      if (bad.nonEmpty && !unboundedWindowOk.contains(name))
+        Some(s"$name: ${bad.map(w => attrNames(w.partitionSpec).mkString("(", ",", ")")).mkString(" ")}")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"unbounded low-cardinality window in: ${offenders.mkString("; ")}")
+  }
+
   test("range search plans zero shuffle exchanges (map-side score + filter)") {
     // q_ann_range = broadcast(bounded query set) + per-partition score and
     // filter: matches stream straight out of the scan — any shuffle here
