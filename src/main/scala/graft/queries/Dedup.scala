@@ -364,30 +364,9 @@ object Dedup {
     * matches spark.sql.shuffle.partitions=32 so the probe shuffle lands
     * directly on the bucket layout. */
   private[graft] val IncrBuckets = 32
-  private val bandIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), LazyDf]()
-  private[graft] def persistedBandIndex(s: SparkSession, dir: String): DataFrame = {
-    bandIndexCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    bandIndexCache.computeIfAbsent((s, dir), _ => new LazyDf(() => {
-      val table = "graft_band_index_" +
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-      // a previous JVM's warehouse dir may survive while the (in-memory)
-      // catalog starts empty — clear both so overwrite is truly idempotent
-      s.sql(s"DROP TABLE IF EXISTS `$table`")
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), table)
-      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-      historicalBandIndex(s, dir).write
-        .mode("overwrite")
-        .bucketBy(IncrBuckets, "band", "bkey")
-        .sortBy("band", "bkey")
-        .format("parquet")
-        .saveAsTable(table)
-      s.table(table)
-    })).df
-  }
+  private[graft] def persistedBandIndex(s: SparkSession, dir: String): DataFrame =
+    Memo.persistedBucketedTable(s, "graft_band_index", dir,
+      IncrBuckets, Seq("band", "bkey"))(historicalBandIndex(s, dir))
 
   val qDedupIncrementalSql: String =
     shinglesCte + """,

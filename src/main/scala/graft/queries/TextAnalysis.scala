@@ -765,28 +765,53 @@ object TextAnalysis {
     * (StreamingEtl.noveltyStream). */
   private[graft] def noveltyAgainstIndex(inv: DataFrame, hist: DataFrame): DataFrame = {
     import inv.sparkSession.implicits._
-    inv.join(hist.withColumn("seen", lit(1L)), Seq("sng"), "left")
+    // the contract is a DISTINCT shingle set — enforce it here rather
+    // than assuming it: a duplicated history row would multiply inv rows
+    // through the left join, inflating n_shingles and deflating
+    // novelty_ppm for seen shingles. On the bucketed persisted history
+    // the dropDuplicates rides the bucket layout (no extra exchange);
+    // on an already-distinct in-memory set it is a cheap no-op pass.
+    inv.join(hist.select($"sng").dropDuplicates("sng")
+        .withColumn("seen", lit(1L)), Seq("sng"), "left")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_shingles"),
            sum($"seen".isNull.cast("long")).as("n_novel"))
       .withColumn("novelty_ppm", expr("(n_novel * 1000000L) DIV n_shingles"))
   }
 
+  /** The historical distinct-shingle set PERSISTED through the lake and
+    * read back — incremental novelty's write-once state made real,
+    * mirroring the incremental-dedup band index (Dedup.persistedBandIndex):
+    * built once per (session, dir), saved as a parquet table bucketed AND
+    * sorted by `sng` — the probe-join key — then served from the catalog.
+    * The bucketed scan carries hashpartitioning(sng) natively, so each
+    * daily/streaming probe shuffles ONLY the arriving slice; the history
+    * is never re-shingled and never re-shuffled (ScaleOpsSpec asserts the
+    * history side of the probe join plans zero Exchange). */
+  private[graft] def persistedShingleHistory(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Memo.persistedBucketedTable(s, "graft_novelty_hist", dir,
+      graft.queries.Dedup.IncrBuckets, Seq("sng"))(
+      graft.queries.Dedup.docShinglesSrc(s, dir)
+        .filter($"doc_id" % 5 =!= 0)
+        .select(explode($"sh").as("sng")).distinct())
+  }
+
   /** INCREMENTAL novelty — [[qTextNovelty]]'s daily-ingest form: the
     * arriving slice (doc_id % 5 == 0, the same convention as incremental
     * dedup) scored against the HISTORICAL distinct-shingle set only.
     * This is the shape that runs at ingest: the history is write-once
-    * state, the arriving doc never compares to its own batch, and the
-    * streaming twin runs the identical [[noveltyAgainstIndex]] core
-    * (stream == batch proven in StreamingSpec). */
+    * state served from the lake ([[persistedShingleHistory]] — bucketed
+    * by the probe key, zero exchanges on the history side), the arriving
+    * doc never compares to its own batch, and the streaming twin runs
+    * the identical [[noveltyAgainstIndex]] core against the SAME
+    * reloaded table (stream == batch proven in StreamingSpec). */
   def qTextNoveltyIncr(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = graft.queries.Dedup.docShinglesSrc(s, dir).select($"doc_id", $"sh")
-    val inv = sh.filter($"doc_id" % 5 === 0)
+    val inv = graft.queries.Dedup.docShinglesSrc(s, dir)
+      .filter($"doc_id" % 5 === 0)
       .select($"doc_id", explode($"sh").as("sng"))
-    val hist = sh.filter($"doc_id" % 5 =!= 0)
-      .select(explode($"sh").as("sng")).distinct()
-    noveltyAgainstIndex(inv, hist)
+    noveltyAgainstIndex(inv, persistedShingleHistory(s, dir))
   }
 
   val qTextNoveltyIncrSql: String =

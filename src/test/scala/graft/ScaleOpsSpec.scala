@@ -353,6 +353,44 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("novelty shingle history persists through the lake and joins shuffle-free") {
+    import graft.queries.{Dedup, TextAnalysis}
+    import org.apache.spark.sql.functions.{col, explode}
+    // reload == in-memory: the bucketed round-trip loses nothing
+    val mem = Dedup.docShinglesSrc(spark, sf)
+      .filter(col("doc_id") % 5 =!= 0)
+      .select(explode(col("sh")).as("sng")).distinct()
+    val reloaded = TextAnalysis.persistedShingleHistory(spark, sf)
+    assert(reloaded.count() == mem.count())
+    assert(reloaded.exceptAll(mem).isEmpty && mem.exceptAll(reloaded).isEmpty,
+      "reloaded shingle history diverges from the in-memory build")
+    // write-once contract: the gated query probes the CATALOG TABLE (a
+    // bucketed scan) and the history side of the probe join plans ZERO
+    // exchanges — only the arriving slice shuffles (force the shuffle
+    // path; at test scale AQE would broadcast the history)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val plan = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      SparkEntry.queries("q_text_novelty_incr")(spark, sf)
+        .queryExecution.sparkPlan
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    val joinSides = plan.collect {
+      case j: SortMergeJoinExec => Seq(j.left, j.right)
+      case j: ShuffledHashJoinExec => Seq(j.left, j.right)
+    }.flatten
+    val histSides = joinSides.filter(_.collect {
+      case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f
+    }.nonEmpty)
+    assert(histSides.nonEmpty, "no join against the bucketed history in the plan")
+    histSides.foreach { side =>
+      assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"bucketed history side re-shuffles:\n$side")
+    }
+  }
+
   test("bloom-prefiltered decontamination equals the exact operator") {
     import graft.queries.Dedup
     def key(df: org.apache.spark.sql.DataFrame) =

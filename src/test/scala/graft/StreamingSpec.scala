@@ -226,9 +226,9 @@ class StreamingSpec extends AnyFunSuite {
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
     val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(dir)
-    val hist = graft.queries.Dedup.docShinglesSrc(spark, sf)
-      .filter(col("doc_id") % 5 =!= 0)
-      .select(explode(col("sh")).as("sng")).distinct()
+    // the stream probes the same write-once lake table as the batch
+    // operator — novelty-at-ingest serves from the reloaded history
+    val hist = graft.queries.TextAnalysis.persistedShingleHistory(spark, sf)
     StreamingEtl.runToMemory(
       StreamingEtl.noveltyStream(stream, hist),
       "novelty", s"$tmp/cp_novelty")
