@@ -33,12 +33,20 @@ object EtlFixtures {
 
   val dbfCols = Seq("orderkey", "custkey", "status", "total", "orderdate", "priority")
 
-  /** Build (once per sf dir) the binary fixtures; returns the fixture dir. */
+  /** Columns of the DRIFTED month (2502): `orderdate` and `priority`
+    * disappear, `prio_cd` appears — the monthly schema-drift shape the
+    * reference documents between its 87- and 92-column files
+    * (ESTRUTURA_DADOS_PROCESSADOS.md:44-59). */
+  val dbfColsDrift = Seq("orderkey", "custkey", "status", "total", "prio_cd")
+
+  /** Build (once per sf dir) the binary fixtures; returns the fixture dir.
+    * Marker is versioned: adding a fixture (the 2502 drift month) bumps it
+    * so stale /tmp dirs from older builds rebuild instead of missing files. */
   def ensure(s: SparkSession, dir: String): String = synchronized {
     import s.implicits._
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = new File(s"/tmp/graft_fixtures/$key")
-    val marker = new File(base, "_OK")
+    val marker = new File(base, "_OK_v2")
     if (marker.exists()) return base.getPath
     base.mkdirs()
 
@@ -70,6 +78,20 @@ object EtlFixtures {
         val out = new FileOutputStream(f)
         try out.write(dbc) finally out.close()
         f
+    }
+
+    // DRIFTED month 2502 in its own subdir (the RD*.dbc glob of the
+    // single-month queries must not pick it up): every third order, with
+    // dbfColsDrift's column set — two columns gone, one new
+    val m2502 = new File(base, "m2502"); m2502.mkdirs()
+    val driftRows = rows.filter(_(0).toLong % 3 == 0)
+      .map(r => Seq(r(0), r(1), r(2), r(3), r(5).substring(0, 1)))
+    driftRows.groupBy(r => ufOf(r(4))).toSeq.sortBy(_._1).foreach {
+      case (uf, rs) =>
+        val dbc = Dbc.fromDbf(Dbf.write(dbfColsDrift, rs))
+        val f = new File(m2502, s"RD${uf}2502.dbc")
+        val out = new FileOutputStream(f)
+        try out.write(dbc) finally out.close()
     }
 
     val zip = new ZipOutputStream(new FileOutputStream(new File(base, "archive.zip")))
@@ -172,6 +194,64 @@ object Etl {
        |  '2501' AS competencias_existentes,
        |  (CAST(sum(registros) AS BIGINT) * 100) // count(*) AS media_registros_c
        |FROM per_file""".stripMargin
+
+  /** MONTHLY SCHEMA DRIFT — SURVEY §7 hard-part #2, gated: the reference's
+    * monthly files change column sets between competências (87 vs 92 cols,
+    * ESTRUTURA_DADOS_PROCESSADOS.md:44-59). Decode two fixture months with
+    * different column sets (2501: 6 cols; 2502: drops orderdate+priority,
+    * adds prio_cd), merge with `unionByName(allowMissingColumns=true)`
+    * — Spark's by-NAME union is exactly the semantics monthly loads need
+    * (positional union would silently misalign) — and emit the per-column
+    * fill profile of the merged relation: for each of the 7 merged
+    * columns, how many rows carry it and how many are null because their
+    * month lacked it. One global aggregate (7 counters), then a 7-row
+    * stack — constant-size output at any corpus scale. */
+  def qSchemaDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = EtlFixtures.ensure(s, dir)
+    val m1 = s.read.format("dbc").load(s"$base/RD*.dbc")
+    val m2 = s.read.format("dbc").load(s"$base/m2502/RD*.dbc")
+    val merged = m1.unionByName(m2, allowMissingColumns = true)
+    val cols = merged.columns.sorted
+    merged
+      .agg(count(lit(1)).as("n_total"),
+        cols.map(c => count(col(c)).as(s"f_$c")): _*)
+      .selectExpr("n_total",
+        s"stack(${cols.length}, " +
+          cols.map(c => s"'$c', f_$c").mkString(", ") + ") AS (col, n_filled)")
+      .select($"col", $"n_total", $"n_filled",
+        ($"n_total" - $"n_filled").as("n_null"))
+  }
+
+  val qSchemaDriftSql: String =
+    """WITH merged AS (
+      |  SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+      |    o_orderstatus AS status, o_totalprice AS total,
+      |    o_orderdate AS orderdate, o_orderpriority AS priority,
+      |    NULL AS prio_cd
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    NULL, NULL, substr(o_orderpriority, 1, 1)
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |a AS (
+      |  SELECT count(*) AS n_total,
+      |    count(orderkey) AS f_orderkey, count(custkey) AS f_custkey,
+      |    count(status) AS f_status, count(total) AS f_total,
+      |    count(orderdate) AS f_orderdate, count(priority) AS f_priority,
+      |    count(prio_cd) AS f_prio_cd
+      |  FROM merged)
+      |SELECT u.col AS col, n_total,
+      |  CAST(u.nf AS BIGINT) AS n_filled,
+      |  CAST(n_total - u.nf AS BIGINT) AS n_null
+      |FROM (SELECT n_total, unnest([
+      |  {'col': 'custkey', 'nf': f_custkey},
+      |  {'col': 'orderdate', 'nf': f_orderdate},
+      |  {'col': 'orderkey', 'nf': f_orderkey},
+      |  {'col': 'priority', 'nf': f_priority},
+      |  {'col': 'prio_cd', 'nf': f_prio_cd},
+      |  {'col': 'status', 'nf': f_status},
+      |  {'col': 'total', 'nf': f_total}]) AS u FROM a) t""".stripMargin
 
   /** S8: NDJSON envelope source — metadata first line + registro lines
     * (NDJSON_IMPLEMENTADO.md:141-156) is Spark's native JSON-lines format;
@@ -306,6 +386,7 @@ object Etl {
     "q_compet"       -> (qCompet _),
     "q_link_resolve" -> (qLinkResolve _),
     "q_catalog_workload" -> (qCatalogWorkload _),
+    "q_schema_drift" -> (qSchemaDrift _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -317,5 +398,6 @@ object Etl {
     "q_compet"       -> qCompetSql,
     "q_link_resolve" -> qLinkResolveSql,
     "q_catalog_workload" -> qCatalogWorkloadSql,
+    "q_schema_drift" -> qSchemaDriftSql,
   )
 }
