@@ -620,6 +620,84 @@ object Dedup {
     }
   }
 
+  /** SPAN-LEVEL decontamination — [[qDecontaminate]]'s set-level score
+    * composed with [[qDedupSpan]]'s alignment: per (train doc, eval doc)
+    * pair sharing at least one trigram, the longest VERBATIM token span,
+    * flagged at the 32-token threshold real pipelines apply (a doc can
+    * quote one long benchmark passage while its set-level overlap stays
+    * far below any jaccard threshold — only the span catches it).
+    *
+    * Scale shape: train positional trigrams probe the fixed ~1 MB bloom
+    * sketch of the eval trigram set BEFORE any shuffle (no false
+    * negatives, so no span can be lost; false positives die in the exact
+    * join), so the pair expansion and the diagonal gaps-and-islands
+    * window cost track CONTAMINATED trigram volume × eval df — bounded
+    * because eval sets are small by definition (the family's standing
+    * contract), not corpus². The window partitions by (pair, diagonal)
+    * and rides the join's shuffle. */
+  def qDecontamSpan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.graft.NativeExprs
+    val pos = Tables.documents(s, dir)
+      .select($"doc_id", $"source", tokens($"text").as("t"))
+      .filter(size($"t") >= 3)
+      .select($"doc_id", $"source", posexplode(shingles3($"t")))
+      .toDF("doc_id", "source", "p", "sng")
+    val evalPos = pos.filter($"source" === "src0")
+      .select($"doc_id".as("eval_doc"), $"p".as("pb"), $"sng")
+    val bloomBytes = evalPos.select($"sng").distinct()
+      .agg(NativeExprs.bloomFilterAgg(xxhash64($"sng"), 1000000L, 8000000L))
+      .head.getAs[Array[Byte]](0)
+    val trainPos = pos.filter($"source" =!= "src0")
+      .select($"doc_id".as("train_doc"), $"p".as("pa"), $"sng")
+    // empty eval set -> null sketch -> no contaminated pairs, not a crash
+    val probed =
+      if (bloomBytes == null) trainPos.filter(lit(false))
+      else trainPos.filter(
+        NativeExprs.bloomMightContain(lit(bloomBytes), xxhash64($"sng")))
+    val m = probed.join(evalPos, Seq("sng"))
+      .withColumn("diag", $"pa" - $"pb")
+    val wd = Window.partitionBy($"train_doc", $"eval_doc", $"diag")
+      .orderBy($"pa".asc)
+    m.withColumn("isl", $"pa" - row_number().over(wd))
+      .groupBy($"train_doc", $"eval_doc", $"diag", $"isl")
+      .agg(count(lit(1)).as("run"))
+      .groupBy($"train_doc", $"eval_doc")
+      .agg((max($"run") + 2).cast("long").as("span_tokens"),
+           count(lit(1)).as("n_runs"))
+      .withColumn("flagged", ($"span_tokens" >= 32L).cast("long"))
+  }
+
+  val qDecontamSpanSql: String =
+    shinglesCte + """,
+      | pshu AS (
+      |   SELECT doc_id, unnest([{'p': i, 'sng': t[i] || ' ' || t[i+1] || ' ' || t[i+2]}
+      |                          for i in range(1, len(t) - 1)]) AS u
+      |   FROM toks WHERE len(t) >= 3),
+      | psh AS (
+      |   SELECT doc_id, source, u.p AS p, u.sng AS sng
+      |   FROM pshu JOIN documents USING (doc_id)),
+      | m AS (
+      |   SELECT a.doc_id AS train_doc, b.doc_id AS eval_doc,
+      |          a.p AS pa, b.p AS pb
+      |   FROM psh a JOIN psh b ON a.sng = b.sng
+      |   WHERE a.source <> 'src0' AND b.source = 'src0'),
+      | isl AS (
+      |   SELECT train_doc, eval_doc, pa - pb AS diag,
+      |     pa - row_number() OVER (PARTITION BY train_doc, eval_doc, pa - pb
+      |                             ORDER BY pa ASC) AS isl
+      |   FROM m),
+      | runs AS (
+      |   SELECT train_doc, eval_doc, diag, isl, count(*) AS run
+      |   FROM isl GROUP BY 1, 2, 3, 4),
+      | spans AS (
+      |   SELECT train_doc, eval_doc, CAST(max(run) + 2 AS BIGINT) AS span_tokens,
+      |     count(*) AS n_runs
+      |   FROM runs GROUP BY 1, 2)
+      |SELECT train_doc, eval_doc, span_tokens, n_runs,
+      |  CAST(CASE WHEN span_tokens >= 32 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+      |FROM spans""".stripMargin
+
   val qDecontaminateSql: String =
     shinglesCte + """,
       | ev AS (
@@ -1472,6 +1550,7 @@ object Dedup {
     "q_dedup_verbatim" -> (qDedupVerbatim _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
+    "q_decontam_span" -> (qDecontamSpan _),
     "q_dedup_jaccard_prefix" -> (qDedupJaccardPrefix _),
     "q_dedup_embed_lsh" -> (qDedupEmbedLsh _),
     "q_dedup_cluster" -> (qDedupCluster _),
@@ -1499,6 +1578,7 @@ object Dedup {
     "q_dedup_keep"    -> qDedupKeepSql,
     "q_dedup_verbatim" -> qDedupVerbatimSql,
     "q_decontaminate" -> qDecontaminateSql,
+    "q_decontam_span" -> qDecontamSpanSql,
     "q_decontaminate_bloom" -> qDecontaminateSql, // bloom has no false negatives; verify join restores exactness
     "q_dedup_jaccard_prefix" -> bruteJaccardSql, // exact-equivalent by theorem
     "q_dedup_embed_lsh" -> qDedupEmbedFullSql, // same semantic output as exact, full corpus

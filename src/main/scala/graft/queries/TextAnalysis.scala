@@ -855,6 +855,90 @@ object TextAnalysis {
       .select($"rk", $"pair", $"n")
   }
 
+  /** SECOND-round BPE — the loop shape every tokenizer trainer runs,
+    * in-engine: learn the top round-1 merge, APPLY it (re-segment every
+    * token), then learn round 2's top-20 pair ranking over the merged
+    * symbol sequences. Each round is the same vocabulary-bounded
+    * aggregate as [[qTextBpe]]; the applied merge is a 1-row broadcast
+    * (a global top-1, bounded at any scale), and re-segmentation rides
+    * the scan as pure higher-order array expressions — no extra shuffle
+    * beyond the two pair aggregates.
+    *
+    * Re-segmentation is positional: a symbol starts wherever the
+    * previous two chars are NOT the merge, and a starting position whose
+    * two chars ARE the merge emits the merged symbol. For a merge with
+    * two distinct characters this equals greedy left-to-right BPE
+    * application exactly (occurrences cannot overlap); a self-pair
+    * merge (aa) would differ, so BOTH engines guard it with an explicit
+    * error rather than silently diverging. Round-2 pairs are
+    * space-separated symbol pairs (symbols never contain spaces), so
+    * (x, yz) and (xy, z) cannot collide. */
+  def qTextBpe2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .select(explode(tokens($"text")).as("tok"))
+      .filter(length($"tok") >= 2)
+    val merge1 = toks
+      .select(explode(expr(
+        "transform(sequence(1, char_length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"pair".asc).limit(1)
+      .select(expr(
+        "CASE WHEN substr(pair, 1, 1) = substr(pair, 2, 1) " +
+        "THEN raise_error('q_text_bpe2: self-pair top merge not supported') " +
+        "ELSE pair END").as("m"))
+    val pairs2 = toks.crossJoin(broadcast(merge1))
+      .select(expr(
+        """transform(
+          |  filter(sequence(1, char_length(tok)),
+          |         i -> i = 1 OR substring(tok, i - 1, 2) != m),
+          |  i -> CASE WHEN substring(tok, i, 2) = m THEN m
+          |       ELSE substring(tok, i, 1) END)""".stripMargin).as("syms"),
+        $"m")
+      .filter(size($"syms") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(syms) - 1), " +
+        "j -> concat(element_at(syms, j), ' ', element_at(syms, j + 1)))"))
+        .as("pair"), $"m")
+    pairs2.groupBy($"pair")
+      .agg(count(lit(1)).as("n"), first($"m").as("merge1"))
+      .orderBy($"n".desc, $"pair".asc).limit(20)
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"n".desc, $"pair".asc)).cast("long"))
+      .select($"rk", $"pair", $"n", $"merge1")
+  }
+
+  val qTextBpe2Sql: String =
+    """WITH tok AS (
+      |  SELECT unnest(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |tok2 AS (SELECT tok FROM tok WHERE len(tok) >= 2),
+      |p1 AS (
+      |  SELECT unnest([substr(tok, i, 2) for i in range(1, len(tok))]) AS pair
+      |  FROM tok2),
+      |m1 AS (
+      |  SELECT CASE WHEN substr(pair, 1, 1) = substr(pair, 2, 1)
+      |         THEN error('q_text_bpe2: self-pair top merge not supported')
+      |         ELSE pair END AS m
+      |  FROM (SELECT pair FROM p1 GROUP BY pair
+      |        ORDER BY count(*) DESC, pair ASC LIMIT 1)),
+      |segs AS (
+      |  SELECT [CASE WHEN substr(tok, i, 2) = m THEN m ELSE substr(tok, i, 1) END
+      |          for i in range(1, len(tok) + 1)
+      |          if i = 1 OR substr(tok, i - 1, 2) <> m] AS syms, m
+      |  FROM tok2 CROSS JOIN m1),
+      |p2 AS (
+      |  SELECT unnest([syms[j] || ' ' || syms[j + 1] for j in range(1, len(syms))]) AS pair, m
+      |  FROM segs WHERE len(syms) >= 2),
+      |top AS (
+      |  SELECT pair, count(*) AS n, min(m) AS merge1 FROM p2 GROUP BY pair
+      |  ORDER BY n DESC, pair ASC LIMIT 20)
+      |SELECT CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS BIGINT) AS rk,
+      |  pair, n, merge1
+      |FROM top""".stripMargin
+
   val qTextBpeSql: String =
     """WITH tok AS (
       |  SELECT unnest(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS tok
@@ -871,6 +955,7 @@ object TextAnalysis {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_overlap"     -> (qTextOverlap _),
     "q_text_bpe"         -> (qTextBpe _),
+    "q_text_bpe2"        -> (qTextBpe2 _),
     "q_text_novelty"     -> (qTextNovelty _),
     "q_text_novelty_incr" -> (qTextNoveltyIncr _),
     "q_text_drift"       -> (qTextDrift _),
@@ -893,6 +978,7 @@ object TextAnalysis {
   def oracles: Map[String, String] = Map(
     "q_text_overlap"     -> qTextOverlapSql,
     "q_text_bpe"         -> qTextBpeSql,
+    "q_text_bpe2"        -> qTextBpe2Sql,
     "q_text_novelty"     -> qTextNoveltySql,
     "q_text_novelty_incr" -> qTextNoveltyIncrSql,
     "q_text_drift"       -> qTextDriftSql,

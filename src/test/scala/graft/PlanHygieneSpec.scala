@@ -34,7 +34,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_mix_plan",           // crossJoin(broadcast(1-row totals agg))
     "q_dedup_ppr",          // crossJoin(broadcast(1-row seed-count agg))
     "q_kmv_merge",          // crossJoin(broadcast(1-row sketch estimates))
-    "q_shard_manifest")     // crossJoin(broadcast(1-row token-total agg))
+    "q_shard_manifest",     // crossJoin(broadcast(1-row token-total agg))
+    "q_text_bpe2")          // crossJoin(broadcast(1-row top-merge limit))
 
   test("no gated query plans an unlisted cartesian / broadcast nested loop") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
