@@ -42,7 +42,14 @@ object Bench {
     * reported `.max`, a best-case, and 3 runs let one contended run skew
     * the spread). Successful runs only; with ≥5 runs the single best and
     * worst are dropped before taking the median, so one outlier in either
-    * direction cannot move the reported number. */
+    * direction cannot move the reported number.
+    *
+    * METRIC-SEMANTICS NOTE (round-5 advice): `decode92_2m_rec_per_s`
+    * kept its JSON field name when it changed from max (≤ BENCH_r04) to
+    * trimmed median (BENCH_r05 onward). Cross-round comparisons touching
+    * r04-or-earlier decode figures must use `decode92_2m_max` (emitted
+    * since r05) for like-for-like, or they will read the redefinition as
+    * an apparent throughput regression. */
   private[graft] def trimmedP50(xs: Seq[Double]): Double = {
     val ok = xs.filter(_ > 0).sorted
     if (ok.isEmpty) 0.0

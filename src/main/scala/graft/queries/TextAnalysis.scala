@@ -396,7 +396,9 @@ object TextAnalysis {
       |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
       |r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r_tot FROM cells GROUP BY 1),
       |c AS (SELECT source, CAST(sum(o) AS BIGINT) AS c_tot FROM cells GROUP BY 1),
-      |n AS (SELECT CAST(sum(o) AS BIGINT) AS n_tot FROM cells)
+      |n AS (SELECT CASE WHEN CAST(sum(o) AS BIGINT) > 55000
+      |  THEN error('qChisq: n_tot exceeds the int64-safe bound 55000; rescale counts DIV k first')
+      |  ELSE CAST(sum(o) AS BIGINT) END AS n_tot FROM cells)
       |SELECT lang, source, o, r_tot, c_tot, n_tot,
       |  (o * n_tot - r_tot * c_tot) * (o * n_tot - r_tot * c_tot) AS dev2,
       |  (((o * n_tot - r_tot * c_tot) * (o * n_tot - r_tot * c_tot))

@@ -842,13 +842,16 @@ object TrainingData {
     import s.implicits._
     val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"text")
     // retired docs (ids the new snapshot no longer carries) keep the
-    // n_removed branch genuinely exercised, not vacuously zero
+    // n_removed branch genuinely exercised, not vacuously zero; they live
+    // in the NEGATIVE id namespace (-(id+1), injective for any id >= 0)
+    // so the convention cannot collide with real doc_ids at any corpus
+    // size — a fixed additive offset would break past that many docs
     val old = docs.filter($"doc_id" % 7 =!= 0)
       .select($"doc_id", $"source",
         md5(when($"doc_id" % 11 === 0, concat($"text", lit(" [rev0]")))
           .otherwise($"text")).as("h"))
       .unionByName(docs.filter($"doc_id" % 13 === 0)
-        .select(($"doc_id" + 5000000L).as("doc_id"), $"source",
+        .select((-($"doc_id" + 1L)).as("doc_id"), $"source",
           md5($"text").as("h")))
     val nw = docs.select($"doc_id", $"source", md5($"text").as("h"))
     old.as("a").join(nw.as("b"), Seq("doc_id"), "full_outer")
@@ -869,7 +872,7 @@ object TrainingData {
       |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [rev0]' ELSE text END) AS h
       |  FROM documents WHERE doc_id % 7 <> 0
       |  UNION ALL
-      |  SELECT doc_id + 5000000, source, md5(text) AS h
+      |  SELECT -(doc_id + 1), source, md5(text) AS h
       |  FROM documents WHERE doc_id % 13 = 0),
       |nw AS (SELECT doc_id, source, md5(text) AS h FROM documents),
       |j AS (
