@@ -405,7 +405,11 @@ object Dedup {
       .filter($"hamming" <= 5)
   }
 
-  val qDedupSimhashSql: String =
+  /** Shared CTE prelude computing the 60-bit simhash signature per doc in
+    * SQL — identical to TextFunctions.simhash60 via the shared 60-bit
+    * md5-substring hash. Reused by the pair verify AND the band-balance
+    * audit so the signature definition cannot drift between them. */
+  private val simhashCte: String =
     shinglesCte + """,
       | hb AS (SELECT doc_id, ('0x' || substr(md5(s), 18, 15))::BIGINT AS h FROM sh),
       | bits AS (
@@ -413,11 +417,49 @@ object Dedup {
       |   FROM hb, range(0, 60) r(i) GROUP BY 1, 2),
       | sim AS (
       |   SELECT doc_id, sum(CASE WHEN w > 0 THEN (1::BIGINT << i) ELSE 0 END) AS sh60
-      |   FROM bits GROUP BY 1)
+      |   FROM bits GROUP BY 1)""".stripMargin
+
+  val qDedupSimhashSql: String =
+    simhashCte + """
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |       CAST(bit_count(xor(a.sh60, b.sh60)) AS BIGINT) AS hamming
       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.sh60, b.sh60)) <= 5""".stripMargin
+
+  /** LSH band-balance audit over the simhash pigeonhole index — the
+    * operational diagnostic a 100 TB dedup run needs BEFORE the band
+    * join executes: per band, how many distinct buckets the corpus
+    * hashes into, how large the hottest bucket is, and the max/mean
+    * skew ratio. A hot bucket is a straggler task in the band-bucket
+    * self-join (its candidate pairs grow quadratically), so this report
+    * is what decides salting/splitting ahead of time. Plan shape: the
+    * per-row signature rides the scan, then TWO key-partitioned
+    * aggregates — (band, bkey) with map-side partials, re-aggregated to
+    * 6 band rows. Nothing is broadcast; output is bands-bounded. */
+  def qLshBalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bandDf = docShingles(s, dir)
+      .select($"doc_id", simhash60($"sh").as("sim"))
+      .select(explode(simhashBands($"sim", 6)).as("b"))
+      .select($"b.band".cast("long").as("band"), $"b.bkey".as("bkey"))
+    bandDf.groupBy($"band", $"bkey").agg(count(lit(1)).as("sz"))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_buckets"), max($"sz").as("max_bucket"),
+        sum($"sz").as("n_docs"))
+      .select($"band", $"n_buckets", $"max_bucket", $"n_docs",
+        expr("(max_bucket * n_buckets * 100L) DIV n_docs").as("skew_x100"))
+  }
+
+  val qLshBalanceSql: String =
+    simhashCte + """,
+      | bands AS (
+      |   SELECT doc_id, j AS band, (sh60 >> CAST(j * 10 AS INTEGER)) & 1023 AS bkey
+      |   FROM sim, range(0, 6) r(j)),
+      | bk AS (SELECT band, bkey, count(*) AS sz FROM bands GROUP BY 1, 2)
+      |SELECT band, count(*) AS n_buckets, max(sz) AS max_bucket,
+      |  CAST(sum(sz) AS BIGINT) AS n_docs,
+      |  (max(sz) * count(*) * 100) // CAST(sum(sz) AS BIGINT) AS skew_x100
+      |FROM bk GROUP BY band""".stripMargin
 
   /** Cross-source n-gram contamination: distinct-shingle overlap between
     * every source pair — the train/eval leakage check of corpus curation
@@ -775,7 +817,10 @@ object Dedup {
   def qDedupCluster(s: SparkSession, dir: String): DataFrame =
     clusters(s, dir)
 
-  val qDedupClusterSql: String =
+  /** Shared recursive-closure CTE prelude ending in `cl(doc_id, cluster)`
+    * — the oracle-side cluster assignment, reused by the gated cluster
+    * entry and the soft-dedup weighting so the closure cannot drift. */
+  private val clusterCte: String =
     shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
       | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       | inter AS (
@@ -792,8 +837,55 @@ object Dedup {
       | reach AS (
       |   SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges)
       |   UNION
-      |   SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
-      |SELECT u AS doc_id, min(v) AS cluster FROM reach GROUP BY u""".stripMargin
+      |   SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+      | cl AS (SELECT u AS doc_id, min(v) AS cluster FROM reach GROUP BY u)""".stripMargin
+
+  val qDedupClusterSql: String =
+    clusterCte + "\nSELECT doc_id, cluster FROM cl"
+
+  /** SOFT dedup — inverse-cluster-size sampling weights: instead of
+    * DROPPING near-duplicates, every document is weighted 1/|cluster|
+    * (ppm integer), so each near-dup cluster contributes ONE document's
+    * worth of probability mass to the training mix while keeping every
+    * variant available. The per-source report (doc counts, dup counts,
+    * total weight, effective retention percent) is what a mixture
+    * planner consumes. Scale shape: reuses the memoized cluster
+    * assignment (the expensive similarity join + CC is computed once per
+    * corpus and shared with q_dedup_cluster/q_dedup_keep); cluster sizes
+    * are one aggregate over the doc-scale assignment; the weight join is
+    * key-partitioned on doc_id; the final aggregate is source-bounded.
+    * Docs absent from the pair graph are singletons (weight 1e6) via the
+    * left join — no giant dense relation is ever built. */
+  def qSoftDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cl = clusters(s, dir)
+    val w = cl.join(
+        cl.groupBy($"cluster").agg(count(lit(1)).as("csz")), "cluster")
+      .select($"doc_id", $"csz")
+    Tables.documents(s, dir).select($"doc_id", $"source")
+      .join(w, Seq("doc_id"), "left")
+      .select($"source", coalesce($"csz", lit(1L)).as("csz"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"csz" >= 2, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(expr("1000000L DIV csz")).as("w_ppm"))
+      .select($"source", $"n_docs", $"n_dup_docs", $"w_ppm",
+        expr("(w_ppm * 100L) DIV (n_docs * 1000000L)").as("eff_pct"))
+  }
+
+  val qSoftDedupSql: String =
+    clusterCte + """,
+      | csz AS (SELECT cluster, count(*) AS csz FROM cl GROUP BY 1),
+      | w AS (SELECT cl.doc_id, csz.csz FROM cl JOIN csz USING (cluster)),
+      | d AS (
+      |   SELECT d.source, coalesce(w.csz, 1) AS csz
+      |   FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN csz >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+      |  CAST(sum(1000000 // csz) AS BIGINT) AS w_ppm,
+      |  (CAST(sum(1000000 // csz) AS BIGINT) * 100)
+      |    // (count(*) * 1000000) AS eff_pct
+      |FROM d GROUP BY source""".stripMargin
 
   /** Integer PageRank over the near-dup graph — centrality-based
     * canonical-document selection: within a near-dup cluster, the doc most
@@ -1162,11 +1254,9 @@ object Dedup {
   }
 
   val qDedupKeepSql: String =
-    qDedupClusterSql.replace(
-      "SELECT u AS doc_id, min(v) AS cluster FROM reach GROUP BY u",
-      """SELECT doc_id AS removed_doc, cluster AS kept_doc FROM (
-        |  SELECT u AS doc_id, min(v) AS cluster FROM reach GROUP BY u)
-        |WHERE doc_id != cluster""".stripMargin)
+    clusterCte + """
+      |SELECT doc_id AS removed_doc, cluster AS kept_doc FROM cl
+      |WHERE doc_id != cluster""".stripMargin
 
   /** Asymmetric CONTAINMENT near-dup (|A∩B| / |A| >= 0.9) — the subset
     * detector symmetric jaccard structurally misses: a short document
@@ -1372,8 +1462,7 @@ object Dedup {
   }
 
   val qSplitLeakfreeSql: String =
-    qDedupClusterSql.replace(
-      "SELECT u AS doc_id, min(v) AS cluster FROM reach GROUP BY u",
+    clusterCte + "\n" + (
       """SELECT a.split, count(*) AS n_docs, count(DISTINCT a.cluster) AS n_clusters,
         |  CAST(coalesce(max(ps.n_pairs), 0) AS BIGINT) AS n_pairs,
         |  CAST(coalesce(max(ps.n_straddle), 0) AS BIGINT) AS n_straddle
@@ -1408,6 +1497,7 @@ object Dedup {
         |                ON d.doc_id = cl.doc_id)) y ON y.doc_id = p.doc_b
         |  GROUP BY x.split) ps ON ps.split = a.split
         |GROUP BY a.split""".stripMargin)
+      // (body references the reach/pairs CTEs from clusterCte directly)
 
   /** Duplication-chain analysis via RECURSIVE SQL (WITH RECURSIVE ...
     * UNION ALL — the §2 recursive-query surface, run by BOTH engines as
@@ -1538,7 +1628,77 @@ object Dedup {
        |FROM est""".stripMargin
   }
 
+  /** LINE-level dedup (the C4/RefinedWeb within-corpus boilerplate
+    * filter): segment each document into non-overlapping 10-token chunks
+    * (this corpus has no newlines, so the fixed-width chunk stands in
+    * for the "line"), count each chunk's distinct-document frequency,
+    * flag chunks appearing in >= 2 documents as boilerplate, and emit
+    * the per-doc report plus the md5 of the RETAINED text in original
+    * chunk order — i.e. the content hash of the cleaned document a
+    * line-dedup pass would write.
+    *
+    * Scale shape (100 TB): chunking rides the scan (pure higher-order
+    * array expressions — no shuffle); boilerplate detection is ONE
+    * hash-aggregate on the chunk key (hot boilerplate chunks are exactly
+    * the keys map-side partial aggregation collapses); the flag join is
+    * co-partitioned on the same chunk key; reconstruction is one shuffle
+    * on doc_id with per-doc state bounded by document length. No
+    * windows, no broadcasts, no driver state. */
+  def qDedupLines(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val C = 10
+    val chunks = Tables.documents(s, dir)
+      .select($"doc_id", tokens($"text").as("t"))
+      .filter(size($"t") >= 1)
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(0, (size(t) - 1) DIV $C), " +
+        s"i -> array_join(slice(t, i * $C + 1, $C), ' '))"))
+        .as(Seq("pos", "chunk")))
+    val boiler = chunks.groupBy($"chunk")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"chunk", lit(true).as("hit"))
+    chunks.join(boiler, Seq("chunk"), "left")
+      .select($"doc_id", $"pos", $"chunk", coalesce($"hit", lit(false)).as("b"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"b", 1L).otherwise(0L)).as("n_boiler"),
+        md5(array_join(expr(
+          "transform(filter(sort_array(collect_list(struct(pos, b, chunk))), " +
+          "x -> NOT x.b), x -> x.chunk)"), " ")).as("clean_h"))
+      .select($"doc_id", $"n_chunks", $"n_boiler",
+        expr("(n_boiler * 1000000L) DIV n_chunks").as("boiler_ppm"), $"clean_h")
+  }
+
+  val qDedupLinesSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |t2 AS (
+      |  SELECT doc_id,
+      |    [array_to_string(list_slice(t, i*10+1, i*10+10), ' ')
+      |     for i in range(0, (len(t) - 1) // 10 + 1)] AS cs
+      |  FROM t WHERE len(t) >= 1),
+      |ch AS (
+      |  SELECT doc_id, r.c.pos AS pos, r.c.chunk AS chunk
+      |  FROM t2, unnest([{'pos': i - 1, 'chunk': cs[i]}
+      |                   for i in range(1, len(cs) + 1)]) r(c)),
+      |bo AS (SELECT chunk FROM ch GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2),
+      |fl AS (
+      |  SELECT ch.doc_id, ch.pos, ch.chunk, bo.chunk IS NOT NULL AS b
+      |  FROM ch LEFT JOIN bo ON ch.chunk = bo.chunk)
+      |SELECT doc_id, count(*) AS n_chunks,
+      |  CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+      |  (CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+      |    // count(*) AS boiler_ppm,
+      |  md5(coalesce(array_to_string(
+      |    list(chunk ORDER BY pos) FILTER (WHERE NOT b), ' '), '')) AS clean_h
+      |FROM fl GROUP BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_lines"   -> (qDedupLines _),
+    "q_lsh_balance"   -> (qLshBalance _),
+    "q_soft_dedup"    -> (qSoftDedup _),
     "q_minhash_est"   -> (qMinhashEst _),
     "q_dedup_ppr"     -> (qDedupPpr _),
     "q_dedup_contain" -> (qDedupContain _),
@@ -1568,6 +1728,9 @@ object Dedup {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_dedup_lines"   -> qDedupLinesSql,
+    "q_lsh_balance"   -> qLshBalanceSql,
+    "q_soft_dedup"    -> qSoftDedupSql,
     "q_minhash_est"   -> qMinhashEstSql,
     "q_dedup_ppr"     -> qDedupPprSql,
     "q_dedup_contain" -> qDedupContainSql,

@@ -762,7 +762,68 @@ object Similarity {
       |  CAST(max(abs(xq - r)) AS BIGINT) AS max_err_e7
       |FROM rr GROUP BY dim""".stripMargin
 
+  /** Per-source embedding-centroid DRIFT between corpus snapshots — the
+    * embedding-space counterpart of the unigram drift monitor
+    * (TextAnalysis.qTextDrift): for each source, the squared L2 distance
+    * between the OLD snapshot's centroid (vec_id % 7 != 0, the corpus-diff
+    * retention convention) and the CURRENT one, in exact fixed-point
+    * integers — vectors quantize to BIGINT (round(x*1e7), exact from
+    * float32), each centroid coordinate is a BIGINT mean (sum DIV count,
+    * order-independent), and the distance is a sum of BIGINT squares, so
+    * the result hash-gates cross-engine with zero float anywhere. A
+    * centroid that moves between snapshots means the source's content
+    * distribution shifted — the retrain / re-mix trigger of embedding-
+    * space corpus monitoring. Scale shape: one id-partitioned join to
+    * attach source, one posexplode (x dims), ONE (source, dim) aggregate
+    * with map-side partials (state = |sources| x dims, corpus-
+    * independent), then a source-bounded rollup. Sources absent from the
+    * old snapshot are excluded (their old centroid is undefined). */
+  def qEmbedDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = Tables.embeddings(s, dir)
+      .select($"vec_id",
+        transform($"embedding", x => round(x.cast("double") * 1e7).cast("long")).as("vq"))
+    val src = Tables.documents(s, dir).select($"doc_id".as("vec_id"), $"source")
+    val dims = v.join(src, "vec_id")
+      .select($"source", $"vec_id", posexplode($"vq").as(Seq("d", "x")))
+    dims.groupBy($"source", $"d")
+      .agg(sum(when($"vec_id" % 7 =!= 0, $"x").otherwise(0L)).as("sx_old"),
+        sum(when($"vec_id" % 7 =!= 0, 1L).otherwise(0L)).as("n_old"),
+        sum($"x").as("sx_new"), count(lit(1)).as("n_new"))
+      .filter($"n_old" > 0)
+      .select($"source", $"n_old", $"n_new",
+        expr("sx_old DIV n_old").as("c_old"), expr("sx_new DIV n_new").as("c_new"))
+      .groupBy($"source")
+      .agg(max($"n_old").as("n_old"), max($"n_new").as("n_new"),
+        sum(($"c_old" - $"c_new") * ($"c_old" - $"c_new")).as("drift_sq"))
+  }
+
+  val qEmbedDriftSql: String =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS vq
+      |  FROM embeddings),
+      |sv AS (
+      |  SELECT d.source, v.vec_id, v.vq
+      |  FROM v JOIN documents d ON d.doc_id = v.vec_id),
+      |dims AS (
+      |  SELECT source, vec_id, r.c.d AS d, r.c.x AS x
+      |  FROM sv, unnest([{'d': i - 1, 'x': vq[i]} for i in range(1, len(vq) + 1)]) r(c)),
+      |cent AS (
+      |  SELECT source, d,
+      |    CAST(sum(CASE WHEN vec_id % 7 <> 0 THEN x ELSE 0 END) AS BIGINT) AS sx_old,
+      |    CAST(sum(CASE WHEN vec_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+      |    CAST(sum(x) AS BIGINT) AS sx_new, count(*) AS n_new
+      |  FROM dims GROUP BY 1, 2),
+      |cc AS (
+      |  SELECT source, n_old, n_new, sx_old // n_old AS c_old, sx_new // n_new AS c_new
+      |  FROM cent WHERE n_old > 0)
+      |SELECT source, max(n_old) AS n_old, max(n_new) AS n_new,
+      |  CAST(sum((c_old - c_new) * (c_old - c_new)) AS BIGINT) AS drift_sq
+      |FROM cc GROUP BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_drift"  -> (qEmbedDrift _),
     "q_embed_quant"  -> (qEmbedQuant _),
     "q_embed_centroids" -> (qEmbedCentroids _),
     "q_ann_range"    -> (qAnnRange _),
@@ -775,6 +836,7 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_embed_drift"  -> qEmbedDriftSql,
     "q_embed_quant"  -> qEmbedQuantSql,
     "q_embed_centroids" -> qEmbedCentroidsSql,
     "q_ann_range"    -> qAnnRangeSql,

@@ -954,7 +954,162 @@ object TextAnalysis {
       |  pair, n
       |FROM top""".stripMargin
 
+  /** Tokenizer-coverage / OOV audit: the top-K corpus vocabulary (K=24,
+    * deterministic count-desc / token-asc tie-break) stands in for a
+    * trained tokenizer's vocab table; per source, the report gives the
+    * token-INSTANCE out-of-vocabulary rate plus the distinct OOV type
+    * count — the "what does a 32k vocab cost each source" audit that
+    * precedes every tokenizer freeze. Scale shape: ONE (source, token)
+    * count aggregate (state bounded by |sources| x |vocab|, not corpus
+    * rows), the top-K vocab is Limit-bounded and explicitly broadcast,
+    * and the per-source rollup weights by the pre-aggregated counts —
+    * token instances are never re-scanned after the first aggregate. */
+  def qVocabOov(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val st = Tables.documents(s, dir)
+      .select($"source", explode(tokens($"text")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("n"))
+    val vocab = st.groupBy($"tok").agg(sum($"n").as("cn"))
+      .orderBy($"cn".desc, $"tok".asc).limit(24)
+      .select($"tok", lit(true).as("in_vocab"))
+    st.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy($"source")
+      .agg(sum($"n").as("n_instances"),
+        sum(when($"in_vocab".isNull, $"n").otherwise(0L)).as("n_oov"),
+        countDistinct(when($"in_vocab".isNull, $"tok")).as("n_oov_types"))
+      .select($"source", $"n_instances", $"n_oov", $"n_oov_types",
+        expr("(n_oov * 1000000L) DIV n_instances").as("oov_ppm"))
+  }
+
+  val qVocabOovSql: String =
+    """WITH tk AS (
+      |  SELECT source, unnest(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |st AS (SELECT source, tok, count(*) AS n FROM tk GROUP BY 1, 2),
+      |v AS (SELECT tok FROM st GROUP BY tok ORDER BY sum(n) DESC, tok ASC LIMIT 24)
+      |SELECT source, CAST(sum(n) AS BIGINT) AS n_instances,
+      |  CAST(sum(CASE WHEN v.tok IS NULL THEN n ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(count(DISTINCT CASE WHEN v.tok IS NULL THEN st.tok END) AS BIGINT) AS n_oov_types,
+      |  (CAST(sum(CASE WHEN v.tok IS NULL THEN n ELSE 0 END) AS BIGINT) * 1000000)
+      |    // CAST(sum(n) AS BIGINT) AS oov_ppm
+      |FROM st LEFT JOIN v ON st.tok = v.tok
+      |GROUP BY source""".stripMargin
+
+  /** BPE merge APPLICATION + per-source fertility report — the other
+    * half of tokenizer training: after learning the top merge
+    * ([[qTextBpe]]), apply it corpus-wide and measure what every source
+    * pays, as symbols-per-token (fertility x1e4) and symbols-per-char
+    * (compression ppm). The per-token re-segmentation is the same
+    * positional higher-order expression as [[qTextBpe2]] (greedy
+    * left-to-right application, exact for two-distinct-char merges,
+    * guarded self-pair). Scale shape: the learned merge is a 1-row
+    * Limit-bounded broadcast; segmentation rides the scan; the only
+    * shuffle is the source-bounded final aggregate. */
+  def qTextBpeApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"source", explode(tokens($"text")).as("tok"))
+    val merge1 = toks
+      .filter(length($"tok") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, char_length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"pair".asc).limit(1)
+      .select(expr(
+        "CASE WHEN substr(pair, 1, 1) = substr(pair, 2, 1) " +
+        "THEN raise_error('q_text_bpe_apply: self-pair top merge not supported') " +
+        "ELSE pair END").as("m"))
+    toks.crossJoin(broadcast(merge1))
+      .select($"source", char_length($"tok").as("nch"),
+        expr("size(filter(sequence(1, char_length(tok)), " +
+             "i -> i = 1 OR substring(tok, i - 1, 2) != m))").as("nsym"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_toks"),
+        sum($"nch".cast("long")).as("n_chars"),
+        sum($"nsym".cast("long")).as("n_syms"))
+      .select($"source", $"n_toks", $"n_chars", $"n_syms",
+        expr("(n_syms * 10000L) DIV n_toks").as("fert_x10k"),
+        expr("(n_syms * 1000000L) DIV n_chars").as("compress_ppm"))
+  }
+
+  val qTextBpeApplySql: String =
+    """WITH tk AS (
+      |  SELECT source, unnest(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |p1 AS (
+      |  SELECT unnest([substr(tok, i, 2) for i in range(1, len(tok))]) AS pair
+      |  FROM tk WHERE len(tok) >= 2),
+      |m1 AS (
+      |  SELECT CASE WHEN substr(pair, 1, 1) = substr(pair, 2, 1)
+      |         THEN error('q_text_bpe_apply: self-pair top merge not supported')
+      |         ELSE pair END AS m
+      |  FROM (SELECT pair FROM p1 GROUP BY pair
+      |        ORDER BY count(*) DESC, pair ASC LIMIT 1)),
+      |seg AS (
+      |  SELECT source, len(tok) AS nch,
+      |    len([i for i in range(1, len(tok) + 1)
+      |         if i = 1 OR substr(tok, i - 1, 2) <> m]) AS nsym
+      |  FROM tk CROSS JOIN m1)
+      |SELECT source, count(*) AS n_toks,
+      |  CAST(sum(nch) AS BIGINT) AS n_chars,
+      |  CAST(sum(nsym) AS BIGINT) AS n_syms,
+      |  (CAST(sum(nsym) AS BIGINT) * 10000) // count(*) AS fert_x10k,
+      |  (CAST(sum(nsym) AS BIGINT) * 1000000)
+      |    // CAST(sum(nch) AS BIGINT) AS compress_ppm
+      |FROM seg GROUP BY source""".stripMargin
+
+  /** Distinctive-term profile per source: each token's lift — in-source
+    * relative frequency over corpus relative frequency, as the exact
+    * integer ppm (n·N)·1e6 DIV (N_s·n_tok) — ranked top-3 per source.
+    * The corpus-characterization op behind "what makes source X
+    * different": templates, domain vocabulary, and contamination all
+    * surface as high-lift terms. Scale shape: ONE (source, token) count
+    * aggregate; source and token marginals are re-aggregates of it; the
+    * grand total is a 1-row broadcast; the top-3 rank filter rewrites to
+    * WindowGroupLimit bounded heaps (never a full per-source sort). */
+  def qSourceTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val st = Tables.documents(s, dir)
+      .select($"source", explode(tokens($"text")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("n"))
+    val stot = st.groupBy($"source").agg(sum($"n").as("s_tot"))
+    val ctot = st.groupBy($"tok").agg(sum($"n").as("c_n"))
+    val gtot = st.agg(sum($"n").as("g_tot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"lift_ppm".desc, $"tok".asc)
+    st.join(stot, "source").join(ctot, "tok").crossJoin(broadcast(gtot))
+      .select($"source", $"tok", $"n",
+        expr("(n * g_tot * 1000000L) DIV (s_tot * c_n)").as("lift_ppm"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"source", $"rk", $"tok", $"n", $"lift_ppm")
+  }
+
+  val qSourceTermsSql: String =
+    """WITH tk AS (
+      |  SELECT source, unnest(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |st AS (SELECT source, tok, count(*) AS n FROM tk GROUP BY 1, 2),
+      |stot AS (SELECT source, CAST(sum(n) AS BIGINT) AS s_tot FROM st GROUP BY 1),
+      |ctot AS (SELECT tok, CAST(sum(n) AS BIGINT) AS c_n FROM st GROUP BY 1),
+      |g AS (SELECT CAST(sum(n) AS BIGINT) AS g_tot FROM st),
+      |lift AS (
+      |  SELECT st.source AS source, st.tok AS tok, n,
+      |    (n * g_tot * 1000000) // (s_tot * c_n) AS lift_ppm
+      |  FROM st JOIN stot USING (source) JOIN ctot ON st.tok = ctot.tok
+      |  CROSS JOIN g),
+      |rk AS (
+      |  SELECT source, tok, n, lift_ppm,
+      |    CAST(row_number() OVER (
+      |      PARTITION BY source ORDER BY lift_ppm DESC, tok ASC) AS BIGINT) AS rk
+      |  FROM lift)
+      |SELECT source, rk, tok, n, lift_ppm FROM rk WHERE rk <= 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_oov"        -> (qVocabOov _),
+    "q_text_bpe_apply"   -> (qTextBpeApply _),
+    "q_source_terms"     -> (qSourceTerms _),
     "q_text_overlap"     -> (qTextOverlap _),
     "q_text_bpe"         -> (qTextBpe _),
     "q_text_bpe2"        -> (qTextBpe2 _),
@@ -978,6 +1133,9 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_vocab_oov"        -> qVocabOovSql,
+    "q_text_bpe_apply"   -> qTextBpeApplySql,
+    "q_source_terms"     -> qSourceTermsSql,
     "q_text_overlap"     -> qTextOverlapSql,
     "q_text_bpe"         -> qTextBpeSql,
     "q_text_bpe2"        -> qTextBpe2Sql,

@@ -35,7 +35,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_dedup_ppr",          // crossJoin(broadcast(1-row seed-count agg))
     "q_kmv_merge",          // crossJoin(broadcast(1-row sketch estimates))
     "q_shard_manifest",     // crossJoin(broadcast(1-row token-total agg))
-    "q_text_bpe2")          // crossJoin(broadcast(1-row top-merge limit))
+    "q_text_bpe2",          // crossJoin(broadcast(1-row top-merge limit))
+    "q_text_bpe_apply",     // same 1-row top-merge limit broadcast
+    "q_source_terms")       // crossJoin(broadcast(1-row grand-total agg))
 
   test("no gated query plans an unlisted cartesian / broadcast nested loop") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
@@ -252,7 +254,12 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q_mm_phash"       -> Set("doc_id", "text"),
       "q_text_bpe"       -> Set("text"),
       "q_dedup_span"     -> Set("doc_id", "text"),
-      "q_quality_winsor" -> Set("source", "n_chars"))
+      "q_quality_winsor" -> Set("source", "n_chars"),
+      "q_dedup_lines"    -> Set("doc_id", "text"),
+      "q_vocab_oov"      -> Set("source", "text"),
+      "q_source_terms"   -> Set("source", "text"),
+      "q_text_bpe_apply" -> Set("source", "text"),
+      "q_soft_dedup"     -> Set("doc_id", "source"))
     expected.foreach { case (name, cols) =>
       val scans = SparkEntry.queries(name)(spark, sf)
         .queryExecution.sparkPlan.collect {

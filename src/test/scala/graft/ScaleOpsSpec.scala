@@ -519,6 +519,122 @@ class ScaleOpsSpec extends AnyFunSuite {
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L))                    // one triangle
   }
 
+  test("line-dedup equals a pure-Scala chunk-frequency oracle") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunksOf = docs.view.mapValues { t =>
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+      toks.grouped(10).map(_.mkString(" ")).toVector
+    }.toMap.filter(_._2.nonEmpty)
+    val boiler = chunksOf.toSeq
+      .flatMap { case (id, cs) => cs.distinct.map(_ -> id) }
+      .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+    val expected = chunksOf.map { case (id, cs) =>
+      id -> ((cs.size.toLong, cs.count(boiler).toLong,
+        md5hex(cs.filterNot(boiler).mkString(" "))))
+    }
+    val got = SparkEntry.queries("q_dedup_lines")(spark, sf)
+      .select("doc_id", "n_chunks", "n_boiler", "clean_h").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("lsh band-balance: every band partitions the same doc population") {
+    val rows = SparkEntry.queries("q_lsh_balance")(spark, sf).collect()
+    assert(rows.length == 6)
+    // each signature contributes exactly one bucket entry per band, so the
+    // per-band population must be identical and equal the shingled-doc count
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).distinct
+    assert(nDocs.length == 1)
+    val shingled = Tables.documents(spark, sf)
+      .select(graft.functions.TextFunctions.shingleSet(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0).count()
+    assert(nDocs.head == shingled)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_bucket") <= r.getAs[Long]("n_docs"))
+      // pigeonhole: max >= total/n_buckets exactly, so the integer ratio >= 100
+      assert(r.getAs[Long]("skew_x100") >= 100)
+    }
+  }
+
+  test("soft-dedup weights are consistent with the gated cluster assignment") {
+    import spark.implicits._
+    val cl = SparkEntry.queries("q_dedup_cluster")(spark, sf)
+      .as[(Long, Long)].collect()
+    val clusterOf = cl.toMap
+    val sizes = cl.groupBy(_._2).view.mapValues(_.size).toMap
+    val srcOf = Tables.documents(spark, sf).select("doc_id", "source")
+      .as[(Long, String)].collect()
+    val expected = srcOf.groupBy(_._2).map { case (src, ds) =>
+      val w = ds.map { case (d, _) =>
+        1000000L / clusterOf.get(d).map(sizes).getOrElse(1) }.sum
+      src -> ((ds.length.toLong,
+        ds.count { case (d, _) =>
+          clusterOf.get(d).exists(c => sizes(c) >= 2) }.toLong, w))
+    }
+    val got = SparkEntry.queries("q_soft_dedup")(spark, sf)
+      .select("source", "n_docs", "n_dup_docs", "w_ppm").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("embedding drift equals a pure-Scala fixed-point recompute") {
+    import spark.implicits._
+    def fp(x: Float): Long = BigDecimal(x.toDouble * 1e7)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val src = Tables.documents(spark, sf).select("doc_id", "source")
+      .as[(Long, String)].collect().toMap
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    val expected = vecs.filter(v => src.contains(v._1))
+      .groupBy(v => src(v._1)).flatMap { case (s, vs) =>
+        val old = vs.filter(_._1 % 7 != 0)
+        if (old.isEmpty) None else {
+          def cent(xs: Array[(Long, Seq[Float])], d: Int): Long = {
+            val q = xs.map(x => fp(x._2(d)))
+            q.sum / q.length // truncate-toward-zero, matching DIV
+          }
+          val drift = (0 until vs.head._2.length).map { d =>
+            val diff = cent(old, d) - cent(vs, d); diff * diff }.sum
+          Some(s -> ((old.length.toLong, vs.length.toLong, drift)))
+        }
+      }
+    val got = SparkEntry.queries("q_embed_drift")(spark, sf)
+      .select("source", "n_old", "n_new", "drift_sq").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("bpe apply: merge applications equal greedy occurrences of the top pair") {
+    import spark.implicits._
+    val toks = Tables.documents(spark, sf).select("text").as[String].collect()
+      .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)
+    val top = toks.filter(_.length >= 2)
+      .flatMap(_.sliding(2).filter(_.length == 2))
+      .groupBy(identity).view.mapValues(_.length).toSeq
+      .sortBy { case (p, n) => (-n, p) }.head._1
+    def greedyApps(t: String): Long = {
+      var i = 0; var n = 0L
+      while (i < t.length - 1) {
+        if (t.substring(i, i + 2) == top) { n += 1; i += 2 } else i += 1
+      }
+      n
+    }
+    val rows = SparkEntry.queries("q_text_bpe_apply")(spark, sf).collect()
+    val gotApps = rows.map(r =>
+      r.getAs[Long]("n_chars") - r.getAs[Long]("n_syms")).sum
+    assert(gotApps == toks.map(greedyApps).sum)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_syms") <= r.getAs[Long]("n_chars")))
+  }
+
   test("decoders fail cleanly on corrupt input") {
     import graft.sources.{Blast, Dbc, Dbf}
     assertThrows[IllegalArgumentException](Dbc.toDbf(Array[Byte](1, 2, 3)))
