@@ -1644,28 +1644,51 @@ object Dedup {
     * co-partitioned on the same chunk key; reconstruction is one shuffle
     * on doc_id with per-doc state bounded by document length. No
     * windows, no broadcasts, no driver state. */
-  def qDedupLines(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** Fixed-width 10-token chunk segmentation of a (doc_id, text)
+    * relation — the "line" model shared by the whole line-dedup family
+    * (within-corpus boilerplate, incremental probe, streaming twin).
+    * Pure higher-order array expressions riding the scan: stateless, so
+    * the SAME code segments a bounded relation and an unbounded stream. */
+  private[graft] def docChunks(docs: DataFrame): DataFrame = {
     val C = 10
-    val chunks = Tables.documents(s, dir)
-      .select($"doc_id", tokens($"text").as("t"))
-      .filter(size($"t") >= 1)
-      .select($"doc_id", posexplode(expr(
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, (size(t) - 1) DIV $C), " +
         s"i -> array_join(slice(t, i * $C + 1, $C), ' '))"))
         .as(Seq("pos", "chunk")))
-    val boiler = chunks.groupBy($"chunk")
-      .agg(countDistinct($"doc_id").as("nd"))
-      .filter($"nd" >= 2)
-      .select($"chunk", lit(true).as("hit"))
-    chunks.join(boiler, Seq("chunk"), "left")
-      .select($"doc_id", $"pos", $"chunk", coalesce($"hit", lit(false)).as("b"))
-      .groupBy($"doc_id")
+  }
+
+  /** Shared batch/stream core of line-level dedup: flag each (doc_id,
+    * pos, chunk) row against a distinct flagged-chunk set, then roll up
+    * per doc — counts, flagged fraction, and the md5 of the RETAINED
+    * text in original chunk order. One left join on the chunk key + one
+    * per-doc aggregation (state bounded by document length), so the SAME
+    * code runs on a bounded relation and on an unbounded stream
+    * (StreamingEtl.lineDedupStream). The flag set's distinctness is
+    * enforced here (same contract note as noveltyAgainstIndex). */
+  private[graft] def lineDedupAgainst(chunks: DataFrame, flagged: DataFrame,
+      flagCol: String): DataFrame = {
+    chunks.join(flagged.select(col("chunk")).dropDuplicates("chunk")
+        .withColumn("hit", lit(true)), Seq("chunk"), "left")
+      .select(col("doc_id"), col("pos"), col("chunk"),
+        coalesce(col("hit"), lit(false)).as("b"))
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
-        sum(when($"b", 1L).otherwise(0L)).as("n_boiler"),
+        sum(when(col("b"), 1L).otherwise(0L)).as(flagCol),
         md5(array_join(expr(
           "transform(filter(sort_array(collect_list(struct(pos, b, chunk))), " +
           "x -> NOT x.b), x -> x.chunk)"), " ")).as("clean_h"))
+  }
+
+  def qDedupLines(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = docChunks(Tables.documents(s, dir).select($"doc_id", $"text"))
+    val boiler = chunks.groupBy($"chunk")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+    lineDedupAgainst(chunks, boiler, "n_boiler")
       .select($"doc_id", $"n_chunks", $"n_boiler",
         expr("(n_boiler * 1000000L) DIV n_chunks").as("boiler_ppm"), $"clean_h")
   }
@@ -1695,8 +1718,71 @@ object Dedup {
       |    list(chunk ORDER BY pos) FILTER (WHERE NOT b), ' '), '')) AS clean_h
       |FROM fl GROUP BY doc_id""".stripMargin
 
+  /** The historical distinct-chunk set PERSISTED through the lake and
+    * read back — incremental line-dedup's write-once state, mirroring
+    * the band index ([[persistedBandIndex]]) and the novelty shingle
+    * history: built once per (session, dir), saved as a parquet table
+    * bucketed AND sorted by `chunk` — the probe-join key — then served
+    * from the catalog. Each daily/streaming probe shuffles ONLY the
+    * arriving slice; history is never re-chunked and never re-shuffled. */
+  private[graft] def persistedChunkHistory(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Memo.persistedBucketedTable(s, "graft_chunk_hist", dir,
+      IncrBuckets, Seq("chunk"))(
+      docChunks(Tables.documents(s, dir).select($"doc_id", $"text"))
+        .filter(!isNewDoc($"doc_id"))
+        .select($"chunk").distinct())
+  }
+
+  /** INCREMENTAL line-level dedup — [[qDedupLines]]'s daily-ingest form
+    * (the RefinedWeb/C4 line filter as it actually runs in production):
+    * the arriving slice (doc_id % 5 == 0, the shared incremental
+    * convention) is segmented and probed against the HISTORICAL
+    * distinct-chunk set only; any chunk seen in history is dropped and
+    * the retained text is re-hashed. History is write-once lake state
+    * served bucketed by the probe key ([[persistedChunkHistory]]), the
+    * arriving doc never compares to its own batch, and the streaming
+    * twin runs the identical [[lineDedupAgainst]] core against the SAME
+    * reloaded table (stream == batch proven in StreamingSpec). */
+  def qDedupLinesIncr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val newChunks = docChunks(
+      Tables.documents(s, dir).select($"doc_id", $"text")
+        .filter(isNewDoc($"doc_id")))
+    lineDedupAgainst(newChunks, persistedChunkHistory(s, dir), "n_seen")
+      .select($"doc_id", $"n_chunks", $"n_seen",
+        expr("(n_seen * 1000000L) DIV n_chunks").as("seen_ppm"), $"clean_h")
+  }
+
+  val qDedupLinesIncrSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |t2 AS (
+      |  SELECT doc_id,
+      |    [array_to_string(list_slice(t, i*10+1, i*10+10), ' ')
+      |     for i in range(0, (len(t) - 1) // 10 + 1)] AS cs
+      |  FROM t WHERE len(t) >= 1),
+      |ch AS (
+      |  SELECT doc_id, r.c.pos AS pos, r.c.chunk AS chunk
+      |  FROM t2, unnest([{'pos': i - 1, 'chunk': cs[i]}
+      |                   for i in range(1, len(cs) + 1)]) r(c)),
+      |hist AS (SELECT DISTINCT chunk FROM ch WHERE doc_id % 5 <> 0),
+      |nw AS (SELECT * FROM ch WHERE doc_id % 5 = 0),
+      |fl AS (
+      |  SELECT nw.doc_id, nw.pos, nw.chunk, hist.chunk IS NOT NULL AS b
+      |  FROM nw LEFT JOIN hist ON nw.chunk = hist.chunk)
+      |SELECT doc_id, count(*) AS n_chunks,
+      |  CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+      |  (CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+      |    // count(*) AS seen_ppm,
+      |  md5(coalesce(array_to_string(
+      |    list(chunk ORDER BY pos) FILTER (WHERE NOT b), ' '), '')) AS clean_h
+      |FROM fl GROUP BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_lines"   -> (qDedupLines _),
+    "q_dedup_lines_incr" -> (qDedupLinesIncr _),
     "q_lsh_balance"   -> (qLshBalance _),
     "q_soft_dedup"    -> (qSoftDedup _),
     "q_minhash_est"   -> (qMinhashEst _),
@@ -1729,6 +1815,7 @@ object Dedup {
 
   def oracles: Map[String, String] = Map(
     "q_dedup_lines"   -> qDedupLinesSql,
+    "q_dedup_lines_incr" -> qDedupLinesIncrSql,
     "q_lsh_balance"   -> qLshBalanceSql,
     "q_soft_dedup"    -> qSoftDedupSql,
     "q_minhash_est"   -> qMinhashEstSql,

@@ -175,6 +175,23 @@ object StreamingEtl {
     graft.queries.TextAnalysis.noveltyAgainstIndex(inv, histSh)
   }
 
+  /** Streaming LINE-DEDUP-AT-INGEST — the online form of
+    * queries.Dedup.qDedupLinesIncr: each arriving document segments into
+    * fixed-width chunks statelessly (higher-order array expressions, no
+    * shuffle), left-joins stream-static against the write-once
+    * historical distinct-chunk set, and rolls up its seen fraction plus
+    * the cleaned-content hash in one streaming aggregation. The batch
+    * and stream sides share docChunks + lineDedupAgainst VERBATIM, so
+    * StreamingSpec's stream == batch equality is structural. This is
+    * the RefinedWeb-style line filter applied at ingest latency. */
+  def lineDedupStream(docs: DataFrame, histChunks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    graft.queries.Dedup.lineDedupAgainst(
+        graft.queries.Dedup.docChunks(docs), histChunks, "n_seen")
+      .select(col("doc_id"), col("n_chunks"), col("n_seen"),
+        expr("(n_seen * 1000000L) DIV n_chunks").as("seen_ppm"), col("clean_h"))
+  }
+
   /** Streaming INCREMENTAL dedup — the online form of
     * queries.Dedup.qDedupIncremental: each arriving document computes its
     * minhash signature and band keys statelessly (native expressions, no

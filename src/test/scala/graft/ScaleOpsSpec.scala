@@ -391,6 +391,42 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk history persists through the lake and joins shuffle-free") {
+    import graft.queries.Dedup
+    // reload == in-memory: the bucketed round-trip loses nothing
+    val mem = Dedup.docChunks(
+        Tables.documents(spark, sf).select(col("doc_id"), col("text")))
+      .filter(col("doc_id") % 5 =!= 0)
+      .select(col("chunk")).distinct()
+    val reloaded = Dedup.persistedChunkHistory(spark, sf)
+    assert(reloaded.count() == mem.count())
+    assert(reloaded.exceptAll(mem).isEmpty && mem.exceptAll(reloaded).isEmpty,
+      "reloaded chunk history diverges from the in-memory build")
+    // write-once contract: the history side of the probe join plans ZERO
+    // exchanges (force the shuffle path; at test scale AQE would broadcast)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val plan = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      SparkEntry.queries("q_dedup_lines_incr")(spark, sf)
+        .queryExecution.sparkPlan
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    val joinSides = plan.collect {
+      case j: SortMergeJoinExec => Seq(j.left, j.right)
+      case j: ShuffledHashJoinExec => Seq(j.left, j.right)
+    }.flatten
+    val histSides = joinSides.filter(_.collect {
+      case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f
+    }.nonEmpty)
+    assert(histSides.nonEmpty, "no join against the bucketed history in the plan")
+    histSides.foreach { side =>
+      assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"bucketed history side re-shuffles:\n$side")
+    }
+  }
+
   test("bloom-prefiltered decontamination equals the exact operator") {
     import graft.queries.Dedup
     def key(df: org.apache.spark.sql.DataFrame) =

@@ -241,6 +241,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming line-dedup at ingest against the chunk history equals the batch operator") {
+    val dir = s"$tmp/docs_linededup_input"
+    Tables.documents(spark, sf).filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "text").write.json(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(dir)
+    // the stream probes the same write-once lake table as the batch operator
+    val hist = graft.queries.Dedup.persistedChunkHistory(spark, sf)
+    StreamingEtl.runToMemory(
+      StreamingEtl.lineDedupStream(stream, hist),
+      "linededup", s"$tmp/cp_linededup")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_chunks", "n_seen", "seen_ppm", "clean_h").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .toSet
+    val streamed = key(spark.table("linededup"))
+    val batch = key(SparkEntry.queries("q_dedup_lines_incr")(spark, sf))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming anomaly flags against historical moments equal the batch operator") {
     // historical baseline: per-type moments computed batch-side
     val moments = Tables.events(spark, sf)
