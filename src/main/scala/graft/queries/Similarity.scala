@@ -822,8 +822,74 @@ object Similarity {
       |  CAST(sum((c_old - c_new) * (c_old - c_new)) AS BIGINT) AS drift_sq
       |FROM cc GROUP BY source""".stripMargin
 
+  /** Embedding-space OUTLIER detection per source — the quality filter
+    * that catches mislabeled, boilerplate, or encoder-degenerate docs a
+    * text heuristic can't see: each vector's squared L2 distance from
+    * ITS OWN source centroid, flagged when it exceeds 2x the source's
+    * mean squared distance (scale-free, so the threshold needs no
+    * per-corpus tuning). All exact fixed-point BIGINT (round(x*1e7)
+    * quantization, BIGINT centroid means, integer squared distances) —
+    * hash-gates cross-engine with zero float. Scale shape: the
+    * (source, dim) centroid aggregate has corpus-independent state; the
+    * per-vector distance rides a join against that tiny relation (AQE
+    * broadcasts it); per-vector rollup keys on (source, vec_id); the
+    * mean join and outlier count are source-bounded. Two passes over
+    * the exploded dims, no unbounded window, no pinned broadcast. */
+  def qEmbedOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = Tables.embeddings(s, dir)
+      .select($"vec_id",
+        transform($"embedding", x => round(x.cast("double") * 1e7).cast("long")).as("vq"))
+    val src = Tables.documents(s, dir).select($"doc_id".as("vec_id"), $"source")
+    val dims = v.join(src, "vec_id")
+      .select($"source", $"vec_id", posexplode($"vq").as(Seq("d", "x")))
+    val cent = dims.groupBy($"source", $"d")
+      .agg(expr("sum(x) DIV count(1)").as("c"))
+    val d2 = dims.join(cent, Seq("source", "d"))
+      .groupBy($"source", $"vec_id")
+      .agg(sum(($"x" - $"c") * ($"x" - $"c")).as("d2"))
+    val stats = d2.groupBy($"source")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(d2) DIV count(1)").as("mean_d2"), max($"d2").as("max_d2"))
+    d2.join(stats, "source")
+      .groupBy($"source")
+      .agg(max($"n_vecs").as("n_vecs"), max($"mean_d2").as("mean_d2"),
+        max($"max_d2").as("max_d2"),
+        sum(when($"d2" > $"mean_d2" * 2L, 1L).otherwise(0L)).as("n_out"))
+  }
+
+  val qEmbedOutliersSql: String =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS vq
+      |  FROM embeddings),
+      |sv AS (
+      |  SELECT d.source, v.vec_id, v.vq
+      |  FROM v JOIN documents d ON d.doc_id = v.vec_id),
+      |dims AS (
+      |  SELECT source, vec_id, r.c.d AS d, r.c.x AS x
+      |  FROM sv, unnest([{'d': i - 1, 'x': vq[i]} for i in range(1, len(vq) + 1)]) r(c)),
+      |cent AS (
+      |  SELECT source, d, CAST(sum(x) AS BIGINT) // count(*) AS c
+      |  FROM dims GROUP BY 1, 2),
+      |d2 AS (
+      |  SELECT dims.source AS source, vec_id,
+      |    CAST(sum((x - c) * (x - c)) AS BIGINT) AS d2
+      |  FROM dims JOIN cent ON dims.source = cent.source AND dims.d = cent.d
+      |  GROUP BY 1, 2),
+      |st AS (
+      |  SELECT source, count(*) AS n_vecs,
+      |    CAST(sum(d2) AS BIGINT) // count(*) AS mean_d2, max(d2) AS max_d2
+      |  FROM d2 GROUP BY 1)
+      |SELECT d2.source AS source, max(n_vecs) AS n_vecs, max(mean_d2) AS mean_d2,
+      |  max(max_d2) AS max_d2,
+      |  CAST(sum(CASE WHEN d2 > mean_d2 * 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+      |FROM d2 JOIN st ON d2.source = st.source
+      |GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_drift"  -> (qEmbedDrift _),
+    "q_embed_outliers" -> (qEmbedOutliers _),
     "q_embed_quant"  -> (qEmbedQuant _),
     "q_embed_centroids" -> (qEmbedCentroids _),
     "q_ann_range"    -> (qAnnRange _),
@@ -837,6 +903,7 @@ object Similarity {
 
   def oracles: Map[String, String] = Map(
     "q_embed_drift"  -> qEmbedDriftSql,
+    "q_embed_outliers" -> qEmbedOutliersSql,
     "q_embed_quant"  -> qEmbedQuantSql,
     "q_embed_centroids" -> qEmbedCentroidsSql,
     "q_ann_range"    -> qAnnRangeSql,

@@ -161,6 +161,67 @@ object TrainingData {
       |  CAST(max(score) AS BIGINT) AS max_score
       |FROM binned GROUP BY source, decile""".stripMargin
 
+  /** CALIBRATED quality selection — per-source percentile thresholding:
+    * each source keeps its own top-30% by the lexical-diversity score,
+    * so a uniformly "easier" source cannot crowd out the others the way
+    * a single global threshold would (the per-source calibration step
+    * real quality filters apply before mixing). The selection is EXACT
+    * order statistics from the [[rankSpans]] value histogram: the
+    * threshold score is the value whose rank span contains rank
+    * n − ⌈0.3n⌉ + 1, and the selected count is everything at or above
+    * it (ties keep the operator deterministic: selection is by VALUE, so
+    * n_selected ≥ the ⌈0.3n⌉ target exactly when the threshold value is
+    * tied across the boundary). Scale shape: identical to
+    * [[qQualityWinsor]] — one (source, value) aggregate, a histogram-
+    * bounded cumulative window, and source-bounded joins; the corpus is
+    * scanned once and nothing unbounded is sorted in one task. */
+  def qQualityCalibrated(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val scored = Tables.documents(s, dir)
+      .select($"source",
+        size(toks).cast("long").as("nt"),
+        size(array_distinct(toks)).cast("long").as("nd"))
+      .filter($"nt" > 0)
+      .select($"source", expr("(nd * 1000000L) DIV nt").as("score"))
+    val spans = rankSpans(scored, "score")
+    spans.join(spans.groupBy($"source").agg(sum($"cnt").as("n")), "source")
+      .withColumn("k", expr("(n * 30 + 99) DIV 100"))
+      .withColumn("r", expr("n - k + 1"))
+      .groupBy($"source")
+      .agg(max($"n").as("n_docs"), max($"k").as("k_target"),
+        max(when($"lo_rk" <= $"r" && $"r" <= $"hi_rk", $"score")).as("v_th"),
+        max(when($"lo_rk" <= $"r" && $"r" <= $"hi_rk", $"n" - $"lo_rk" + 1L))
+          .as("n_selected"))
+  }
+
+  val qQualityCalibratedSql: String =
+    """WITH m AS (
+      |  SELECT source,
+      |    len(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS nt,
+      |    len(list_distinct(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> ''))) AS nd
+      |  FROM documents),
+      |scored AS (
+      |  SELECT source, (nd * 1000000) // nt AS score FROM m WHERE nt > 0),
+      |n AS (SELECT source, count(*) AS n FROM scored GROUP BY 1),
+      |rk AS (
+      |  SELECT source, score,
+      |    row_number() OVER (PARTITION BY source ORDER BY score) AS rk
+      |  FROM scored),
+      |th AS (
+      |  SELECT rk.source AS source, max(n.n) AS n_docs,
+      |    max((n.n * 30 + 99) // 100) AS k_target,
+      |    max(CASE WHEN rk = n.n - ((n.n * 30 + 99) // 100) + 1
+      |        THEN score END) AS v_th
+      |  FROM rk JOIN n USING (source) GROUP BY 1),
+      |sel AS (
+      |  SELECT s.source, count(*) AS n_selected
+      |  FROM scored s JOIN th ON s.source = th.source AND s.score >= th.v_th
+      |  GROUP BY 1)
+      |SELECT th.source, n_docs, k_target, v_th,
+      |  CAST(n_selected AS BIGINT) AS n_selected
+      |FROM th JOIN sel ON th.source = sel.source""".stripMargin
+
   /** The corpus card — one row per source joining the library's own
     * per-source signals: exact-dup stats ([[Dedup.qDedupExact]]), quality
     * pass rate ([[qQualityFilter]]), and vocabulary richness
@@ -888,6 +949,7 @@ object TrainingData {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_diff"       -> (qCorpusDiff _),
     "q_quality_winsor"    -> (qQualityWinsor _),
+    "q_quality_calibrated" -> (qQualityCalibrated _),
     "q_shard_manifest"    -> (qShardManifest _),
     "q_mix_plan"          -> (qMixPlan _),
     "q_clf_score"         -> (qClfScore _),
@@ -908,6 +970,7 @@ object TrainingData {
   def oracles: Map[String, String] = Map(
     "q_corpus_diff"       -> qCorpusDiffSql,
     "q_quality_winsor"    -> qQualityWinsorSql,
+    "q_quality_calibrated" -> qQualityCalibratedSql,
     "q_clf_score"         -> qClfScoreSql,
     "q_mix_plan"          -> qMixPlanSql,
     "q_shard_manifest"    -> qShardManifestSql,
