@@ -222,6 +222,144 @@ object TrainingData {
       |  CAST(n_selected AS BIGINT) AS n_selected
       |FROM th JOIN sel ON th.source = sel.source""".stripMargin
 
+  /** ROBUST per-source outlier scoring — median / MAD instead of
+    * mean / stddev, so a heavy-tailed score distribution (boilerplate
+    * floods, template spam) cannot drag its own threshold: a doc is
+    * flagged when its absolute deviation from the source median exceeds
+    * 5× the median absolute deviation. Both medians are EXACT lower
+    * medians (rank (n+1) DIV 2) resolved from [[rankSpans]] value
+    * histograms — all integer, no float quantile estimate. Scale shape:
+    * two corpus passes ((source, score) then (source, dev) histograms),
+    * each a map-side-combined aggregate; the cumulative windows run over
+    * the HISTOGRAMS (value-domain-bounded, recognized by
+    * PlanHygieneSpec's unbounded-window rule); median/MAD relations are
+    * |sources| rows — AQE broadcasts them into the flagging join. */
+  def qQualityMad(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val scored = Tables.documents(s, dir)
+      .select($"source",
+        size(toks).cast("long").as("nt"),
+        size(array_distinct(toks)).cast("long").as("nd"))
+      .filter($"nt" > 0)
+      .select($"source", expr("(nd * 1000000L) DIV nt").as("score"))
+    val sp1 = rankSpans(scored, "score")
+    val med = sp1.join(sp1.groupBy($"source").agg(sum($"cnt").as("n")), "source")
+      .withColumn("r", expr("(n + 1) DIV 2"))
+      .groupBy($"source")
+      .agg(max($"n").as("n_docs"),
+        max(when($"lo_rk" <= $"r" && $"r" <= $"hi_rk", $"score")).as("med"))
+    val dev = scored.join(med.select($"source", $"med"), "source")
+      .select($"source", abs($"score" - $"med").as("dev"))
+    val sp2 = rankSpans(dev, "dev")
+    val mad = sp2.join(sp2.groupBy($"source").agg(sum($"cnt").as("n")), "source")
+      .withColumn("r", expr("(n + 1) DIV 2"))
+      .groupBy($"source")
+      .agg(max(when($"lo_rk" <= $"r" && $"r" <= $"hi_rk", $"dev")).as("mad"))
+    dev.join(mad, "source").join(med, "source")
+      .groupBy($"source")
+      .agg(max($"n_docs").as("n_docs"), max($"med").as("med"),
+        max($"mad").as("mad"),
+        sum(when($"dev" > $"mad" * 5L, 1L).otherwise(0L)).as("n_out"),
+        max($"dev").as("max_dev"))
+  }
+
+  val qQualityMadSql: String =
+    """WITH m AS (
+      |  SELECT source,
+      |    len(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS nt,
+      |    len(list_distinct(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> ''))) AS nd
+      |  FROM documents),
+      |scored AS (
+      |  SELECT source, (nd * 1000000) // nt AS score FROM m WHERE nt > 0),
+      |n AS (SELECT source, count(*) AS n FROM scored GROUP BY 1),
+      |rk AS (
+      |  SELECT source, score,
+      |    row_number() OVER (PARTITION BY source ORDER BY score) AS rk
+      |  FROM scored),
+      |med AS (
+      |  SELECT rk.source AS source, max(n.n) AS n_docs,
+      |    max(CASE WHEN rk = (n.n + 1) // 2 THEN score END) AS med
+      |  FROM rk JOIN n USING (source) GROUP BY 1),
+      |dev AS (
+      |  SELECT s.source, abs(s.score - med.med) AS dev
+      |  FROM scored s JOIN med USING (source)),
+      |rk2 AS (
+      |  SELECT source, dev,
+      |    row_number() OVER (PARTITION BY source ORDER BY dev) AS rk
+      |  FROM dev),
+      |mad AS (
+      |  SELECT rk2.source AS source,
+      |    max(CASE WHEN rk = (n.n + 1) // 2 THEN dev END) AS mad
+      |  FROM rk2 JOIN n USING (source) GROUP BY 1)
+      |SELECT dev.source AS source, max(med.n_docs) AS n_docs,
+      |  max(med.med) AS med, max(mad.mad) AS mad,
+      |  CAST(sum(CASE WHEN dev > mad.mad * 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+      |  max(dev) AS max_dev
+      |FROM dev JOIN mad ON dev.source = mad.source
+      |  JOIN med ON dev.source = med.source
+      |GROUP BY 1""".stripMargin
+
+  /** CONTEXT-WINDOW CHUNKING — the RAG / pretraining-packing primitive:
+    * each document is split into 64-token windows with stride 48
+    * (16-token overlap so no boundary-spanning fact is lost), and the
+    * operator MATERIALIZES the chunk relation — `explode(sequence(0,
+    * nc−1))` — rather than computing counts by formula, because
+    * downstream consumers (embedding, packing, indexing) consume the
+    * chunks themselves. A doc with nt ≤ 64 is one chunk; otherwise
+    * nc = 1 + ⌈(nt−64)/48⌉ and the last chunk ends exactly at nt
+    * (start ≥ nt−64 by construction, so every chunk is non-empty and
+    * ≤ 64 tokens). Per-source report: chunk counts, emitted-vs-input
+    * token cost (`overlap_ppm` — the storage price of the overlap).
+    * Scale shape: embarrassingly parallel row-local explode (~nt/48
+    * rows per doc, bounded fan-out), two map-side-combined aggregates,
+    * one |sources|-row join; no window, no shuffle wider than the
+    * (source) rollup. */
+  def qChunkRag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .select($"source", $"doc_id", size(tokens($"text")).cast("long").as("nt"))
+      .filter($"nt" > 0)
+      .withColumn("nc",
+        expr("CASE WHEN nt <= 64 THEN 1L ELSE 1L + (nt - 64 + 47) DIV 48 END"))
+    val chunks = d
+      .select($"source", $"nt", explode(sequence(lit(0L), $"nc" - 1L)).as("i"))
+      .select($"source", (least($"i" * 48L + 64L, $"nt") - $"i" * 48L).as("len"))
+    val perDoc = d.groupBy($"source").agg(
+      count(lit(1)).as("n_docs"), sum($"nt").as("toks_in"),
+      sum($"nc").as("n_chunks"), max($"nc").as("max_chunks"))
+    val emitted = chunks.groupBy($"source")
+      .agg(sum($"len").as("toks_emitted"))
+    perDoc.join(emitted, "source")
+      .select($"source", $"n_docs", $"n_chunks", $"max_chunks",
+        $"toks_in", $"toks_emitted",
+        expr("((toks_emitted - toks_in) * 1000000L) DIV toks_in").as("overlap_ppm"))
+  }
+
+  val qChunkRagSql: String =
+    """WITH m AS (
+      |  SELECT source, doc_id,
+      |    len(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS nt
+      |  FROM documents),
+      |d AS (
+      |  SELECT source, doc_id, nt,
+      |    CASE WHEN nt <= 64 THEN 1 ELSE 1 + (nt - 64 + 47) // 48 END AS nc
+      |  FROM m WHERE nt > 0),
+      |ch AS (
+      |  SELECT source, least(i * 48 + 64, nt) - i * 48 AS len
+      |  FROM (SELECT source, nt, unnest(range(0, nc)) AS i FROM d)),
+      |pd AS (
+      |  SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS toks_in,
+      |    CAST(sum(nc) AS BIGINT) AS n_chunks,
+      |    CAST(max(nc) AS BIGINT) AS max_chunks
+      |  FROM d GROUP BY 1),
+      |em AS (
+      |  SELECT source, CAST(sum(len) AS BIGINT) AS toks_emitted FROM ch GROUP BY 1)
+      |SELECT pd.source AS source, n_docs, n_chunks, max_chunks, toks_in,
+      |  toks_emitted,
+      |  ((toks_emitted - toks_in) * 1000000) // toks_in AS overlap_ppm
+      |FROM pd JOIN em ON pd.source = em.source""".stripMargin
+
   /** The corpus card — one row per source joining the library's own
     * per-source signals: exact-dup stats ([[Dedup.qDedupExact]]), quality
     * pass rate ([[qQualityFilter]]), and vocabulary richness
@@ -950,6 +1088,8 @@ object TrainingData {
     "q_corpus_diff"       -> (qCorpusDiff _),
     "q_quality_winsor"    -> (qQualityWinsor _),
     "q_quality_calibrated" -> (qQualityCalibrated _),
+    "q_quality_mad"       -> (qQualityMad _),
+    "q_chunk_rag"         -> (qChunkRag _),
     "q_shard_manifest"    -> (qShardManifest _),
     "q_mix_plan"          -> (qMixPlan _),
     "q_clf_score"         -> (qClfScore _),
@@ -971,6 +1111,8 @@ object TrainingData {
     "q_corpus_diff"       -> qCorpusDiffSql,
     "q_quality_winsor"    -> qQualityWinsorSql,
     "q_quality_calibrated" -> qQualityCalibratedSql,
+    "q_quality_mad"       -> qQualityMadSql,
+    "q_chunk_rag"         -> qChunkRagSql,
     "q_clf_score"         -> qClfScoreSql,
     "q_mix_plan"          -> qMixPlanSql,
     "q_shard_manifest"    -> qShardManifestSql,

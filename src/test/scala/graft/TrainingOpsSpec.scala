@@ -414,6 +414,47 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 
+  test("chunk_rag: exact overlap identity and bounded chunk fan-out") {
+    // stride-48/window-64 chunking pays exactly 16 overlap tokens per
+    // internal boundary: toks_emitted == toks_in + 16 * (n_chunks - n_docs)
+    val rows = graft.queries.TrainingData.qChunkRag(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nDocs = r.getAs[Long]("n_docs"); val nCh = r.getAs[Long]("n_chunks")
+      val in = r.getAs[Long]("toks_in"); val out = r.getAs[Long]("toks_emitted")
+      assert(out == in + 16L * (nCh - nDocs),
+        s"${r.getString(0)}: emitted $out != $in + 16*(${nCh}-${nDocs})")
+      assert(nCh >= nDocs && r.getAs[Long]("max_chunks") >= 1L)
+      // fan-out bound: nc <= nt/48 + 1 summed => n_chunks <= toks_in/48 + n_docs
+      assert(nCh <= in / 48L + nDocs)
+    }
+  }
+
+  test("quality MAD: median and MAD match a brute-force sort per source") {
+    import SparkTestSession.spark.implicits._
+    val scored = Tables.documents(spark, sf)
+      .select(col("source"),
+        size(tokens(col("text"))).cast("long").as("nt"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("nd"))
+      .filter(col("nt") > 0)
+      .select(col("source"), expr("(nd * 1000000L) DIV nt").as("score"))
+      .as[(String, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2))
+    val got = graft.queries.TrainingData.qQualityMad(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == scored.keySet.toSet)
+    scored.foreach { case (src, xs) =>
+      def lowerMedian(v: Array[Long]): Long = v.sorted.apply((v.length + 1) / 2 - 1)
+      val med = lowerMedian(xs)
+      val devs = xs.map(x => math.abs(x - med))
+      val mad = lowerMedian(devs)
+      val r = got(src)
+      assert(r.getAs[Long]("med") == med && r.getAs[Long]("mad") == mad,
+        s"$src: got (${r.getAs[Long]("med")},${r.getAs[Long]("mad")}) want ($med,$mad)")
+      assert(r.getAs[Long]("n_out") == devs.count(_ > 5L * mad))
+      assert(r.getAs[Long]("max_dev") == devs.max)
+    }
+  }
+
   test("quality deciles: each source splits into 10 ordered, near-equal bins") {
     val rows = graft.queries.TrainingData.qQualityDeciles(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
