@@ -887,6 +887,75 @@ object Dedup {
       |    // (count(*) * 1000000) AS eff_pct
       |FROM d GROUP BY source""".stripMargin
 
+  /** DEDUP-TIER AGREEMENT — the Venn audit across the three independent
+    * duplicate signals: exact content hash, shingle jaccard ≥ 0.6, and
+    * simhash hamming ≤ 5. One row per (in_exact, in_jac, in_sim)
+    * combination with its pair count — the report that tells a pipeline
+    * operator what each tier uniquely contributes (exact catches
+    * short/shingle-free dups the text tiers cannot see; simhash catches
+    * near-misses the jaccard threshold rejects; pairs in all three are
+    * the redundancy margin). Built as union-of-pairs + three left
+    * flag-joins so both engines enumerate the identical combo lattice.
+    * Scale shape: the pair relations are the family's existing bounded
+    * candidate generators (memoized jaccard graph, banded simhash,
+    * hash-grouped exact); the union and flag joins key on (doc_a,
+    * doc_b) — high-cardinality, co-partitioned, output ≤ 8 rows. */
+  def qDedupAgreement(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = Tables.documents(s, dir).select($"doc_id", md5($"text").as("h"))
+    val ex = Memo.materialize(
+      h.as("a").join(h.as("b"), $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")))
+    val jac = jaccardPairsCached(s, dir).select($"doc_a", $"doc_b")
+    val sim = Memo.materialize(qDedupSimhash(s, dir).select($"doc_a", $"doc_b"))
+    val ap = ex.union(jac).union(sim).distinct()
+    ap.join(ex.withColumn("e", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .join(jac.withColumn("j", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .join(sim.withColumn("m", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .select(coalesce($"e", lit(0L)).as("in_exact"),
+        coalesce($"j", lit(0L)).as("in_jac"),
+        coalesce($"m", lit(0L)).as("in_sim"))
+      .groupBy($"in_exact", $"in_jac", $"in_sim")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val qDedupAgreementSql: String =
+    simhashCte + """,
+      | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      | inter AS (
+      |   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |   GROUP BY 1, 2),
+      | jac AS (
+      |   SELECT doc_a, doc_b
+      |   FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+      |   WHERE i * 5 >= (x.n + y.n - i) * 3),
+      | simp AS (
+      |   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |   FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+      |   WHERE bit_count(xor(a.sh60, b.sh60)) <= 5),
+      | ex AS (
+      |   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |   FROM documents a JOIN documents b
+      |     ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
+      | ap AS (
+      |   SELECT doc_a, doc_b FROM ex
+      |   UNION SELECT doc_a, doc_b FROM jac
+      |   UNION SELECT doc_a, doc_b FROM simp),
+      | fl AS (
+      |   SELECT p.doc_a, p.doc_b,
+      |     CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_exact,
+      |     CASE WHEN j.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_jac,
+      |     CASE WHEN s2.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_sim
+      |   FROM ap p
+      |   LEFT JOIN ex e ON p.doc_a = e.doc_a AND p.doc_b = e.doc_b
+      |   LEFT JOIN jac j ON p.doc_a = j.doc_a AND p.doc_b = j.doc_b
+      |   LEFT JOIN simp s2 ON p.doc_a = s2.doc_a AND p.doc_b = s2.doc_b)
+      |SELECT CAST(in_exact AS BIGINT) AS in_exact,
+      |  CAST(in_jac AS BIGINT) AS in_jac, CAST(in_sim AS BIGINT) AS in_sim,
+      |  count(*) AS n_pairs
+      |FROM fl GROUP BY 1, 2, 3""".stripMargin
+
   /** Integer PageRank over the near-dup graph — centrality-based
     * canonical-document selection: within a near-dup cluster, the doc most
     * similar to the most others (the hub) is the best representative, a
@@ -1785,6 +1854,7 @@ object Dedup {
     "q_dedup_lines_incr" -> (qDedupLinesIncr _),
     "q_lsh_balance"   -> (qLshBalance _),
     "q_soft_dedup"    -> (qSoftDedup _),
+    "q_dedup_agree"   -> (qDedupAgreement _),
     "q_minhash_est"   -> (qMinhashEst _),
     "q_dedup_ppr"     -> (qDedupPpr _),
     "q_dedup_contain" -> (qDedupContain _),
@@ -1818,6 +1888,7 @@ object Dedup {
     "q_dedup_lines_incr" -> qDedupLinesIncrSql,
     "q_lsh_balance"   -> qLshBalanceSql,
     "q_soft_dedup"    -> qSoftDedupSql,
+    "q_dedup_agree"   -> qDedupAgreementSql,
     "q_minhash_est"   -> qMinhashEstSql,
     "q_dedup_ppr"     -> qDedupPprSql,
     "q_dedup_contain" -> qDedupContainSql,

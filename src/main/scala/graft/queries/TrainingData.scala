@@ -222,6 +222,53 @@ object TrainingData {
       |  CAST(n_selected AS BIGINT) AS n_selected
       |FROM th JOIN sel ON th.source = sel.source""".stripMargin
 
+  /** DATA-CONSTRAINED mix planning — the UNDER-supply complement to
+    * [[qMixPlan]] (which downsamples over-supplied sources): when a
+    * source holds fewer tokens than its equal-share budget, the planner
+    * REPEATS it — the multi-epoch decision of data-constrained scaling
+    * (Muennighoff et al. 2023 find ~4 epochs of repeated data near-free,
+    * so the repeat factor is capped at 4×). Per source: exact integer
+    * epochs ×100 ((achieved·100) DIV supply), achieved tokens
+    * min(budget, 4·supply), and the shortfall the cap leaves unfilled.
+    * Scale shape: one corpus token-count aggregate; everything after is
+    * |sources| rows against a broadcast 1-row total. */
+  def qMixEpochs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perSource = Tables.documents(s, dir)
+      .select($"source", size(tokens($"text")).cast("long").as("nt"))
+      .groupBy($"source")
+      .agg(sum($"nt").as("src_tokens"), count(lit(1)).as("n_docs"))
+    val totals = perSource.agg(
+      sum($"src_tokens").as("total_tokens"), count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("budget_tokens", expr("total_tokens DIV n_sources"))
+      .withColumn("achieved_tokens",
+        least($"budget_tokens", $"src_tokens" * 4L))
+      .withColumn("epochs_x100",
+        expr("(achieved_tokens * 100L) DIV src_tokens"))
+      .withColumn("shortfall_tokens",
+        greatest(lit(0L), expr("budget_tokens - achieved_tokens")))
+      .select($"source", $"n_docs", $"src_tokens", $"budget_tokens",
+        $"achieved_tokens", $"epochs_x100", $"shortfall_tokens")
+  }
+
+  val qMixEpochsSql: String =
+    """WITH per_source AS (
+      |  SELECT source,
+      |    CAST(sum(len(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> ''))) AS BIGINT) AS src_tokens,
+      |    count(*) AS n_docs
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+      |             count(*) AS n_sources FROM per_source)
+      |SELECT source, n_docs, src_tokens,
+      |  total_tokens // n_sources AS budget_tokens,
+      |  least(total_tokens // n_sources, src_tokens * 4) AS achieved_tokens,
+      |  (least(total_tokens // n_sources, src_tokens * 4) * 100)
+      |    // src_tokens AS epochs_x100,
+      |  greatest(0, total_tokens // n_sources
+      |    - least(total_tokens // n_sources, src_tokens * 4)) AS shortfall_tokens
+      |FROM per_source CROSS JOIN t""".stripMargin
+
   /** ROBUST per-source outlier scoring — median / MAD instead of
     * mean / stddev, so a heavy-tailed score distribution (boilerplate
     * floods, template spam) cannot drag its own threshold: a doc is
@@ -315,24 +362,33 @@ object TrainingData {
     * rows per doc, bounded fan-out), two map-side-combined aggregates,
     * one |sources|-row join; no window, no shuffle wider than the
     * (source) rollup. */
-  def qChunkRag(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val d = Tables.documents(s, dir)
-      .select($"source", $"doc_id", size(tokens($"text")).cast("long").as("nt"))
-      .filter($"nt" > 0)
+  def qChunkRag(s: SparkSession, dir: String): DataFrame =
+    chunkRagCols(Tables.documents(s, dir))
+
+  /** Shared batch/streaming core of [[qChunkRag]]: ONE aggregation —
+    * doc-level stats ride the chunk rows (counted only on chunk 0) so
+    * the whole report is a single groupBy with no doc/chunk join. That
+    * shape is what makes the streaming twin legal (one streaming
+    * aggregation, complete mode) and saves the batch plan a shuffle. */
+  private[graft] def chunkRagCols(docs: DataFrame): DataFrame = {
+    val d = docs
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("nt"))
+      .filter(col("nt") > 0)
       .withColumn("nc",
         expr("CASE WHEN nt <= 64 THEN 1L ELSE 1L + (nt - 64 + 47) DIV 48 END"))
-    val chunks = d
-      .select($"source", $"nt", explode(sequence(lit(0L), $"nc" - 1L)).as("i"))
-      .select($"source", (least($"i" * 48L + 64L, $"nt") - $"i" * 48L).as("len"))
-    val perDoc = d.groupBy($"source").agg(
-      count(lit(1)).as("n_docs"), sum($"nt").as("toks_in"),
-      sum($"nc").as("n_chunks"), max($"nc").as("max_chunks"))
-    val emitted = chunks.groupBy($"source")
-      .agg(sum($"len").as("toks_emitted"))
-    perDoc.join(emitted, "source")
-      .select($"source", $"n_docs", $"n_chunks", $"max_chunks",
-        $"toks_in", $"toks_emitted",
+    d.select(col("source"), col("nt"), col("nc"),
+        explode(sequence(lit(0L), col("nc") - 1L)).as("i"))
+      .select(col("source"), col("nt"), col("nc"), col("i"),
+        (least(col("i") * 48L + 64L, col("nt")) - col("i") * 48L).as("len"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("i") === 0L, 1L).otherwise(0L)).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        max(col("nc")).as("max_chunks"),
+        sum(when(col("i") === 0L, col("nt")).otherwise(0L)).as("toks_in"),
+        sum(col("len")).as("toks_emitted"))
+      .select(col("source"), col("n_docs"), col("n_chunks"),
+        col("max_chunks"), col("toks_in"), col("toks_emitted"),
         expr("((toks_emitted - toks_in) * 1000000L) DIV toks_in").as("overlap_ppm"))
   }
 
@@ -1092,6 +1148,7 @@ object TrainingData {
     "q_chunk_rag"         -> (qChunkRag _),
     "q_shard_manifest"    -> (qShardManifest _),
     "q_mix_plan"          -> (qMixPlan _),
+    "q_mix_epochs"        -> (qMixEpochs _),
     "q_clf_score"         -> (qClfScore _),
     "q_lm_score"          -> (qLmScore _),
     "q_sample_weighted"   -> (qSampleWeighted _),
@@ -1115,6 +1172,7 @@ object TrainingData {
     "q_chunk_rag"         -> qChunkRagSql,
     "q_clf_score"         -> qClfScoreSql,
     "q_mix_plan"          -> qMixPlanSql,
+    "q_mix_epochs"        -> qMixEpochsSql,
     "q_shard_manifest"    -> qShardManifestSql,
     "q_lm_score"          -> qLmScoreSql,
     "q_sample_weighted"   -> qSampleWeightedSql,

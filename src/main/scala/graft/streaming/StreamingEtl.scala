@@ -125,6 +125,16 @@ object StreamingEtl {
   def clfScoreStream(docs: DataFrame): DataFrame =
     graft.queries.TrainingData.clfScoreCols(docs)
 
+  /** Streaming CONTEXT-WINDOW CHUNKING — the online form of
+    * queries.TrainingData.qChunkRag: arriving documents explode into
+    * 64-token/stride-48 chunk rows statelessly (bounded row-local
+    * fan-out), and the per-source cost report is the shared SINGLE
+    * aggregation (doc-level stats ride chunk 0), so the twin is one
+    * streaming aggregation in complete mode — the chunk rows themselves
+    * are what an at-ingest embedding/indexing stage would consume. */
+  def chunkStream(docs: DataFrame): DataFrame =
+    graft.queries.TrainingData.chunkRagCols(docs)
+
   /** Streaming DECONTAMINATION at ingest — the online form of
     * queries.Dedup.qDecontaminateBloom: train documents arriving on the
     * stream explode into shingles, probe the fixed-size eval bloom sketch

@@ -32,6 +32,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_chisq",              // crossJoin(broadcast(1-row grand-total agg))
     "q_embed_centroids",    // broadcast(label-count-tiny centroid relation) pair join
     "q_mix_plan",           // crossJoin(broadcast(1-row totals agg))
+    "q_mix_epochs",         // same 1-row totals broadcast as q_mix_plan
     "q_dedup_ppr",          // crossJoin(broadcast(1-row seed-count agg))
     "q_kmv_merge",          // crossJoin(broadcast(1-row sketch estimates))
     "q_shard_manifest",     // crossJoin(broadcast(1-row token-total agg))
