@@ -887,6 +887,51 @@ object Dedup {
       |    // (count(*) * 1000000) AS eff_pct
       |FROM d GROUP BY source""".stripMargin
 
+  /** CROSS-SOURCE DUPLICATION FLOW — the near-dup pair graph rolled up
+    * to the (source, source) matrix: which corpora mirror each other
+    * (aggregator sites vs their upstreams, CommonCrawl snapshots vs
+    * curated subsets). The roll-up the mixing planner consults before
+    * weighting two sources as if they were independent. Pair ordering is
+    * canonicalized by SOURCE (least/greatest) so each unordered source
+    * pair is one row regardless of doc-id orientation. Scale shape:
+    * consumes the memoized verified-jaccard pair graph (paid once per
+    * session); two doc-id-keyed joins attach sources (co-partitioned,
+    * high-cardinality); the final aggregate is |sources|²-bounded. */
+  def qDedupFlow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.documents(s, dir).select($"doc_id", $"source")
+    jaccardPairsCached(s, dir)
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("src_a")), "doc_a")
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("src_b")), "doc_b")
+      .select(least($"src_a", $"src_b").as("src_x"),
+        greatest($"src_a", $"src_b").as("src_y"), $"jaccard_ppm")
+      .groupBy($"src_x", $"src_y")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(jaccard_ppm) DIV count(1)").as("mean_jaccard_ppm"),
+        max($"jaccard_ppm").as("max_jaccard_ppm"))
+  }
+
+  val qDedupFlowSql: String =
+    shinglesCte + """,
+      | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      | inter AS (
+      |   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |   GROUP BY 1, 2),
+      | jp AS (
+      |   SELECT doc_a, doc_b, (i * 1000000) // (x.n + y.n - i) AS jaccard_ppm
+      |   FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+      |   WHERE i * 5 >= (x.n + y.n - i) * 3),
+      | fl AS (
+      |   SELECT least(da.source, db.source) AS src_x,
+      |     greatest(da.source, db.source) AS src_y, jaccard_ppm
+      |   FROM jp JOIN documents da ON jp.doc_a = da.doc_id
+      |     JOIN documents db ON jp.doc_b = db.doc_id)
+      |SELECT src_x, src_y, count(*) AS n_pairs,
+      |  CAST(sum(jaccard_ppm) AS BIGINT) // count(*) AS mean_jaccard_ppm,
+      |  max(jaccard_ppm) AS max_jaccard_ppm
+      |FROM fl GROUP BY 1, 2""".stripMargin
+
   /** DEDUP-TIER AGREEMENT — the Venn audit across the three independent
     * duplicate signals: exact content hash, shingle jaccard ≥ 0.6, and
     * simhash hamming ≤ 5. One row per (in_exact, in_jac, in_sim)
@@ -1855,6 +1900,7 @@ object Dedup {
     "q_lsh_balance"   -> (qLshBalance _),
     "q_soft_dedup"    -> (qSoftDedup _),
     "q_dedup_agree"   -> (qDedupAgreement _),
+    "q_dedup_flow"    -> (qDedupFlow _),
     "q_minhash_est"   -> (qMinhashEst _),
     "q_dedup_ppr"     -> (qDedupPpr _),
     "q_dedup_contain" -> (qDedupContain _),
@@ -1889,6 +1935,7 @@ object Dedup {
     "q_lsh_balance"   -> qLshBalanceSql,
     "q_soft_dedup"    -> qSoftDedupSql,
     "q_dedup_agree"   -> qDedupAgreementSql,
+    "q_dedup_flow"    -> qDedupFlowSql,
     "q_minhash_est"   -> qMinhashEstSql,
     "q_dedup_ppr"     -> qDedupPprSql,
     "q_dedup_contain" -> qDedupContainSql,

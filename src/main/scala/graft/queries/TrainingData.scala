@@ -416,6 +416,92 @@ object TrainingData {
       |  ((toks_emitted - toks_in) * 1000000) // toks_in AS overlap_ppm
       |FROM pd JOIN em ON pd.source = em.source""".stripMargin
 
+  /** PER-SOURCE DISTRIBUTION DRIFT vs the corpus — an exact discretized
+    * Kolmogorov–Smirnov distance: the lexical-diversity score (ppm) is
+    * bucketed onto a FIXED 1001-cell grid (score DIV 1000), and the KS
+    * statistic is the max gap between the source's and the corpus's
+    * cumulative fractions across the grid, in exact integer ppm. The
+    * detector behind "this source's quality profile doesn't look like
+    * the rest of the mix" — scale-free and threshold-free, with the
+    * argmax bucket reported so the drift is locatable. Scale shape: ONE
+    * corpus pass — a (source, bucket) count aggregate whose state is
+    * ≤ |sources|·1001 cells; the grid cross join, cumulative windows
+    * (fixed 1001 rows per partition by construction), and the final max
+    * are all corpus-size-independent. The grid window is whitelisted in
+    * PlanHygieneSpec's unbounded-window rule with that justification. */
+  def qQualityKs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val hist = Tables.documents(s, dir)
+      .select($"source",
+        size(toks).cast("long").as("nt"),
+        size(array_distinct(toks)).cast("long").as("nd"))
+      .filter($"nt" > 0)
+      .select($"source", expr("((nd * 1000000L) DIV nt) DIV 1000").as("b"))
+      .groupBy($"source", $"b").agg(count(lit(1)).as("cnt"))
+    val grid = hist.select($"source").distinct()
+      .select($"source", explode(sequence(lit(0L), lit(1000L))).as("b"))
+    val cumS = grid.join(hist, Seq("source", "b"), "left")
+      .withColumn("c", coalesce($"cnt", lit(0L)))
+      .withColumn("cum_s", sum($"c").over(
+        Window.partitionBy($"source").orderBy($"b".asc)))
+      .select($"source", $"b", $"cum_s")
+    val histG = hist.groupBy($"b").agg(sum($"cnt").as("cnt"))
+    val cumG = grid.select($"b").distinct()
+      .join(histG, Seq("b"), "left")
+      .withColumn("c", coalesce($"cnt", lit(0L)))
+      .withColumn("cum_g", sum($"c").over(Window.orderBy($"b".asc)))
+      .select($"b", $"cum_g")
+    val n = hist.groupBy($"source").agg(sum($"cnt").as("n_docs"))
+    val nG = hist.agg(sum($"cnt").as("n_tot"))
+    val gaps = cumS.join(cumG, "b").join(n, "source").crossJoin(broadcast(nG))
+      .select($"source", $"b", $"n_docs",
+        abs(expr("(cum_s * 1000000L) DIV n_docs")
+          - expr("(cum_g * 1000000L) DIV n_tot")).as("gap_ppm"))
+    gaps.groupBy($"source").agg(max($"gap_ppm").as("ks_ppm"))
+      .join(gaps, Seq("source"))
+      .filter($"gap_ppm" === $"ks_ppm")
+      .groupBy($"source")
+      .agg(max($"n_docs").as("n_docs"), max($"ks_ppm").as("ks_ppm"),
+        min($"b").as("ks_bucket"))
+  }
+
+  val qQualityKsSql: String =
+    """WITH m AS (
+      |  SELECT source,
+      |    len(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS nt,
+      |    len(list_distinct(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> ''))) AS nd
+      |  FROM documents),
+      |hist AS (
+      |  SELECT source, ((nd * 1000000) // nt) // 1000 AS b, count(*) AS cnt
+      |  FROM m WHERE nt > 0 GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT source, unnest(range(0, 1001)) AS b
+      |  FROM (SELECT DISTINCT source FROM hist)),
+      |cum_s AS (
+      |  SELECT g.source, g.b,
+      |    sum(coalesce(h.cnt, 0)) OVER (PARTITION BY g.source ORDER BY g.b) AS cum_s
+      |  FROM grid g LEFT JOIN hist h ON g.source = h.source AND g.b = h.b),
+      |cum_g AS (
+      |  SELECT b, sum(c) OVER (ORDER BY b) AS cum_g
+      |  FROM (
+      |    SELECT g.b, sum(coalesce(h.cnt, 0)) AS c
+      |    FROM (SELECT DISTINCT b FROM grid) g
+      |      LEFT JOIN hist h ON g.b = h.b GROUP BY 1)),
+      |n AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs FROM hist GROUP BY 1),
+      |ng AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tot FROM hist),
+      |gaps AS (
+      |  SELECT s.source, s.b, n.n_docs,
+      |    abs((CAST(s.cum_s AS BIGINT) * 1000000) // n.n_docs
+      |      - (CAST(g.cum_g AS BIGINT) * 1000000) // ng.n_tot) AS gap_ppm
+      |  FROM cum_s s JOIN cum_g g ON s.b = g.b
+      |    JOIN n ON s.source = n.source CROSS JOIN ng),
+      |mx AS (SELECT source, max(gap_ppm) AS ks_ppm FROM gaps GROUP BY 1)
+      |SELECT gaps.source AS source, max(gaps.n_docs) AS n_docs,
+      |  max(mx.ks_ppm) AS ks_ppm, min(gaps.b) AS ks_bucket
+      |FROM gaps JOIN mx ON gaps.source = mx.source AND gaps.gap_ppm = mx.ks_ppm
+      |GROUP BY 1""".stripMargin
+
   /** The corpus card — one row per source joining the library's own
     * per-source signals: exact-dup stats ([[Dedup.qDedupExact]]), quality
     * pass rate ([[qQualityFilter]]), and vocabulary richness
@@ -1145,6 +1231,7 @@ object TrainingData {
     "q_quality_winsor"    -> (qQualityWinsor _),
     "q_quality_calibrated" -> (qQualityCalibrated _),
     "q_quality_mad"       -> (qQualityMad _),
+    "q_quality_ks"        -> (qQualityKs _),
     "q_chunk_rag"         -> (qChunkRag _),
     "q_shard_manifest"    -> (qShardManifest _),
     "q_mix_plan"          -> (qMixPlan _),
@@ -1169,6 +1256,7 @@ object TrainingData {
     "q_quality_winsor"    -> qQualityWinsorSql,
     "q_quality_calibrated" -> qQualityCalibratedSql,
     "q_quality_mad"       -> qQualityMadSql,
+    "q_quality_ks"        -> qQualityKsSql,
     "q_chunk_rag"         -> qChunkRagSql,
     "q_clf_score"         -> qClfScoreSql,
     "q_mix_plan"          -> qMixPlanSql,

@@ -38,7 +38,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_shard_manifest",     // crossJoin(broadcast(1-row token-total agg))
     "q_text_bpe2",          // crossJoin(broadcast(1-row top-merge limit))
     "q_text_bpe_apply",     // same 1-row top-merge limit broadcast
-    "q_source_terms")       // crossJoin(broadcast(1-row grand-total agg))
+    "q_source_terms",       // crossJoin(broadcast(1-row grand-total agg))
+    "q_quality_ks")         // crossJoin(broadcast(1-row corpus-count agg))
 
   test("no gated query plans an unlisted cartesian / broadcast nested loop") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
@@ -164,7 +165,13 @@ class PlanHygieneSpec extends AnyFunSuite {
     // 89-row CONSTANT local relation (the reference's fixed filter
     // vocabulary crossed per family), not a corpus scan; cardinality
     // can never grow with data volume
-    "q_catalog_workload")
+    "q_catalog_workload",
+    // KS cumulative windows run over the FIXED 1001-cell bucket grid
+    // (explode(sequence(0,1000)) per source / globally) left-joined to
+    // the (source, bucket) histogram — per-partition row count is 1001
+    // by construction at any corpus size; the grid join shape doesn't
+    // match the histogram-aggregate detector below
+    "q_quality_ks")
 
   test("no window partitioned only by low-cardinality keys sorts unbounded input") {
     // The round-5 verdict's scale-killer class: a Window partitioned by
