@@ -52,19 +52,35 @@ object Memo {
     val dirHash = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val prefix = s"${base}_$dirHash"
-    val table = f"${prefix}_${System.identityHashCode(s)}%08x"
+    val pid = ProcessHandle.current().pid()
+    val table = f"${prefix}_p${pid}_${System.identityHashCode(s)}%08x"
     tableCache.computeIfAbsent((s, table), _ => new Lazy(() => {
       // sweep stale siblings: catalog entries and warehouse locations for
-      // this (base, dir) not owned by a live session in this JVM
+      // this (base, dir) not owned by a live session. Ownership is
+      // per-PROCESS (the pid is baked into the name): a sibling from
+      // another JVM is swept only when that JVM is provably dead — two
+      // live JVMs sharing one warehouse (a test suite next to a verify
+      // run) must never delete each other's tables out from under a
+      // lazily-executed reader.
       val live = {
         import scala.jdk.CollectionConverters._
         tableCache.keySet.asScala.map(_._2).toSet + table
+      }
+      val pidRe = "_p(\\d+)_".r
+      def sweepable(n: String): Boolean = pidRe.findFirstMatchIn(n) match {
+        case Some(m) =>
+          val p = m.group(1).toLong
+          // our own dead session, or a JVM that no longer exists; when
+          // liveness can't be determined, keep the table (conservative)
+          p == pid || ProcessHandle.of(p).map[Boolean](_ => false).orElse(true)
+        case None => true // pre-pid naming: stale by construction
       }
       val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
       val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(wh)) fs.listStatus(wh)
         .filter(st => st.getPath.getName.startsWith(prefix) &&
-                      !live.contains(st.getPath.getName))
+                      !live.contains(st.getPath.getName) &&
+                      sweepable(st.getPath.getName))
         .foreach { st =>
           s.sql(s"DROP TABLE IF EXISTS `${st.getPath.getName}`")
           fs.delete(st.getPath, true)

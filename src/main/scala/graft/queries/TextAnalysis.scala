@@ -578,6 +578,34 @@ object TextAnalysis {
       |  (CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*) AS hapax_ppm
       |FROM tc GROUP BY source""".stripMargin
 
+  /** FREQUENCY SPECTRUM — the per-source Zipf/LNRE profile: token types
+    * and token mass bucketed by frequency OCTAVE (⌊log₂ c⌋ + 1, computed
+    * exactly as the binary-representation length on both engines — no
+    * float log at bucket boundaries). Octave 1 = hapax, octave 2 =
+    * freq 2–3, … — the spectrum tokenizer sizing and vocabulary-growth
+    * (Heaps-law) estimates read, and the long-tail-vs-head mass split
+    * that decides BPE vocab budgets. Scale shape: ONE (source, token)
+    * count aggregate (vocabulary-bounded state), re-aggregated onto
+    * ≤ |sources|·64 octave cells. */
+  def qTextSpectrum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"source", explode(tokens($"text")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+      .select($"source", length(bin($"c")).cast("long").as("octave"), $"c")
+      .groupBy($"source", $"octave")
+      .agg(count(lit(1)).as("n_types"), sum($"c").as("token_mass"))
+  }
+
+  val qTextSpectrumSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |tc AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+      |SELECT source, CAST(len(format('{:b}', c)) AS BIGINT) AS octave,
+      |  count(*) AS n_types, CAST(sum(c) AS BIGINT) AS token_mass
+      |FROM tc GROUP BY 1, 2""".stripMargin
+
   /** Per-source heavy hitters: each source's top-3 tokens by frequency
     * (ties → lexicographic) — the domain-vocabulary signature used for
     * source fingerprinting and template detection. Same WindowGroupLimit
@@ -1118,6 +1146,7 @@ object TextAnalysis {
     "q_text_drift"       -> (qTextDrift _),
     "q_text_hh"          -> (qTextHeavyHitters _),
     "q_text_vocab"       -> (qTextVocab _),
+    "q_text_spectrum"    -> (qTextSpectrum _),
     "q_text_clean"       -> (qTextClean _),
     "q_text_repetition"  -> (qTextRepetition _),
     "q_text_tfidf"       -> (qTextTfidf _),
@@ -1144,6 +1173,7 @@ object TextAnalysis {
     "q_text_drift"       -> qTextDriftSql,
     "q_text_hh"          -> qTextHeavyHittersSql,
     "q_text_vocab"       -> qTextVocabSql,
+    "q_text_spectrum"    -> qTextSpectrumSql,
     "q_text_clean"       -> qTextCleanSql,
     "q_text_repetition"  -> qTextRepetitionSql,
     "q_text_tfidf"       -> qTextTfidfSql,

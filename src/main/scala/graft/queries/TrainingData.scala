@@ -416,6 +416,75 @@ object TrainingData {
       |  ((toks_emitted - toks_in) * 1000000) // toks_in AS overlap_ppm
       |FROM pd JOIN em ON pd.source = em.source""".stripMargin
 
+  /** TOKEN-BUDGET quality selection — the selection real pretraining
+    * mixes execute: per source, take documents in descending
+    * lexical-diversity order until 30% of the source's TOKEN MASS is
+    * filled (token-budgeted, not count-budgeted like
+    * [[qQualityCalibrated]] — a source of short docs needs many more
+    * docs to fill the same budget). Resolved exactly from the (source,
+    * score) histogram carrying both doc counts AND token mass: the
+    * cumulative-from-the-top relation crosses the budget at one row
+    * (cum strictly increases), and min/max over the crossing rows
+    * recover that row's (threshold value, docs taken, tokens taken) —
+    * selection is by VALUE, ties included whole, deterministic on both
+    * engines. Scale shape: one corpus pass; windows run over the
+    * histogram (value-domain-bounded, the recognized rank-selection
+    * pattern); output is |sources| rows. */
+  def qTokBudget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val scored = Tables.documents(s, dir)
+      .select($"source",
+        size(toks).cast("long").as("nt"),
+        size(array_distinct(toks)).cast("long").as("nd"))
+      .filter($"nt" > 0)
+      .select($"source", $"nt", expr("(nd * 1000000L) DIV nt").as("score"))
+    val hist = scored.groupBy($"source", $"score")
+      .agg(count(lit(1)).as("cnt"), sum($"nt").as("mass"))
+    val w = Window.partitionBy($"source").orderBy($"score".desc)
+    val cum = hist
+      .withColumn("cum_cnt", sum($"cnt").over(w))
+      .withColumn("cum_mass", sum($"mass").over(w))
+    cum.join(cum.groupBy($"source")
+        .agg(sum($"cnt").as("n_docs"), sum($"mass").as("src_tokens")), "source")
+      .withColumn("budget_tokens", expr("(src_tokens * 30) DIV 100"))
+      .groupBy($"source")
+      .agg(max($"n_docs").as("n_docs"), max($"src_tokens").as("src_tokens"),
+        max($"budget_tokens").as("budget_tokens"),
+        max(when($"cum_mass" >= $"budget_tokens", $"score")).as("v_th"),
+        min(when($"cum_mass" >= $"budget_tokens", $"cum_cnt")).as("n_selected"),
+        min(when($"cum_mass" >= $"budget_tokens", $"cum_mass")).as("tokens_selected"))
+  }
+
+  val qTokBudgetSql: String =
+    """WITH m AS (
+      |  SELECT source,
+      |    len(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS nt,
+      |    len(list_distinct(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> ''))) AS nd
+      |  FROM documents),
+      |scored AS (
+      |  SELECT source, nt, (nd * 1000000) // nt AS score FROM m WHERE nt > 0),
+      |hist AS (
+      |  SELECT source, score, count(*) AS cnt, CAST(sum(nt) AS BIGINT) AS mass
+      |  FROM scored GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT source, score, cnt, mass,
+      |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY score DESC) AS BIGINT) AS cum_cnt,
+      |    CAST(sum(mass) OVER (PARTITION BY source ORDER BY score DESC) AS BIGINT) AS cum_mass
+      |  FROM hist),
+      |tot AS (
+      |  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+      |    CAST(sum(mass) AS BIGINT) AS src_tokens
+      |  FROM hist GROUP BY 1)
+      |SELECT cum.source AS source, max(n_docs) AS n_docs,
+      |  max(src_tokens) AS src_tokens,
+      |  max((src_tokens * 30) // 100) AS budget_tokens,
+      |  max(CASE WHEN cum_mass >= (src_tokens * 30) // 100 THEN score END) AS v_th,
+      |  min(CASE WHEN cum_mass >= (src_tokens * 30) // 100 THEN cum_cnt END) AS n_selected,
+      |  min(CASE WHEN cum_mass >= (src_tokens * 30) // 100 THEN cum_mass END) AS tokens_selected
+      |FROM cum JOIN tot ON cum.source = tot.source
+      |GROUP BY 1""".stripMargin
+
   /** PER-SOURCE DISTRIBUTION DRIFT vs the corpus — an exact discretized
     * Kolmogorov–Smirnov distance: the lexical-diversity score (ppm) is
     * bucketed onto a FIXED 1001-cell grid (score DIV 1000), and the KS
@@ -1232,6 +1301,7 @@ object TrainingData {
     "q_quality_calibrated" -> (qQualityCalibrated _),
     "q_quality_mad"       -> (qQualityMad _),
     "q_quality_ks"        -> (qQualityKs _),
+    "q_tok_budget"        -> (qTokBudget _),
     "q_chunk_rag"         -> (qChunkRag _),
     "q_shard_manifest"    -> (qShardManifest _),
     "q_mix_plan"          -> (qMixPlan _),
@@ -1257,6 +1327,7 @@ object TrainingData {
     "q_quality_calibrated" -> qQualityCalibratedSql,
     "q_quality_mad"       -> qQualityMadSql,
     "q_quality_ks"        -> qQualityKsSql,
+    "q_tok_budget"        -> qTokBudgetSql,
     "q_chunk_rag"         -> qChunkRagSql,
     "q_clf_score"         -> qClfScoreSql,
     "q_mix_plan"          -> qMixPlanSql,
