@@ -94,6 +94,30 @@ object TrainingData {
     * scores), never the corpus slice itself. This is the value-histogram
     * rank-selection pattern; PlanHygieneSpec's unbounded-window rule
     * recognizes it by the histogram aggregate under the window. */
+  private val scoredCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), LazyDf]()
+
+  /** Memoized (source, nt, score) relation — the lexical-diversity score
+    * each selection operator ranks by. A real pipeline scores the corpus
+    * ONCE and then selects many ways (deciles, calibrated top-k, MAD
+    * outliers, KS drift, token budgets), so the engine does too: one
+    * tokenize+scan pass per (session, sf-dir), shared by all five
+    * consumers (same holder + dead-session-sweep pattern as the dedup
+    * family's shingle cache). */
+  private[graft] def scoredDocs(s: SparkSession, dir: String): DataFrame = {
+    scoredCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    scoredCache.computeIfAbsent((s, dir), _ => new LazyDf(() => {
+      import s.implicits._
+      val toks = tokens($"text")
+      Memo.materialize(Tables.documents(s, dir)
+        .select($"source",
+          size(toks).cast("long").as("nt"),
+          size(array_distinct(toks)).cast("long").as("nd"))
+        .filter($"nt" > 0)
+        .select($"source", $"nt", expr("(nd * 1000000L) DIV nt").as("score")))
+    })).df
+  }
+
   private def rankSpans(d: DataFrame, valueCol: String): DataFrame = {
     import d.sparkSession.implicits._
     d.groupBy($"source", col(valueCol)).agg(count(lit(1)).as("cnt"))
@@ -122,13 +146,7 @@ object TrainingData {
     * broadcasts it; nothing unbounded is pinned. */
   def qQualityDeciles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = tokens($"text")
-    val scored = Tables.documents(s, dir)
-      .select($"source",
-        size(toks).cast("long").as("nt"),
-        size(array_distinct(toks)).cast("long").as("nd"))
-      .filter($"nt" > 0)
-      .select($"source", expr("(nd * 1000000L) DIV nt").as("score"))
+    val scored = scoredDocs(s, dir).select($"source", $"score")
     val spans = rankSpans(scored, "score")
     val deciles = spans.groupBy($"source").agg(sum($"cnt").as("n"))
       .select($"source", $"n", explode(sequence(lit(1L), lit(10L))).as("decile"))
@@ -177,13 +195,7 @@ object TrainingData {
     * scanned once and nothing unbounded is sorted in one task. */
   def qQualityCalibrated(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = tokens($"text")
-    val scored = Tables.documents(s, dir)
-      .select($"source",
-        size(toks).cast("long").as("nt"),
-        size(array_distinct(toks)).cast("long").as("nd"))
-      .filter($"nt" > 0)
-      .select($"source", expr("(nd * 1000000L) DIV nt").as("score"))
+    val scored = scoredDocs(s, dir).select($"source", $"score")
     val spans = rankSpans(scored, "score")
     spans.join(spans.groupBy($"source").agg(sum($"cnt").as("n")), "source")
       .withColumn("k", expr("(n * 30 + 99) DIV 100"))
@@ -283,13 +295,7 @@ object TrainingData {
     * |sources| rows — AQE broadcasts them into the flagging join. */
   def qQualityMad(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = tokens($"text")
-    val scored = Tables.documents(s, dir)
-      .select($"source",
-        size(toks).cast("long").as("nt"),
-        size(array_distinct(toks)).cast("long").as("nd"))
-      .filter($"nt" > 0)
-      .select($"source", expr("(nd * 1000000L) DIV nt").as("score"))
+    val scored = scoredDocs(s, dir).select($"source", $"score")
     val sp1 = rankSpans(scored, "score")
     val med = sp1.join(sp1.groupBy($"source").agg(sum($"cnt").as("n")), "source")
       .withColumn("r", expr("(n + 1) DIV 2"))
@@ -432,13 +438,7 @@ object TrainingData {
     * pattern); output is |sources| rows. */
   def qTokBudget(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = tokens($"text")
-    val scored = Tables.documents(s, dir)
-      .select($"source",
-        size(toks).cast("long").as("nt"),
-        size(array_distinct(toks)).cast("long").as("nd"))
-      .filter($"nt" > 0)
-      .select($"source", $"nt", expr("(nd * 1000000L) DIV nt").as("score"))
+    val scored = scoredDocs(s, dir)
     val hist = scored.groupBy($"source", $"score")
       .agg(count(lit(1)).as("cnt"), sum($"nt").as("mass"))
     val w = Window.partitionBy($"source").orderBy($"score".desc)
@@ -500,13 +500,8 @@ object TrainingData {
     * PlanHygieneSpec's unbounded-window rule with that justification. */
   def qQualityKs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = tokens($"text")
-    val hist = Tables.documents(s, dir)
-      .select($"source",
-        size(toks).cast("long").as("nt"),
-        size(array_distinct(toks)).cast("long").as("nd"))
-      .filter($"nt" > 0)
-      .select($"source", expr("((nd * 1000000L) DIV nt) DIV 1000").as("b"))
+    val hist = scoredDocs(s, dir)
+      .select($"source", expr("score DIV 1000").as("b"))
       .groupBy($"source", $"b").agg(count(lit(1)).as("cnt"))
     val grid = hist.select($"source").distinct()
       .select($"source", explode(sequence(lit(0L), lit(1000L))).as("b"))
