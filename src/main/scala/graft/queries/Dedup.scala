@@ -887,6 +887,90 @@ object Dedup {
       |    // (count(*) * 1000000) AS eff_pct
       |FROM d GROUP BY source""".stripMargin
 
+  /** TRIANGLE CENSUS of the near-dup graph — exact triangle and wedge
+    * counts plus the global clustering coefficient (3·triangles /
+    * wedges, integer ppm). High transitivity says near-duplication is
+    * CLUSTERED (mirror farms, template families — CC clustering is the
+    * right removal unit); low transitivity says pairwise-chained
+    * borderline matches (clustering over-merges). Algorithm is the
+    * ordered-orientation join (Suri & Vassilvitskii): every triangle
+    * a<b<c is counted ONCE by joining ordered edges (a,b)⋈(b,c) and
+    * semi-joining the closing edge (a,c) — the orientation caps each
+    * wedge pivot at its higher-ordered neighbors, the standard
+    * quadratic-blowup guard at scale. Wedges are a degree aggregate
+    * (deg·(deg−1)/2), no join at all. */
+  def qGraphTriangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = jaccardPairsCached(s, dir).select($"doc_a", $"doc_b")
+    val wedges = e.select(explode(array($"doc_a", $"doc_b")).as("v"))
+      .groupBy($"v").agg(count(lit(1)).as("deg"))
+      .agg(sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"),
+        count(lit(1)).as("n_nodes"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), $"e1.doc_b" === $"e2.doc_a")
+      .select($"e1.doc_a".as("doc_a"), $"e2.doc_b".as("doc_b"))
+      .join(e, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val edges = e.agg(count(lit(1)).as("n_edges"))
+    edges.crossJoin(tri).crossJoin(wedges)
+      .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
+        when($"n_wedges" > 0L,
+            expr("(n_triangles * 3 * 1000000L) DIV n_wedges"))
+          .otherwise(0L).as("transitivity_ppm"))
+  }
+
+  val qGraphTrianglesSql: String =
+    shinglesCte + """,
+      | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      | inter AS (
+      |   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |   GROUP BY 1, 2),
+      | e AS (
+      |   SELECT doc_a, doc_b
+      |   FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+      |   WHERE i * 5 >= (x.n + y.n - i) * 3),
+      | deg AS (
+      |   SELECT v, count(*) AS deg FROM (
+      |     SELECT doc_a AS v FROM e UNION ALL SELECT doc_b FROM e)
+      |   GROUP BY 1),
+      | wd AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges,
+      |               count(*) AS n_nodes FROM deg),
+      | tr AS (
+      |   SELECT count(*) AS n_triangles
+      |   FROM e e1 JOIN e e2 ON e1.doc_b = e2.doc_a
+      |   WHERE EXISTS (SELECT 1 FROM e e3
+      |                 WHERE e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)),
+      | ec AS (SELECT count(*) AS n_edges FROM e)
+      |SELECT n_nodes, n_edges, n_wedges, CAST(n_triangles AS BIGINT) AS n_triangles,
+      |  CASE WHEN n_wedges > 0
+      |    THEN (CAST(n_triangles AS BIGINT) * 3 * 1000000) // n_wedges
+      |    ELSE 0 END AS transitivity_ppm
+      |FROM ec CROSS JOIN tr CROSS JOIN wd""".stripMargin
+
+  /** Duplication-cluster SIZE PROFILE — the near-dup cluster size
+    * histogram: how many clusters of size 2, 3, … the corpus carries,
+    * with doc mass per size. The shape report behind choosing a removal
+    * policy (a few huge template families vs many pairwise dups behave
+    * differently under keep-one). Scale: one aggregate over the
+    * memoized cluster assignment, then a |distinct sizes|-bounded
+    * re-aggregate. */
+  def qClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    clusters(s, dir)
+      .groupBy($"cluster").agg(count(lit(1)).as("csz"))
+      .groupBy($"csz")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum($"csz").as("n_docs"))
+  }
+
+  val qClusterSizesSql: String =
+    clusterCte + """,
+      | cs AS (SELECT cluster, count(*) AS csz FROM cl GROUP BY 1)
+      |SELECT csz, count(*) AS n_clusters,
+      |  CAST(sum(csz) AS BIGINT) AS n_docs
+      |FROM cs GROUP BY 1""".stripMargin
+
   /** CROSS-SOURCE DUPLICATION FLOW — the near-dup pair graph rolled up
     * to the (source, source) matrix: which corpora mirror each other
     * (aggregator sites vs their upstreams, CommonCrawl snapshots vs
@@ -1901,6 +1985,8 @@ object Dedup {
     "q_soft_dedup"    -> (qSoftDedup _),
     "q_dedup_agree"   -> (qDedupAgreement _),
     "q_dedup_flow"    -> (qDedupFlow _),
+    "q_graph_triangles" -> (qGraphTriangles _),
+    "q_cluster_sizes" -> (qClusterSizes _),
     "q_minhash_est"   -> (qMinhashEst _),
     "q_dedup_ppr"     -> (qDedupPpr _),
     "q_dedup_contain" -> (qDedupContain _),
@@ -1936,6 +2022,8 @@ object Dedup {
     "q_soft_dedup"    -> qSoftDedupSql,
     "q_dedup_agree"   -> qDedupAgreementSql,
     "q_dedup_flow"    -> qDedupFlowSql,
+    "q_graph_triangles" -> qGraphTrianglesSql,
+    "q_cluster_sizes" -> qClusterSizesSql,
     "q_minhash_est"   -> qMinhashEstSql,
     "q_dedup_ppr"     -> qDedupPprSql,
     "q_dedup_contain" -> qDedupContainSql,

@@ -192,6 +192,69 @@ object Events {
     * At web-scale counts, rescale n (DIV k) before the test or lift the
     * comparison to DECIMAL(38,0): the decision is invariant under common
     * rescaling up to rounding. */
+  /** CHANGEPOINT (level-shift) detection per event type — exact binary
+    * segmentation over the hourly series: for every candidate split
+    * hour t, the gap between the mean hourly rate BEFORE (≤ t) and
+    * AFTER (> t), from prefix sums, in exact integer x100; the reported
+    * changepoint is the argmax gap (earliest hour on ties). The
+    * monitoring primitive behind "did this stream's level shift, and
+    * when" — deployment regressions, upstream outages, traffic
+    * migrations. Scale shape: the corpus-scale work is ONE (event_type,
+    * hour) aggregate; the cumulative window runs over the HOURLY series
+    * (time-domain-bounded, the recognized histogram-under-window
+    * pattern), and the argmax is a |event_type|-row rollup. */
+  def qEvChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourly = Tables.events(s, dir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("hour_ts"), $"event_type", $"n")
+    val w = Window.partitionBy($"event_type").orderBy($"hour_ts".asc)
+    val cum = hourly
+      .withColumn("cum", sum($"n").over(w))
+      .withColumn("idx", row_number().over(w).cast("long"))
+    val tot = hourly.groupBy($"event_type")
+      .agg(count(lit(1)).as("nh"), sum($"n").as("tot"))
+    val gaps = cum.join(tot, "event_type")
+      .filter($"idx" < $"nh")
+      // the filter already excludes idx == nh; the CASE only shields the
+      // divisor from speculative evaluation under ANSI mode
+      .select($"event_type", $"hour_ts", $"nh",
+        abs(expr("(cum * 100L) DIV idx")
+          - expr("((tot - cum) * 100L) DIV (CASE WHEN nh > idx THEN nh - idx ELSE 1L END)")).as("gap_x100"))
+    gaps.groupBy($"event_type").agg(max($"gap_x100").as("max_gap_x100"))
+      .join(gaps, Seq("event_type"))
+      .filter($"gap_x100" === $"max_gap_x100")
+      .groupBy($"event_type")
+      .agg(max($"nh").as("n_hours"), max($"max_gap_x100").as("gap_x100"),
+        min($"hour_ts").as("cp_hour"))
+  }
+
+  val qEvChangepointSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS hour_ts,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, hour_ts, n,
+      |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hour_ts) AS BIGINT) AS cum,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY hour_ts) AS BIGINT) AS idx
+      |  FROM hourly),
+      |tot AS (
+      |  SELECT event_type, count(*) AS nh, CAST(sum(n) AS BIGINT) AS tot
+      |  FROM hourly GROUP BY 1),
+      |gaps AS (
+      |  SELECT cum.event_type AS event_type, hour_ts, tot.nh,
+      |    abs((cum * 100) // idx - ((tot - cum) * 100) // (nh - idx)) AS gap_x100
+      |  FROM cum JOIN tot ON cum.event_type = tot.event_type
+      |  WHERE idx < nh),
+      |mx AS (SELECT event_type, max(gap_x100) AS max_gap FROM gaps GROUP BY 1)
+      |SELECT gaps.event_type AS event_type, max(nh) AS n_hours,
+      |  max(max_gap) AS gap_x100, min(hour_ts) AS cp_hour
+      |FROM gaps JOIN mx ON gaps.event_type = mx.event_type
+      |  AND gaps.gap_x100 = mx.max_gap
+      |GROUP BY 1""".stripMargin
+
   def qEvAnomaly(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val hourly = Tables.events(s, dir)
@@ -506,6 +569,7 @@ object Events {
     "q_ev_gapfill"   -> (qEvGapfill _),
     "q_ev_scd2"      -> (qEvScd2 _),
     "q_ev_anomaly"   -> (qEvAnomaly _),
+    "q_ev_changepoint" -> (qEvChangepoint _),
     "q_ev_retention" -> (qEvRetention _),
     "q_ev_hourly"  -> (qEvHourly _),
     "q_ev_session" -> (qEvSession _),
@@ -523,6 +587,7 @@ object Events {
     "q_ev_gapfill"   -> qEvGapfillSql,
     "q_ev_scd2"      -> qEvScd2Sql,
     "q_ev_anomaly"   -> qEvAnomalySql,
+    "q_ev_changepoint" -> qEvChangepointSql,
     "q_ev_retention" -> qEvRetentionSql,
     "q_ev_hourly"  -> qEvHourlySql,
     "q_ev_session" -> qEvSessionSql,
