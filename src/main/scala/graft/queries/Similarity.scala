@@ -887,9 +887,72 @@ object Similarity {
       |FROM d2 JOIN st ON d2.source = st.source
       |GROUP BY 1""".stripMargin
 
+  /** FILTER-SEPARATION audit — does the rule-based quality filter
+    * correspond to a real direction in embedding space? Per source: the
+    * exact integer squared-L2 distance between the PASS-doc centroid and
+    * the FAIL-doc centroid (same round(x·1e7) fixed-point as the rest of
+    * the embedding family). A near-zero separation says the lexical
+    * rules are invisible to the encoder (filtering is arbitrary in
+    * semantic space); a large one validates the rule set — the check a
+    * pipeline runs before trusting EITHER signal as a training filter.
+    * Scale shape: the (source, pass, dim) centroid aggregate has
+    * corpus-independent state; the doc flag join keys on the id; the
+    * separation join is (source, dim)-bounded. */
+  def qEmbedSep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val flag = graft.queries.TrainingData.qualityMetrics(s, dir)
+      .select($"doc_id".as("vec_id"), $"source", $"q_pass")
+    val v = Tables.embeddings(s, dir).select($"vec_id",
+      transform($"embedding", x => round(x.cast("double") * 1e7).cast("long")).as("vq"))
+    val dims = v.join(flag, "vec_id")
+      .select($"source", $"q_pass", posexplode($"vq").as(Seq("d", "x")))
+    val cent = dims.groupBy($"source", $"q_pass", $"d")
+      .agg(expr("sum(x) DIV count(1)").as("c"))
+    val counts = flag.join(v.select($"vec_id"), "vec_id")
+      .groupBy($"source").agg(
+        sum(when($"q_pass", 1L).otherwise(0L)).as("n_pass"),
+        sum(when(!$"q_pass", 1L).otherwise(0L)).as("n_fail"))
+    cent.filter($"q_pass" === true).select($"source", $"d", $"c".as("cp"))
+      .join(cent.filter($"q_pass" === false)
+        .select($"source", $"d", $"c".as("cf")), Seq("source", "d"))
+      .groupBy($"source")
+      .agg(sum(($"cp" - $"cf") * ($"cp" - $"cf")).as("sep_sq"))
+      .join(counts, "source")
+      .select($"source", $"n_pass", $"n_fail", $"sep_sq")
+  }
+
+  val qEmbedSepSql: String =
+    "WITH " + graft.queries.TrainingData.qualityMetricsCte + """,
+      |v AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS vq
+      |  FROM embeddings),
+      |sv AS (
+      |  SELECT mq.source, mq.q_pass, v.vq
+      |  FROM v JOIN mq ON mq.doc_id = v.vec_id),
+      |dims AS (
+      |  SELECT source, q_pass, r.c.d AS d, r.c.x AS x
+      |  FROM sv, unnest([{'d': i - 1, 'x': vq[i]} for i in range(1, len(vq) + 1)]) r(c)),
+      |cent AS (
+      |  SELECT source, q_pass, d, CAST(sum(x) AS BIGINT) // count(*) AS c
+      |  FROM dims GROUP BY 1, 2, 3),
+      |cnt AS (
+      |  SELECT mq.source,
+      |    CAST(sum(CASE WHEN q_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      |    CAST(sum(CASE WHEN q_pass THEN 0 ELSE 1 END) AS BIGINT) AS n_fail
+      |  FROM mq JOIN v ON mq.doc_id = v.vec_id GROUP BY 1),
+      |sep AS (
+      |  SELECT p.source, CAST(sum((p.c - f.c) * (p.c - f.c)) AS BIGINT) AS sep_sq
+      |  FROM cent p JOIN cent f
+      |    ON p.source = f.source AND p.d = f.d AND p.q_pass AND NOT f.q_pass
+      |  GROUP BY 1)
+      |SELECT sep.source AS source, n_pass, n_fail, sep_sq
+      |FROM sep JOIN cnt ON sep.source = cnt.source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_drift"  -> (qEmbedDrift _),
     "q_embed_outliers" -> (qEmbedOutliers _),
+    "q_embed_sep"    -> (qEmbedSep _),
     "q_embed_quant"  -> (qEmbedQuant _),
     "q_embed_centroids" -> (qEmbedCentroids _),
     "q_ann_range"    -> (qAnnRange _),
@@ -904,6 +967,7 @@ object Similarity {
   def oracles: Map[String, String] = Map(
     "q_embed_drift"  -> qEmbedDriftSql,
     "q_embed_outliers" -> qEmbedOutliersSql,
+    "q_embed_sep"    -> qEmbedSepSql,
     "q_embed_quant"  -> qEmbedQuantSql,
     "q_embed_centroids" -> qEmbedCentroidsSql,
     "q_ann_range"    -> qAnnRangeSql,

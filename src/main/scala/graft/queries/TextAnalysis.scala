@@ -606,6 +606,58 @@ object TextAnalysis {
       |  count(*) AS n_types, CAST(sum(c) AS BIGINT) AS token_mass
       |FROM tc GROUP BY 1, 2""".stripMargin
 
+  /** SCRIPT-MIX audit — per-document character-class decomposition
+    * (ascii letters / digits / whitespace / OTHER, exact codepoint
+    * counts via class-strip length deltas) rolled up per source with
+    * two flags real filters alarm on: `n_mixed` (5–50% other — the
+    * mojibake / mixed-script / injection band: mostly-latin text
+    * carrying a large foreign or garbage payload) and `n_nonlatin`
+    * (> 50% other — a different writing system, which is a ROUTING
+    * decision, not a quality one). Complements [[qTextLangid]]: langid
+    * names the dominant language; this flags documents that do not have
+    * one. Scale: per-row regexp class strips ride the scan; one
+    * source-keyed aggregate. */
+  def qTextScriptmix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .select($"source", $"text",
+        char_length($"text").cast("long").as("n_ch"))
+      .filter($"n_ch" > 0)
+      .select($"source", $"n_ch",
+        ($"n_ch" - char_length(regexp_replace($"text", "[A-Za-z]", ""))).cast("long").as("n_alpha"),
+        ($"n_ch" - char_length(regexp_replace($"text", "[0-9]", ""))).cast("long").as("n_digit"),
+        ($"n_ch" - char_length(regexp_replace($"text", "[ \t\n\r]", ""))).cast("long").as("n_ws"))
+      .withColumn("n_other", $"n_ch" - $"n_alpha" - $"n_digit" - $"n_ws")
+      .withColumn("other_ppm", expr("(n_other * 1000000L) DIV n_ch"))
+    d.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_ch").as("n_chars"),
+        expr("sum(n_other * 1000000L) DIV sum(n_ch)").as("other_ppm"),
+        sum(when($"other_ppm" > 50000L && $"other_ppm" <= 500000L, 1L)
+          .otherwise(0L)).as("n_mixed"),
+        sum(when($"other_ppm" > 500000L, 1L).otherwise(0L)).as("n_nonlatin"))
+  }
+
+  val qTextScriptmixSql: String =
+    """WITH d AS (
+      |  SELECT source, length(text) AS n_ch,
+      |    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+      |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+      |    length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS n_ws
+      |  FROM documents WHERE length(text) > 0),
+      |x AS (
+      |  SELECT source, n_ch,
+      |    n_ch - n_alpha - n_digit - n_ws AS n_other,
+      |    ((n_ch - n_alpha - n_digit - n_ws) * 1000000) // n_ch AS other_ppm
+      |  FROM d)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_ch) AS BIGINT) AS n_chars,
+      |  CAST(sum(n_other * 1000000) AS BIGINT) // CAST(sum(n_ch) AS BIGINT) AS other_ppm,
+      |  CAST(sum(CASE WHEN other_ppm > 50000 AND other_ppm <= 500000
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed,
+      |  CAST(sum(CASE WHEN other_ppm > 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonlatin
+      |FROM x GROUP BY 1""".stripMargin
+
   /** Per-source heavy hitters: each source's top-3 tokens by frequency
     * (ties → lexicographic) — the domain-vocabulary signature used for
     * source fingerprinting and template detection. Same WindowGroupLimit
@@ -1147,6 +1199,7 @@ object TextAnalysis {
     "q_text_hh"          -> (qTextHeavyHitters _),
     "q_text_vocab"       -> (qTextVocab _),
     "q_text_spectrum"    -> (qTextSpectrum _),
+    "q_text_scriptmix"   -> (qTextScriptmix _),
     "q_text_clean"       -> (qTextClean _),
     "q_text_repetition"  -> (qTextRepetition _),
     "q_text_tfidf"       -> (qTextTfidf _),
@@ -1174,6 +1227,7 @@ object TextAnalysis {
     "q_text_hh"          -> qTextHeavyHittersSql,
     "q_text_vocab"       -> qTextVocabSql,
     "q_text_spectrum"    -> qTextSpectrumSql,
+    "q_text_scriptmix"   -> qTextScriptmixSql,
     "q_text_clean"       -> qTextCleanSql,
     "q_text_repetition"  -> qTextRepetitionSql,
     "q_text_tfidf"       -> qTextTfidfSql,
