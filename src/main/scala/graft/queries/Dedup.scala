@@ -892,13 +892,13 @@ object Dedup {
     * wedges, integer ppm). High transitivity says near-duplication is
     * CLUSTERED (mirror farms, template families — CC clustering is the
     * right removal unit); low transitivity says pairwise-chained
-    * borderline matches (clustering over-merges). Algorithm is the
-    * ordered-orientation join (Suri & Vassilvitskii): every triangle
-    * a<b<c is counted ONCE by joining ordered edges (a,b)⋈(b,c) and
-    * semi-joining the closing edge (a,c) — the orientation caps each
-    * wedge pivot at its higher-ordered neighbors, the standard
-    * quadratic-blowup guard at scale. Wedges are a degree aggregate
-    * (deg·(deg−1)/2), no join at all. */
+    * borderline matches (clustering over-merges). Counting reuses
+    * [[graft.operators.Triangles]] — the DEGREE-oriented wedge join
+    * (Latapy 2008; O(E^1.5) worst-case wedge volume, randomized
+    * brute-force spec'd), which beats id-ordering exactly on the hub
+    * nodes a template family creates; the global count is the per-node
+    * sum DIV 3. Wedges are a degree aggregate (deg·(deg−1)/2), no join
+    * at all. */
   def qGraphTriangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = jaccardPairsCached(s, dir).select($"doc_a", $"doc_b")
@@ -906,11 +906,9 @@ object Dedup {
       .groupBy($"v").agg(count(lit(1)).as("deg"))
       .agg(sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"),
         count(lit(1)).as("n_nodes"))
-    val tri = e.as("e1")
-      .join(e.as("e2"), $"e1.doc_b" === $"e2.doc_a")
-      .select($"e1.doc_a".as("doc_a"), $"e2.doc_b".as("doc_b"))
-      .join(e, Seq("doc_a", "doc_b"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+    val tri = graft.operators.Triangles.perNode(e)
+      .agg(coalesce(sum($"n_triangles"), lit(0L)).as("t3"))
+      .select(expr("t3 DIV 3").as("n_triangles"))
     val edges = e.agg(count(lit(1)).as("n_edges"))
     edges.crossJoin(tri).crossJoin(wedges)
       .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
