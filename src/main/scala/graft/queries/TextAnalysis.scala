@@ -617,25 +617,30 @@ object TextAnalysis {
     * names the dominant language; this flags documents that do not have
     * one. Scale: per-row regexp class strips ride the scan; one
     * source-keyed aggregate. */
-  def qTextScriptmix(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val d = Tables.documents(s, dir)
-      .select($"source", $"text",
-        char_length($"text").cast("long").as("n_ch"))
-      .filter($"n_ch" > 0)
-      .select($"source", $"n_ch",
-        ($"n_ch" - char_length(regexp_replace($"text", "[A-Za-z]", ""))).cast("long").as("n_alpha"),
-        ($"n_ch" - char_length(regexp_replace($"text", "[0-9]", ""))).cast("long").as("n_digit"),
-        ($"n_ch" - char_length(regexp_replace($"text", "[ \t\n\r]", ""))).cast("long").as("n_ws"))
-      .withColumn("n_other", $"n_ch" - $"n_alpha" - $"n_digit" - $"n_ws")
+  def qTextScriptmix(s: SparkSession, dir: String): DataFrame =
+    scriptmixCols(Tables.documents(s, dir))
+
+  /** Shared batch/streaming core of [[qTextScriptmix]]: stateless
+    * per-row class strips + ONE aggregation, so the streaming twin is a
+    * single legal complete-mode aggregation. */
+  private[graft] def scriptmixCols(docs: DataFrame): DataFrame = {
+    val d = docs
+      .select(col("source"), col("text"),
+        char_length(col("text")).cast("long").as("n_ch"))
+      .filter(col("n_ch") > 0)
+      .select(col("source"), col("n_ch"),
+        (col("n_ch") - char_length(regexp_replace(col("text"), "[A-Za-z]", ""))).cast("long").as("n_alpha"),
+        (col("n_ch") - char_length(regexp_replace(col("text"), "[0-9]", ""))).cast("long").as("n_digit"),
+        (col("n_ch") - char_length(regexp_replace(col("text"), "[ \t\n\r]", ""))).cast("long").as("n_ws"))
+      .withColumn("n_other", col("n_ch") - col("n_alpha") - col("n_digit") - col("n_ws"))
       .withColumn("other_ppm", expr("(n_other * 1000000L) DIV n_ch"))
-    d.groupBy($"source")
+    d.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum($"n_ch").as("n_chars"),
+        sum(col("n_ch")).as("n_chars"),
         expr("sum(n_other * 1000000L) DIV sum(n_ch)").as("other_ppm"),
-        sum(when($"other_ppm" > 50000L && $"other_ppm" <= 500000L, 1L)
+        sum(when(col("other_ppm") > 50000L && col("other_ppm") <= 500000L, 1L)
           .otherwise(0L)).as("n_mixed"),
-        sum(when($"other_ppm" > 500000L, 1L).otherwise(0L)).as("n_nonlatin"))
+        sum(when(col("other_ppm") > 500000L, 1L).otherwise(0L)).as("n_nonlatin"))
   }
 
   val qTextScriptmixSql: String =

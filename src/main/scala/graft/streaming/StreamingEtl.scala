@@ -135,6 +135,14 @@ object StreamingEtl {
   def chunkStream(docs: DataFrame): DataFrame =
     graft.queries.TrainingData.chunkRagCols(docs)
 
+  /** Streaming SCRIPT-MIX audit — the online form of
+    * queries.TextAnalysis.qTextScriptmix: per-row character-class strips
+    * are stateless, so the per-source mojibake/mixed-script report is one
+    * streaming aggregation in complete mode; at-ingest monitoring of an
+    * encoding regression in an upstream feed. */
+  def scriptmixStream(docs: DataFrame): DataFrame =
+    graft.queries.TextAnalysis.scriptmixCols(docs)
+
   /** Streaming DECONTAMINATION at ingest — the online form of
     * queries.Dedup.qDecontaminateBloom: train documents arriving on the
     * stream explode into shingles, probe the fixed-size eval bloom sketch

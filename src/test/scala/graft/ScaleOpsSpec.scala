@@ -543,6 +543,44 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("changepoint: gated argmax equals a brute-force scan of the hourly series") {
+    import spark.implicits._
+    val hourly = Tables.events(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.window($"ts", "1 hour"), $"event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .select($"event_type", $"window.start".as("h"), $"n")
+      .as[(String, java.sql.Timestamp, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2.getTime).map(x => (x._2, x._3)))
+    val got = graft.queries.Events.qEvChangepoint(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getTimestamp(3))).toMap
+    assert(got.keySet == hourly.keySet.toSet)
+    hourly.foreach { case (et, series) =>
+      val tot = series.map(_._2).sum
+      var cum = 0L
+      val gaps = series.zipWithIndex.dropRight(1).map { case ((h, n), i0) =>
+        val idx = i0 + 1L; cum += n
+        val nh = series.length.toLong
+        (h, math.abs(cum * 100L / idx - (tot - cum) * 100L / (nh - idx)))
+      }
+      val best = gaps.map(_._2).max
+      val cpHour = gaps.filter(_._2 == best).map(_._1.getTime).min
+      val (nHours, gapX100, cp) = got(et)
+      assert(nHours == series.length.toLong && gapX100 == best &&
+        cp.getTime == cpHour, s"$et: got ${got(et)} want ($best, $cpHour)")
+    }
+  }
+
+  test("triangle census: transitivity bounded and consistent with per-node counts") {
+    val r = graft.queries.Dedup.qGraphTriangles(spark, sf).collect()(0)
+    val (nodes, edges, wedges, tris, ppm) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(edges > 0 && nodes > 0)
+    assert(tris * 3 <= wedges, s"3*$tris > $wedges wedges") // every triangle closes 3 wedges
+    assert(ppm >= 0 && ppm <= 1000000L)
+    assert(ppm == (if (wedges > 0) tris * 3 * 1000000L / wedges else 0L))
+  }
+
   test("triangle counting on degenerate graphs: empty, triangle-free, self-loops only") {
     import spark.implicits._
     def run(edges: Seq[(Long, Long)]): Map[Long, Long] =

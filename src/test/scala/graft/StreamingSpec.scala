@@ -127,6 +127,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("script-mix audit on a document stream equals the batch operator (stream == batch)") {
+    val dir = s"$tmp/docs_scriptmix_input"
+    Tables.documents(spark, sf).select("doc_id", "source", "text").write.json(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(dir)
+    StreamingEtl.runToMemory(
+      StreamingEtl.scriptmixStream(stream),
+      "scriptmix", s"$tmp/cp_scriptmix") // streaming agg: complete mode
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("source", "n_docs", "n_chars", "other_ppm", "n_mixed", "n_nonlatin")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+    val streamed = key(spark.table("scriptmix"))
+    val batch = key(SparkEntry.queries("q_text_scriptmix")(spark, sf))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("LM-coverage scoring on a document stream equals the batch operator (stream == batch)") {
     val lm = graft.queries.TrainingData.lmTop500(
       graft.queries.TrainingData.bigramsOf(Tables.documents(spark, sf)))
