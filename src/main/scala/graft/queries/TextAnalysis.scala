@@ -318,6 +318,103 @@ object TextAnalysis {
       .withColumn("err_ppm", expr("(abs(est_direct - n_exact) * 1000000L) DIV n_exact"))
   }
 
+  /** PAIRWISE SOURCE OVERLAP from sketch algebra — the |sources|²
+    * overlap matrix WITHOUT any corpus-scale pair join: each source
+    * keeps a K=256 k-minimum-values sketch of its distinct-shingle
+    * hashes; a pair's union estimate comes from merging the two
+    * K-sets and re-trimming to K, and the intersection falls out by
+    * inclusion–exclusion (clamped at 0). This is the 100 TB form of
+    * [[qTextOverlap]]'s exact matrix: per-pair state is ≤ 2K hashes —
+    * corpus-size-INDEPENDENT — and the estimator is the same
+    * deterministic (K−1)·2⁶⁰/h_K rule [[qKmvDistinct]] gates, so the
+    * whole matrix hash-gates cross-engine. Unsaturated sketches (< K
+    * hashes) fall back to exact counts, making small sources exact.
+    * The source-list cartesian is |sources|² rows — constant at any
+    * corpus (PlanHygieneSpec whitelist). */
+  def qKmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val K = 256
+    val hashes = graft.queries.Dedup.docShinglesSrc(s, dir)
+      .select($"source", explode($"sh").as("sng"))
+      .select($"source", hash60($"sng").as("h")).distinct()
+    val sk = Memo.materialize(hashes
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"h".asc)).cast("long"))
+      .filter($"rk" <= K)
+      .select($"source", $"h"))
+    def estOver(g: DataFrame, keys: Seq[String], out: String): DataFrame =
+      g.groupBy(keys.map(col): _*)
+        .agg(max($"h").as("h_k"), count(lit(1)).as("k_eff"))
+        .select(keys.map(col) :+
+          when($"k_eff" < K, $"k_eff")
+            .otherwise(round(lit(255.0) * lit(1.152921504606846976e18) /
+              $"h_k".cast("double")).cast("long"))
+            .cast("long").as(out): _*)
+    val estS = estOver(sk, Seq("source"), "est")
+    val srcs = sk.select($"source").distinct()
+    val pr = srcs.select($"source".as("src_a"))
+      .crossJoin(srcs.select($"source".as("src_b")))
+      .filter($"src_a" < $"src_b")
+    val m = pr.join(sk.withColumnRenamed("source", "src_a"), "src_a")
+      .select($"src_a", $"src_b", $"h")
+      .union(pr.join(sk.withColumnRenamed("source", "src_b"), "src_b")
+        .select($"src_a", $"src_b", $"h"))
+      .distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"src_a", $"src_b").orderBy($"h".asc)).cast("long"))
+      .filter($"rk" <= K)
+    estOver(m, Seq("src_a", "src_b"), "est_union")
+      .join(estS.select($"source".as("src_a"), $"est".as("est_a")), "src_a")
+      .join(estS.select($"source".as("src_b"), $"est".as("est_b")), "src_b")
+      .select($"src_a", $"src_b", $"est_a", $"est_b", $"est_union",
+        greatest(lit(0L), $"est_a" + $"est_b" - $"est_union").as("est_inter"))
+  }
+
+  val qKmvOverlapSql: String =
+    """WITH toks AS (
+      |  SELECT source, list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |dt AS (
+      |  SELECT DISTINCT source, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS sng
+      |  FROM toks WHERE len(t) >= 3),
+      |hashed AS (
+      |  SELECT DISTINCT source, ('0x' || substr(md5(sng), 18, 15))::BIGINT AS h FROM dt),
+      |sk AS (
+      |  SELECT source, h FROM (
+      |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+      |    FROM hashed) WHERE rk <= 256),
+      |est_s AS (
+      |  SELECT source,
+      |    CAST(CASE WHEN count(*) < 256 THEN count(*)
+      |      ELSE CAST(round(255.0 * 1.152921504606846976e18 / max(h)) AS BIGINT)
+      |    END AS BIGINT) AS est
+      |  FROM sk GROUP BY 1),
+      |srcs AS (SELECT DISTINCT source FROM sk),
+      |pr AS (
+      |  SELECT a.source AS src_a, b.source AS src_b
+      |  FROM srcs a JOIN srcs b ON a.source < b.source),
+      |m AS (
+      |  SELECT src_a, src_b, h FROM pr JOIN sk ON sk.source = pr.src_a
+      |  UNION
+      |  SELECT src_a, src_b, h FROM pr JOIN sk ON sk.source = pr.src_b),
+      |mk AS (
+      |  SELECT src_a, src_b, h FROM (
+      |    SELECT src_a, src_b, h,
+      |      row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rk
+      |    FROM m) WHERE rk <= 256),
+      |est_u AS (
+      |  SELECT src_a, src_b,
+      |    CAST(CASE WHEN count(*) < 256 THEN count(*)
+      |      ELSE CAST(round(255.0 * 1.152921504606846976e18 / max(h)) AS BIGINT)
+      |    END AS BIGINT) AS est_union
+      |  FROM mk GROUP BY 1, 2)
+      |SELECT e.src_a AS src_a, e.src_b AS src_b, a.est AS est_a,
+      |  b.est AS est_b, e.est_union,
+      |  greatest(0, a.est + b.est - e.est_union) AS est_inter
+      |FROM est_u e JOIN est_s a ON a.source = e.src_a
+      |  JOIN est_s b ON b.source = e.src_b""".stripMargin
+
   val qKmvMergeSql: String =
     """WITH toks AS (
       |  SELECT source, list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '') AS t
@@ -1217,6 +1314,7 @@ object TextAnalysis {
     "q_chisq"            -> (qChisq _),
     "q_kmv_distinct"     -> (qKmvDistinct _),
     "q_kmv_merge"        -> (qKmvMerge _),
+    "q_kmv_overlap"      -> (qKmvOverlap _),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1245,5 +1343,6 @@ object TextAnalysis {
     "q_chisq"            -> qChisqSql,
     "q_kmv_distinct"     -> qKmvDistinctSql,
     "q_kmv_merge"        -> qKmvMergeSql,
+    "q_kmv_overlap"      -> qKmvOverlapSql,
   )
 }

@@ -40,7 +40,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_text_bpe_apply",     // same 1-row top-merge limit broadcast
     "q_source_terms",       // crossJoin(broadcast(1-row grand-total agg))
     "q_quality_ks",         // crossJoin(broadcast(1-row corpus-count agg))
-    "q_graph_triangles")    // cross of THREE 1-row aggs (edges/tri/wedges)
+    "q_graph_triangles",    // cross of THREE 1-row aggs (edges/tri/wedges)
+    "q_kmv_overlap")        // source-LIST cartesian: |sources|² rows at any corpus
 
   test("no gated query plans an unlisted cartesian / broadcast nested loop") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>

@@ -543,6 +543,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kmv overlap: sketch-algebra invariants hold and unsaturated pairs are exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.explode
+    val rows = graft.queries.TextAnalysis.qKmvOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, u, i) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      // u >= max(a,b) is DETERMINISTIC (merged k-th minimum can only
+      // shrink); u <= a+b is only true in expectation — each estimate
+      // carries ~1/sqrt(K) noise, so allow 20% slack on the upper bound
+      assert(u >= math.max(a, b), s"union est $u below max($a, $b)")
+      assert(u * 10 <= (a + b) * 12, s"union est $u far above $a + $b")
+      assert(i == math.max(0L, a + b - u) && i <= math.min(a, b))
+    }
+    // accuracy: per-pair intersection error is large for tiny overlaps
+    // (inclusion-exclusion noise scales with UNION size, and the max(0,·)
+    // clamp biases small estimates upward — the documented limitation of
+    // KMV intersections), so assert at the SUM level where noise partially
+    // cancels: total estimated overlap within 3x of total exact overlap.
+    // Deterministic on the fixed corpus; catches sign/formula regressions.
+    val sng = graft.queries.Dedup.docShinglesSrc(spark, sf)
+      .select($"source", explode($"sh").as("sng")).distinct()
+      .as[(String, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val exactSum = rows.map(r => sng(r.getString(0)).intersect(sng(r.getString(1))).size.toLong).sum
+    val estSum = rows.map(_.getLong(5)).sum
+    assert(estSum <= exactSum * 3 && estSum * 3 >= exactSum,
+      s"sum est $estSum vs sum exact $exactSum out of 3x band")
+  }
+
   test("changepoint: gated argmax equals a brute-force scan of the hourly series") {
     import spark.implicits._
     val hourly = Tables.events(spark, sf)
