@@ -643,6 +643,29 @@ object TextAnalysis {
       |  length(text) AS len_raw, length(cleaned) AS len_clean
       |FROM c""".stripMargin
 
+  private final class LazyDf(compute: () => org.apache.spark.sql.DataFrame) {
+    lazy val df: org.apache.spark.sql.DataFrame = compute()
+  }
+  private val vocabCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), LazyDf]()
+
+  /** Memoized (source, tok, cnt) TOKEN VOCABULARY — the frequency
+    * dictionary every vocabulary-shaped operator starts from (vocab
+    * stats, spectrum, heavy hitters, drift, OOV, distinctive terms, the
+    * whole BPE family). A real pipeline counts tokens ONCE; Zipf makes
+    * the vocabulary orders of magnitude smaller than the token stream,
+    * so every consumer then works at vocabulary scale. Same holder +
+    * dead-session-sweep pattern as the bigram and shingle caches. */
+  private[graft] def tokVocab(s: SparkSession, dir: String): DataFrame = {
+    vocabCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    vocabCache.computeIfAbsent((s, dir), _ => new LazyDf(() => {
+      import s.implicits._
+      Memo.materialize(Tables.documents(s, dir)
+        .select($"source", explode(tokens($"text")).as("tok"))
+        .groupBy($"source", $"tok").agg(count(lit(1)).as("cnt")))
+    })).df
+  }
+
   /** Per-source vocabulary richness (Heaps'-law style corpus health
     * signals): token volume, distinct types, hapax legomena (types seen
     * once — the growth frontier of the vocabulary), and type-token ratio
@@ -652,9 +675,7 @@ object TextAnalysis {
     * then source) with map-side partials — linear, no cross-doc work. */
   def qTextVocab(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .select($"source", explode(tokens($"text")).as("tok"))
-      .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+    tokVocab(s, dir).select($"source", $"tok", $"cnt".as("c"))
       .groupBy($"source")
       .agg(sum($"c").as("n_tokens"),
            count(lit(1)).as("n_types"),
@@ -686,9 +707,7 @@ object TextAnalysis {
     * ≤ |sources|·64 octave cells. */
   def qTextSpectrum(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .select($"source", explode(tokens($"text")).as("tok"))
-      .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+    tokVocab(s, dir).select($"source", $"tok", $"cnt".as("c"))
       .select($"source", length(bin($"c")).cast("long").as("octave"), $"c")
       .groupBy($"source", $"octave")
       .agg(count(lit(1)).as("n_types"), sum($"c").as("token_mass"))
@@ -770,9 +789,7 @@ object TextAnalysis {
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"source").orderBy($"c".desc, $"tok".asc)
-    Tables.documents(s, dir)
-      .select($"source", explode(tokens($"text")).as("tok"))
-      .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+    tokVocab(s, dir).select($"source", $"tok", $"cnt".as("c"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= 3)
       .select($"source", $"rk", $"tok", $"c")
@@ -806,9 +823,7 @@ object TextAnalysis {
     * 1-row N_0 total is broadcast. */
   def qTextDrift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tc = Tables.documents(s, dir)
-      .select($"source", explode(tokens($"text")).as("tok"))
-      .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+    val tc = tokVocab(s, dir).select($"source", $"tok", $"cnt".as("c"))
     val totals = tc.groupBy($"source").agg(sum($"c").as("n"))
     val ref = tc.filter($"source" === "src0")
       .select($"tok", $"c".as("c0"))
@@ -1026,13 +1041,16 @@ object TextAnalysis {
   def qTextBpe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val pairs = Tables.documents(s, dir)
-      .select(explode(tokens($"text")).as("tok"))
+    // learn on the WEIGHTED VOCABULARY (round-6): pair counts are
+    // sum(cnt) over distinct tokens, identical to instance counts but
+    // Zipf-small — the word-frequency-dict form every BPE trainer uses
+    val pairs = tokVocab(s, dir)
+      .groupBy($"tok").agg(sum($"cnt").as("cnt"))
       .filter(length($"tok") >= 2)
-      .select(explode(expr(
+      .select($"cnt", explode(expr(
         "transform(sequence(1, char_length(tok) - 1), i -> substring(tok, i, 2))"))
         .as("pair"))
-    pairs.groupBy($"pair").agg(count(lit(1)).as("n"))
+    pairs.groupBy($"pair").agg(sum($"cnt").as("n"))
       .orderBy($"n".desc, $"pair".asc).limit(20)
       .withColumn("rk", row_number().over(
         Window.orderBy($"n".desc, $"pair".asc)).cast("long"))
@@ -1060,14 +1078,16 @@ object TextAnalysis {
   def qTextBpe2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(s, dir)
-      .select(explode(tokens($"text")).as("tok"))
+    // weighted-vocabulary form (round-6): both learning rounds run at
+    // vocabulary scale; counts are exact instance counts via sum(cnt)
+    val toks = tokVocab(s, dir)
+      .groupBy($"tok").agg(sum($"cnt").as("cnt"))
       .filter(length($"tok") >= 2)
     val merge1 = toks
-      .select(explode(expr(
+      .select($"cnt", explode(expr(
         "transform(sequence(1, char_length(tok) - 1), i -> substring(tok, i, 2))"))
         .as("pair"))
-      .groupBy($"pair").agg(count(lit(1)).as("n"))
+      .groupBy($"pair").agg(sum($"cnt").as("n"))
       .orderBy($"n".desc, $"pair".asc).limit(1)
       .select(expr(
         "CASE WHEN substr(pair, 1, 1) = substr(pair, 2, 1) " +
@@ -1080,14 +1100,14 @@ object TextAnalysis {
           |         i -> i = 1 OR substring(tok, i - 1, 2) != m),
           |  i -> CASE WHEN substring(tok, i, 2) = m THEN m
           |       ELSE substring(tok, i, 1) END)""".stripMargin).as("syms"),
-        $"m")
+        $"m", $"cnt")
       .filter(size($"syms") >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(syms) - 1), " +
         "j -> concat(element_at(syms, j), ' ', element_at(syms, j + 1)))"))
-        .as("pair"), $"m")
+        .as("pair"), $"m", $"cnt")
     pairs2.groupBy($"pair")
-      .agg(count(lit(1)).as("n"), first($"m").as("merge1"))
+      .agg(sum($"cnt").as("n"), first($"m").as("merge1"))
       .orderBy($"n".desc, $"pair".asc).limit(20)
       .withColumn("rk", row_number().over(
         Window.orderBy($"n".desc, $"pair".asc)).cast("long"))
@@ -1148,9 +1168,7 @@ object TextAnalysis {
     * token instances are never re-scanned after the first aggregate. */
   def qVocabOov(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val st = Tables.documents(s, dir)
-      .select($"source", explode(tokens($"text")).as("tok"))
-      .groupBy($"source", $"tok").agg(count(lit(1)).as("n"))
+    val st = tokVocab(s, dir).select($"source", $"tok", $"cnt".as("n"))
     val vocab = st.groupBy($"tok").agg(sum($"n").as("cn"))
       .orderBy($"cn".desc, $"tok".asc).limit(24)
       .select($"tok", lit(true).as("in_vocab"))
@@ -1189,27 +1207,29 @@ object TextAnalysis {
     * shuffle is the source-bounded final aggregate. */
   def qTextBpeApply(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = Tables.documents(s, dir)
-      .select($"source", explode(tokens($"text")).as("tok"))
+    // weighted-vocabulary form (round-6): learn globally and apply per
+    // (source, token-type), weighting every per-token stat by cnt
+    val toks = tokVocab(s, dir)
     val merge1 = toks
+      .groupBy($"tok").agg(sum($"cnt").as("cnt"))
       .filter(length($"tok") >= 2)
-      .select(explode(expr(
+      .select($"cnt", explode(expr(
         "transform(sequence(1, char_length(tok) - 1), i -> substring(tok, i, 2))"))
         .as("pair"))
-      .groupBy($"pair").agg(count(lit(1)).as("n"))
+      .groupBy($"pair").agg(sum($"cnt").as("n"))
       .orderBy($"n".desc, $"pair".asc).limit(1)
       .select(expr(
         "CASE WHEN substr(pair, 1, 1) = substr(pair, 2, 1) " +
         "THEN raise_error('q_text_bpe_apply: self-pair top merge not supported') " +
         "ELSE pair END").as("m"))
     toks.crossJoin(broadcast(merge1))
-      .select($"source", char_length($"tok").as("nch"),
+      .select($"source", $"cnt", char_length($"tok").as("nch"),
         expr("size(filter(sequence(1, char_length(tok)), " +
              "i -> i = 1 OR substring(tok, i - 1, 2) != m))").as("nsym"))
       .groupBy($"source")
-      .agg(count(lit(1)).as("n_toks"),
-        sum($"nch".cast("long")).as("n_chars"),
-        sum($"nsym".cast("long")).as("n_syms"))
+      .agg(sum($"cnt").as("n_toks"),
+        sum($"nch".cast("long") * $"cnt").as("n_chars"),
+        sum($"nsym".cast("long") * $"cnt").as("n_syms"))
       .select($"source", $"n_toks", $"n_chars", $"n_syms",
         expr("(n_syms * 10000L) DIV n_toks").as("fert_x10k"),
         expr("(n_syms * 1000000L) DIV n_chars").as("compress_ppm"))
@@ -1252,9 +1272,7 @@ object TextAnalysis {
     * WindowGroupLimit bounded heaps (never a full per-source sort). */
   def qSourceTerms(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val st = Tables.documents(s, dir)
-      .select($"source", explode(tokens($"text")).as("tok"))
-      .groupBy($"source", $"tok").agg(count(lit(1)).as("n"))
+    val st = tokVocab(s, dir).select($"source", $"tok", $"cnt".as("n"))
     val stot = st.groupBy($"source").agg(sum($"n").as("s_tot"))
     val ctot = st.groupBy($"tok").agg(sum($"n").as("c_n"))
     val gtot = st.agg(sum($"n").as("g_tot"))
