@@ -335,14 +335,17 @@ object TextAnalysis {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val K = 256
-    val hashes = graft.queries.Dedup.docShinglesSrc(s, dir)
+    // sketch build is the ALGEBRAIC bounded min-K aggregate (round-6):
+    // partial aggregation ships <= K values per map partition, never the
+    // distinct hash universe — the form that scales; equality with the
+    // distinct+row_number formulation is spec'd in TrainingOpsSpec
+    val minK = new graft.functions.MinKDistinctAggregator(K).toColumn
+    val sk = Memo.materialize(graft.queries.Dedup.docShinglesSrc(s, dir)
       .select($"source", explode($"sh").as("sng"))
-      .select($"source", hash60($"sng").as("h")).distinct()
-    val sk = Memo.materialize(hashes
-      .withColumn("rk", row_number().over(
-        Window.partitionBy($"source").orderBy($"h".asc)).cast("long"))
-      .filter($"rk" <= K)
-      .select($"source", $"h"))
+      .select($"source", hash60($"sng").as("h"))
+      .as[(String, Long)].groupByKey(_._1).mapValues(_._2)
+      .agg(minK.name("ks")).toDF("source", "ks")
+      .select($"source", explode($"ks").as("h")))
     def estOver(g: DataFrame, keys: Seq[String], out: String): DataFrame =
       g.groupBy(keys.map(col): _*)
         .agg(max($"h").as("h_k"), count(lit(1)).as("k_eff"))

@@ -414,6 +414,31 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 
+  test("min-k distinct aggregator equals the distinct+row_number formulation") {
+    import SparkTestSession.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val raw = graft.queries.Dedup.docShinglesSrc(spark, sf)
+      .select(col("source"), explode(col("sh")).as("sng"))
+      .select(col("source"), graft.functions.TextFunctions.hash60(col("sng")).as("h"))
+    val declarative = raw.distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h").asc)).cast("long"))
+      .filter(col("rk") <= 256).select("source", "h")
+      .as[(String, Long)].collect().toSet
+    val minK = new graft.functions.MinKDistinctAggregator(256).toColumn
+    val algebraic = raw.as[(String, Long)].groupByKey(_._1).mapValues(_._2)
+      .agg(minK.name("ks")).toDF("source", "ks")
+      .select(col("source"), explode(col("ks")).as("h"))
+      .as[(String, Long)].collect().toSet
+    assert(algebraic == declarative && algebraic.nonEmpty)
+    // duplicate-heavy and tiny-k edge cases
+    val tiny = Seq(("a", 5L), ("a", 5L), ("a", 1L), ("a", 9L), ("a", 1L), ("b", 2L))
+      .toDF("source", "h").as[(String, Long)].groupByKey(_._1).mapValues(_._2)
+      .agg(new graft.functions.MinKDistinctAggregator(2).toColumn.name("ks"))
+      .collect().toMap
+    assert(tiny("a") == Seq(1L, 5L) && tiny("b") == Seq(2L))
+  }
+
   test("chunk_rag: exact overlap identity and bounded chunk fan-out") {
     // stride-48/window-64 chunking pays exactly 16 overlap tokens per
     // internal boundary: toks_emitted == toks_in + 16 * (n_chunks - n_docs)
