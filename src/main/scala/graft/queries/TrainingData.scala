@@ -281,6 +281,49 @@ object TrainingData {
       |    - least(total_tokens // n_sources, src_tokens * 4)) AS shortfall_tokens
       |FROM per_source CROSS JOIN t""".stripMargin
 
+  /** TEMPERATURE-scaled mixing — the multilingual sampling rule
+    * (p_i ∝ supply^α, α = 0.5): up-weights small sources and damps the
+    * head so one giant corpus cannot drown the mix, the standard
+    * compromise between proportional and uniform sampling. Weights are
+    * EXACT integer square roots: for x ≤ 2^52, floor(sqrt(double x)) is
+    * provably exact (the true root's distance to the next integer,
+    * ~1/(2·sqrt(x)), dwarfs a correctly-rounded double's half-ulp), so
+    * both engines produce identical BIGINTs with no boundary cell.
+    * Scale shape: one corpus token-count aggregate; everything after is
+    * |sources| rows against a broadcast 1-row weight total. */
+  def qMixTemperature(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perSource = Tables.documents(s, dir)
+      .select($"source", size(tokens($"text")).cast("long").as("nt"))
+      .groupBy($"source")
+      .agg(sum($"nt").as("src_tokens"), count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt($"src_tokens".cast("double"))).cast("long"))
+    val totals = perSource.agg(
+      sum($"w").as("w_tot"), sum($"src_tokens").as("total_tokens"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("rate_ppm", expr("(w * 1000000L) DIV w_tot"))
+      .withColumn("tokens_drawn", expr("(total_tokens * rate_ppm) DIV 1000000L"))
+      .select($"source", $"n_docs", $"src_tokens", $"w", $"rate_ppm",
+        $"tokens_drawn")
+  }
+
+  val qMixTemperatureSql: String =
+    """WITH per_source AS (
+      |  SELECT source,
+      |    CAST(sum(len(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> ''))) AS BIGINT) AS src_tokens,
+      |    count(*) AS n_docs
+      |  FROM documents GROUP BY source),
+      |w AS (
+      |  SELECT source, n_docs, src_tokens,
+      |    CAST(floor(sqrt(CAST(src_tokens AS DOUBLE))) AS BIGINT) AS w
+      |  FROM per_source),
+      |t AS (SELECT CAST(sum(w) AS BIGINT) AS w_tot,
+      |             CAST(sum(src_tokens) AS BIGINT) AS total_tokens FROM w)
+      |SELECT source, n_docs, src_tokens, w,
+      |  (w * 1000000) // w_tot AS rate_ppm,
+      |  (total_tokens * ((w * 1000000) // w_tot)) // 1000000 AS tokens_drawn
+      |FROM w CROSS JOIN t""".stripMargin
+
   /** ROBUST per-source outlier scoring — median / MAD instead of
     * mean / stddev, so a heavy-tailed score distribution (boilerplate
     * floods, template spam) cannot drag its own threshold: a doc is
@@ -1301,6 +1344,7 @@ object TrainingData {
     "q_shard_manifest"    -> (qShardManifest _),
     "q_mix_plan"          -> (qMixPlan _),
     "q_mix_epochs"        -> (qMixEpochs _),
+    "q_mix_temperature"   -> (qMixTemperature _),
     "q_clf_score"         -> (qClfScore _),
     "q_lm_score"          -> (qLmScore _),
     "q_sample_weighted"   -> (qSampleWeighted _),
@@ -1327,6 +1371,7 @@ object TrainingData {
     "q_clf_score"         -> qClfScoreSql,
     "q_mix_plan"          -> qMixPlanSql,
     "q_mix_epochs"        -> qMixEpochsSql,
+    "q_mix_temperature"   -> qMixTemperatureSql,
     "q_shard_manifest"    -> qShardManifestSql,
     "q_lm_score"          -> qLmScoreSql,
     "q_sample_weighted"   -> qSampleWeightedSql,

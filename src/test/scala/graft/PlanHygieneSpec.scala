@@ -33,6 +33,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_embed_centroids",    // broadcast(label-count-tiny centroid relation) pair join
     "q_mix_plan",           // crossJoin(broadcast(1-row totals agg))
     "q_mix_epochs",         // same 1-row totals broadcast as q_mix_plan
+    "q_mix_temperature",    // same 1-row totals broadcast as q_mix_plan
     "q_dedup_ppr",          // crossJoin(broadcast(1-row seed-count agg))
     "q_kmv_merge",          // crossJoin(broadcast(1-row sketch estimates))
     "q_shard_manifest",     // crossJoin(broadcast(1-row token-total agg))
