@@ -255,6 +255,78 @@ object Events {
       |  AND gaps.gap_x100 = mx.max_gap
       |GROUP BY 1""".stripMargin
 
+  /** ROLLING DISTINCT USERS from daily sketch merges — WAU-style 7-day
+    * distinct counts where each day keeps only a K=256 KMV sketch of its
+    * user-id hashes (built by the bounded
+    * [[graft.functions.MinKDistinctAggregator]]) and a window's count is
+    * estimated by merging seven daily sketches and re-trimming —
+    * [[graft.queries.TextAnalysis.qKmvOverlap]]'s algebra on the time
+    * axis. THE scale pattern for sliding distinct counts: exact rolling
+    * distincts re-shuffle every event per window position, while sketch
+    * state is |days|·K forever (and the merge relation |days|·7·K); the
+    * exact daily distinct rides along for reference. Unsaturated days
+    * (< K users) are exact by the estimator's fallback branch. */
+  def qEvRollingUsers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.hash60
+    val K = 256
+    val minK = new graft.functions.MinKDistinctAggregator(K).toColumn
+    val daily = Tables.events(s, dir)
+      .select(date_trunc("day", $"ts").as("day"),
+        hash60($"user_id".cast("string")).as("h"))
+      .as[(java.sql.Timestamp, Long)].groupByKey(_._1).mapValues(_._2)
+      .agg(minK.name("ks")).toDF("day", "ks")
+    val merged = daily.select($"day")
+      .join(daily.select($"day".as("day2"), $"ks"),
+        $"day2".between($"day" - expr("INTERVAL 6 DAYS"), $"day"))
+      .select($"day", explode($"ks").as("h")).distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"day").orderBy($"h".asc)).cast("long"))
+      .filter($"rk" <= K)
+    val est = merged.groupBy($"day")
+      .agg(max($"h").as("h_k"), count(lit(1)).as("k_eff"))
+      .select($"day",
+        when($"k_eff" < K, $"k_eff")
+          .otherwise(round(lit(255.0) * lit(1.152921504606846976e18) /
+            $"h_k".cast("double")).cast("long"))
+          .cast("long").as("est_users_7d"))
+    val exact1d = Tables.events(s, dir)
+      .groupBy(date_trunc("day", $"ts").as("day"))
+      .agg(countDistinct($"user_id").as("n_users_1d"))
+    est.join(exact1d, "day").select($"day", $"n_users_1d", $"est_users_7d")
+  }
+
+  val qEvRollingUsersSql: String =
+    """WITH h AS (
+      |  SELECT date_trunc('day', ts) AS day,
+      |    ('0x' || substr(md5(user_id::VARCHAR), 18, 15))::BIGINT AS h
+      |  FROM events),
+      |dh AS (SELECT DISTINCT day, h FROM h),
+      |sk AS (
+      |  SELECT day, h FROM (
+      |    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rk
+      |    FROM dh) WHERE rk <= 256),
+      |m AS (
+      |  SELECT DISTINCT d.day AS day, s.h
+      |  FROM (SELECT DISTINCT day FROM sk) d
+      |    JOIN sk s ON s.day BETWEEN d.day - INTERVAL 6 DAY AND d.day),
+      |mk AS (
+      |  SELECT day, h FROM (
+      |    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rk
+      |    FROM m) WHERE rk <= 256),
+      |est AS (
+      |  SELECT day,
+      |    CAST(CASE WHEN count(*) < 256 THEN count(*)
+      |      ELSE CAST(round(255.0 * 1.152921504606846976e18 / max(h)) AS BIGINT)
+      |    END AS BIGINT) AS est_users_7d
+      |  FROM mk GROUP BY 1),
+      |ex AS (
+      |  SELECT date_trunc('day', ts) AS day,
+      |    count(DISTINCT user_id) AS n_users_1d
+      |  FROM events GROUP BY 1)
+      |SELECT est.day AS day, n_users_1d, est_users_7d
+      |FROM est JOIN ex ON est.day = ex.day""".stripMargin
+
   def qEvAnomaly(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val hourly = Tables.events(s, dir)
@@ -570,6 +642,7 @@ object Events {
     "q_ev_scd2"      -> (qEvScd2 _),
     "q_ev_anomaly"   -> (qEvAnomaly _),
     "q_ev_changepoint" -> (qEvChangepoint _),
+    "q_ev_rolling_users" -> (qEvRollingUsers _),
     "q_ev_retention" -> (qEvRetention _),
     "q_ev_hourly"  -> (qEvHourly _),
     "q_ev_session" -> (qEvSession _),
@@ -588,6 +661,7 @@ object Events {
     "q_ev_scd2"      -> qEvScd2Sql,
     "q_ev_anomaly"   -> qEvAnomalySql,
     "q_ev_changepoint" -> qEvChangepointSql,
+    "q_ev_rolling_users" -> qEvRollingUsersSql,
     "q_ev_retention" -> qEvRetentionSql,
     "q_ev_hourly"  -> qEvHourlySql,
     "q_ev_session" -> qEvSessionSql,
