@@ -792,8 +792,14 @@ object TrainingData {
     * provably fires on every row and the oracle hashes the redacted
     * output. Patterns are RE2-safe (no lookahead) so both engines match
     * identically. */
-  def qPiiScrub(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def qPiiScrub(s: SparkSession, dir: String): DataFrame =
+    piiScrubCols(Tables.documents(s, dir))
+
+  /** Shared batch/streaming core of [[qPiiScrub]]: pure per-row regex
+    * work, so the streaming twin runs the same columns unchanged in
+    * append mode — redaction-at-ingest. */
+  private[graft] def piiScrubCols(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
     val phonePat = "\\b555-[0-9]{3,7}\\b"
     val ipPat = "\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
@@ -809,7 +815,7 @@ object TrainingData {
         regexp_replace(aug, emailPat, "<EMAIL>"),
         phonePat, "<PHONE>"),
       ipPat, "<IP>")
-    Tables.documents(s, dir)
+    docs
       .select($"doc_id",
         size(regexp_extract_all(aug, lit(emailPat), lit(0))).cast("long").as("n_emails"),
         size(regexp_extract_all(aug, lit(phonePat), lit(0))).cast("long").as("n_phones"),

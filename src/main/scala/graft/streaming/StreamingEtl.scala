@@ -143,6 +143,13 @@ object StreamingEtl {
   def scriptmixStream(docs: DataFrame): DataFrame =
     graft.queries.TextAnalysis.scriptmixCols(docs)
 
+  /** Streaming PII REDACTION — the online form of
+    * queries.TrainingData.qPiiScrub: pure per-row regex redaction and
+    * hit counting, append mode, zero state — scrub-at-ingest so raw PII
+    * never lands in the lake. */
+  def piiScrubStream(docs: DataFrame): DataFrame =
+    graft.queries.TrainingData.piiScrubCols(docs)
+
   /** Streaming DECONTAMINATION at ingest — the online form of
     * queries.Dedup.qDecontaminateBloom: train documents arriving on the
     * stream explode into shingles, probe the fixed-size eval bloom sketch

@@ -127,6 +127,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("PII redaction on a document stream equals the batch operator (stream == batch)") {
+    StreamingEtl.runToMemory(
+      StreamingEtl.piiScrubStream(docsStream()),
+      "piiscrub", s"$tmp/cp_piiscrub", outputMode = "append") // stateless per-row
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_emails", "n_phones", "n_ips", "scrubbed_md5").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4))).toSet
+    val streamed = key(spark.table("piiscrub"))
+    val batch = key(SparkEntry.queries("q_pii_scrub")(spark, sf))
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("script-mix audit on a document stream equals the batch operator (stream == batch)") {
     val dir = s"$tmp/docs_scriptmix_input"
     Tables.documents(spark, sf).select("doc_id", "source", "text").write.json(dir)
