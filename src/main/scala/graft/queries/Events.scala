@@ -327,6 +327,61 @@ object Events {
       |SELECT est.day AS day, n_users_1d, est_users_7d
       |FROM est JOIN ex ON est.day = ex.day""".stripMargin
 
+  /** ACTIVITY CONCENTRATION (Pareto audit) — what share of all events
+    * the top-1% most active users generate, exactly: per-user counts
+    * roll into an activity-value HISTOGRAM (cnt → how many users, how
+    * many events), the top-down cumulative crosses the ⌈1%⌉-user target
+    * at one value, and selection is by VALUE so ties join whole — the
+    * deterministic rank-selection pattern of the quality family, on the
+    * behavioral axis. This number decides partitioning strategy (a
+    * heavy-tailed user axis needs salting before any user-keyed
+    * shuffle) and is the abuse/bot smoke test. Scale shape: one
+    * user-keyed aggregate (high-cardinality, no skew in the GROUPING —
+    * the skew it MEASURES is downstream), a value-domain-bounded
+    * histogram window, |1|-row output. */
+  def qEvPareto(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perUser = Tables.events(s, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("a"))
+    val hist = perUser.groupBy($"a")
+      .agg(count(lit(1)).as("n_users"), sum($"a").as("n_events"))
+    val w = Window.orderBy($"a".desc)
+    val cum = hist
+      .withColumn("cum_users", sum($"n_users").over(w))
+      .withColumn("cum_events", sum($"n_events").over(w))
+    cum.crossJoin(broadcast(hist.agg(
+        sum($"n_users").as("u_tot"), sum($"n_events").as("e_tot"))))
+      .withColumn("k", expr("(u_tot + 99) DIV 100"))
+      .agg(max($"u_tot").as("n_users"), max($"e_tot").as("n_events"),
+        max($"k").as("k_target"),
+        min(when($"cum_users" >= $"k", $"a")).as("v_th"),
+        min(when($"cum_users" >= $"k", $"cum_users")).as("users_sel"),
+        min(when($"cum_users" >= $"k", $"cum_events")).as("events_sel"))
+      .withColumn("share_ppm", expr("(events_sel * 1000000L) DIV n_events"))
+  }
+
+  val qEvParetoSql: String =
+    """WITH pu AS (SELECT user_id, count(*) AS a FROM events GROUP BY 1),
+      |hist AS (
+      |  SELECT a, count(*) AS n_users, CAST(sum(a) AS BIGINT) AS n_events
+      |  FROM pu GROUP BY 1),
+      |cum AS (
+      |  SELECT a,
+      |    CAST(sum(n_users) OVER (ORDER BY a DESC) AS BIGINT) AS cum_users,
+      |    CAST(sum(n_events) OVER (ORDER BY a DESC) AS BIGINT) AS cum_events
+      |  FROM hist),
+      |t AS (
+      |  SELECT CAST(sum(n_users) AS BIGINT) AS u_tot,
+      |    CAST(sum(n_events) AS BIGINT) AS e_tot FROM hist)
+      |SELECT max(u_tot) AS n_users, max(e_tot) AS n_events,
+      |  max((u_tot + 99) // 100) AS k_target,
+      |  min(CASE WHEN cum_users >= (u_tot + 99) // 100 THEN a END) AS v_th,
+      |  min(CASE WHEN cum_users >= (u_tot + 99) // 100 THEN cum_users END) AS users_sel,
+      |  min(CASE WHEN cum_users >= (u_tot + 99) // 100 THEN cum_events END) AS events_sel,
+      |  (min(CASE WHEN cum_users >= (u_tot + 99) // 100 THEN cum_events END)
+      |    * 1000000) // max(e_tot) AS share_ppm
+      |FROM cum CROSS JOIN t""".stripMargin
+
   def qEvAnomaly(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val hourly = Tables.events(s, dir)
@@ -643,6 +698,7 @@ object Events {
     "q_ev_anomaly"   -> (qEvAnomaly _),
     "q_ev_changepoint" -> (qEvChangepoint _),
     "q_ev_rolling_users" -> (qEvRollingUsers _),
+    "q_ev_pareto"    -> (qEvPareto _),
     "q_ev_retention" -> (qEvRetention _),
     "q_ev_hourly"  -> (qEvHourly _),
     "q_ev_session" -> (qEvSession _),
@@ -662,6 +718,7 @@ object Events {
     "q_ev_anomaly"   -> qEvAnomalySql,
     "q_ev_changepoint" -> qEvChangepointSql,
     "q_ev_rolling_users" -> qEvRollingUsersSql,
+    "q_ev_pareto"    -> qEvParetoSql,
     "q_ev_retention" -> qEvRetentionSql,
     "q_ev_hourly"  -> qEvHourlySql,
     "q_ev_session" -> qEvSessionSql,
