@@ -414,6 +414,37 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 
+  test("temperature mixing: rates normalize and damp the head toward uniform") {
+    val rows = graft.queries.TrainingData.qMixTemperature(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("src_tokens"),
+        r.getAs[Long]("w"), r.getAs[Long]("rate_ppm")))
+    assert(rows.nonEmpty)
+    // integer floor division: rates sum to <= 1e6, within |sources| of it
+    val tot = rows.map(_._4).sum
+    assert(tot <= 1000000L && tot >= 1000000L - rows.length)
+    rows.foreach { case (_, s, w, _) =>
+      assert(w * w <= s && (w + 1) * (w + 1) > s, "w must be isqrt(src_tokens)")
+    }
+    // damping: the max/min RATE ratio is at most the sqrt of the max/min
+    // SUPPLY ratio (+1 bin for integer floors) — the point of alpha=0.5
+    val (minS, maxS) = (rows.map(_._2).min, rows.map(_._2).max)
+    val (minR, maxR) = (rows.map(_._4).min, rows.map(_._4).max)
+    assert(maxR.toDouble / minR <= math.sqrt(maxS.toDouble / minS) * 1.01 + 1)
+  }
+
+  test("pareto: the top-1% share is at least proportional and internally consistent") {
+    val r = graft.queries.Events.qEvPareto(spark, sf).collect()(0)
+    val nUsers = r.getAs[Long]("n_users"); val nEvents = r.getAs[Long]("n_events")
+    val k = r.getAs[Long]("k_target"); val usersSel = r.getAs[Long]("users_sel")
+    val eventsSel = r.getAs[Long]("events_sel"); val share = r.getAs[Long]("share_ppm")
+    assert(k == (nUsers + 99) / 100 && usersSel >= k)
+    assert(share == eventsSel * 1000000L / nEvents)
+    // the most active users are at least as active as average: their
+    // event share can never be below their user share
+    assert(share * nUsers >= usersSel * 1000000L * 99 / 100,
+      s"share $share vs user fraction ${usersSel}/${nUsers}")
+  }
+
   test("min-k distinct aggregator equals the distinct+row_number formulation") {
     import SparkTestSession.spark.implicits._
     import org.apache.spark.sql.expressions.Window
