@@ -17,6 +17,17 @@ object SparkTestSession {
 class RelationalSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("every query has an oracle and every oracle has a query (no silent rows-only entries)") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracles without a query: ${o -- q}")
+    // the gate's strongest claim: ZERO rows-only entries — every single
+    // registered query is DuckDB-hash-gated. A new query without an
+    // oracle (or a typo'd key) fails here before it weakens the gate.
+    assert(q == o, s"queries without an oracle: ${q -- o}")
+    assert(q.size >= 162)
+  }
+
   test("every registered query runs and q1 returns expected groups") {
     val q1 = SparkEntry.queries("q1_agg")(spark, sf)
     val rows = q1.collect()
