@@ -382,6 +382,42 @@ object Events {
       |    * 1000000) // max(e_tot) AS share_ppm
       |FROM cum CROSS JOIN t""".stripMargin
 
+  /** HOUR-OF-DAY seasonality profile — per event type: the peak hour
+    * (UTC, earliest on ties) and how concentrated the daily cycle is
+    * (peak hour's share of all events, exact ppm). The baseline-shape
+    * report that anomaly/changepoint detection conditions on — and the
+    * capacity-planning number (a 3× concentrated hourly peak sizes the
+    * ingest fleet). Scale shape: one (event_type, hour-of-day) aggregate
+    * — ≤ |types|·24 cells of state — and bounded re-aggregates; no
+    * window at all. */
+  def qEvSeasonality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hod = Tables.events(s, dir)
+      .groupBy($"event_type", hour($"ts").cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"))
+    val mx = hod.groupBy($"event_type")
+      .agg(sum($"n").as("n_events"), max($"n").as("peak_n"))
+    hod.join(mx, "event_type")
+      .filter($"n" === $"peak_n")
+      .groupBy($"event_type")
+      .agg(max($"n_events").as("n_events"), min($"hod").as("peak_hod"),
+        max(expr("(peak_n * 1000000L) DIV n_events")).as("peak_share_ppm"))
+  }
+
+  val qEvSeasonalitySql: String =
+    """WITH hod AS (
+      |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |mx AS (
+      |  SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+      |    CAST(max(n) AS BIGINT) AS peak_n
+      |  FROM hod GROUP BY 1)
+      |SELECT hod.event_type AS event_type, max(n_events) AS n_events,
+      |  min(hod) AS peak_hod,
+      |  max((peak_n * 1000000) // n_events) AS peak_share_ppm
+      |FROM hod JOIN mx ON hod.event_type = mx.event_type
+      |WHERE n = peak_n GROUP BY 1""".stripMargin
+
   def qEvAnomaly(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val hourly = Tables.events(s, dir)
@@ -699,6 +735,7 @@ object Events {
     "q_ev_changepoint" -> (qEvChangepoint _),
     "q_ev_rolling_users" -> (qEvRollingUsers _),
     "q_ev_pareto"    -> (qEvPareto _),
+    "q_ev_seasonality" -> (qEvSeasonality _),
     "q_ev_retention" -> (qEvRetention _),
     "q_ev_hourly"  -> (qEvHourly _),
     "q_ev_session" -> (qEvSession _),
@@ -719,6 +756,7 @@ object Events {
     "q_ev_changepoint" -> qEvChangepointSql,
     "q_ev_rolling_users" -> qEvRollingUsersSql,
     "q_ev_pareto"    -> qEvParetoSql,
+    "q_ev_seasonality" -> qEvSeasonalitySql,
     "q_ev_retention" -> qEvRetentionSql,
     "q_ev_hourly"  -> qEvHourlySql,
     "q_ev_session" -> qEvSessionSql,

@@ -782,6 +782,49 @@ object TextAnalysis {
       |  CAST(sum(CASE WHEN other_ppm > 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonlatin
       |FROM x GROUP BY 1""".stripMargin
 
+  /** BURSTINESS ranking — the boilerplate detector frequency alone
+    * misses: a token's mean occurrences PER CONTAINING DOC (n / df).
+    * Normal language words spread thinly across many documents
+    * (burst ≈ 1–2); template artifacts, separators, and boilerplate
+    * repeat heavily inside few documents (burst >> 1). Top-10 by exact
+    * integer n·100 DIV df over a df ≥ 5 support floor (rare typos would
+    * otherwise dominate). Scale shape: doc-frequency is one distinct
+    * (doc, tok) aggregate; total counts re-aggregate the memoized
+    * [[tokVocab]]; the rank is a Limit-bounded TakeOrdered, never a
+    * full sort. */
+  def qTextBurstiness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Tables.documents(s, dir)
+      .select($"doc_id", explode(tokens($"text")).as("tok")).distinct()
+      .groupBy($"tok").agg(count(lit(1)).as("df"))
+    val tc = tokVocab(s, dir).groupBy($"tok").agg(sum($"cnt").as("n"))
+    tc.join(df, "tok")
+      .filter($"df" >= 5)
+      .withColumn("burst_x100", expr("(n * 100L) DIV df"))
+      .orderBy($"burst_x100".desc, $"tok".asc).limit(10)
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"burst_x100".desc, $"tok".asc)).cast("long"))
+      .select($"rk", $"tok", $"n", $"df", $"burst_x100")
+  }
+
+  val qTextBurstinessSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |df AS (
+      |  SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM tok)
+      |  GROUP BY 1),
+      |tc AS (SELECT tok, count(*) AS n FROM tok GROUP BY 1),
+      |j AS (
+      |  SELECT tc.tok AS tok, CAST(tc.n AS BIGINT) AS n,
+      |    CAST(df.df AS BIGINT) AS df,
+      |    (CAST(tc.n AS BIGINT) * 100) // df.df AS burst_x100
+      |  FROM tc JOIN df ON tc.tok = df.tok WHERE df.df >= 5)
+      |SELECT CAST(row_number() OVER (ORDER BY burst_x100 DESC, tok ASC) AS BIGINT) AS rk,
+      |  tok, n, df, burst_x100
+      |FROM j ORDER BY burst_x100 DESC, tok ASC LIMIT 10""".stripMargin
+
   /** Per-source heavy hitters: each source's top-3 tokens by frequency
     * (ties → lexicographic) — the domain-vocabulary signature used for
     * source fingerprinting and template detection. Same WindowGroupLimit
@@ -1323,6 +1366,7 @@ object TextAnalysis {
     "q_text_vocab"       -> (qTextVocab _),
     "q_text_spectrum"    -> (qTextSpectrum _),
     "q_text_scriptmix"   -> (qTextScriptmix _),
+    "q_text_burstiness"  -> (qTextBurstiness _),
     "q_text_clean"       -> (qTextClean _),
     "q_text_repetition"  -> (qTextRepetition _),
     "q_text_tfidf"       -> (qTextTfidf _),
@@ -1352,6 +1396,7 @@ object TextAnalysis {
     "q_text_vocab"       -> qTextVocabSql,
     "q_text_spectrum"    -> qTextSpectrumSql,
     "q_text_scriptmix"   -> qTextScriptmixSql,
+    "q_text_burstiness"  -> qTextBurstinessSql,
     "q_text_clean"       -> qTextCleanSql,
     "q_text_repetition"  -> qTextRepetitionSql,
     "q_text_tfidf"       -> qTextTfidfSql,
