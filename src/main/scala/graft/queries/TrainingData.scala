@@ -609,6 +609,45 @@ object TrainingData {
       |FROM gaps JOIN mx ON gaps.source = mx.source AND gaps.gap_ppm = mx.ks_ppm
       |GROUP BY 1""".stripMargin
 
+  /** LANGUAGE-PARITY audit of the quality filter — pass rates sliced by
+    * the labeled language, with the spread across languages surfaced:
+    * rule-based quality filters tuned on one language quietly destroy
+    * others (stopword ratios, punctuation norms, token-length priors
+    * all shift by language), and this is the report that catches it
+    * BEFORE the mix is trained on. One row per lang: docs, exact ppm
+    * pass rate, and the global min/max rate for contrast (a parity gap
+    * > 2× is a filter bug, not a data property). Scale shape: one
+    * qualityMetrics pass joined to the doc→lang map on the id; |langs|
+    * rows after; the global extrema are a 1-row broadcast. */
+  def qQualityLangparity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byLang = qualityMetrics(s, dir)
+      .join(Tables.documents(s, dir).select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"q_pass".cast("long")).as("n_pass"))
+      .withColumn("pass_ppm", expr("(n_pass * 1000000L) DIV n_docs"))
+    byLang.crossJoin(broadcast(byLang.agg(
+        min($"pass_ppm").as("min_ppm"), max($"pass_ppm").as("max_ppm"))))
+      .select($"lang", $"n_docs", $"n_pass", $"pass_ppm",
+        $"min_ppm", $"max_ppm")
+  }
+
+  val qQualityLangparitySql: String =
+    "WITH " + qualityMetricsCte + """,
+      |bl AS (
+      |  SELECT d.lang, count(*) AS n_docs,
+      |    CAST(sum(CASE WHEN q_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+      |  FROM mq JOIN documents d ON mq.doc_id = d.doc_id
+      |  GROUP BY 1),
+      |p AS (
+      |  SELECT lang, n_docs, n_pass,
+      |    (n_pass * 1000000) // n_docs AS pass_ppm
+      |  FROM bl),
+      |t AS (SELECT min(pass_ppm) AS min_ppm, max(pass_ppm) AS max_ppm FROM p)
+      |SELECT lang, n_docs, n_pass, pass_ppm, min_ppm, max_ppm
+      |FROM p CROSS JOIN t""".stripMargin
+
   /** The corpus card — one row per source joining the library's own
     * per-source signals: exact-dup stats ([[Dedup.qDedupExact]]), quality
     * pass rate ([[qQualityFilter]]), and vocabulary richness
@@ -874,7 +913,10 @@ object TrainingData {
 
   /** SQL twin of [[qualityMetrics]] — plain (non-interpolated) literal so
     * regex backslashes stay single. */
-  private[graft] val qualityMetricsCte: String =
+  // lazy: referenced by oracle constants declared EARLIER in the file
+  // (Scala vals initialize in declaration order — a plain val here left
+  // q_quality_langparity's SQL with "WITH null,")
+  private[graft] lazy val qualityMetricsCte: String =
     """m AS (
       |  SELECT doc_id, source, n_chars,
       |    len(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS nt,
@@ -1345,6 +1387,7 @@ object TrainingData {
     "q_quality_calibrated" -> (qQualityCalibrated _),
     "q_quality_mad"       -> (qQualityMad _),
     "q_quality_ks"        -> (qQualityKs _),
+    "q_quality_langparity" -> (qQualityLangparity _),
     "q_tok_budget"        -> (qTokBudget _),
     "q_chunk_rag"         -> (qChunkRag _),
     "q_shard_manifest"    -> (qShardManifest _),
@@ -1372,6 +1415,7 @@ object TrainingData {
     "q_quality_calibrated" -> qQualityCalibratedSql,
     "q_quality_mad"       -> qQualityMadSql,
     "q_quality_ks"        -> qQualityKsSql,
+    "q_quality_langparity" -> qQualityLangparitySql,
     "q_tok_budget"        -> qTokBudgetSql,
     "q_chunk_rag"         -> qChunkRagSql,
     "q_clf_score"         -> qClfScoreSql,
