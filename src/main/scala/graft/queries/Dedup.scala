@@ -1657,6 +1657,54 @@ object Dedup {
         coalesce($"n_straddle", lit(0L)).as("n_straddle"))
   }
 
+  /** SPLIT BALANCE report — the check run right after a cluster-aware
+    * split: per (split, source), docs and token mass plus each source's
+    * per-split doc share in exact ppm. The expected shape is ~80/10/10
+    * for EVERY source; a source skewed across splits means its documents
+    * are cluster-correlated (template families hashing together), which
+    * silently biases val/test toward specific sources. Composes
+    * [[qSplitLeakfree]]'s exact assignment (cluster-hash bucketing) —
+    * same memoized cluster relation, one doc-keyed join, |splits|·
+    * |sources| output. */
+  def qSplitStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val asg = Tables.documents(s, dir)
+      .select($"doc_id", $"source", size(tokens($"text")).cast("long").as("nt"))
+      .join(clusters(s, dir), Seq("doc_id"), "left")
+      .select($"source", $"nt", coalesce($"cluster", $"doc_id").as("cluster"))
+      .withColumn("b", hash60($"cluster".cast("string")) % 10)
+      .withColumn("split",
+        when($"b" <= 7, lit("train"))
+          .when($"b" === 8, lit("val"))
+          .otherwise(lit("test")))
+    val per = asg.groupBy($"split", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("tokens"))
+    per.join(per.groupBy($"source").agg(sum($"n_docs").as("src_docs")), "source")
+      .withColumn("doc_share_ppm", expr("(n_docs * 1000000L) DIV src_docs"))
+      .select($"split", $"source", $"n_docs", $"tokens", $"doc_share_ppm")
+  }
+
+  val qSplitStatsSql: String =
+    clusterCte + """,
+      | asg AS (
+      |   SELECT d.source,
+      |     len(list_filter(string_split(regexp_replace(trim(d.text), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS nt,
+      |     CASE WHEN x.b <= 7 THEN 'train' WHEN x.b = 8 THEN 'val' ELSE 'test' END AS split
+      |   FROM (
+      |     SELECT d0.doc_id,
+      |       ('0x' || substr(md5(CAST(coalesce(cl.cluster, d0.doc_id) AS VARCHAR)), 18, 15))::BIGINT % 10 AS b
+      |     FROM documents d0 LEFT JOIN cl ON d0.doc_id = cl.doc_id) x
+      |   JOIN documents d ON x.doc_id = d.doc_id),
+      | per AS (
+      |   SELECT split, source, count(*) AS n_docs,
+      |     CAST(sum(nt) AS BIGINT) AS tokens
+      |   FROM asg GROUP BY 1, 2),
+      | sd AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS src_docs
+      |        FROM per GROUP BY 1)
+      |SELECT split, per.source AS source, n_docs, tokens,
+      |  (n_docs * 1000000) // src_docs AS doc_share_ppm
+      |FROM per JOIN sd ON per.source = sd.source""".stripMargin
+
   val qSplitLeakfreeSql: String =
     clusterCte + "\n" + (
       """SELECT a.split, count(*) AS n_docs, count(DISTINCT a.cluster) AS n_clusters,
@@ -1985,6 +2033,7 @@ object Dedup {
     "q_dedup_flow"    -> (qDedupFlow _),
     "q_graph_triangles" -> (qGraphTriangles _),
     "q_cluster_sizes" -> (qClusterSizes _),
+    "q_split_stats"   -> (qSplitStats _),
     "q_minhash_est"   -> (qMinhashEst _),
     "q_dedup_ppr"     -> (qDedupPpr _),
     "q_dedup_contain" -> (qDedupContain _),
@@ -2022,6 +2071,7 @@ object Dedup {
     "q_dedup_flow"    -> qDedupFlowSql,
     "q_graph_triangles" -> qGraphTrianglesSql,
     "q_cluster_sizes" -> qClusterSizesSql,
+    "q_split_stats"   -> qSplitStatsSql,
     "q_minhash_est"   -> qMinhashEstSql,
     "q_dedup_ppr"     -> qDedupPprSql,
     "q_dedup_contain" -> qDedupContainSql,
