@@ -1657,6 +1657,65 @@ object Dedup {
         coalesce($"n_straddle", lit(0L)).as("n_straddle"))
   }
 
+  /** DEDUP SAVINGS report — what each tier actually buys, per source:
+    * docs and character mass removed by exact keep-one (min doc-id per
+    * content hash, global) and by near-dup cluster keep-one (min member
+    * per jaccard cluster — which IS the min-label cluster id, so the
+    * keeper needs no extra aggregate), with the near-dup removal
+    * fraction in exact ppm. The capacity/cost planning number a 100 TB
+    * dedup run is justified by. Tiers are measured INDEPENDENTLY: for
+    * shingle-bearing docs the near-dup tier subsumes the exact one
+    * (identical texts share shingle sets), but shingle-free short dups
+    * appear only in the exact column — q_dedup_agree quantifies exactly
+    * that gap. Scale shape: one hash-keyed keeper aggregate + two
+    * id-keyed joins over the memoized cluster relation; |sources| rows
+    * out. */
+  def qDedupSavings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"n_chars".cast("long").as("nc"),
+        md5($"text").as("h"))
+    val keep = d.groupBy($"h").agg(min($"doc_id").as("keeper"))
+    val ex = d.join(keep, "h")
+      .select($"doc_id", $"source", $"nc",
+        ($"doc_id" =!= $"keeper").cast("long").as("ex_rm"))
+    val cl = clusters(s, dir)
+    ex.join(cl, Seq("doc_id"), "left")
+      .withColumn("nd_rm",
+        (coalesce($"cluster", $"doc_id") =!= $"doc_id").cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"nc").as("chars_total"),
+        sum($"ex_rm").as("ex_docs_rm"),
+        sum($"ex_rm" * $"nc").as("ex_chars_rm"),
+        sum($"nd_rm").as("nd_docs_rm"),
+        sum($"nd_rm" * $"nc").as("nd_chars_rm"))
+      .withColumn("nd_rm_ppm", expr("(nd_chars_rm * 1000000L) DIV chars_total"))
+  }
+
+  val qDedupSavingsSql: String =
+    clusterCte + """,
+      | d AS (
+      |   SELECT doc_id, source, n_chars AS nc, md5(text) AS h FROM documents),
+      | keep AS (SELECT h, min(doc_id) AS keeper FROM d GROUP BY 1),
+      | ex AS (
+      |   SELECT d.doc_id, d.source, d.nc,
+      |     CASE WHEN d.doc_id <> keep.keeper THEN 1 ELSE 0 END AS ex_rm
+      |   FROM d JOIN keep ON d.h = keep.h),
+      | j AS (
+      |   SELECT ex.source, ex.nc, ex.ex_rm,
+      |     CASE WHEN coalesce(cl.cluster, ex.doc_id) <> ex.doc_id
+      |          THEN 1 ELSE 0 END AS nd_rm
+      |   FROM ex LEFT JOIN cl ON ex.doc_id = cl.doc_id)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(nc) AS BIGINT) AS chars_total,
+      |  CAST(sum(ex_rm) AS BIGINT) AS ex_docs_rm,
+      |  CAST(sum(ex_rm * nc) AS BIGINT) AS ex_chars_rm,
+      |  CAST(sum(nd_rm) AS BIGINT) AS nd_docs_rm,
+      |  CAST(sum(nd_rm * nc) AS BIGINT) AS nd_chars_rm,
+      |  (CAST(sum(nd_rm * nc) AS BIGINT) * 1000000)
+      |    // CAST(sum(nc) AS BIGINT) AS nd_rm_ppm
+      |FROM j GROUP BY 1""".stripMargin
+
   /** SPLIT BALANCE report — the check run right after a cluster-aware
     * split: per (split, source), docs and token mass plus each source's
     * per-split doc share in exact ppm. The expected shape is ~80/10/10
@@ -2034,6 +2093,7 @@ object Dedup {
     "q_graph_triangles" -> (qGraphTriangles _),
     "q_cluster_sizes" -> (qClusterSizes _),
     "q_split_stats"   -> (qSplitStats _),
+    "q_dedup_savings" -> (qDedupSavings _),
     "q_minhash_est"   -> (qMinhashEst _),
     "q_dedup_ppr"     -> (qDedupPpr _),
     "q_dedup_contain" -> (qDedupContain _),
@@ -2072,6 +2132,7 @@ object Dedup {
     "q_graph_triangles" -> qGraphTrianglesSql,
     "q_cluster_sizes" -> qClusterSizesSql,
     "q_split_stats"   -> qSplitStatsSql,
+    "q_dedup_savings" -> qDedupSavingsSql,
     "q_minhash_est"   -> qMinhashEstSql,
     "q_dedup_ppr"     -> qDedupPprSql,
     "q_dedup_contain" -> qDedupContainSql,
