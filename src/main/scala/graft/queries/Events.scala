@@ -111,6 +111,76 @@ object Events {
         .as("n_full_funnel"))
   }
 
+  /** CONVERSION LATENCY — how long each funnel transition takes, not
+    * just whether it happens ([[qEvFunnel]] counts): per converting
+    * user the first-view→first-click and first-click→first-purchase
+    * gaps in floored epoch seconds, reduced to EXACT median and p90
+    * order statistics via the value-histogram rank-selection pattern
+    * (ranks (n+1) DIV 2 and (n·90+99) DIV 100, selection by value). The
+    * product-latency number funnels are actually tuned on. Scale shape:
+    * one user-keyed first-occurrence aggregate, two gap histograms
+    * bounded by the value domain (seconds), 1-row output — no per-user
+    * window anywhere. */
+  def qEvFunnelLatency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val firsts = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(min(when($"event_type" === "view", $"ts".cast("long"))).as("tv"),
+           min(when($"event_type" === "click", $"ts".cast("long"))).as("tc"),
+           min(when($"event_type" === "purchase", $"ts".cast("long"))).as("tp"))
+    def stats(gap: org.apache.spark.sql.Column, pfx: String) = {
+      val hist = firsts.filter(gap.isNotNull && gap >= 0L)
+        .select(gap.as("g")).groupBy($"g").agg(count(lit(1)).as("cnt"))
+        .withColumn("hi_rk", sum($"cnt").over(Window.orderBy($"g".asc)))
+        .withColumn("lo_rk", $"hi_rk" - $"cnt" + 1L)
+      hist.crossJoin(broadcast(hist.agg(sum($"cnt").as("n"))))
+        .withColumn("r_med", expr("(n + 1) DIV 2"))
+        .withColumn("r_p90", expr("(n * 90 + 99) DIV 100"))
+        .agg(max($"n").as(s"n_$pfx"),
+          max(when($"lo_rk" <= $"r_med" && $"r_med" <= $"hi_rk", $"g"))
+            .as(s"med_${pfx}_s"),
+          max(when($"lo_rk" <= $"r_p90" && $"r_p90" <= $"hi_rk", $"g"))
+            .as(s"p90_${pfx}_s"))
+    }
+    stats($"tc" - $"tv", "vc").crossJoin(stats($"tp" - $"tc", "cp"))
+  }
+
+  val qEvFunnelLatencySql: String =
+    """WITH firsts AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) // 1000000 END) AS tv,
+      |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) // 1000000 END) AS tc,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) // 1000000 END) AS tp
+      |  FROM events GROUP BY user_id),
+      |gv AS (SELECT tc - tv AS g FROM firsts
+      |       WHERE tc IS NOT NULL AND tv IS NOT NULL AND tc - tv >= 0),
+      |gp AS (SELECT tp - tc AS g FROM firsts
+      |       WHERE tp IS NOT NULL AND tc IS NOT NULL AND tp - tc >= 0),
+      |hv AS (
+      |  SELECT g, count(*) AS cnt,
+      |    CAST(sum(count(*)) OVER (ORDER BY g) AS BIGINT) AS hi_rk
+      |  FROM gv GROUP BY g),
+      |hp AS (
+      |  SELECT g, count(*) AS cnt,
+      |    CAST(sum(count(*)) OVER (ORDER BY g) AS BIGINT) AS hi_rk
+      |  FROM gp GROUP BY g),
+      |sv AS (
+      |  SELECT max(n) AS n_vc,
+      |    max(CASE WHEN hi_rk - cnt + 1 <= (n + 1) // 2 AND (n + 1) // 2 <= hi_rk
+      |        THEN g END) AS med_vc_s,
+      |    max(CASE WHEN hi_rk - cnt + 1 <= (n * 90 + 99) // 100
+      |         AND (n * 90 + 99) // 100 <= hi_rk THEN g END) AS p90_vc_s
+      |  FROM hv CROSS JOIN (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hv)),
+      |sp AS (
+      |  SELECT max(n) AS n_cp,
+      |    max(CASE WHEN hi_rk - cnt + 1 <= (n + 1) // 2 AND (n + 1) // 2 <= hi_rk
+      |        THEN g END) AS med_cp_s,
+      |    max(CASE WHEN hi_rk - cnt + 1 <= (n * 90 + 99) // 100
+      |         AND (n * 90 + 99) // 100 <= hi_rk THEN g END) AS p90_cp_s
+      |  FROM hp CROSS JOIN (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hp))
+      |SELECT n_vc, med_vc_s, p90_vc_s, n_cp, med_cp_s, p90_cp_s
+      |FROM sv CROSS JOIN sp""".stripMargin
+
   val qEvFunnelSql: String =
     """WITH firsts AS (
       |  SELECT user_id,
@@ -736,6 +806,7 @@ object Events {
     "q_ev_rolling_users" -> (qEvRollingUsers _),
     "q_ev_pareto"    -> (qEvPareto _),
     "q_ev_seasonality" -> (qEvSeasonality _),
+    "q_ev_funnel_latency" -> (qEvFunnelLatency _),
     "q_ev_retention" -> (qEvRetention _),
     "q_ev_hourly"  -> (qEvHourly _),
     "q_ev_session" -> (qEvSession _),
@@ -757,6 +828,7 @@ object Events {
     "q_ev_rolling_users" -> qEvRollingUsersSql,
     "q_ev_pareto"    -> qEvParetoSql,
     "q_ev_seasonality" -> qEvSeasonalitySql,
+    "q_ev_funnel_latency" -> qEvFunnelLatencySql,
     "q_ev_retention" -> qEvRetentionSql,
     "q_ev_hourly"  -> qEvHourlySql,
     "q_ev_session" -> qEvSessionSql,
