@@ -68,11 +68,25 @@ object Bench {
     * at 116 queries. The full NAMED maps ride earlier in the line for
     * complete captures. BenchFormatSpec asserts the suffix budget holds
     * even at 250 queries. */
+  /** Stable 12-hex-char digest of the sorted query names. Rides in the
+    * tail so any future positional re-keying of `queries_ms_arr` can be
+    * VALIDATED: recompute over the candidate name list (e.g.
+    * CORRECTNESS_r{N}.json keys, sorted) and compare — a registry rename
+    * or reorder mismatches loudly instead of silently mis-attributing
+    * every timing (round-6 advice). */
+  private[graft] def namesDigest(names: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(names.mkString("\n").getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+  }
+
   private[graft] def renderLine(names: Seq[String],
       perP50: Map[String, Double], perP90: Map[String, Double],
       env: String, sfDir: String, total: Double, decodeRate: Double,
       decodeRuns: Seq[Double], decode2mRuns: Seq[Double],
-      totalsPerRun: Seq[Double], resweeps: Int, decodeResweeps: Int): String = {
+      totalsPerRun: Seq[Double], resweeps: Int, decodeResweeps: Int,
+      loadavg: Seq[Double] = Seq(), cpuPerRun: Seq[Double] = Seq(),
+      contended: Boolean = false): String = {
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
     def jmap(m: Map[String, Double]): String =
       names.map(n => s"\"" + n + "\":" + r3(m(n))).mkString("{", ",", "}")
@@ -82,8 +96,24 @@ object Bench {
     val qMsArr = names.map(n =>
       if (perP50(n) < 0) -1L else math.rint(perP50(n) * 1000).toLong)
       .mkString("[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$NRuns,"sf":"$sfDir","env":$env,"queries_p90":${jmap(perP90)},"queries":${jmap(perP50)},"queries_ms":$qMs,"decode_rec_per_s":${decodeRate.round},"decode92_rec_per_s":${trimmedP50(decodeRuns).round},"decode92_runs":[${decodeRuns.map(_.round).mkString(",")}],"decode92_2m_rec_per_s":${trimmedP50(decode2mRuns).round},"decode92_2m_max":${decode2mRuns.max.round},"decode92_2m_runs":[${decode2mRuns.map(_.round).mkString(",")}],"totals_per_run":[${totalsPerRun.map(r3).mkString(",")}],"resweeps":$resweeps,"decode_resweeps":$decodeResweeps,"queries_ms_arr":$qMsArr}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$NRuns,"sf":"$sfDir","env":$env,"queries_p90":${jmap(perP90)},"queries":${jmap(perP50)},"queries_ms":$qMs,"decode_rec_per_s":${decodeRate.round},"decode92_rec_per_s":${trimmedP50(decodeRuns).round},"decode92_runs":[${decodeRuns.map(_.round).mkString(",")}],"decode92_2m_rec_per_s":${trimmedP50(decode2mRuns).round},"decode92_2m_max":${decode2mRuns.max.round},"decode92_2m_runs":[${decode2mRuns.map(_.round).mkString(",")}],"totals_per_run":[${totalsPerRun.map(r3).mkString(",")}],"cpu_per_run":[${cpuPerRun.map(r3).mkString(",")}],"loadavg":[${loadavg.map(r3).mkString(",")}],"contended":$contended,"resweeps":$resweeps,"decode_resweeps":$decodeResweeps,"names_sha":"${namesDigest(names)}","n_queries":${names.length},"queries_ms_arr":$qMsArr}"""
   }
+
+  /** 1-minute load average from /proc/loadavg; -1 if unreadable. */
+  private def loadavg1m(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** Cumulative process CPU seconds (all threads); -1 if unsupported. */
+  private def processCpuSec(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        val ns = os.getProcessCpuTime
+        if (ns < 0) -1.0 else ns / 1e9
+      case _ => -1.0
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -98,6 +128,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Contention telemetry (round-6 advice: a poisoned sweep must be
+    // self-identifying): 1-minute load BEFORE any work and AFTER the
+    // sweeps, plus process-CPU per sweep. On a quiet box the start load is
+    // ~0 and wall*utilized-cores ~= cpu; external load shows up as high
+    // loadavg with cpu << expectations.
+    val loadStart = loadavg1m()
 
     // Decode-throughput probes FIRST: measured after the query sweep they
     // read ~2x low from accumulated heap/cache pressure. Apples-to-apples
@@ -134,30 +171,38 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    // N timed sweeps; each query's p50/p90 over them.
-    def sweep(): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) =>
+    // N timed sweeps; each query's p50/p90 over them. Each sweep also
+    // records the process-CPU seconds it consumed (wall >> cpu/cores with
+    // a high loadavg = an externally contended measurement).
+    def sweep(): (Map[String, Double], Double) = {
+      val cpu0 = processCpuSec()
+      val m = SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
-    var runs: Seq[Map[String, Double]] = (1 to NRuns).map(_ => sweep())
-    def totals(rs: Seq[Map[String, Double]]): Seq[Double] =
-      rs.map(_.values.filter(_ >= 0).sum)
+      val cpu1 = processCpuSec()
+      (m, if (cpu0 < 0 || cpu1 < 0) -1.0 else cpu1 - cpu0)
+    }
+    var runsCpu: Seq[(Map[String, Double], Double)] = (1 to NRuns).map(_ => sweep())
+    def totals(rs: Seq[(Map[String, Double], Double)]): Seq[Double] =
+      rs.map(_._1.values.filter(_ >= 0).sum)
     // Contention guard: one sweep >3x the fastest is external load (the
     // engine does not get 3x slower between back-to-back identical runs);
     // re-run it once and record that the guard fired.
     var resweeps = 0
     // a sweep whose total is 0 means every query failed (e.g. transient
     // executor loss) — re-run IT, don't let it masquerade as "fastest"
-    val dead = totals(runs).indexWhere(_ <= 0)
-    if (dead >= 0) { resweeps += 1; runs = runs.updated(dead, sweep()) }
-    val ts = totals(runs)
+    val dead = totals(runsCpu).indexWhere(_ <= 0)
+    if (dead >= 0) { resweeps += 1; runsCpu = runsCpu.updated(dead, sweep()) }
+    val ts = totals(runsCpu)
     val pos = ts.filter(_ > 0)
     if (pos.nonEmpty && ts.max > 3 * pos.min) {
       resweeps += 1
-      runs = runs.updated(ts.indexOf(ts.max), sweep())
+      runsCpu = runsCpu.updated(ts.indexOf(ts.max), sweep())
     }
+    val runs: Seq[Map[String, Double]] = runsCpu.map(_._1)
+    val cpuPerRun: Seq[Double] = runsCpu.map(_._2)
     val names = SparkEntry.queries.keys.toSeq.sorted
     val perP50 = names.map { n =>
       val xs = runs.map(_(n))
@@ -167,7 +212,7 @@ object Bench {
       val xs = runs.map(_(n))
       n -> (if (xs.exists(_ < 0)) -1.0 else xs.max)
     }.toMap
-    val totalsPerRun = totals(runs)
+    val totalsPerRun = totals(runsCpu)
 
     val total = perP50.values.filter(_ >= 0).sum
     // BASELINE.md's one comparable number: decode throughput. q_dbc_scan
@@ -177,8 +222,22 @@ object Bench {
       n / secs
     }.getOrElse(0.0)
     val env = s"""{"cpus":"$cpus","max_heap_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)},"spark":"${spark.version}"}"""
+    val loadEnd = loadavg1m()
+    // Post-guard contention verdict: the artifact self-flags when the
+    // measurements still disagree with themselves (decode repeats spread
+    // >3x, or sweep totals spread >3x) or when the box was visibly busy
+    // beyond this JVM's own threads at the start (loadavg ~> cores BEFORE
+    // any Spark work — this process is the load afterwards).
+    def spread3x(xs: Seq[Double]): Boolean = {
+      val ok = xs.filter(_ > 0); ok.nonEmpty && ok.max > 3 * ok.min
+    }
+    val contended = spread3x(decodeRuns) || spread3x(decode2mRuns) ||
+      spread3x(totalsPerRun) ||
+      (loadStart > 0 && loadStart > cpus.toDouble)
     val line = renderLine(names, perP50, perP90, env, sfDir, total, decodeRate,
-      decodeRuns, decode2mRuns, totalsPerRun, resweeps, decodeResweeps)
+      decodeRuns, decode2mRuns, totalsPerRun, resweeps, decodeResweeps,
+      loadavg = Seq(loadStart, loadEnd), cpuPerRun = cpuPerRun,
+      contended = contended)
     // Belt and braces: the full line also lands in the repo, immune to any
     // stdout tail capture.
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),

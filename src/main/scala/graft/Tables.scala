@@ -24,18 +24,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark has no native type
-    * for: with spark.sql.legacy.parquet.nanosAsLong=true (set by all graft
-    * sessions) the column arrives as Long nanos; convert to a microsecond
-    * timestamp (floor) here so downstream ops see a real TIMESTAMP. */
+  /** events.parquet's `ts` physical type has drifted across fixture
+    * generations; normalize every known shape to a session-tz TIMESTAMP so
+    * downstream casts (`cast(ts as bigint)`), watermarks, and
+    * `Row.getTimestamp` all see the same thing:
+    *   - TIMESTAMP(NANOS): no native Spark type — with
+    *     spark.sql.legacy.parquet.nanosAsLong=true the column arrives as
+    *     Long nanos; floor-convert to microsecond TIMESTAMP.
+    *   - TIMESTAMP_MICROS isAdjustedToUTC=0: Spark reads TIMESTAMP_NTZ;
+    *     cast to TIMESTAMP (all graft sessions pin UTC, so the wall-clock
+    *     micros are preserved exactly — matching DuckDB's epoch_us).
+    *   - TIMESTAMP (adjusted): already what we want. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     // runtime conf, so sessions built without GraftSession still read nanos
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = apply(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -21,7 +21,9 @@ class BenchFormatSpec extends AnyFunSuite {
       sfDir = "/root/testdata/sf0.1", total = 57.3, decodeRate = 123456.0,
       decodeRuns = Seq(245931.0, 250000.0, 240000.0),
       decode2mRuns = Seq(318304.0, 320000.0),
-      totalsPerRun = Seq(57.749, 53.19, 55.554), resweeps = 1, decodeResweeps = 0)
+      totalsPerRun = Seq(57.749, 53.19, 55.554), resweeps = 1, decodeResweeps = 0,
+      loadavg = Seq(0.42, 31.7), cpuPerRun = Seq(801.2, 795.0, 799.9),
+      contended = false)
   }
 
   test("primary payload survives a 2000-char tail capture even at 250 queries") {
@@ -32,6 +34,12 @@ class BenchFormatSpec extends AnyFunSuite {
       assert(tail.contains("\"decode_rec_per_s\""), s"n=$n: decode figures truncated")
       assert(tail.contains("\"totals_per_run\":[57.749,53.19,55.554]"))
       assert(tail.contains("\"resweeps\":1"))
+      // round-7 contention telemetry must also survive the tail capture
+      assert(tail.contains("\"loadavg\":[0.42,31.7]"))
+      assert(tail.contains("\"cpu_per_run\":[801.2,795.0,799.9]"))
+      assert(tail.contains("\"contended\":false"))
+      assert(tail.contains("\"names_sha\":\""), s"n=$n: names digest truncated")
+      assert(tail.contains(s"\"n_queries\":$n"))
       assert(tail.contains("\"queries_ms_arr\":["), s"n=$n: p50 array truncated")
       // and the array itself is complete (line ends with it)
       assert(line.endsWith("]}"))
@@ -43,6 +51,15 @@ class BenchFormatSpec extends AnyFunSuite {
     val line = render(5)
     // values are int-ms of 3.141 s = 3141 for every query
     assert(line.contains("\"queries_ms_arr\":[3141,3141,3141,3141,3141]}"))
+  }
+
+  test("names digest is order-sensitive and validates a positional re-key") {
+    val names = Seq("q_a", "q_b", "q_c")
+    val d = Bench.namesDigest(names)
+    assert(d.length == 12 && d.matches("[0-9a-f]{12}"))
+    assert(Bench.namesDigest(names) == d, "digest must be deterministic")
+    assert(Bench.namesDigest(names.reverse) != d, "reorder must mismatch")
+    assert(Bench.namesDigest(names.updated(1, "q_b2")) != d, "rename must mismatch")
   }
 
   test("decode figures report the trimmed median, with max as a secondary stat") {
