@@ -12,6 +12,7 @@ object SparkEntry {
     (graft.queries.Events.queries, graft.queries.Events.oracles),
     (graft.queries.Etl.queries, graft.queries.Etl.oracles),
     (graft.queries.Multimodal.queries, graft.queries.Multimodal.oracles),
+    (graft.queries.StreamingGate.queries, graft.queries.StreamingGate.oracles),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

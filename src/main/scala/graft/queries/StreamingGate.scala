@@ -1,0 +1,92 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingEtl
+
+/** Driver-GATED stream==batch twins (round-7).
+  *
+  * The 15 stream==batch parity proofs in StreamingSpec exist only as
+  * ScalaTest assertions; these two entries run actual Structured
+  * Streaming plans under the DuckDB oracle gate, so CORRECTNESS — not
+  * just the suite — certifies that a streaming core computes the same
+  * answer as the batch operator on the same data:
+  *
+  *  - `q_stream_pii`: the stateless redaction-at-ingest core
+  *    ([[StreamingEtl.piiScrubStream]]) in APPEND mode — every arriving
+  *    row emits exactly once, so the result must equal the batch
+  *    `q_pii_scrub` row-for-row and the two entries share ONE oracle SQL.
+  *  - `q_stream_linededup`: the stateful line-dedup-at-ingest core
+  *    ([[StreamingEtl.lineDedupStream]]) — a real streaming AGGREGATION
+  *    (chunk rollup per document) probing the write-once chunk-history
+  *    lake table stream-static, run in COMPLETE mode so the final state
+  *    is the whole answer; it must equal batch `q_dedup_lines_incr`
+  *    and shares its oracle SQL.
+  *
+  * Mechanics: the fixture parquet is read as a bounded FILE STREAM
+  * (explicit schema — streaming sources don't infer) and driven to
+  * completion with `Trigger.AvailableNow` into a memory sink
+  * ([[StreamingEtl.runToMemory]]) — the same catch-up semantics a
+  * production job uses to drain a backlog. The memory sink is a
+  * driver-bounded TEST/gate surface (these results are ≤ |documents|
+  * rows); the production sink is
+  * [[StreamingEtl.runToPartitionedParquet]]. Checkpoints are fresh per
+  * invocation (a reused checkpoint would replay nothing and emit an
+  * empty table); memory table names are sequenced so repeated bench
+  * sweeps never collide with an active query.
+  */
+object StreamingGate {
+  private val runSeq = new AtomicInteger(0)
+
+  /** Fixture parquet as a bounded file stream with the batch schema.
+    * events-style normalization is the CALLER's job (these twins read
+    * documents, whose fixture schema needs none — FixtureCanarySpec). */
+  private def parquetStream(s: SparkSession, dir: String, table: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/$table.parquet").schema
+    // FileStreamSource wants a directory (or a glob whose base is one);
+    // the fixture is one file per table, so address it as a
+    // single-match glob — [t] matches only the literal file, and the
+    // stream's base path resolves to `dir`.
+    s.readStream.schema(schema).parquet(s"$dir/$table.parque[t]")
+  }
+
+  /** Drive `df` to completion over the available input and hand back the
+    * materialized result table. */
+  private def runGate(df: DataFrame, tag: String, mode: String): DataFrame = {
+    val s = df.sparkSession
+    val name = s"gate_${tag}_${runSeq.incrementAndGet()}"
+    val cp = Files.createTempDirectory(s"graft_cp_$tag").toString
+    StreamingEtl.runToMemory(df, name, cp, mode)
+    s.table(name)
+  }
+
+  /** Stateless PII scrub at ingest, gated: stream == batch == oracle. */
+  def qStreamPii(s: SparkSession, dir: String): DataFrame =
+    runGate(StreamingEtl.piiScrubStream(parquetStream(s, dir, "documents")),
+      "pii", "append")
+
+  /** Stateful line-dedup at ingest, gated: the arriving slice (the shared
+    * doc_id % 5 == 0 incremental convention) probes the persisted chunk
+    * history; final aggregation state == batch == oracle. */
+  def qStreamLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val hist = Dedup.persistedChunkHistory(s, dir)
+    val docs = parquetStream(s, dir, "documents")
+      .filter(Dedup.isNewDoc(col("doc_id")))
+      .select(col("doc_id"), col("text"))
+    runGate(StreamingEtl.lineDedupStream(docs, hist), "linededup", "complete")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_pii"       -> (qStreamPii _),
+    "q_stream_linededup" -> (qStreamLineDedup _))
+
+  /** The twins assert stream==batch by construction: each shares its
+    * oracle VERBATIM with the batch operator it mirrors. */
+  def oracles: Map[String, String] = Map(
+    "q_stream_pii"       -> TrainingData.qPiiScrubSql,
+    "q_stream_linededup" -> Dedup.qDedupLinesIncrSql)
+}
