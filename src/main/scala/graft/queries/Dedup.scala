@@ -2083,8 +2083,61 @@ object Dedup {
       |    list(chunk ORDER BY pos) FILTER (WHERE NOT b), ' '), '')) AS clean_h
       |FROM fl GROUP BY doc_id""".stripMargin
 
+  /** INTRA-document line dedup — the C4 preprocessing step that runs
+    * BEFORE any cross-document comparison: a document repeating its own
+    * chunk (nav boilerplate, templated footers, scraped pagination)
+    * keeps only the FIRST occurrence; later repeats are dropped and the
+    * retained text re-hashed. Pure per-document work: the window
+    * partitions by (doc_id, chunk) — cardinality grows WITH the corpus
+    * (never a low-card funnel; partition size is bounded by document
+    * length), no cross-doc state, no join, one shuffle. The natural
+    * complement to [[qDedupLines]] (cross-doc boilerplate) and
+    * [[qDedupLinesIncr]] (vs history): together the three are the full
+    * RefinedWeb line-filter family. */
+  def qDedupLinesSelf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = docChunks(Tables.documents(s, dir).select($"doc_id", $"text"))
+    val firstSeen = Window.partitionBy($"doc_id", $"chunk").orderBy($"pos".asc)
+    chunks
+      .withColumn("b", row_number().over(firstSeen) > 1)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"b", 1L).otherwise(0L)).as("n_self_dup"),
+        md5(array_join(expr(
+          "transform(filter(sort_array(collect_list(struct(pos, b, chunk))), " +
+          "x -> NOT x.b), x -> x.chunk)"), " ")).as("clean_h"))
+      .select($"doc_id", $"n_chunks", $"n_self_dup",
+        expr("(n_self_dup * 1000000L) DIV n_chunks").as("self_dup_ppm"), $"clean_h")
+  }
+
+  val qDedupLinesSelfSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |t2 AS (
+      |  SELECT doc_id,
+      |    [array_to_string(list_slice(t, i*10+1, i*10+10), ' ')
+      |     for i in range(0, (len(t) - 1) // 10 + 1)] AS cs
+      |  FROM t WHERE len(t) >= 1),
+      |ch AS (
+      |  SELECT doc_id, r.c.pos AS pos, r.c.chunk AS chunk
+      |  FROM t2, unnest([{'pos': i - 1, 'chunk': cs[i]}
+      |                   for i in range(1, len(cs) + 1)]) r(c)),
+      |fl AS (
+      |  SELECT doc_id, pos, chunk,
+      |    row_number() OVER (PARTITION BY doc_id, chunk ORDER BY pos) > 1 AS b
+      |  FROM ch)
+      |SELECT doc_id, count(*) AS n_chunks,
+      |  CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_self_dup,
+      |  (CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+      |    // count(*) AS self_dup_ppm,
+      |  md5(coalesce(array_to_string(
+      |    list(chunk ORDER BY pos) FILTER (WHERE NOT b), ' '), '')) AS clean_h
+      |FROM fl GROUP BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_lines"   -> (qDedupLines _),
+    "q_dedup_lines_self" -> (qDedupLinesSelf _),
     "q_dedup_lines_incr" -> (qDedupLinesIncr _),
     "q_lsh_balance"   -> (qLshBalance _),
     "q_soft_dedup"    -> (qSoftDedup _),
@@ -2124,6 +2177,7 @@ object Dedup {
 
   def oracles: Map[String, String] = Map(
     "q_dedup_lines"   -> qDedupLinesSql,
+    "q_dedup_lines_self" -> qDedupLinesSelfSql,
     "q_dedup_lines_incr" -> qDedupLinesIncrSql,
     "q_lsh_balance"   -> qLshBalanceSql,
     "q_soft_dedup"    -> qSoftDedupSql,

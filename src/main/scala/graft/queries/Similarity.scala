@@ -949,7 +949,59 @@ object Similarity {
       |SELECT sep.source AS source, n_pass, n_fail, sep_sq
       |FROM sep JOIN cnt ON sep.source = cnt.source""".stripMargin
 
+  /** Matryoshka-style DIMENSION ENERGY SPECTRUM — per label, the share
+    * of total squared mass carried by each leading-prefix slice (16/32/48
+    * of 64 dims), the measurement that decides how far an embedding can
+    * be truncated (or a PQ codebook shortened) before retrieval quality
+    * falls off. Same exact-integer quantization as [[qEmbedStats]]
+    * (x -> round(x*1e7) as LONG, then pure integer arithmetic), so no
+    * float reaches the gate. Output is |labels| x 3 rows at any corpus
+    * size; one aggregation, no join. */
+  def qEmbedEnergy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // energy share is computed per VECTOR as a bounded <=1e6 ppm, then
+    // averaged — label-level sums of q^2 (~5e16 at sf0.1) would overflow
+    // LONG the moment the ppm step multiplies them by 1e6
+    val per = Tables.embeddings(s, dir)
+      .select($"label".cast("long").as("label"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e5) AS LONG))").as("qv"))
+      .select($"label",
+        expr("aggregate(qv, 0L, (a, q) -> a + q * q)").as("tot"),
+        expr("aggregate(slice(qv, 1, 16), 0L, (a, q) -> a + q * q)").as("p16"),
+        expr("aggregate(slice(qv, 1, 32), 0L, (a, q) -> a + q * q)").as("p32"),
+        expr("aggregate(slice(qv, 1, 48), 0L, (a, q) -> a + q * q)").as("p48"))
+      .selectExpr("label", "stack(3, 16L, p16, 32L, p32, 48L, p48) AS (d, psq)", "tot")
+      .select($"label", $"d", expr("(psq * 1000000L) DIV tot").as("vec_ppm"))
+    per.groupBy($"label", $"d")
+      .agg(count(lit(1)).as("n_vecs"), sum($"vec_ppm").as("sum_ppm"))
+      .select($"label", $"d", $"n_vecs",
+        expr("sum_ppm DIV n_vecs").as("mean_energy_ppm"))
+  }
+
+  val qEmbedEnergySql: String =
+    """WITH q AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1e5) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT label,
+      |    list_sum([x * x for x in qv]) AS tot,
+      |    list_sum([x * x for x in qv[1:16]]) AS p16,
+      |    list_sum([x * x for x in qv[1:32]]) AS p32,
+      |    list_sum([x * x for x in qv[1:48]]) AS p48
+      |  FROM q),
+      |v AS (
+      |  SELECT label, u.r.d AS d,
+      |    (CAST(u.r.s AS BIGINT) * 1000000) // CAST(tot AS BIGINT) AS vec_ppm
+      |  FROM p, unnest([{'d': 16, 's': p16}, {'d': 32, 's': p32},
+      |                  {'d': 48, 's': p48}]) u(r))
+      |SELECT label, d, count(*) AS n_vecs,
+      |  CAST(sum(vec_ppm) AS BIGINT) // count(*) AS mean_energy_ppm
+      |FROM v GROUP BY label, d""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_energy" -> (qEmbedEnergy _),
     "q_embed_drift"  -> (qEmbedDrift _),
     "q_embed_outliers" -> (qEmbedOutliers _),
     "q_embed_sep"    -> (qEmbedSep _),
@@ -965,6 +1017,7 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_embed_energy" -> qEmbedEnergySql,
     "q_embed_drift"  -> qEmbedDriftSql,
     "q_embed_outliers" -> qEmbedOutliersSql,
     "q_embed_sep"    -> qEmbedSepSql,

@@ -1352,7 +1352,43 @@ object TextAnalysis {
       |  FROM lift)
       |SELECT source, rk, tok, n, lift_ppm FROM rk WHERE rk <= 3""".stripMargin
 
+  /** TOKENIZER FERTILITY per language — tokens and bytes per character,
+    * the numbers that size a token budget across languages (whitespace
+    * tokenization under-segments CJK and a byte-level tokenizer's cost
+    * tracks BYTES, so both ratios matter when allocating a multilingual
+    * mix). Map-side per-row arithmetic + one |langs|-row aggregation;
+    * ratios are exact integer ppm/centi (gate convention). */
+  def qTokFertility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"lang",
+        size(tokens($"text")).cast("long").as("nt"),
+        length($"text").cast("long").as("nc"),
+        octet_length($"text").cast("long").as("nb"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"),
+        sum($"nc").as("n_chars"), sum($"nb").as("n_bytes"))
+      .select($"lang", $"n_docs", $"n_tokens", $"n_chars", $"n_bytes",
+        expr("(n_tokens * 1000000L) DIV n_chars").as("tok_per_char_ppm"),
+        expr("(n_bytes * 100L) DIV n_chars").as("bytes_per_char_c"))
+  }
+
+  val qTokFertilitySql: String =
+    """WITH d AS (
+      |  SELECT lang,
+      |    len(list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '')) AS nt,
+      |    length(text) AS nc, strlen(text) AS nb
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+      |  CAST(sum(nc) AS BIGINT) AS n_chars,
+      |  CAST(sum(nb) AS BIGINT) AS n_bytes,
+      |  (CAST(sum(nt) AS BIGINT) * 1000000) // CAST(sum(nc) AS BIGINT) AS tok_per_char_ppm,
+      |  (CAST(sum(nb) AS BIGINT) * 100) // CAST(sum(nc) AS BIGINT) AS bytes_per_char_c
+      |FROM d GROUP BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tok_fertility"    -> (qTokFertility _),
     "q_vocab_oov"        -> (qVocabOov _),
     "q_text_bpe_apply"   -> (qTextBpeApply _),
     "q_source_terms"     -> (qSourceTerms _),
@@ -1383,6 +1419,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_tok_fertility"    -> qTokFertilitySql,
     "q_vocab_oov"        -> qVocabOovSql,
     "q_text_bpe_apply"   -> qTextBpeApplySql,
     "q_source_terms"     -> qSourceTermsSql,
