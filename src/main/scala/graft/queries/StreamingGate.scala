@@ -80,13 +80,30 @@ object StreamingGate {
     runGate(StreamingEtl.lineDedupStream(docs, hist), "linededup", "complete")
   }
 
+  /** Minhash dedup-at-ingest, gated — the heaviest streaming core under
+    * the oracle: arriving documents compute signatures statelessly,
+    * probe the write-once bucketed band index stream-static, dedup
+    * candidate pairs in stream state, and verify exactly against the
+    * historical shingle store; emitted (new_doc, hist_doc, jaccard_ppm)
+    * matches == batch == oracle. */
+  def qStreamIncrDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = parquetStream(s, dir, "documents")
+      .filter(Dedup.isNewDoc(col("doc_id")))
+      .select(col("doc_id"), col("text"))
+    runGate(StreamingEtl.incrementalDedupStream(docs,
+      Dedup.persistedBandIndex(s, dir),
+      Dedup.historicalShingles(s, dir)), "incrdedup", "append")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_pii"       -> (qStreamPii _),
-    "q_stream_linededup" -> (qStreamLineDedup _))
+    "q_stream_linededup" -> (qStreamLineDedup _),
+    "q_stream_incrdedup" -> (qStreamIncrDedup _))
 
   /** The twins assert stream==batch by construction: each shares its
     * oracle VERBATIM with the batch operator it mirrors. */
   def oracles: Map[String, String] = Map(
     "q_stream_pii"       -> TrainingData.qPiiScrubSql,
-    "q_stream_linededup" -> Dedup.qDedupLinesIncrSql)
+    "q_stream_linededup" -> Dedup.qDedupLinesIncrSql,
+    "q_stream_incrdedup" -> Dedup.qDedupIncrementalSql)
 }
