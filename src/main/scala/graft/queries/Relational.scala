@@ -509,11 +509,17 @@ object Relational {
       |FROM customer c GROUP BY c_mktsegment""".stripMargin
 
   /** Correlated LATERAL derived table with per-row ORDER BY + LIMIT — the
-    * "top-2 orders for each (filtered) customer" shape. Catalyst rewrites
-    * the correlated limit through a DomainJoin into a window-style
-    * per-key group limit (no per-customer re-execution), which is the
-    * same bounded-heap plan the engine uses for q_sample_topn. Both
-    * engines run textually identical SQL. */
+    * "top-2 orders for each (filtered) customer" shape. Catalyst
+    * decorrelates the correlated limit into two windows over the inner
+    * relation (no per-customer re-execution) — but NOTE the rewrite
+    * interposes a GLOBAL sort of `orders` so the per-key row_number
+    * picks each key's top-2 deterministically (verified round 7:
+    * Sort[global=true] between the rk and rn windows, no
+    * WindowGroupLimit). That makes this the documented exception in
+    * PlanHygieneSpec's global-sort rule: it exists to cover the LATERAL
+    * surface; the engine's SCALE path for per-key top-k is
+    * q_sample_topn's WindowGroupLimit bounded heaps (local sorts only).
+    * Both engines run textually identical SQL. */
   def qLateral(s: SparkSession, dir: String): DataFrame = {
     Tables.customer(s, dir).createOrReplaceTempView("customer")
     Tables.orders(s, dir).createOrReplaceTempView("orders")

@@ -251,6 +251,41 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"q_ann_range plans a shuffle:\n$plan")
   }
 
+  // Queries whose GLOBAL sort is the documented, deliberate design.
+  private val globalSortOk = Set(
+    // LATERAL (ORDER BY ... LIMIT k) decorrelation: Catalyst orders the
+    // whole inner relation globally so the per-key row_number picks each
+    // key's top-2 deterministically (no WindowGroupLimit rewrite exists
+    // for this shape in 4.1). The query exists to cover the correlated
+    // LATERAL surface; the engine's scale path for per-key top-k is
+    // q_sample_topn's WindowGroupLimit bounded heaps. See qLateral's
+    // scaladoc.
+    "q_lateral")
+
+  test("no query plans a whole-relation global sort outside top-k rewrites") {
+    // The fourth scale-killer class (round 7): a Sort[global=true] over a
+    // corpus-proportional relation funnels a total ordering through a
+    // range-partitioned shuffle — O(n log n) over everything, and the
+    // plan carries it even though the gate hashes results order-
+    // independently. orderBy+limit rewrites to TakeOrderedAndProject
+    // (no SortExec), window/SMJ sorts are partition-local
+    // (global=false), so ANY surviving global SortExec is a
+    // whole-relation sort that must be either whitelisted with its
+    // bound documented or rewritten.
+    import org.apache.spark.sql.execution.SortExec
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val plan =
+        try fn(spark, sf).queryExecution.sparkPlan
+        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      val bad = plan.collect { case s: SortExec if s.global => s }
+      if (bad.nonEmpty && !globalSortOk.contains(name))
+        Some(s"$name (${bad.size} global sort(s))")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"whole-relation global sort in: ${offenders.mkString("; ")}")
+  }
+
   test("documents-table queries prune to the columns they actually use") {
     // documents = (doc_id, text, lang, source, n_chars): content queries
     // must not drag the metadata columns (or vice versa) through the scan
