@@ -43,8 +43,8 @@ object StreamingGate {
   private val runSeq = new AtomicInteger(0)
 
   /** Fixture parquet as a bounded file stream with the batch schema.
-    * events-style normalization is the CALLER's job (these twins read
-    * documents, whose fixture schema needs none — FixtureCanarySpec). */
+    * events-style normalization is the CALLER's job (document twins need
+    * none — FixtureCanarySpec; event twins use [[eventsStream]]). */
   private def parquetStream(s: SparkSession, dir: String, table: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/$table.parquet").schema
     // FileStreamSource wants a directory (or a glob whose base is one);
@@ -52,6 +52,19 @@ object StreamingGate {
     // single-match glob — [t] matches only the literal file, and the
     // stream's base path resolves to `dir`.
     s.readStream.schema(schema).parquet(s"$dir/$table.parque[t]")
+  }
+
+  /** The events fixture as a stream with `ts` normalized to session-tz
+    * TIMESTAMP — the streaming mirror of Tables.events' drift handling
+    * (watermarks reject TIMESTAMP_NTZ, the round-6 failure mode). */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = parquetStream(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
 
   /** Drive `df` to completion over the available input and hand back the
@@ -95,15 +108,58 @@ object StreamingGate {
       Dedup.historicalShingles(s, dir)), "incrdedup", "append")
   }
 
+  /** STREAM-STREAM event-time interval join, gated — the §2.7 surface no
+    * stream-static twin exercises: each view event joins every click by
+    * the same user within the following 30 minutes, both sides
+    * watermarked (1 h) so at scale the join state is evicted once the
+    * watermark passes the interval bound — bounded memory on unbounded
+    * streams. Inner join in append mode emits each matched pair exactly
+    * once; with AvailableNow over the fixture the result must equal the
+    * batch interval self-join, and the oracle states exactly that in
+    * SQL. Gap is exact floored-epoch-seconds arithmetic on both
+    * engines. */
+  def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val views = eventsStream(s, dir)
+      .filter(col("event_type") === "view")
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("v_ts"))
+    val clicks = eventsStream(s, dir)
+      .filter(col("event_type") === "click")
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val joined = views.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("view_id"), col("click_id"), col("user_id"),
+        expr("cast(v_ts as bigint)").as("view_s"),
+        expr("cast(c_ts as bigint)").as("click_s"),
+        expr("cast(c_ts as bigint) - cast(v_ts as bigint)").as("gap_s"))
+    runGate(joined, "join", "append")
+  }
+
+  val qStreamJoinSql: String =
+    """SELECT a.event_id AS view_id, b.event_id AS click_id, a.user_id,
+      |  epoch_us(a.ts) // 1000000 AS view_s,
+      |  epoch_us(b.ts) // 1000000 AS click_s,
+      |  epoch_us(b.ts) // 1000000 - epoch_us(a.ts) // 1000000 AS gap_s
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND a.event_type = 'view' AND b.event_type = 'click'
+      | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_pii"       -> (qStreamPii _),
     "q_stream_linededup" -> (qStreamLineDedup _),
-    "q_stream_incrdedup" -> (qStreamIncrDedup _))
+    "q_stream_incrdedup" -> (qStreamIncrDedup _),
+    "q_stream_join"      -> (qStreamJoin _))
 
   /** The twins assert stream==batch by construction: each shares its
     * oracle VERBATIM with the batch operator it mirrors. */
   def oracles: Map[String, String] = Map(
     "q_stream_pii"       -> TrainingData.qPiiScrubSql,
     "q_stream_linededup" -> Dedup.qDedupLinesIncrSql,
-    "q_stream_incrdedup" -> Dedup.qDedupIncrementalSql)
+    "q_stream_incrdedup" -> Dedup.qDedupIncrementalSql,
+    "q_stream_join"      -> qStreamJoinSql)
 }
