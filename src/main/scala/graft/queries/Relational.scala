@@ -632,6 +632,38 @@ object Relational {
       |  ON p.user_id = s.user_id AND p.ts >= s.ts
       | AND p.ts < s.ts + INTERVAL 1 HOUR""".stripMargin
 
+  /** SALTED skew join, GATED — the §2.4 skew-mitigation path as a live
+    * query instead of a spec-only operator: each event enriches with its
+    * user's total activity through [[graft.operators.Skew.saltedJoin]]
+    * (probe side scatters each row to one of 8 salt values by a
+    * deterministic hash, build side replicates 8x, join on
+    * (user_id, _salt)) — a hot user's rows spread across 8 tasks instead
+    * of funneling one. Salting is exact by construction, so the oracle
+    * is the PLAIN join in SQL; the rollup keeps the gate output at
+    * |event types| rows while the salted join itself carries the full
+    * event volume through the plan. */
+  def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val perUser = ev.groupBy($"user_id").agg(count(lit(1)).as("user_n"))
+    val enriched = graft.operators.Skew.saltedJoin(
+      ev.select($"event_id", $"user_id", $"event_type"), perUser,
+      "user_id", 8, probeSaltBy = Seq("event_id"))
+    enriched.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"user_n" >= 100L, 1L).otherwise(0L)).as("n_heavy_user_events"),
+        max($"user_n").as("max_user_n"))
+  }
+
+  val qSaltedJoinSql: String =
+    """WITH c AS (SELECT user_id, count(*) AS user_n FROM events GROUP BY 1)
+      |SELECT e.event_type, count(*) AS n_events,
+      |  CAST(sum(CASE WHEN c.user_n >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_heavy_user_events,
+      |  max(c.user_n) AS max_user_n
+      |FROM events e JOIN c ON e.user_id = c.user_id
+      |GROUP BY e.event_type""".stripMargin
+
   /** Window-function breadth: lead/lag/ntile/first/last/rank over the
     * per-customer order timeline. */
   def qWindowFns(s: SparkSession, dir: String): DataFrame = {
@@ -903,6 +935,7 @@ object Relational {
     }.mkString("\nUNION ALL\n")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_join"     -> (qSaltedJoin _),
     "q_skew_keys"       -> (qSkewKeys _),
     "q_window_ranks"    -> (qWindowRanks _),
     "q_setops_all"      -> (qSetOpsAll _),
@@ -949,6 +982,7 @@ object Relational {
     "q_explode"         -> qExplodeSql,
     "q_unpivot"         -> qUnpivotSql,
     "q1_agg"            -> q1AggSql,
+    "q_salted_join"     -> qSaltedJoinSql,
     "q_skew_keys"       -> qSkewKeysSql,
     "q_window_ranks"    -> qWindowRanksSql,
     "q_setops_all"      -> qSetOpsAllSql,

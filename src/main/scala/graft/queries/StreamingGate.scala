@@ -119,11 +119,19 @@ object StreamingGate {
     * SQL. Gap is exact floored-epoch-seconds arithmetic on both
     * engines. */
   def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
-    val views = eventsStream(s, dir)
+    // A stateful stream-stream join creates one state store per side per
+    // shuffle partition and pays a per-micro-batch commit on each —
+    // partition count should track STREAM volume, exactly like a
+    // production job sizes spark.sql.shuffle.partitions per workload.
+    // Run the join in a session CLONE (shared SparkContext, independent
+    // conf) so the right-sizing never leaks into the shared session.
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val views = eventsStream(s2, dir)
       .filter(col("event_type") === "view")
       .withWatermark("ts", "1 hour")
       .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("v_ts"))
-    val clicks = eventsStream(s, dir)
+    val clicks = eventsStream(s2, dir)
       .filter(col("event_type") === "click")
       .withWatermark("ts", "1 hour")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
