@@ -153,6 +153,59 @@ object Dedup {
     }
   }
 
+  /** WEIGHTED (multiset) jaccard over the gated near-dup pairs — the
+    * bag-of-words refinement the set-jaccard family cannot see: two docs
+    * sharing every distinct token but with wildly different repetition
+    * profiles score 1.0 on set jaccard yet far lower here
+    * (J_w = Σ_t min(c_a,c_b) / Σ_t max(c_a,c_b)). Computed with
+    * Σmax = n_a + n_b − Σmin so only the INNER common-token join is
+    * needed; the pair relation is the already-thresholded [[qDedupJaccard]]
+    * output (tiny — broadcast), so the token join volume is bounded by
+    * pair-member token mass, never corpus². Exact integer ppm. */
+  def qDedupJaccardW(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = qDedupJaccard(s, dir).select($"doc_a", $"doc_b")
+    val tc = Tables.documents(s, dir)
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    val nt = tc.groupBy($"doc_id").agg(sum($"c").as("n"))
+    val common = pairs
+      .join(tc.select($"doc_id".as("doc_a"), $"tok", $"c".as("ca")), Seq("doc_a"))
+      .join(tc.select($"doc_id".as("doc_b"), $"tok", $"c".as("cb")), Seq("doc_b", "tok"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(sum(least($"ca", $"cb")).as("m"))
+    pairs
+      .join(common, Seq("doc_a", "doc_b"), "left")
+      .join(nt.select($"doc_id".as("doc_a"), $"n".as("na")), Seq("doc_a"))
+      .join(nt.select($"doc_id".as("doc_b"), $"n".as("nb")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        coalesce($"m", lit(0L)).as("common_mass"),
+        expr("(coalesce(m, 0L) * 1000000L) DIV (na + nb - coalesce(m, 0L))")
+          .as("wjaccard_ppm"))
+  }
+
+  val qDedupJaccardWSql: String =
+    s"""WITH pj AS (SELECT * FROM ($bruteJaccardSql) bb),
+       |tk AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '), x -> x <> '')) AS tok
+       |  FROM documents),
+       |tc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+       |nt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM tc GROUP BY 1),
+       |cm AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CAST(sum(least(a.c, b.c)) AS BIGINT) AS m
+       |  FROM pj p
+       |  JOIN tc a ON a.doc_id = p.doc_a
+       |  JOIN tc b ON b.doc_id = p.doc_b AND b.tok = a.tok
+       |  GROUP BY 1, 2)
+       |SELECT p.doc_a, p.doc_b,
+       |  coalesce(cm.m, 0) AS common_mass,
+       |  (coalesce(cm.m, 0) * 1000000) // (x.n + y.n - coalesce(cm.m, 0)) AS wjaccard_ppm
+       |FROM pj p
+       |LEFT JOIN cm ON cm.doc_a = p.doc_a AND cm.doc_b = p.doc_b
+       |JOIN nt x ON x.doc_id = p.doc_a
+       |JOIN nt y ON y.doc_id = p.doc_b""".stripMargin
+
   /** Unthresholded shared-shingle pair relation (x < y, intersection
     * size i, both set sizes) — THE expensive join of the dedup family,
     * shared by the jaccard >= 0.6 filter (plain plan) and both
@@ -2166,6 +2219,7 @@ object Dedup {
     "q_dedup_exact_keep" -> (qDedupExactKeep _),
     "q_contamination" -> (qContamination _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
+    "q_dedup_jaccard_w" -> (qDedupJaccardW _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_pagerank" -> ((s: SparkSession, dir: String) => pagerankCached(s, dir)),
@@ -2206,6 +2260,7 @@ object Dedup {
     "q_dedup_exact_keep" -> qDedupExactKeepSql,
     "q_contamination" -> qContaminationSql,
     "q_dedup_jaccard" -> qDedupJaccardSql,
+    "q_dedup_jaccard_w" -> qDedupJaccardWSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dedup_pagerank" -> qDedupPagerankSql,

@@ -126,6 +126,78 @@ object TrainingData {
       .withColumn("lo_rk", $"hi_rk" - $"cnt" + 1L)
   }
 
+  /** TEMPORAL leak-free split — the time-axis complement to the
+    * cluster-aware [[qSplitLeakfree]]: events split 80/10/10 at exact
+    * rank-selected SECOND cutoffs (t80 = the value at rank
+    * (n*8) DIV 10 of the ascending second ordering, t90 likewise), so
+    * train never contains an observation later than any val/test
+    * observation — the property a forecasting/recsys eval needs and a
+    * random split silently destroys. Cutoff selection uses the
+    * [[rankSpans]] value-histogram (the cumulative window runs over
+    * distinct SECONDS — bounded by calendar time, never event volume);
+    * assignment is one map-side comparison. Output: one row per split
+    * with its exact boundaries, plus ordered-boundary flags computed
+    * FROM the data (train_max < val_min, val_max < test_min) so the
+    * no-leak property gates as data, not as a code comment. */
+  def qSplitTemporal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val secs = graft.Tables.events(s, dir)
+      .select(lit("all").as("source"), expr("cast(ts as bigint)").as("v"))
+    val spans = rankSpans(secs, "v")
+    val cuts = spans.join(
+        spans.groupBy($"source").agg(sum($"cnt").as("n")), "source")
+      .withColumn("k80", expr("(n * 8) DIV 10"))
+      .withColumn("k90", expr("(n * 9) DIV 10"))
+      .groupBy($"source")
+      .agg(max(when($"lo_rk" <= $"k80" && $"k80" <= $"hi_rk", $"v")).as("t80"),
+           max(when($"lo_rk" <= $"k90" && $"k90" <= $"hi_rk", $"v")).as("t90"))
+    val assigned = secs.join(cuts, "source")
+      .withColumn("split",
+        when($"v" <= $"t80", "train").when($"v" <= $"t90", "val").otherwise("test"))
+    val per = assigned.groupBy($"split")
+      .agg(count(lit(1)).as("n_events"), min($"v").as("min_s"), max($"v").as("max_s"))
+    // boundary flags from the per-split aggregate itself (3-row relation)
+    val b = per.agg(
+      max(when($"split" === "train", $"max_s")).as("train_max"),
+      max(when($"split" === "val", $"min_s")).as("val_min"),
+      max(when($"split" === "val", $"max_s")).as("val_max"),
+      max(when($"split" === "test", $"min_s")).as("test_min"))
+    per.crossJoin(b)
+      .select($"split", $"n_events", $"min_s", $"max_s",
+        ($"train_max" < $"val_min").cast("long").as("train_before_val"),
+        ($"val_max" < $"test_min").cast("long").as("val_before_test"))
+  }
+
+  val qSplitTemporalSql: String =
+    """WITH d AS (SELECT epoch_us(ts) // 1000000 AS v FROM events),
+      |ranked AS (
+      |  SELECT v, row_number() OVER (ORDER BY v ASC) AS rk,
+      |    count(*) OVER () AS n
+      |  FROM d),
+      |cuts AS (
+      |  SELECT max(CASE WHEN rk = (n * 8) // 10 THEN v END) AS t80,
+      |         max(CASE WHEN rk = (n * 9) // 10 THEN v END) AS t90
+      |  FROM ranked),
+      |assigned AS (
+      |  SELECT v, CASE WHEN v <= t80 THEN 'train'
+      |                 WHEN v <= t90 THEN 'val'
+      |                 ELSE 'test' END AS split
+      |  FROM d, cuts),
+      |per AS (
+      |  SELECT split, count(*) AS n_events,
+      |    CAST(min(v) AS BIGINT) AS min_s, CAST(max(v) AS BIGINT) AS max_s
+      |  FROM assigned GROUP BY split),
+      |b AS (
+      |  SELECT max(CASE WHEN split = 'train' THEN max_s END) AS train_max,
+      |         max(CASE WHEN split = 'val' THEN min_s END) AS val_min,
+      |         max(CASE WHEN split = 'val' THEN max_s END) AS val_max,
+      |         max(CASE WHEN split = 'test' THEN min_s END) AS test_min
+      |  FROM per)
+      |SELECT split, n_events, min_s, max_s,
+      |  CAST(CASE WHEN train_max < val_min THEN 1 ELSE 0 END AS BIGINT) AS train_before_val,
+      |  CAST(CASE WHEN val_max < test_min THEN 1 ELSE 0 END AS BIGINT) AS val_before_test
+      |FROM per, b""".stripMargin
+
   /** Curriculum binning: per-source quality DECILES over the lexical-
     * diversity score (distinct-token ratio in exact ppm, tie-broken by
     * doc_id so ntile is engine-deterministic). The curriculum/mixing
@@ -1384,6 +1456,7 @@ object TrainingData {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_diff"       -> (qCorpusDiff _),
     "q_quality_winsor"    -> (qQualityWinsor _),
+    "q_split_temporal"    -> (qSplitTemporal _),
     "q_quality_calibrated" -> (qQualityCalibrated _),
     "q_quality_mad"       -> (qQualityMad _),
     "q_quality_ks"        -> (qQualityKs _),
@@ -1412,6 +1485,7 @@ object TrainingData {
   def oracles: Map[String, String] = Map(
     "q_corpus_diff"       -> qCorpusDiffSql,
     "q_quality_winsor"    -> qQualityWinsorSql,
+    "q_split_temporal"    -> qSplitTemporalSql,
     "q_quality_calibrated" -> qQualityCalibratedSql,
     "q_quality_mad"       -> qQualityMadSql,
     "q_quality_ks"        -> qQualityKsSql,
