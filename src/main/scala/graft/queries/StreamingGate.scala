@@ -157,7 +157,31 @@ object StreamingGate {
       | AND a.event_type = 'view' AND b.event_type = 'click'
       | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""".stripMargin
 
+  /** Decontamination-at-ingest, gated — the family's 100 TB shape run as
+    * a REAL stream: the eval side collapses batch-side to its exact
+    * distinct shingles plus the fixed ~1 MB bloom sketch; every arriving
+    * train shingle probes the sketch as a compiled per-row predicate
+    * BEFORE any shuffle, only bloom survivors reach the stream-static
+    * exact-verify join (false positives die there, false negatives don't
+    * exist), and the per-doc rollup runs in complete mode. Output ==
+    * batch q_decontaminate == its oracle, verbatim. */
+  def qStreamDecontam(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.NativeExprs
+    import graft.functions.TextFunctions.shingleSet
+    val evalSh = graft.Tables.documents(s, dir)
+      .filter(col("source") === "src0")
+      .select(explode(shingleSet(col("text"))).as("sng")).distinct()
+    val bloom = evalSh
+      .agg(NativeExprs.bloomFilterAgg(xxhash64(col("sng")), 1000000L, 8000000L))
+      .head.getAs[Array[Byte]](0)
+    val docs = parquetStream(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    runGate(StreamingEtl.decontaminateStream(docs, evalSh, bloom),
+      "decontam", "complete")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_decontam"  -> (qStreamDecontam _),
     "q_stream_pii"       -> (qStreamPii _),
     "q_stream_linededup" -> (qStreamLineDedup _),
     "q_stream_incrdedup" -> (qStreamIncrDedup _),
@@ -166,6 +190,7 @@ object StreamingGate {
   /** The twins assert stream==batch by construction: each shares its
     * oracle VERBATIM with the batch operator it mirrors. */
   def oracles: Map[String, String] = Map(
+    "q_stream_decontam"  -> Dedup.qDecontaminateSql,
     "q_stream_pii"       -> TrainingData.qPiiScrubSql,
     "q_stream_linededup" -> Dedup.qDedupLinesIncrSql,
     "q_stream_incrdedup" -> Dedup.qDedupIncrementalSql,
