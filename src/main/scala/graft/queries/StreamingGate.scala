@@ -180,7 +180,50 @@ object StreamingGate {
       "decontam", "complete")
   }
 
+  /** Native SESSION-WINDOW aggregation on a stream, gated — the stateful
+    * class none of the other twins cover: `session_window(ts, 30 min)`
+    * merges per-user events whose gap is under the threshold into one
+    * growing window, state closing as the watermark passes. Complete
+    * mode emits the final session set. NOTE the oracle states
+    * session_window's OWN boundary semantics (an event exactly `gap`
+    * seconds after the previous one starts a NEW session — `diff >=
+    * 1800`), which differs from the batch `q_ev_session` lag-based
+    * operator at the exact-boundary tick (`diff > 1800` merges there);
+    * the two operators are deliberately both present, each gated
+    * against its own exact semantics. Values roll up in exact cents. */
+  def qStreamSessions(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(s, dir).withWatermark("ts", "1 hour")
+    val agg = ev
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as long)")).as("total_value_c"))
+      .select(expr("cast(session_window.start as bigint)").as("session_start_s"),
+        col("user_id"), col("n_events"), col("total_value_c"))
+    runGate(agg, "sessions", "complete")
+  }
+
+  val qStreamSessionsSql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, value,
+      |    epoch_us(ts) // 1000000 AS sec,
+      |    lag(epoch_us(ts) // 1000000) OVER w AS prev_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |flagged AS (
+      |  SELECT *, CASE WHEN prev_s IS NULL OR sec - prev_s >= 1800
+      |                 THEN 1 ELSE 0 END AS is_new
+      |  FROM ordered),
+      |sessions AS (
+      |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+      |    ORDER BY sec ASC, event_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      |  FROM flagged)
+      |SELECT min(sec) AS session_start_s, user_id, count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_c
+      |FROM sessions GROUP BY user_id, session_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_sessions"  -> (qStreamSessions _),
     "q_stream_decontam"  -> (qStreamDecontam _),
     "q_stream_pii"       -> (qStreamPii _),
     "q_stream_linededup" -> (qStreamLineDedup _),
@@ -190,6 +233,7 @@ object StreamingGate {
   /** The twins assert stream==batch by construction: each shares its
     * oracle VERBATIM with the batch operator it mirrors. */
   def oracles: Map[String, String] = Map(
+    "q_stream_sessions"  -> qStreamSessionsSql,
     "q_stream_decontam"  -> Dedup.qDecontaminateSql,
     "q_stream_pii"       -> TrainingData.qPiiScrubSql,
     "q_stream_linededup" -> Dedup.qDedupLinesIncrSql,

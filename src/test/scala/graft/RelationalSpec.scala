@@ -25,7 +25,7 @@ class RelationalSpec extends AnyFunSuite {
     // registered query is DuckDB-hash-gated. A new query without an
     // oracle (or a typo'd key) fails here before it weakens the gate.
     assert(q == o, s"queries without an oracle: ${q -- o}")
-    assert(q.size >= 179)
+    assert(q.size >= 180)
   }
 
   test("every registered query runs and q1 returns expected groups") {
