@@ -38,8 +38,12 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    // runtime conf, so sessions built without GraftSession still read nanos
+    // runtime confs, so sessions built without GraftSession still read
+    // nanos AND see the NTZ→TIMESTAMP cast as value-preserving: that cast
+    // reinterprets wall-clock micros in the SESSION timezone, so a
+    // non-UTC session would shift every epoch second vs DuckDB's epoch_us
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = apply(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

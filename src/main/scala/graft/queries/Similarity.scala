@@ -953,10 +953,13 @@ object Similarity {
     * of total squared mass carried by each leading-prefix slice (16/32/48
     * of 64 dims), the measurement that decides how far an embedding can
     * be truncated (or a PQ codebook shortened) before retrieval quality
-    * falls off. Same exact-integer quantization as [[qEmbedStats]]
-    * (x -> round(x*1e7) as LONG, then pure integer arithmetic), so no
-    * float reaches the gate. Output is |labels| x 3 rows at any corpus
-    * size; one aggregation, no join. */
+    * falls off. Exact-integer quantization like [[qEmbedStats]], but at
+    * x -> round(x*1e5) as LONG (NOT the family's x1e7): the per-vector
+    * sum of 64 squared quanta must stay under LONG range before the ppm
+    * x1e6 step, and 1e5 leaves ~4 decimal digits of headroom where 1e7
+    * would overflow. Pure integer arithmetic after that, so no float
+    * reaches the gate. Output is |labels| x 3 rows at any corpus size;
+    * one aggregation, no join. */
   def qEmbedEnergy(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // energy share is computed per VECTOR as a bounded <=1e6 ppm, then

@@ -46,6 +46,10 @@ object StreamingGate {
     * events-style normalization is the CALLER's job (document twins need
     * none — FixtureCanarySpec; event twins use [[eventsStream]]). */
   private def parquetStream(s: SparkSession, dir: String, table: String): DataFrame = {
+    // without nanosAsLong the schema probe itself throws on a
+    // TIMESTAMP(NANOS) fixture, before eventsStream's LongType branch
+    // can run (mirrors Tables.events' drift handling)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/$table.parquet").schema
     // FileStreamSource wants a directory (or a glob whose base is one);
     // the fixture is one file per table, so address it as a
@@ -186,11 +190,16 @@ object StreamingGate {
     * growing window, state closing as the watermark passes. Complete
     * mode emits the final session set. NOTE the oracle states
     * session_window's OWN boundary semantics (an event exactly `gap`
-    * seconds after the previous one starts a NEW session — `diff >=
-    * 1800`), which differs from the batch `q_ev_session` lag-based
-    * operator at the exact-boundary tick (`diff > 1800` merges there);
-    * the two operators are deliberately both present, each gated
-    * against its own exact semantics. Values roll up in exact cents. */
+    * after the previous one starts a NEW session — `diff_us >=
+    * 1_800_000_000`), which differs from the batch `q_ev_session`
+    * lag-based operator at the exact-boundary tick (`diff > 1800`
+    * merges there); the two operators are deliberately both present,
+    * each gated against its own exact semantics. The gap compare is in
+    * FULL MICROSECONDS — session_window merges on the un-floored
+    * timestamp, so a floored-seconds oracle would split a 1,799.3 s gap
+    * whose second diff rounds to 1800 (real at sf0.1: user 511); only
+    * the OUTPUT column floors to seconds. Values roll up in exact
+    * cents. */
   def qStreamSessions(s: SparkSession, dir: String): DataFrame = {
     val ev = eventsStream(s, dir).withWatermark("ts", "1 hour")
     val agg = ev
@@ -205,20 +214,20 @@ object StreamingGate {
   val qStreamSessionsSql: String =
     """WITH ordered AS (
       |  SELECT user_id, event_id, value,
-      |    epoch_us(ts) // 1000000 AS sec,
-      |    lag(epoch_us(ts) // 1000000) OVER w AS prev_s
+      |    epoch_us(ts) AS us,
+      |    lag(epoch_us(ts)) OVER w AS prev_us
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
       |flagged AS (
-      |  SELECT *, CASE WHEN prev_s IS NULL OR sec - prev_s >= 1800
+      |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
       |                 THEN 1 ELSE 0 END AS is_new
       |  FROM ordered),
       |sessions AS (
       |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
-      |    ORDER BY sec ASC, event_id ASC
+      |    ORDER BY us ASC, event_id ASC
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
       |  FROM flagged)
-      |SELECT min(sec) AS session_start_s, user_id, count(*) AS n_events,
+      |SELECT min(us) // 1000000 AS session_start_s, user_id, count(*) AS n_events,
       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_c
       |FROM sessions GROUP BY user_id, session_idx""".stripMargin
 

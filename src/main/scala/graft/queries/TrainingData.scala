@@ -162,10 +162,12 @@ object TrainingData {
       max(when($"split" === "val", $"min_s")).as("val_min"),
       max(when($"split" === "val", $"max_s")).as("val_max"),
       max(when($"split" === "test", $"min_s")).as("test_min"))
+    // when() mirrors the oracle's CASE: a NULL comparison (empty val or
+    // test split under heavy second-level ties) renders 0, not NULL
     per.crossJoin(b)
       .select($"split", $"n_events", $"min_s", $"max_s",
-        ($"train_max" < $"val_min").cast("long").as("train_before_val"),
-        ($"val_max" < $"test_min").cast("long").as("val_before_test"))
+        when($"train_max" < $"val_min", 1L).otherwise(0L).as("train_before_val"),
+        when($"val_max" < $"test_min", 1L).otherwise(0L).as("val_before_test"))
   }
 
   val qSplitTemporalSql: String =
