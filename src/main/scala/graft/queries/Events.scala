@@ -36,6 +36,62 @@ object Events {
       |  count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** MERGEABLE HISTOGRAM-QUANTILE SKETCH — the scale path for
+    * percentiles that [[graft.queries.Relational]]'s exact
+    * `q_percentile` cannot take at 100 TB: an exact global percentile
+    * needs a whole-relation sort (the fourth PlanHygieneSpec
+    * scale-killer class), while a fixed-bin histogram is ONE map-side-
+    * combinable aggregate with O(|bins|) state per task — the same
+    * mergeability contract as the KMV sketches (union state, then
+    * resolve), so per-shard histograms roll up to the corpus histogram
+    * by addition. Estimates are the lower edge of the first bin whose
+    * cumulative count crosses ceil(q·n) — deterministic integers, so
+    * the sketch itself gates hash-exact cross-engine (no float, no
+    * tolerance). The cumulative window runs over the bin GRID
+    * (value-domain bounded: cents DIV 100, ≈560 cells at any corpus
+    * size — the recognized histogram-under-window pattern). Error bound
+    * is half a bin width by construction ($1 here), the classic
+    * fixed-width-histogram guarantee. */
+  def qHistQuantile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables.events(s, dir)
+      .select(expr("CAST(round(value * 100) AS LONG) DIV 100").as("bin"))
+      .groupBy($"bin").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy($"bin".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum($"c").as("n_total"))
+    hist.withColumn("cum", sum($"c").over(w))
+      .crossJoin(broadcast(tot)) // 1-row global agg: bounded forever
+      .agg(
+        min(when($"cum" * 100 >= $"n_total" * 50, $"bin")).as("b50"),
+        min(when($"cum" * 100 >= $"n_total" * 90, $"bin")).as("b90"),
+        min(when($"cum" * 100 >= $"n_total" * 99, $"bin")).as("b99"),
+        max($"n_total").as("n_total"))
+      .selectExpr("stack(3, 50L, b50, 90L, b90, 99L, b99) AS (q_pct, bin)", "n_total")
+      .select($"q_pct", ($"bin" * 100).as("est_lo_c"), $"n_total")
+  }
+
+  val qHistQuantileSql: String =
+    """WITH h AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) // 100 AS bin, count(*) AS c
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM h),
+      |cum AS (
+      |  SELECT bin, CAST(sum(c) OVER (ORDER BY bin ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM h),
+      |sel AS (
+      |  SELECT
+      |    min(CASE WHEN cum * 100 >= 50 * n_total THEN bin END) AS b50,
+      |    min(CASE WHEN cum * 100 >= 90 * n_total THEN bin END) AS b90,
+      |    min(CASE WHEN cum * 100 >= 99 * n_total THEN bin END) AS b99,
+      |    max(n_total) AS n_total
+      |  FROM cum, t)
+      |SELECT CAST(u.r.q_pct AS BIGINT) AS q_pct,
+      |  CAST(u.r.b AS BIGINT) * 100 AS est_lo_c, n_total
+      |FROM sel, unnest([{'q_pct': 50, 'b': b50}, {'q_pct': 90, 'b': b90},
+      |                  {'q_pct': 99, 'b': b99}]) u(r)""".stripMargin
+
   /** Sessionization: a session breaks after a >30-min silence per user.
     * Second-granularity gap (floor-of-epoch on both engines) keeps the
     * boundary deterministic. Windows shuffle once on user_id; the
@@ -809,6 +865,7 @@ object Events {
     "q_ev_funnel_latency" -> (qEvFunnelLatency _),
     "q_ev_retention" -> (qEvRetention _),
     "q_ev_hourly"  -> (qEvHourly _),
+    "q_hist_quantile" -> (qHistQuantile _),
     "q_ev_session" -> (qEvSession _),
     "q_ev_json"    -> (qEvJson _),
     "q_ev_funnel"  -> (qEvFunnel _),
@@ -831,6 +888,7 @@ object Events {
     "q_ev_funnel_latency" -> qEvFunnelLatencySql,
     "q_ev_retention" -> qEvRetentionSql,
     "q_ev_hourly"  -> qEvHourlySql,
+    "q_hist_quantile" -> qHistQuantileSql,
     "q_ev_session" -> qEvSessionSql,
     "q_ev_json"    -> qEvJsonSql,
     "q_ev_funnel"  -> qEvFunnelSql,

@@ -231,7 +231,37 @@ object StreamingGate {
       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_c
       |FROM sessions GROUP BY user_id, session_idx""".stripMargin
 
+  /** TUMBLING event-time window aggregation on a stream, gated — the
+    * single most common streaming shape (watermarked `window(ts, 1h)`
+    * groupBy), which until now only stream==batch specs covered. State
+    * per key is one (window, event_type) accumulator and the watermark
+    * closes windows an hour behind the max event time, so state is
+    * O(active windows), not O(events). Complete mode emits the final
+    * window set over the drained fixture. The oracle is q_ev_hourly's
+    * bucketing MINUS the `countDistinct(user_id)` column — distinct
+    * aggregates are unsupported inside a streaming aggregation (Spark
+    * would need per-key distinct state; the engine's streaming path for
+    * that metric is the KMV sketch, see q_ev_rolling_users), so the twin
+    * gates the supported surface and names its own oracle. */
+  def qStreamHourly(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsStream(s, dir).withWatermark("ts", "1 hour")
+    val agg = ev
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 100) as long)")).as("total_value_c"))
+      .select(col("window.start").as("hour_ts"), col("event_type"),
+        col("n"), col("total_value_c"))
+    runGate(agg, "hourly", "complete")
+  }
+
+  val qStreamHourlySql: String =
+    """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour_ts, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_c
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_hourly"    -> (qStreamHourly _),
     "q_stream_sessions"  -> (qStreamSessions _),
     "q_stream_decontam"  -> (qStreamDecontam _),
     "q_stream_pii"       -> (qStreamPii _),
@@ -242,6 +272,7 @@ object StreamingGate {
   /** The twins assert stream==batch by construction: each shares its
     * oracle VERBATIM with the batch operator it mirrors. */
   def oracles: Map[String, String] = Map(
+    "q_stream_hourly"    -> qStreamHourlySql,
     "q_stream_sessions"  -> qStreamSessionsSql,
     "q_stream_decontam"  -> Dedup.qDecontaminateSql,
     "q_stream_pii"       -> TrainingData.qPiiScrubSql,

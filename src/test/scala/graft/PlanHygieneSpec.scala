@@ -47,7 +47,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_ev_pareto",          // crossJoin(broadcast(1-row user/event totals agg))
     "q_quality_langparity", // crossJoin(broadcast(1-row min/max rate agg))
     "q_ev_funnel_latency",  // crosses of 1-row gap-count/stat aggregates
-    "q_split_temporal")     // crossJoin(3-row per-split agg, 1-row boundary agg)
+    "q_split_temporal",     // crossJoin(3-row per-split agg, 1-row boundary agg)
+    "q_hist_quantile")      // crossJoin(broadcast(1-row bin-total agg))
 
   test("no gated query plans an unlisted cartesian / broadcast nested loop") {
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
