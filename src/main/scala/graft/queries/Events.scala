@@ -92,6 +92,56 @@ object Events {
       |FROM sel, unnest([{'q_pct': 50, 'b': b50}, {'q_pct': 90, 'b': b90},
       |                  {'q_pct': 99, 'b': b99}]) u(r)""".stripMargin
 
+  /** GROUP-WISE histogram quantiles — [[qHistQuantile]]'s per-key form,
+    * over document LENGTH per source: the p50/p90/p99 length card every
+    * corpus report carries (truncation-threshold and packing-bin sizing
+    * read straight off it). Same sketch contract: per (source, bin)
+    * counts from one combinable aggregate, cumulative selection over the
+    * per-source bin grid (window partitioned by `source` whose input is
+    * the (source, bin) histogram — per-partition row count is |bins|,
+    * corpus-independent, the recognized bounded shape). 100-char bins. */
+  def qHistQuantileSrc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables.documents(s, dir)
+      .select($"source", expr("n_chars DIV 100").as("bin"))
+      .groupBy($"source", $"bin").agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy($"source").orderBy($"bin".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy($"source")
+    hist.withColumn("cum", sum($"c").over(wc))
+      .withColumn("n_total", sum($"c").over(wt))
+      .groupBy($"source").agg(
+        min(when($"cum" * 100 >= $"n_total" * 50, $"bin")).as("b50"),
+        min(when($"cum" * 100 >= $"n_total" * 90, $"bin")).as("b90"),
+        min(when($"cum" * 100 >= $"n_total" * 99, $"bin")).as("b99"),
+        max($"n_total").as("n_docs"))
+      .selectExpr("source",
+        "stack(3, 50L, b50, 90L, b90, 99L, b99) AS (q_pct, bin)", "n_docs")
+      .select($"source", $"q_pct", ($"bin" * 100).as("est_lo_chars"), $"n_docs")
+  }
+
+  val qHistQuantileSrcSql: String =
+    """WITH h AS (
+      |  SELECT source, n_chars // 100 AS bin, count(*) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT source, bin,
+      |    CAST(sum(c) OVER (PARTITION BY source ORDER BY bin ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n_total
+      |  FROM h),
+      |sel AS (
+      |  SELECT source,
+      |    min(CASE WHEN cum * 100 >= 50 * n_total THEN bin END) AS b50,
+      |    min(CASE WHEN cum * 100 >= 90 * n_total THEN bin END) AS b90,
+      |    min(CASE WHEN cum * 100 >= 99 * n_total THEN bin END) AS b99,
+      |    max(n_total) AS n_docs
+      |  FROM cum GROUP BY 1)
+      |SELECT source, CAST(u.r.q_pct AS BIGINT) AS q_pct,
+      |  CAST(u.r.b AS BIGINT) * 100 AS est_lo_chars, n_docs
+      |FROM sel, unnest([{'q_pct': 50, 'b': b50}, {'q_pct': 90, 'b': b90},
+      |                  {'q_pct': 99, 'b': b99}]) u(r)""".stripMargin
+
   /** Sessionization: a session breaks after a >30-min silence per user.
     * Second-granularity gap (floor-of-epoch on both engines) keeps the
     * boundary deterministic. Windows shuffle once on user_id; the
@@ -866,6 +916,7 @@ object Events {
     "q_ev_retention" -> (qEvRetention _),
     "q_ev_hourly"  -> (qEvHourly _),
     "q_hist_quantile" -> (qHistQuantile _),
+    "q_hist_quantile_src" -> (qHistQuantileSrc _),
     "q_ev_session" -> (qEvSession _),
     "q_ev_json"    -> (qEvJson _),
     "q_ev_funnel"  -> (qEvFunnel _),
@@ -889,6 +940,7 @@ object Events {
     "q_ev_retention" -> qEvRetentionSql,
     "q_ev_hourly"  -> qEvHourlySql,
     "q_hist_quantile" -> qHistQuantileSql,
+    "q_hist_quantile_src" -> qHistQuantileSrcSql,
     "q_ev_session" -> qEvSessionSql,
     "q_ev_json"    -> qEvJsonSql,
     "q_ev_funnel"  -> qEvFunnelSql,

@@ -215,6 +215,10 @@ class PlanHygieneSpec extends AnyFunSuite {
       case e: ShuffleExchangeExec => realInput(e.child)
       case pr: ProjectExec => realInput(pr.child)
       case f: FilterExec => realInput(f.child)
+      // a window adds columns but preserves cardinality, so a stacked
+      // window (cumulative + full-frame total, q_hist_quantile_src) is
+      // bounded iff the innermost input is — walk through it
+      case w: WindowExec => realInput(w.child)
       case _ => p
     }
     val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>

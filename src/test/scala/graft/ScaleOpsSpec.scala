@@ -85,6 +85,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(dist13 == window)
   }
 
+  test("histogram-quantile sketch obeys the merge law (per-shard + sum == direct)") {
+    // the property that makes q_hist_quantile a SKETCH: per-shard bin
+    // histograms merge by ADDITION, and quantile selection over the
+    // merged histogram equals selection over the corpus histogram —
+    // i.e. 1000 executors can each build O(|bins|) state and the driver
+    // (or a second aggregate) resolves the merged result exactly.
+    val direct = SparkEntry.queries("q_hist_quantile")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = Tables.events(spark, sf)
+      .select(expr("CAST(round(value * 100) AS LONG) DIV 100").as("bin"),
+        expr("event_id % 4").as("shard"))
+    val perShard = ev.groupBy(col("shard"), col("bin")).agg(count(lit(1)).as("c"))
+    val merged = perShard.groupBy(col("bin")).agg(sum(col("c")).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin").asc)
+      .rowsBetween(Long.MinValue, 0)
+    val tot = merged.agg(sum(col("c")).as("n_total"))
+    val resolved = merged.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(tot))
+      .agg(
+        min(when(col("cum") * 100 >= col("n_total") * 50, col("bin"))).as("b50"),
+        min(when(col("cum") * 100 >= col("n_total") * 90, col("bin"))).as("b90"),
+        min(when(col("cum") * 100 >= col("n_total") * 99, col("bin"))).as("b99"),
+        max(col("n_total")).as("n_total"))
+      .selectExpr("stack(3, 50L, b50, 90L, b90, 99L, b99) AS (q_pct, bin)", "n_total")
+      .selectExpr("q_pct", "bin * 100 AS est_lo_c", "n_total")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(resolved == direct && direct.size == 3)
+  }
+
   test("approx_count_distinct tracks exact distinct (3-sigma of default rsd)") {
     val exact = Tables.lineitem(spark, sf)
       .agg(countDistinct(col("l_orderkey"))).collect()(0).getLong(0)
