@@ -71,6 +71,21 @@ object StreamingGate {
     }
   }
 
+  /** Session CLONE with stream-volume-sized shuffle partitions — the
+    * qStreamJoin right-sizing generalized to every STATEFUL gate: each
+    * stateful operator creates one state store per shuffle partition
+    * and pays a per-micro-batch commit on each, so partition count
+    * should track stream volume (a production job sets
+    * spark.sql.shuffle.partitions per workload). The clone shares the
+    * SparkContext but keeps the conf change out of the shared session.
+    * Runtime-conf drift handling (nanosAsLong, timezone) re-applies in
+    * parquetStream/eventsStream against whichever session reads. */
+  private def streamSession(s: SparkSession, partitions: Int = 8): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    s2
+  }
+
   /** Drive `df` to completion over the available input and hand back the
     * materialized result table. */
   private def runGate(df: DataFrame, tag: String, mode: String): DataFrame = {
@@ -89,7 +104,8 @@ object StreamingGate {
   /** Stateful line-dedup at ingest, gated: the arriving slice (the shared
     * doc_id % 5 == 0 incremental convention) probes the persisted chunk
     * history; final aggregation state == batch == oracle. */
-  def qStreamLineDedup(s: SparkSession, dir: String): DataFrame = {
+  def qStreamLineDedup(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
     val hist = Dedup.persistedChunkHistory(s, dir)
     val docs = parquetStream(s, dir, "documents")
       .filter(Dedup.isNewDoc(col("doc_id")))
@@ -103,7 +119,8 @@ object StreamingGate {
     * candidate pairs in stream state, and verify exactly against the
     * historical shingle store; emitted (new_doc, hist_doc, jaccard_ppm)
     * matches == batch == oracle. */
-  def qStreamIncrDedup(s: SparkSession, dir: String): DataFrame = {
+  def qStreamIncrDedup(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
     val docs = parquetStream(s, dir, "documents")
       .filter(Dedup.isNewDoc(col("doc_id")))
       .select(col("doc_id"), col("text"))
@@ -169,9 +186,10 @@ object StreamingGate {
     * exact-verify join (false positives die there, false negatives don't
     * exist), and the per-doc rollup runs in complete mode. Output ==
     * batch q_decontaminate == its oracle, verbatim. */
-  def qStreamDecontam(s: SparkSession, dir: String): DataFrame = {
+  def qStreamDecontam(s0: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graft.NativeExprs
     import graft.functions.TextFunctions.shingleSet
+    val s = streamSession(s0)
     val evalSh = graft.Tables.documents(s, dir)
       .filter(col("source") === "src0")
       .select(explode(shingleSet(col("text"))).as("sng")).distinct()
@@ -200,7 +218,8 @@ object StreamingGate {
     * whose second diff rounds to 1800 (real at sf0.1: user 511); only
     * the OUTPUT column floors to seconds. Values roll up in exact
     * cents. */
-  def qStreamSessions(s: SparkSession, dir: String): DataFrame = {
+  def qStreamSessions(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
     val ev = eventsStream(s, dir).withWatermark("ts", "1 hour")
     val agg = ev
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -243,7 +262,8 @@ object StreamingGate {
     * would need per-key distinct state; the engine's streaming path for
     * that metric is the KMV sketch, see q_ev_rolling_users), so the twin
     * gates the supported surface and names its own oracle. */
-  def qStreamHourly(s: SparkSession, dir: String): DataFrame = {
+  def qStreamHourly(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
     val ev = eventsStream(s, dir).withWatermark("ts", "1 hour")
     val agg = ev
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
