@@ -106,7 +106,11 @@ object StreamingGate {
     * history; final aggregation state == batch == oracle. */
   def qStreamLineDedup(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0)
-    val hist = Dedup.persistedChunkHistory(s, dir)
+    // static sides build on the PARENT session: the memoized relations
+    // (persisted lake tables, shingle checkpoints) are cached per
+    // session, so building them in the per-invocation clone would
+    // rebuild them every run — the clone owns only the stream
+    val hist = Dedup.persistedChunkHistory(s0, dir)
     val docs = parquetStream(s, dir, "documents")
       .filter(Dedup.isNewDoc(col("doc_id")))
       .select(col("doc_id"), col("text"))
@@ -124,9 +128,10 @@ object StreamingGate {
     val docs = parquetStream(s, dir, "documents")
       .filter(Dedup.isNewDoc(col("doc_id")))
       .select(col("doc_id"), col("text"))
+    // static index/history on the parent session (see qStreamLineDedup)
     runGate(StreamingEtl.incrementalDedupStream(docs,
-      Dedup.persistedBandIndex(s, dir),
-      Dedup.historicalShingles(s, dir)), "incrdedup", "append")
+      Dedup.persistedBandIndex(s0, dir),
+      Dedup.historicalShingles(s0, dir)), "incrdedup", "append")
   }
 
   /** STREAM-STREAM event-time interval join, gated — the §2.7 surface no
