@@ -285,7 +285,31 @@ object StreamingGate {
       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_c
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** STREAMING SKETCH MAINTENANCE, gated — the histogram-quantile
+    * sketch ([[Events.qHistQuantile]]) kept up to date ON the stream:
+    * per-bin counts as a streaming aggregation whose state is exactly
+    * the sketch (O(|bins|) rows in the state store at any stream
+    * volume — the mergeability that makes the batch histogram a sketch
+    * is the same property that bounds the streaming state). Complete
+    * mode emits the maintained bin table; quantile RESOLUTION stays a
+    * downstream O(|bins|) step over the emitted sketch, exactly as in
+    * ScaleOpsSpec's merge-law formulation. No watermark needed: the
+    * aggregation key is a value-domain bin, not event time. Oracle is
+    * the batch histogram. */
+  def qStreamQuantile(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val agg = parquetStream(s, dir, "events")
+      .select(expr("CAST(round(value * 100) AS LONG) DIV 100").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+    runGate(agg, "quantile", "complete")
+  }
+
+  val qStreamQuantileSql: String =
+    """SELECT CAST(round(value * 100) AS BIGINT) // 100 AS bin, count(*) AS c
+      |FROM events GROUP BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_quantile"  -> (qStreamQuantile _),
     "q_stream_hourly"    -> (qStreamHourly _),
     "q_stream_sessions"  -> (qStreamSessions _),
     "q_stream_decontam"  -> (qStreamDecontam _),
@@ -297,6 +321,7 @@ object StreamingGate {
   /** The twins assert stream==batch by construction: each shares its
     * oracle VERBATIM with the batch operator it mirrors. */
   def oracles: Map[String, String] = Map(
+    "q_stream_quantile"  -> qStreamQuantileSql,
     "q_stream_hourly"    -> qStreamHourlySql,
     "q_stream_sessions"  -> qStreamSessionsSql,
     "q_stream_decontam"  -> Dedup.qDecontaminateSql,
