@@ -122,6 +122,81 @@ object Pq {
        |  CAST(sum(vec_id) AS BIGINT) AS assigned_id_sum
        |FROM assign GROUP BY s, c_id""".stripMargin
 
+  /** GATED PQ-ADC retrieval — the approximate SERVING stage of
+    * [[pqTopK]] under the oracle: corpus encoded once (argmin codes per
+    * subspace), per-query LUT of integer squared-L2 to every subspace
+    * centroid, approximate distance = Σ_s lut[s, code_s], exact integer
+    * top-k per query by (adist asc, vec_id asc). Everything up to (not
+    * including) the float re-rank is pure BIGINT arithmetic, so the ADC
+    * scan itself hash-gates cross-engine — the PQ family's last
+    * spec-only stage promoted to the gate. The scored stream carries
+    * only (vec_id, s, code): raw vectors never shuffle. LUT is
+    * |queries| x S x |cents| rows (bounded: the query set is ≤10 by the
+    * isSeed-style cap and the codebook is capped at 20/subspace), so
+    * the broadcast is O(1) in the corpus. */
+  def qAnnPqAdc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sub = subvectors(s, dir)
+    val cents = sub.filter(isSeed($"vec_id"))
+      .select($"s", $"vec_id".as("c_id"), $"sv".as("cv"))
+    val codes = assignSub(sub, cents).select($"vec_id", $"s", $"c_id")
+    val qsub = sub.filter($"vec_id" % 100 === 0 && $"vec_id" < 1000)
+      .select($"vec_id".as("q_id"), $"s", $"sv".as("qv"))
+    val lut = qsub.join(broadcast(cents), "s")
+      .select($"q_id", $"s", $"c_id", il2($"qv", $"cv").as("ld"))
+    val approx = codes.join(broadcast(lut), Seq("s", "c_id"))
+      .filter($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"vec_id")
+      .agg(sum($"ld").as("adist"), count(lit(1)).as("n_sub"))
+      .filter($"n_sub" === SubSpaces)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"adist".asc, $"vec_id".asc)
+    approx.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TopK)
+      .select($"q_id", $"vec_id".as("neighbor_id"), $"adist", $"rank")
+  }
+
+  val qAnnPqAdcSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, i AS s, vq[i * $SubDim + 1 : i * $SubDim + $SubDim] AS sv
+       |  FROM v, range(0, $SubSpaces) r(i)),
+       |cents AS (
+       |  SELECT s, vec_id AS c_id, sv AS cv FROM sub WHERE $seedSql),
+       |dist AS (
+       |  SELECT sub.vec_id, sub.s, cents.c_id,
+       |    CAST(list_sum(list_transform(range(1, ${SubDim + 1}),
+       |      j -> (sv[j] - cv[j]) * (sv[j] - cv[j]))) AS BIGINT) AS d
+       |  FROM sub JOIN cents ON cents.s = sub.s),
+       |codes AS (
+       |  SELECT vec_id, s, c_id FROM (
+       |    SELECT vec_id, s, c_id,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, c_id ASC) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |qsub AS (
+       |  SELECT vec_id AS q_id, s, sv AS qv FROM sub
+       |  WHERE vec_id % 100 = 0 AND vec_id < 1000),
+       |lut AS (
+       |  SELECT q_id, qsub.s, cents.c_id,
+       |    CAST(list_sum(list_transform(range(1, ${SubDim + 1}),
+       |      j -> (qv[j] - cv[j]) * (qv[j] - cv[j]))) AS BIGINT) AS ld
+       |  FROM qsub JOIN cents ON cents.s = qsub.s),
+       |approx AS (
+       |  SELECT lut.q_id, c.vec_id, CAST(sum(ld) AS BIGINT) AS adist,
+       |    count(*) AS n_sub
+       |  FROM codes c JOIN lut ON c.s = lut.s AND c.c_id = lut.c_id
+       |  WHERE c.vec_id <> lut.q_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT q_id, vec_id, adist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rank
+       |  FROM approx WHERE n_sub = $SubSpaces)
+       |SELECT q_id, vec_id AS neighbor_id, adist, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= $TopK""".stripMargin
+
   /** Library PQ-ADC retrieval: encode the corpus once (S codes per
     * vector), then for each query build the S x centroids distance lookup
     * table and score every vector by summing its codes' table entries —
@@ -343,9 +418,11 @@ object Pq {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pq_codebook"    -> (qPqCodebook _),
-    "q_ivfpq_codebook" -> (qIvfPqCodebook _))
+    "q_ivfpq_codebook" -> (qIvfPqCodebook _),
+    "q_ann_pq_adc"     -> (qAnnPqAdc _))
 
   def oracles: Map[String, String] = Map(
     "q_pq_codebook"    -> qPqCodebookSql,
-    "q_ivfpq_codebook" -> qIvfPqCodebookSql)
+    "q_ivfpq_codebook" -> qIvfPqCodebookSql,
+    "q_ann_pq_adc"     -> qAnnPqAdcSql)
 }

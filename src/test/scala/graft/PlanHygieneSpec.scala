@@ -111,6 +111,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     // "quantizer centroid cardinality is corpus-independent" test in
     // this suite proves the cap holds when the corpus doubles
     "q_ann_ivf", "q_kmeans_round", "q_pq_codebook", "q_ivfpq_codebook",
+    // ADC serving scan: broadcast(cents) capped at 20/subspace by isSeed,
+    // broadcast(lut) = |queries ≤ 10| x 8 subspaces x 20 cents rows
+    "q_ann_pq_adc",
     // bounded query set (≤10 at any scale) broadcast-nested-loop probe
     "q_ann_range",
     // composes q_ann_brute + q_ann_ivf → inherits their centroid/query
