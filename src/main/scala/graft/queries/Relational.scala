@@ -508,28 +508,32 @@ object Relational {
       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive
       |FROM customer c GROUP BY c_mktsegment""".stripMargin
 
-  /** Correlated LATERAL derived table with per-row ORDER BY + LIMIT — the
-    * "top-2 orders for each (filtered) customer" shape. Catalyst
-    * decorrelates the correlated limit into two windows over the inner
-    * relation (no per-customer re-execution) — but NOTE the rewrite
-    * interposes a GLOBAL sort of `orders` so the per-key row_number
-    * picks each key's top-2 deterministically (verified round 7:
-    * Sort[global=true] between the rk and rn windows, no
-    * WindowGroupLimit). That makes this the documented exception in
-    * PlanHygieneSpec's global-sort rule: it exists to cover the LATERAL
-    * surface; the engine's SCALE path for per-key top-k is
-    * q_sample_topn's WindowGroupLimit bounded heaps (local sorts only).
-    * Both engines run textually identical SQL. */
+  /** Correlated LATERAL derived table, "top-2 orders for each (filtered)
+    * customer". The lateral body ranks with a row_number PARTITIONed on
+    * the correlation key and keeps rk <= 2 — semantically identical to
+    * the correlated `ORDER BY … LIMIT 2` the oracle runs (within one
+    * customer's rows the partition is the whole subquery), but the
+    * decorrelation is night-and-day: the ORDER-BY-LIMIT shape makes
+    * Catalyst 4.1 interpose a GLOBAL sort of `orders` between two
+    * windows (verified round 7: Sort[global=true], the one scale-killer
+    * plan in the registry), while this rank-filter shape plans
+    * filtered-customers –broadcast→ per-key Window(partitionBy
+    * o_custkey) + Filter(rk<=2) — partition-local sorts only, the same
+    * rows, and the inner relation is pruned by the broadcast join
+    * (verified round 8: zero global SortExec, off the PlanHygieneSpec
+    * whitelist). The oracle keeps the ORDER-BY-LIMIT LATERAL text, so
+    * the gate also proves the two shapes row-identical cross-engine. */
   def qLateral(s: SparkSession, dir: String): DataFrame = {
     Tables.customer(s, dir).createOrReplaceTempView("customer")
     Tables.orders(s, dir).createOrReplaceTempView("orders")
     s.sql("""
       SELECT c.c_custkey, t.o_orderkey, t.price_c, t.rk
       FROM customer c,
-      LATERAL (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
-                 row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
-               FROM orders o WHERE o.o_custkey = c.c_custkey
-               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      LATERAL (SELECT * FROM (
+                 SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                 FROM orders o WHERE o.o_custkey = c.c_custkey) WHERE rk <= 2) t
       WHERE c.c_acctbal > 9000""")
   }
 

@@ -261,15 +261,11 @@ class PlanHygieneSpec extends AnyFunSuite {
   }
 
   // Queries whose GLOBAL sort is the documented, deliberate design.
-  private val globalSortOk = Set(
-    // LATERAL (ORDER BY ... LIMIT k) decorrelation: Catalyst orders the
-    // whole inner relation globally so the per-key row_number picks each
-    // key's top-2 deterministically (no WindowGroupLimit rewrite exists
-    // for this shape in 4.1). The query exists to cover the correlated
-    // LATERAL surface; the engine's scale path for per-key top-k is
-    // q_sample_topn's WindowGroupLimit bounded heaps. See qLateral's
-    // scaladoc.
-    "q_lateral")
+  // Round 8: empty — q_lateral (the last member) now expresses its
+  // correlated top-2 via a rank-filter LATERAL that decorrelates to a
+  // per-key window with partition-local sorts only (see qLateral's
+  // scaladoc); every gated plan is global-sort-free.
+  private val globalSortOk = Set.empty[String]
 
   test("no query plans a whole-relation global sort outside top-k rewrites") {
     // The fourth scale-killer class (round 7): a Sort[global=true] over a
