@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical SCALE-UP evidence (round-8, verdict item 4): the 100×
+  * claims in the per-query scaladocs rest on plan audits; this main
+  * measures them. Two modes:
+  *
+  * `gen <srcDir> <outDir> <factor>` — synthesize a `factor`× corpus by
+  * deterministic self-union-with-reid: every fact table unions `factor`
+  * copies with ids shifted by a per-copy stride (join fan-outs and
+  * group sizes per key stay constant — the corpus gets WIDER, not
+  * denser). Two content transforms keep similarity structure realistic
+  * instead of degenerate:
+  *  - documents.text gets a per-copy Caesar shift (lowercase a–z
+  *    rotated by the copy index): lengths, whitespace, token counts and
+  *    each copy's INTERNAL near-dup structure are preserved, while
+  *    cross-copy shingles are disjoint — so dedup output scales
+  *    linearly, like ingesting ten disjoint crawl shards with the same
+  *    internal duplication rate, rather than quadratically as a
+  *    verbatim self-union would (every doc a 10-clone cluster).
+  *  - embeddings.embedding is cyclically rotated by the copy index: a
+  *    coordinate rotation preserves every within-copy cosine (the LSH /
+  *    ANN structure of each shard) while decorrelating copies.
+  *  Dimension tables (region, nation) stay fixed, as dimensions do.
+  *
+  * `run <dirA> <dirB> <q1,q2,...>` — time each registered query at both
+  * scales (1 warm-up + 3 timed runs, per-query p50) and diff the
+  * AQE-final join strategies so broadcast→SMJ plan flips are caught,
+  * not guessed. Emits one JSON line per query plus a summary line;
+  * NOTES_r8 records the table.
+  */
+object ScaleUpBench {
+  private val Stride = 100000000L
+
+  private def caesar(i: Int): (String, String) = {
+    val abc = "abcdefghijklmnopqrstuvwxyz"
+    val k = i % 26
+    (abc, abc.substring(k) + abc.substring(0, k))
+  }
+
+  private def copyOf(table: String, df: DataFrame, i: Int): DataFrame = {
+    val shifted = df.columns.foldLeft(df) { (d, c) =>
+      c match {
+        case "c_custkey" | "o_orderkey" | "o_custkey" | "l_orderkey" |
+             "l_partkey" | "l_suppkey" | "s_suppkey" | "p_partkey" |
+             "event_id" | "user_id" | "doc_id" | "vec_id" =>
+          d.withColumn(c, col(c) + lit(i * Stride))
+        case _ => d
+      }
+    }
+    table match {
+      case "documents" =>
+        val (from, to) = caesar(i)
+        shifted.withColumn("text", translate(col("text"), from, to))
+      case "embeddings" if i > 0 =>
+        shifted.withColumn("embedding", expr(
+          s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
+            s"slice(embedding, 1, $i))"))
+      case _ => shifted
+    }
+  }
+
+  private def gen(s: SparkSession, src: String, out: String, factor: Int): Unit = {
+    val dims = Set("region", "nation")
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      val base = s.read.parquet(s"$src/$t.parquet")
+      val scaled =
+        if (dims(t)) base
+        else (0 until factor).map(i => copyOf(t, base, i)).reduce(_.unionAll(_))
+      // one source split per copy is too coarse for the big facts: spread
+      // to the session's parallelism so both scales read multi-split
+      scaled.repartition(s.sparkContext.defaultParallelism * 2)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"gen $t: ${s.read.parquet(s"$out/$t.parquet").count()} rows")
+    }
+  }
+
+  /** Multiset of join strategy names in the AQE-final plan. */
+  private def joinShape(df: DataFrame): Map[String, Int] = {
+    val plan = df.queryExecution.executedPlan
+    val names = plan.collect {
+      case p if p.nodeName.contains("Join") => p.nodeName
+    }
+    names.groupBy(identity).view.mapValues(_.size).toMap
+  }
+
+  private def timeQuery(s: SparkSession, name: String, dir: String)
+      : (Seq[Double], Long, Map[String, Int]) = {
+    val fn = SparkEntry.queries(name)
+    var rows = 0L
+    var shape = Map.empty[String, Int]
+    fn(s, dir).collect() // warm-up: memo builds, code cache
+    val times = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val df = fn(s, dir)
+      rows = df.collect().length.toLong
+      shape = joinShape(df)
+      (System.nanoTime() - t0) / 1e6
+    }
+    (times, rows, shape)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val s = GraftSession.local()
+    s.sparkContext.setLogLevel("ERROR")
+    args.toList match {
+      case "gen" :: src :: out :: factor :: Nil =>
+        gen(s, src, out, factor.toInt)
+      case "run" :: dirA :: dirB :: names :: Nil =>
+        val qs = names.split(",").toSeq
+        qs.foreach { q =>
+          val (ta, rowsA, shapeA) = timeQuery(s, q, dirA)
+          val (tb, rowsB, shapeB) = timeQuery(s, q, dirB)
+          def p50(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+          val flip = if (shapeA == shapeB) "" else s""","plan_flip":"$shapeA -> $shapeB""""
+          println(f"""{"query":"$q","a_ms":${p50(ta)}%.0f,"b_ms":${p50(tb)}%.0f,""" +
+            f""""ratio":${p50(tb) / p50(ta)}%.2f,"rows_a":$rowsA,"rows_b":$rowsB$flip}""")
+        }
+      case _ =>
+        System.err.println("usage: gen <src> <out> <factor> | run <dirA> <dirB> <q1,q2,...>")
+        sys.exit(2)
+    }
+    s.stop()
+  }
+}

@@ -245,16 +245,43 @@ object NativeExprs {
       if ((z & 1L) == 0L) 1.0 else -1.0
     }
 
+    // The plane matrix is a pure function of (bands, rowsPerBand, dims):
+    // build it ONCE per task (expressions are serialized per-task, so no
+    // cross-thread sharing) instead of re-deriving the splitmix sign for
+    // every (bit, dim) of every row — at 128x8 bands over dim-64 vectors
+    // that is 1,024x64 hashes per ROW, ~3x the whole signature's cost.
+    // Values are bit-identical to planeSign, so signatures (and the gated
+    // LSH output) are unchanged.
+    @transient private[this] var planeDims: Int = -1
+    @transient private[this] var planeMatrix: Array[Double] = _
+    private def planesFor(n: Int): Array[Double] = {
+      if (planeDims != n) {
+        val nBits = bands * rowsPerBand
+        val m = new Array[Double](nBits * n)
+        var bit = 0
+        while (bit < nBits) {
+          var j = 0
+          while (j < n) { m(bit * n + j) = planeSign(bit, j); j += 1 }
+          bit += 1
+        }
+        planeMatrix = m
+        planeDims = n
+      }
+      planeMatrix
+    }
+
     override def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
       val n = v.numElements()
       val nBits = bands * rowsPerBand
+      val planes = planesFor(n)
       val keys = new Array[Long](bands)
       var bit = 0
       while (bit < nBits) {
+        val base = bit * n
         var dot = 0.0
         var j = 0
-        while (j < n) { dot += v.getDouble(j) * planeSign(bit, j); j += 1 }
+        while (j < n) { dot += v.getDouble(j) * planes(base + j); j += 1 }
         if (dot > 0) keys(bit / rowsPerBand) |= 1L << (bit % rowsPerBand)
         bit += 1
       }

@@ -1376,8 +1376,16 @@ object Dedup {
     * not n². */
   def qDedupEmbedLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val v = Tables.embeddings(s, dir)
+    val v0 = Tables.embeddings(s, dir)
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    // The 128×8 signature is the query's single most expensive per-row
+    // computation and runs map-side, so its parallelism is capped by the
+    // SCAN's split count. The fixture is one parquet file (one split) —
+    // guard-repartition up to core count so the hashing isn't pinned to
+    // a single thread. At scale the scan has thousands of splits and
+    // this branch never fires (no extra shuffle of the corpus).
+    val cores = s.sparkContext.defaultParallelism
+    val v = if (v0.rdd.getNumPartitions < cores) v0.repartition(cores) else v0
     // id-only band rows: candidates shuffle bare (band, key, id) triples —
     // vectors rejoin (broadcast) only after pair dedup. MATERIALIZED once:
     // the self-join otherwise evaluates the 128×8 hyperplane signature on
