@@ -1364,16 +1364,31 @@ object Dedup {
           |  CAST(cluster_size AS BIGINT) AS cluster_size
           |FROM ranked WHERE rn = 1""".stripMargin)
 
-  /** Embedding near-dup, sub-quadratic: random-hyperplane LSH bucketing
-    * (128 bands x 8 bits) generates candidates, exact cosine verifies —
+  /** Embedding near-dup via random-hyperplane LSH bucketing (128 bands x
+    * 8 bits): band buckets generate candidates, exact cosine verifies —
     * same output as the O(n²) qDedupEmbed on this data (fixed
     * deterministic planes; recall for cos>=0.5 pairs ≈
-    * 1-(1-(2/3)^8)^128 ≈ 0.995, and the verified candidates match the
-    * brute-force oracle at sf0.01). Near-threshold pairs are where LSH
-    * recall bites — acceptable for dedup (candidates are conservative),
-    * checked against the exact oracle on the fixed fixtures. This is the
-    * shape that survives 100x: candidates scale with bucket collisions,
-    * not n². */
+    * 1-(1-(2/3)^8)^128 ≈ 0.995, verified against the brute-force oracle
+    * at sf0.01 and sf0.1).
+    *
+    * OPERATING-POINT ECONOMICS (measured round 8, 10× scale run): at
+    * threshold 0.5 the 8-bit bands admit a random (orthogonal) pair with
+    * p = 128·2⁻⁸ ≈ 0.5 — hyperplane sign bits are Bernoulli(1/2) for
+    * unrelated vectors AT ANY DIMENSION, so candidate volume is ~0.4·n²/2
+    * (measured: 825k candidates of 2M pairs at n=2k; 82M of 200M at
+    * n=20k — the FRACTION is scale-invariant). The engine side is linear
+    * in that workload (per-candidate verify cost 5.2 µs → 1.1 µs at 10×);
+    * what is quadratic is the candidate set itself, an information limit
+    * of sign-bit LSH at θ=60°, where per-band selectivity near/random is
+    * only (2/3 ÷ 1/2)^8 ≈ 10. Raising bits-per-band kills recall faster
+    * than collisions (recall at 16 bits ≈ 0.18), so t=0.5 pair
+    * enumeration has no LSH parameterization that is both high-recall
+    * and sub-quadratic: this entry buys a constant-factor (~2.4×) prune
+    * plus never materializing the n² join, and is gated for exactness.
+    * The sub-quadratic paths for embedding similarity at scale are the
+    * high-threshold regime (near-1 cosine: long bands prune and keep
+    * recall) and the IVF/ANN family (Similarity.scala) which bounds
+    * work per vector by probed cells instead of enumerating pairs. */
   def qDedupEmbedLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val v0 = Tables.embeddings(s, dir)
