@@ -192,15 +192,12 @@ object StreamingGate {
     * exist), and the per-doc rollup runs in complete mode. Output ==
     * batch q_decontaminate == its oracle, verbatim. */
   def qStreamDecontam(s0: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.graft.NativeExprs
-    import graft.functions.TextFunctions.shingleSet
     val s = streamSession(s0)
-    val evalSh = graft.Tables.documents(s, dir)
-      .filter(col("source") === "src0")
-      .select(explode(shingleSet(col("text"))).as("sng")).distinct()
-    val bloom = evalSh
-      .agg(NativeExprs.bloomFilterAgg(xxhash64(col("sng")), 1000000L, 8000000L))
-      .head.getAs[Array[Byte]](0)
+    // static sides on the PARENT session via the persisted eval index +
+    // cached bloom (see qStreamLineDedup): the eval suite is indexed
+    // once, not re-shingled per invocation
+    val evalSh = Dedup.evalShingleSet(s0, dir)
+    val bloom = Dedup.evalBloom(s0, dir).orNull
     val docs = parquetStream(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
     runGate(StreamingEtl.decontaminateStream(docs, evalSh, bloom),
