@@ -13,13 +13,14 @@ import org.apache.spark.sql.functions._
   * group sizes per key stay constant — the corpus gets WIDER, not
   * denser). Two content transforms keep similarity structure realistic
   * instead of degenerate:
-  *  - documents.text gets a per-copy Caesar shift (lowercase a–z
-  *    rotated by the copy index): lengths, whitespace, token counts and
-  *    each copy's INTERNAL near-dup structure are preserved, while
-  *    cross-copy shingles are disjoint — so dedup output scales
-  *    linearly, like ingesting ten disjoint crawl shards with the same
-  *    internal duplication rate, rather than quadratically as a
-  *    verbatim self-union would (every doc a 10-clone cluster).
+  *  - documents.text gets a per-copy affine-cipher substitution
+  *    (lowercase a–z permuted; 312 distinct permutations): lengths,
+  *    whitespace, token counts and each copy's INTERNAL near-dup
+  *    structure are preserved, while cross-copy shingles are disjoint —
+  *    so dedup output scales linearly, like ingesting N disjoint crawl
+  *    shards with the same internal duplication rate, rather than
+  *    quadratically as a verbatim self-union would (every doc an
+  *    N-clone cluster).
   *  - embeddings.embedding gets a per-copy deterministic SIGN FLIP
   *    (v_j -> ±v_j by hash(copy, j)) — a diagonal orthogonal transform,
   *    so every within-copy cosine (the LSH / ANN structure of each
@@ -41,10 +42,19 @@ import org.apache.spark.sql.functions._
 object ScaleUpBench {
   private val Stride = 100000000L
 
-  private def caesar(i: Int): (String, String) = {
+  // Affine cipher x -> (a·x + b) mod 26 with a coprime to 26: 312
+  // distinct alphabet permutations, so up to 312 copies carry pairwise
+  // disjoint shingle vocabularies. (A plain Caesar shift was REJECTED by
+  // measurement at factor 100: its period is 26, so copies i and i+26
+  // were verbatim-identical and the dedup outputs grew 32× superlinear
+  // for a generator reason — caught because the 100× dedup row counts
+  // disagreed with the 10× run's exactly-linear growth.)
+  private def affine(i: Int): (String, String) = {
     val abc = "abcdefghijklmnopqrstuvwxyz"
-    val k = i % 26
-    (abc, abc.substring(k) + abc.substring(0, k))
+    val as = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    val a = as((i / 26) % as.length)
+    val b = i % 26
+    (abc, abc.map(c => ('a' + (a * (c - 'a') + b) % 26).toChar))
   }
 
   private def copyOf(table: String, df: DataFrame, i: Int): DataFrame = {
@@ -59,7 +69,7 @@ object ScaleUpBench {
     }
     table match {
       case "documents" =>
-        val (from, to) = caesar(i)
+        val (from, to) = affine(i)
         shifted.withColumn("text", translate(col("text"), from, to))
       case "embeddings" if i > 0 =>
         shifted.withColumn("embedding", expr(
