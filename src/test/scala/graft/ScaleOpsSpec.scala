@@ -470,6 +470,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(flags.contains(0L) && flags.contains(1L))
   }
 
+  test("persisted eval index: verify join plans zero exchanges on the bucketed side") {
+    // round-8: the decontamination eval suite is a write-once bucketed
+    // index (Dedup.evalShingleSet) like the band index — the exact-verify
+    // join must probe the catalog table without re-shuffling it
+    import graft.queries.Dedup
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val plan = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      SparkEntry.queries("q_decontaminate_bloom")(spark, sf)
+        .queryExecution.sparkPlan
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    val joinSides = plan.collect {
+      case j: SortMergeJoinExec => Seq(j.left, j.right)
+      case j: ShuffledHashJoinExec => Seq(j.left, j.right)
+    }.flatten
+    val indexSides = joinSides.filter(_.collect {
+      case f: FileSourceScanExec if f.relation.bucketSpec.isDefined => f
+    }.nonEmpty)
+    assert(indexSides.nonEmpty, "no join against the bucketed eval index in the plan")
+    indexSides.foreach { side =>
+      assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"bucketed eval index side re-shuffles:\n$side")
+    }
+  }
+
   test("bloom prefilter prunes non-contaminated shingle volume before the join") {
     import spark.implicits._
     import org.apache.spark.sql.graft.NativeExprs
