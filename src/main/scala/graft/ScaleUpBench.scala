@@ -80,9 +80,7 @@ object ScaleUpBench {
 
   private def gen(s: SparkSession, src: String, out: String, factor: Int): Unit = {
     val dims = Set("region", "nation")
-    val tables = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events", "documents", "embeddings")
-    tables.foreach { t =>
+    Tables.all.foreach { t =>
       val base = s.read.parquet(s"$src/$t.parquet")
       val scaled =
         if (dims(t)) base
@@ -95,12 +93,22 @@ object ScaleUpBench {
     }
   }
 
-  /** Multiset of join strategy names in the AQE-final plan. */
+  /** Multiset of join strategy names in the AQE-final plan. NOTE:
+    * `plan.collect` alone is blind under AQE — AdaptiveSparkPlanExec and
+    * the QueryStageExec wrappers are LeafExecNodes, so a naive collect
+    * sees only the wrapper and reports zero joins (caught by round-8
+    * self-review; the detector was silently dead). Descend through both
+    * wrapper classes explicitly. */
   private def joinShape(df: DataFrame): Map[String, Int] = {
-    val plan = df.queryExecution.executedPlan
-    val names = plan.collect {
-      case p if p.nodeName.contains("Join") => p.nodeName
-    }
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case other => other.children.flatMap(flatten)
+    })
+    val names = flatten(df.queryExecution.executedPlan)
+      .map(_.nodeName).filter(_.contains("Join"))
     names.groupBy(identity).view.mapValues(_.size).toMap
   }
 

@@ -705,6 +705,11 @@ object Dedup {
       (sngs: => DataFrame): Option[Array[Byte]] = {
     import org.apache.spark.sql.graft.NativeExprs
     bloomCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    // hard bound: each entry pins ~1 MB + a session ref, and stopped-
+    // context eviction never fires for per-client sessions over a LIVE
+    // shared context (the Connect service mode) — recompute beats
+    // unbounded driver growth
+    if (bloomCache.size > 64) bloomCache.clear()
     bloomCache.computeIfAbsent((s, dir, tag), _ =>
       Option(sngs
         .agg(NativeExprs.bloomFilterAgg(xxhash64(col("sng")), 1000000L, 8000000L))

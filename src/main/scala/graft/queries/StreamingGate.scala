@@ -48,8 +48,13 @@ object StreamingGate {
   private def parquetStream(s: SparkSession, dir: String, table: String): DataFrame = {
     // without nanosAsLong the schema probe itself throws on a
     // TIMESTAMP(NANOS) fixture, before eventsStream's LongType branch
-    // can run (mirrors Tables.events' drift handling)
+    // can run (mirrors Tables.events' drift handling). The timezone pin
+    // must ride along: newSession() clones do NOT inherit runtime conf
+    // sets, and eventsStream's NTZ->TIMESTAMP cast is only
+    // value-preserving under UTC (same edge Tables.events closes for
+    // batch sessions not built via GraftSession).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val schema = s.read.parquet(s"$dir/$table.parquet").schema
     // FileStreamSource wants a directory (or a glob whose base is one);
     // the fixture is one file per table, so address it as a
@@ -147,17 +152,12 @@ object StreamingGate {
   def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
     // A stateful stream-stream join creates one state store per SIDE per
     // shuffle partition (4 partitions = 8 stores here) and pays a
-    // per-micro-batch commit on each — partition count should track
-    // STREAM volume, exactly like a production job sizes
-    // spark.sql.shuffle.partitions per workload. The join runs at HALF
-    // the other gates' partition count because its store count doubles
+    // per-micro-batch commit on each — so the join runs at HALF the
+    // other gates' partition count because its store count doubles
     // (measured round 8: 4 partitions ≈ 13% faster than 8 for the join,
     // while the single-store gates regress below 8 — they are
-    // compute-bound, not commit-bound). Run in a session CLONE (shared
-    // SparkContext, independent conf) so the right-sizing never leaks
-    // into the shared session.
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    // compute-bound, not commit-bound).
+    val s2 = streamSession(s, partitions = 4)
     val views = eventsStream(s2, dir)
       .filter(col("event_type") === "view")
       .withWatermark("ts", "1 hour")
