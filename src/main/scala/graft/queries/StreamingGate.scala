@@ -310,7 +310,65 @@ object StreamingGate {
     """SELECT CAST(round(value * 100) AS BIGINT) // 100 AS bin, count(*) AS c
       |FROM events GROUP BY 1""".stripMargin
 
+  /** CUSTOM-STATE streaming sessionization, gated — the
+    * flatMapGroupsWithState API class (arbitrary state payload +
+    * event-time timeouts, [[StreamingEtl.sessionizeStream]]), which was
+    * spec-only until round 8. Append semantics: a session emits exactly
+    * once, either when a later in-batch event passes the 1800 s gap
+    * (strict `>`, floored epoch seconds — the lambda's own arithmetic)
+    * or when the event-time watermark (max event time − 1 h) passes
+    * lastEvent + gap + 1 s and the timeout fires in the engine's final
+    * no-data batch. Over the single-file fixture glob that closed set is
+    * DETERMINISTIC: every non-final session per user, plus each final
+    * session whose end + 1801 ≤ max_ts − 3600 (verified: 9,399 + 129 =
+    * 9,528 of 9,549 total at sf0.01) — and the oracle states exactly
+    * that in SQL, so the gate hash-checks the custom-state operator
+    * cross-engine including its timeout boundary. Values roll up in
+    * exact cents (integer-valued doubles, |sum| ≪ 2^53, cast LONG on
+    * emit). */
+  def qStreamFmgws(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val ev = eventsStream(s, dir)
+      .withColumn("value", expr("cast(round(value * 100) as double)"))
+    val closed = StreamingEtl.sessionizeStream(ev)
+    runGate(closed.toDF()
+      .select(col("userId").as("user_id"),
+        col("sessionStartS").as("session_start_s"),
+        col("nEvents").as("n_events"),
+        col("totalValue").cast("long").as("total_value_c")),
+      "fmgws", "append")
+  }
+
+  val qStreamFmgwsSql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS v_c,
+      |    epoch_us(ts) // 1000000 AS sec
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN prev IS NULL OR sec - prev > 1800
+      |                 THEN 1 ELSE 0 END AS is_new
+      |  FROM (SELECT *, lag(sec) OVER w AS prev FROM ordered
+      |        WINDOW w AS (PARTITION BY user_id ORDER BY sec ASC, event_id ASC))),
+      |sessions AS (
+      |  SELECT user_id, session_idx,
+      |    min(sec) AS start_s, max(sec) AS end_s,
+      |    count(*) AS n_events, CAST(sum(v_c) AS BIGINT) AS total_value_c
+      |  FROM (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+      |          ORDER BY sec ASC, event_id ASC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      |        FROM flagged)
+      |  GROUP BY user_id, session_idx),
+      |closed AS (
+      |  SELECT *, max(session_idx) OVER (PARTITION BY user_id) AS last_idx,
+      |    (SELECT max(sec) - 3600 FROM ordered) AS wm_s
+      |  FROM sessions)
+      |SELECT user_id, start_s AS session_start_s, n_events, total_value_c
+      |FROM closed
+      |WHERE session_idx < last_idx OR end_s + 1801 <= wm_s""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_fmgws"     -> (qStreamFmgws _),
     "q_stream_quantile"  -> (qStreamQuantile _),
     "q_stream_hourly"    -> (qStreamHourly _),
     "q_stream_sessions"  -> (qStreamSessions _),
@@ -323,6 +381,7 @@ object StreamingGate {
   /** The twins assert stream==batch by construction: each shares its
     * oracle VERBATIM with the batch operator it mirrors. */
   def oracles: Map[String, String] = Map(
+    "q_stream_fmgws"     -> qStreamFmgwsSql,
     "q_stream_quantile"  -> qStreamQuantileSql,
     "q_stream_hourly"    -> qStreamHourlySql,
     "q_stream_sessions"  -> qStreamSessionsSql,
