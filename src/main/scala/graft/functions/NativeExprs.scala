@@ -251,11 +251,16 @@ object NativeExprs {
     // every (bit, dim) of every row — at 128x8 bands over dim-64 vectors
     // that is 1,024x64 hashes per ROW, ~3x the whole signature's cost.
     // Values are bit-identical to planeSign, so signatures (and the gated
-    // LSH output) are unchanged.
-    @transient private[this] var planeDims: Int = -1
-    @transient private[this] var planeMatrix: Array[Double] = _
+    // LSH output) are unchanged. Cached as a SINGLE (dims, matrix) holder
+    // written by one reference assignment: even if an instance is ever
+    // evaluated from two threads (driver-side eval, a shared interpreted
+    // projection), a reader can only see a consistent pair — worst case
+    // under a race is a benign recompute, never a torn dims/matrix pair.
+    @transient private[this] var planeCache: (Int, Array[Double]) = _
     private def planesFor(n: Int): Array[Double] = {
-      if (planeDims != n) {
+      val c = planeCache
+      if (c != null && c._1 == n) c._2
+      else {
         val nBits = bands * rowsPerBand
         val m = new Array[Double](nBits * n)
         var bit = 0
@@ -264,10 +269,9 @@ object NativeExprs {
           while (j < n) { m(bit * n + j) = planeSign(bit, j); j += 1 }
           bit += 1
         }
-        planeMatrix = m
-        planeDims = n
+        planeCache = (n, m)
+        m
       }
-      planeMatrix
     }
 
     override def nullSafeEval(input: Any): Any = {

@@ -316,9 +316,11 @@ object StreamingGate {
     * spec-only until round 8. Append semantics: a session emits exactly
     * once, either when a later in-batch event passes the 1800 s gap
     * (strict `>`, floored epoch seconds — the lambda's own arithmetic)
-    * or when the event-time watermark (max event time − 1 h) passes
-    * lastEvent + gap + 1 s and the timeout fires in the engine's final
-    * no-data batch. Over the single-file fixture glob that closed set is
+    * or when the event-time watermark (max event time − 1 h) REACHES
+    * lastEvent + gap + 1 s (inclusive — the engine arms its timer 1 ms
+    * early because FlatMapGroupsWithStateExec's eviction comparison is
+    * strict; StreamingSpec pins the boundary) and the timeout fires in
+    * the engine's final no-data batch. Over the single-file fixture glob that closed set is
     * DETERMINISTIC: every non-final session per user, plus each final
     * session whose end + 1801 ≤ max_ts − 3600 (verified: 9,399 + 129 =
     * 9,528 of 9,549 total at sf0.01) — and the oracle states exactly

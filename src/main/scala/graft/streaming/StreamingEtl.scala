@@ -457,7 +457,13 @@ object StreamingEtl {
                 if (state.exists) state.remove()
               } else {
                 state.update(cur)
-                state.setTimeoutTimestamp(target)
+                // FlatMapGroupsWithStateExec evicts timed-out state with
+                // timeoutTimestamp < watermark (STRICT — pinned by
+                // StreamingSpec's boundary test). The session must close
+                // once watermark >= target (the oracle's inclusive
+                // end_s + gap + 1 <= wm_s), so arm the timer one ms
+                // early: target-1 < wm  ⟺  wm >= target.
+                state.setTimeoutTimestamp(target - 1)
               }
             }
           }

@@ -33,14 +33,20 @@ class StreamingRecoverySpec extends AnyFunSuite {
   private lazy val tmp = Files.createTempDirectory("graft_recovery").toFile.getPath
 
   /** events fixture as a 12-file JSON dir: with maxFilesPerTrigger=1 a
-    * run is 12 micro-batches — plenty of room to kill between commits. */
+    * run is 12 micro-batches — plenty of room to kill between commits.
+    * repartitionByRange (not hash repartition) so the 12 distinct part
+    * values can't collide into fewer partitions — the 12-file premise
+    * is guaranteed, not approximate, and the kill window can't collapse
+    * on a fast machine. */
   private lazy val inputDir: String = {
     val dir = s"$tmp/input"
     Tables.events(spark, sf)
       .withColumn("part", (col("event_id") % 12).cast("int"))
-      .repartition(12, col("part"))
+      .repartitionByRange(12, col("part"))
       .drop("part")
       .write.json(dir)
+    val n = new java.io.File(dir).listFiles.count(_.getName.endsWith(".json"))
+    assert(n == 12, s"fixture wrote $n json files, expected 12")
     dir
   }
 

@@ -425,6 +425,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalRows == batch)
   }
 
+  test("fmgws event-time timeout fires exactly at the oracle's <= boundary") {
+    // Pins the engine/oracle boundary agreement the q_stream_fmgws gate
+    // relies on: the oracle emits a final session iff
+    // end_s + gap + 1 <= wm_s (wm = max event time - 1 h). Three
+    // single-event users straddle that boundary by exactly one second:
+    //   u1: end + 1801 == wm_s      (ON the boundary — the case the
+    //       sf fixtures happen not to contain)
+    //   u2: end + 1801 == wm_s - 1  (inside: must emit)
+    //   u3: end + 1801 == wm_s + 1  (outside: must not emit)
+    // u99 carries the max event that sets the watermark. Spark's
+    // FlatMapGroupsWithStateExec evicts state with
+    // timeoutTimestamp < watermark (STRICT), so sessionizeStream sets
+    // the timer one ms early to realize the oracle's inclusive <=.
+    val m = 1700000000L // max event sec
+    val wmS = m - 3600
+    val dir = s"$tmp/fmgws_boundary"
+    new java.io.File(dir).mkdirs()
+    def line(uid: Long, sec: Long): String =
+      s"""{"user_id":$uid,"ts":"${java.time.Instant.ofEpochSecond(sec)}","value":1.0}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/f0.json"),
+      Seq(line(1L, wmS - 1801), line(2L, wmS - 1802), line(3L, wmS - 1800),
+          line(99L, m)).mkString("\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val stream = StreamingEtl.jsonStream(spark, dir, schema)
+    StreamingEtl.runToMemory(
+      StreamingEtl.sessionizeStream(stream).toDF(),
+      "fmgws_boundary", s"$tmp/cp_fmgws_boundary", outputMode = "append")
+    val emitted = spark.table("fmgws_boundary")
+      .select("userId").collect().map(_.getLong(0)).toSet
+    // oracle predicate over the same fixture: end_s + 1801 <= wm_s
+    val oracle = Map(1L -> (wmS - 1801), 2L -> (wmS - 1802), 3L -> (wmS - 1800), 99L -> m)
+      .filter { case (_, end) => end + 1801 <= wmS }.keySet
+    assert(oracle == Set(1L, 2L))
+    assert(emitted == oracle,
+      s"stream emitted $emitted but oracle closes $oracle — timeout boundary drifted")
+  }
+
   test("flatMapGroupsWithState sessions match the batch sessionization (closed subset)") {
     // time-ordered arrival (the operator's contract): 4 files = 4
     // consecutive time ranges, like monthly competência files
