@@ -10,6 +10,33 @@ import graft.operators.Skew
 class ScaleOpsSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("IVF-bucketed embedding near-dup: recall floor vs the exact pair set at sf0.1") {
+    // The sub-quadratic path for moderate-threshold embedding dedup
+    // (round-9): q_dedup_embed_lsh is gated hash-exact vs the FULL exact
+    // pair oracle, so its output IS the exact cos>=0.5 pair set — recall
+    // of the IVF candidates is measured against it. Floor 0.9 leaves
+    // headroom only for x1e7-quantization boundary flips (IVF verifies
+    // on quantized integers, LSH on raw doubles); measured 14/14 at
+    // nprobe=6 on the current fixture.
+    val sfDir = "/root/testdata/sf0.1"
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(queries.Dedup.qDedupEmbedLsh(spark, sfDir))
+    val ivf = pairs(queries.Dedup.qDedupEmbedIvf(spark, sfDir))
+    assert(exact.nonEmpty, "vacuous: no exact near-dup pairs at sf0.1")
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall < 0.9 (${(ivf & exact).size}/${exact.size})")
+    // precision: an IVF pair absent from the exact set can only be a
+    // quantization-boundary artifact, which must sit within 200 ppb of
+    // the 0.5 threshold
+    val extras = queries.Dedup.qDedupEmbedIvf(spark, sfDir)
+      .select("vec_a", "vec_b", "cos_ppb").collect()
+      .filter(r => !exact.contains((r.getLong(0), r.getLong(1))))
+    assert(extras.forall(r => math.abs(r.getLong(2) - 500000000L) <= 200),
+      s"non-boundary false positive: ${extras.take(3).mkString(",")}")
+  }
+
   test("salted join result equals the plain equi-join") {
     val orders = Tables.orders(spark, sf).select("o_orderkey", "o_orderpriority")
     val lineitem = Tables.lineitem(spark, sf)
