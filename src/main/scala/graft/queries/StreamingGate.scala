@@ -369,7 +369,54 @@ object StreamingGate {
       |FROM closed
       |WHERE session_idx < last_idx OR end_s + 1801 <= wm_s""".stripMargin
 
+  /** STREAMING VECTOR SERVING, gated — IVF retrieval for queries
+    * arriving on a stream against the write-once static index
+    * ([[StreamingEtl.annServeStream]], the serving twin of q_ann_ivf).
+    * Queries = the isQuery slice of the embeddings fixture as a file
+    * stream; the bounded centroid set (≤40 by construction) rides the
+    * plan as a literal — probe selection is a per-row HOF, no join, no
+    * shuffle; the inverted lists join stream-static on c_id (bucketed
+    * at scale — co-partitioned); ranking is ONE streaming aggregation
+    * whose state is the bounded TopKAggregator (O(k) rows per in-flight
+    * query — PlanHygieneSpec asserts no unbounded collect enters the
+    * stream plan). Update mode: each query is one stream row, so its
+    * candidates complete within its arrival micro-batch and its top-k
+    * emits exactly once. Shares q_ann_ivf's oracle VERBATIM. */
+  def qStreamAnn(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    // static sides on the PARENT session (centroid/list relations are
+    // memoized per session — see qStreamLineDedup's note)
+    val cents = Similarity.centroidArray(s0, dir)
+    val lists = Similarity.ivfLists(s0, dir)
+    val q = parquetStream(s, dir, "embeddings")
+      .filter(Similarity.isQuery(col("vec_id")))
+      .select(col("vec_id").as("q_id"),
+        transform(col("embedding"), x => x.cast("double")).as("qv"))
+    runGate(StreamingEtl.annServeStream(q, cents, lists), "ann", "update")
+  }
+
+  /** STREAMING ANOMALY FLAGGING, gated — the online form of the batch
+    * q_ev_anomaly monitor ([[StreamingEtl.anomalyStream]]): arriving
+    * events join the offline-trained per-type moments (static,
+    * broadcast) BEFORE the windowed aggregation, constants ride the
+    * group key, and the integer 3-sigma flag is a post-aggregation
+    * projection. Complete mode over the catch-up stream == batch ==
+    * oracle (shares q_ev_anomaly's SQL verbatim). */
+  def qStreamAnomaly(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val hourly = graft.Tables.events(s0, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val moments = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nh"), sum(col("n")).as("sn"),
+        sum(col("n") * col("n")).as("ssn"))
+    runGate(StreamingEtl.anomalyStream(eventsStream(s, dir), moments),
+      "anomaly", "complete")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_ann"       -> (qStreamAnn _),
+    "q_stream_anomaly"   -> (qStreamAnomaly _),
     "q_stream_fmgws"     -> (qStreamFmgws _),
     "q_stream_quantile"  -> (qStreamQuantile _),
     "q_stream_hourly"    -> (qStreamHourly _),
@@ -383,6 +430,8 @@ object StreamingGate {
   /** The twins assert stream==batch by construction: each shares its
     * oracle VERBATIM with the batch operator it mirrors. */
   def oracles: Map[String, String] = Map(
+    "q_stream_ann"       -> Similarity.qAnnIvfSql,
+    "q_stream_anomaly"   -> Events.qEvAnomalySql,
     "q_stream_fmgws"     -> qStreamFmgwsSql,
     "q_stream_quantile"  -> qStreamQuantileSql,
     "q_stream_hourly"    -> qStreamHourlySql,

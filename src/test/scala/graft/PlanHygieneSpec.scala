@@ -251,6 +251,34 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"unbounded low-cardinality window in: ${offenders.mkString("; ")}")
   }
 
+  test("streaming ANN serving: rank state is the bounded top-k aggregator only") {
+    // q_stream_ann's scale contract: the one stateful operator in the
+    // serving plan keeps O(k) TopKAggregator state per in-flight query.
+    // Any unbounded aggregate (collect_list/collect_set) appearing in
+    // the stream plan would make state grow with the CORPUS (candidate
+    // count), not with k — the failure mode this test pins.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    val schema = spark.read.parquet(s"$sf/embeddings.parquet").schema
+    val q = spark.readStream.schema(schema).parquet(s"$sf/embeddings.parque[t]")
+      .filter(queries.Similarity.isQuery(col("vec_id")))
+      .select(col("vec_id").as("q_id"),
+        transform(col("embedding"), x => x.cast("double")).as("qv"))
+    val served = graft.streaming.StreamingEtl.annServeStream(
+      q, queries.Similarity.centroidArray(spark, sf),
+      queries.Similarity.ivfLists(spark, sf))
+    // only STREAMING aggregates hold state stores — the static index
+    // build (ivfLists' batch argmax) aggregates without streaming state
+    val fns = served.queryExecution.analyzed
+      .collect { case a: Aggregate if a.isStreaming => a }
+      .flatMap(_.aggregateExpressions)
+      .flatMap(_.collect { case ae: AggregateExpression => ae.aggregateFunction })
+    assert(fns.nonEmpty, "no streaming aggregation found in the serving plan")
+    assert(fns.forall(_.toString.contains("TopKAggregator")),
+      s"non-top-k aggregate in stream plan: ${fns.map(_.getClass.getSimpleName)}")
+  }
+
   test("range search plans zero shuffle exchanges (map-side score + filter)") {
     // q_ann_range = broadcast(bounded query set) + per-partition score and
     // filter: matches stream straight out of the scan — any shuffle here
