@@ -120,6 +120,95 @@ object Sinks {
     } finally cached.unpersist()
   }
 
+  /** EXACTLY-ONCE streaming upsert into a JDBC sink (round-9): the
+    * `foreachBatch` body that makes the reference's real sink shape
+    * (PostgreSQL, ESTRUTURA_DADOS_PROCESSADOS.md:164-203) safe under
+    * kill/replay — Structured Streaming's file sinks get exactly-once
+    * from the metadata log, but a database sink must supply its own
+    * idempotence because a batch can commit to the DB and then die
+    * BEFORE the checkpoint commits, so the same batchId replays on
+    * restart. Epoch-guard + stage-and-swap:
+    *
+    *  1. `<table>_EPOCHS(batch_id PK)` records committed batches; a
+    *     replayed batchId returns immediately (the guard);
+    *  2. the batch stages into `<table>_STAGE` via the normal
+    *     executor-parallel batched writer in OVERWRITE mode — a partial
+    *     staging write from a previous crash is simply overwritten;
+    *  3. one driver-side transaction moves staged rows into the target
+    *     AND records the epoch: `INSERT..SELECT; INSERT epoch; COMMIT`
+    *     — atomic, so the data and its marker appear together or not
+    *     at all. Every crash window replays into either the guard
+    *     (committed) or a clean re-stage (not committed).
+    *
+    * Single-writer contract per (url, table) — the same contract every
+    * epoch-guard sink has (Delta/Iceberg txn ids per query). Target and
+    * staging share the all-text DDL of [[writeJdbc]]; `textType` must
+    * be a concrete SQL type here (e.g. VARCHAR(4096)) because the
+    * driver issues its own CREATE. Proven by StreamingRecoverySpec:
+    * mid-run kill, restart, no double-insert, final table == batch. */
+  def jdbcUpsertBatch(df: DataFrame, batchId: Long, url: String, table: String,
+                      props: java.util.Properties = new java.util.Properties(),
+                      textType: String = "VARCHAR(4096)"): Unit = {
+    val epochs = s"${table}_EPOCHS"
+    val stage = s"${table}_STAGE"
+    def withConn[A](f: java.sql.Connection => A): A = {
+      val c = java.sql.DriverManager.getConnection(url, props)
+      try f(c) finally c.close()
+    }
+    def ensureTable(c: java.sql.Connection, ddl: String): Unit =
+      try { val st = c.createStatement(); try st.execute(ddl) finally st.close() }
+      catch { case e: java.sql.SQLException if isExistingRelation(e) => }
+    val alreadyCommitted = withConn { c =>
+      ensureTable(c, s"CREATE TABLE $epochs (batch_id BIGINT PRIMARY KEY)")
+      val st = c.prepareStatement(s"SELECT 1 FROM $epochs WHERE batch_id = ?")
+      try { st.setLong(1, batchId); val rs = st.executeQuery(); rs.next() }
+      finally st.close()
+    }
+    if (alreadyCommitted) return
+    // stage (overwrite = crash-safe re-stage; executor-parallel batching)
+    val allText = df.select(df.columns.map(c =>
+      org.apache.spark.sql.functions.when(col(c).isNotNull, col(c).cast("string")).as(c)): _*)
+    allText.write.mode("overwrite")
+      .option("createTableColumnTypes",
+        allText.schema.fieldNames.map(f => s"$f $textType").mkString(", "))
+      .option("batchsize", "10000")
+      .jdbc(url, stage, props)
+    // Spark's JDBC writer QUOTES column identifiers (staging gets
+    // case-exact names); driver-issued SQL must quote identically or
+    // Derby/PostgreSQL fold the unquoted names to a different case
+    val cols = df.columns.map(c => s""""$c"""").mkString(", ")
+    withConn { c =>
+      ensureTable(c, s"CREATE TABLE $table (" +
+        df.columns.map(f => s""""$f" $textType""").mkString(", ") + ")")
+      c.setAutoCommit(false)
+      val st = c.createStatement()
+      try {
+        st.executeUpdate(s"INSERT INTO $table ($cols) SELECT $cols FROM $stage")
+        st.executeUpdate(s"INSERT INTO $epochs (batch_id) VALUES ($batchId)")
+        c.commit()
+      } catch { case e: Throwable => c.rollback(); throw e }
+      finally st.close()
+    }
+  }
+
+  /** SQLStates for "relation already exists": Derby X0Y32, PostgreSQL
+    * 42P07, ODBC S0001/42S01 — the create-if-absent probe of
+    * [[jdbcUpsertBatch]] (narrow by the same rationale as
+    * [[MissingRelationStates]]). */
+  private val ExistingRelationStates = Set("X0Y32", "42P07", "42S01", "S0001")
+  private[graft] def isExistingRelation(e: Throwable): Boolean = {
+    var t: Throwable = e
+    while (t != null) {
+      t match {
+        case sql: java.sql.SQLException
+            if Option(sql.getSQLState).exists(ExistingRelationStates.contains) => return true
+        case _ =>
+      }
+      t = t.getCause
+    }
+    false
+  }
+
   /** S11 escape hatch: per-partition push to an external receiver (the
     * reference POSTs multipart bodies to its converter,
     * datasus.service.ts:307-388; in-engine decode makes that obsolete,

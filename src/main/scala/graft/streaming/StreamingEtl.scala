@@ -513,4 +513,27 @@ object StreamingEtl {
       .start()
     q.awaitTermination()
   }
+
+  /** Stream into a JDBC table with EXACTLY-ONCE semantics across
+    * kill/replay — the reference-shaped production sink (its loader
+    * appends to PostgreSQL; a restarted append-mode stream would
+    * double-insert the batch that committed to the DB but not to the
+    * checkpoint). Each micro-batch runs [[graft.sources.Sinks.jdbcUpsertBatch]]:
+    * batchId epoch-guard + staged atomic swap (see its scaladoc for the
+    * crash-window analysis). Caller supplies the trigger via `trigger`;
+    * returns the started query (kill/restart tested in
+    * StreamingRecoverySpec). */
+  def runToJdbc(df: DataFrame, url: String, table: String, checkpoint: String,
+                trigger: Trigger = Trigger.AvailableNow(),
+                textType: String = "VARCHAR(4096)")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sinks.jdbcUpsertBatch(batch, batchId, url, table,
+          textType = textType)
+      }
+      .start()
 }

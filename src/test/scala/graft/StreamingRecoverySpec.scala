@@ -125,6 +125,47 @@ class StreamingRecoverySpec extends AnyFunSuite {
       s"recovered result diverges: missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
   }
 
+  test("JDBC sink: epoch-guard upsert survives a mid-run kill without double-insert") {
+    // The reference's real sink is a database (PostgreSQL loader); a
+    // plain append-mode JDBC foreachBatch double-inserts any batch that
+    // committed to the DB but not to the checkpoint before a crash.
+    // Sinks.jdbcUpsertBatch closes that window (epoch guard + staged
+    // atomic swap). Kill mid-run, restart from the same checkpoint,
+    // assert the final table equals the batch answer exactly — row
+    // count catches duplicates, the set compare catches losses.
+    val dbDir = Files.createTempDirectory("graft_derby_eo").toString
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val cp = s"$tmp/cp_jdbc"
+    def projected(ev: DataFrame): DataFrame = ev.select(
+      col("event_id"), col("user_id"), col("event_type"),
+      expr("cast(ts as bigint)").as("ts_s"),
+      expr("cast(round(value * 100) as long)").as("value_c"))
+
+    val q1 = streaming.StreamingEtl.runToJdbc(
+      projected(streamEvents), url, "EVENTS_EO", cp,
+      trigger = Trigger.ProcessingTime("1 second"))
+    val consumed = killAfterBatches(q1, minBatches = 2)
+    assert(consumed > 0, "kill was too early: no input committed")
+    assert(consumed < totalRows,
+      s"kill was too late: all $totalRows rows consumed — recovery untested")
+
+    val q2 = streaming.StreamingEtl.runToJdbc(
+      projected(streamEvents), url, "EVENTS_EO", cp)
+    q2.awaitTermination()
+
+    val result = sources.Sinks.readJdbc(spark, url, "EVENTS_EO")
+    val expected = projected(batchEvents)
+      .select(projected(batchEvents).columns.map(c => col(c).cast("string").as(c)): _*)
+    assert(result.count() == totalRows,
+      s"row count ${result.count()} != $totalRows (duplicate or lost batch)")
+    assert(asSet(result.select("event_id", "user_id", "event_type", "ts_s", "value_c"))
+      == asSet(expected), "recovered JDBC table diverges from batch input")
+    // the epoch guard recorded every committed batch exactly once
+    val epochs = sources.Sinks.readJdbc(spark, url, "EVENTS_EO_EPOCHS")
+    assert(epochs.count() == epochs.select("BATCH_ID").distinct().count())
+    assert(epochs.count() >= 2, "fewer than 2 committed epochs — vacuous")
+  }
+
   test("stream-stream interval join recovers offsets and dedups the aborted batch (parquet sink)") {
     // q_stream_join's core: view->click interval join, both sides
     // watermarked; the parquet sink's metadata log carries exactly-once
