@@ -301,7 +301,8 @@ object NativeExprs {
     * position-robust fingerprint subset with guaranteed coverage of any
     * match of length >= w + k - 1 tokens. Returns the sorted distinct
     * selected hashes. */
-  case class WinnowFingerprint(child: Expression, k: Int = 4, w: Int = 4)
+  case class WinnowFingerprint(child: Expression, k: Int = 4, w: Int = 4,
+                               prime: Long = 0L)
       extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
     override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -312,15 +313,30 @@ object NativeExprs {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
       if (n < k) return new GenericArrayData(Array.empty[Any])
-      // per-token hash, then k-gram rolling combination
+      // per-token hash, then k-gram rolling combination. prime == 0 is
+      // the production 64-bit wrapping hash; prime > 0 swaps in a mod-p
+      // codepoint polynomial (same winnowing selection loop) — the
+      // cross-engine-expressible twin the q_text_winnow gate uses,
+      // because DuckDB BIGINT arithmetic ERRORS on overflow and cannot
+      // state wrapping 64-bit multiplies
       val tok = new Array[Long](n)
       var i = 0
       while (i < n) {
-        val bytes = arr.getUTF8String(i).getBytes
-        var h = 1125899906842597L
-        var j = 0
-        while (j < bytes.length) { h = h * 31 + bytes(j); j += 1 }
-        h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+        var h = if (prime > 0) 0L else 1125899906842597L
+        if (prime > 0) {
+          val s = arr.getUTF8String(i).toString
+          var ci = 0
+          while (ci < s.length) {
+            val cp = s.codePointAt(ci)
+            h = (h * 31 + cp) % prime
+            ci += Character.charCount(cp)
+          }
+        } else {
+          val bytes = arr.getUTF8String(i).getBytes
+          var j = 0
+          while (j < bytes.length) { h = h * 31 + bytes(j); j += 1 }
+          h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+        }
         tok(i) = h
         i += 1
       }
@@ -330,7 +346,11 @@ object NativeExprs {
       while (i < nGrams) {
         var h = 0L
         var j = 0
-        while (j < k) { h = h * 0x100000001B3L + tok(i + j); j += 1 }
+        while (j < k) {
+          h = if (prime > 0) (h * 131 + tok(i + j)) % prime
+              else h * 0x100000001B3L + tok(i + j)
+          j += 1
+        }
         gram(i) = h
         i += 1
       }
@@ -492,8 +512,9 @@ object NativeExprs {
     ExpressionUtils.column(ArrayJaccard(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def arrayIntersectSize(a: Column, b: Column): Column =
     ExpressionUtils.column(ArrayIntersectSize(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
-  def winnowFingerprint(toks: Column, k: Int = 4, w: Int = 4): Column =
-    ExpressionUtils.column(WinnowFingerprint(ExpressionUtils.expression(toks), k, w))
+  def winnowFingerprint(toks: Column, k: Int = 4, w: Int = 4,
+                        prime: Long = 0L): Column =
+    ExpressionUtils.column(WinnowFingerprint(ExpressionUtils.expression(toks), k, w, prime))
   def cosineBandKeys(v: Column, bands: Int = 32, rowsPerBand: Int = 4): Column =
     ExpressionUtils.column(CosineBandKeys(ExpressionUtils.expression(v), bands, rowsPerBand))
   def arrayLongSqL2(a: Column, b: Column): Column =

@@ -1387,7 +1387,66 @@ object TextAnalysis {
       |  (CAST(sum(nb) AS BIGINT) * 100) // CAST(sum(nc) AS BIGINT) AS bytes_per_char_c
       |FROM d GROUP BY lang""".stripMargin
 
+  /** WINNOWING document fingerprints, gated (round-9 — the last
+    * spec-only text operator): Schleimer et al.'s MOSS algorithm
+    * (SIGMOD 2003) as the native
+    * [[org.apache.spark.sql.graft.NativeExprs.winnowFingerprint]]
+    * expression — token 4-gram rolling hashes, keep the minimum of each
+    * 4-window (rightmost on ties), emit the sorted distinct selection.
+    * Guaranteed to cover any shared run of >= w+k-1 = 7 tokens, with
+    * density ~2/(w+1) — the fingerprint index plagiarism/near-dup
+    * detectors build at corpus scale (per-row map-side expression; the
+    * exploded (fp -> doc) inverted index shuffles only selected hashes,
+    * ~1/3 of the gram volume).
+    *
+    * The gate runs the expression's mod-p twin (prime=1e9+7 codepoint
+    * polynomial — same selection loop, swappable hash) because the
+    * production 64-bit wrapping hash cannot be stated in DuckDB SQL
+    * (BIGINT arithmetic errors on overflow rather than wrapping); the
+    * oracle states hashes via list_reduce over codepoints and the
+    * window minimum via a rank over (gh ASC, i DESC). The production
+    * hash stays pinned by NativeExprsPropSpec (identity,
+    * edit-robustness, discrimination, drift merge). */
+  def qTextWinnow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.graft.NativeExprs
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        NativeExprs.winnowFingerprint(tokens($"text"), k = 4, w = 4,
+          prime = 1000000007L).as("fps"))
+      .filter(size($"fps") > 0)
+      .select($"doc_id", explode($"fps").as("fp"))
+  }
+
+  val qTextWinnowSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |tokh AS (
+      |  SELECT doc_id,
+      |    [list_reduce(list_prepend(0::BIGINT, [unicode(c)::BIGINT for c in string_split(tok, '')]),
+      |       (h, c) -> (h * 31 + c) % 1000000007) for tok in t] AS th
+      |  FROM toks WHERE len(t) >= 4),
+      |gram AS (
+      |  SELECT doc_id, i,
+      |    (((((th[i] * 131 + th[i+1]) % 1000000007) * 131 + th[i+2]) % 1000000007)
+      |      * 131 + th[i+3]) % 1000000007 AS gh
+      |  FROM (SELECT doc_id, th, unnest(range(1, len(th) - 2)) AS i FROM tokh)),
+      |wins AS (
+      |  SELECT doc_id, unnest(range(0, greatest(len(th) - 7, 0) + 1)) AS s
+      |  FROM tokh),
+      |sel AS (
+      |  SELECT DISTINCT doc_id, gh FROM (
+      |    SELECT w.doc_id, w.s, g.gh,
+      |      row_number() OVER (PARTITION BY w.doc_id, w.s
+      |        ORDER BY g.gh ASC, g.i DESC) AS rn
+      |    FROM wins w JOIN gram g
+      |      ON g.doc_id = w.doc_id AND g.i - 1 >= w.s AND g.i - 1 < w.s + 4)
+      |  WHERE rn = 1)
+      |SELECT doc_id, gh AS fp FROM sel""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_winnow"      -> (qTextWinnow _),
     "q_tok_fertility"    -> (qTokFertility _),
     "q_vocab_oov"        -> (qVocabOov _),
     "q_text_bpe_apply"   -> (qTextBpeApply _),
@@ -1419,6 +1478,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_text_winnow"      -> qTextWinnowSql,
     "q_tok_fertility"    -> qTokFertilitySql,
     "q_vocab_oov"        -> qVocabOovSql,
     "q_text_bpe_apply"   -> qTextBpeApplySql,
