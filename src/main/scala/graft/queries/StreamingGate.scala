@@ -414,7 +414,29 @@ object StreamingGate {
       "anomaly", "complete")
   }
 
+  /** STREAMING CONTEXT-WINDOW CHUNKING, gated — at-ingest chunk cost
+    * reporting ([[StreamingEtl.chunkStream]]): stateless bounded row
+    * fan-out into 64/48 chunk rows, ONE complete-mode aggregation.
+    * Shares q_chunk_rag's oracle verbatim. */
+  def qStreamChunks(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    runGate(StreamingEtl.chunkStream(parquetStream(s, dir, "documents")),
+      "chunks", "complete")
+  }
+
+  /** STREAMING SCRIPT-MIX audit, gated — at-ingest encoding-regression
+    * monitoring ([[StreamingEtl.scriptmixStream]]): stateless per-row
+    * class strips, ONE complete-mode aggregation. Shares
+    * q_text_scriptmix's oracle verbatim. */
+  def qStreamScriptmix(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    runGate(StreamingEtl.scriptmixStream(parquetStream(s, dir, "documents")),
+      "scriptmix", "complete")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_chunks"    -> (qStreamChunks _),
+    "q_stream_scriptmix" -> (qStreamScriptmix _),
     "q_stream_ann"       -> (qStreamAnn _),
     "q_stream_anomaly"   -> (qStreamAnomaly _),
     "q_stream_fmgws"     -> (qStreamFmgws _),
@@ -430,6 +452,8 @@ object StreamingGate {
   /** The twins assert stream==batch by construction: each shares its
     * oracle VERBATIM with the batch operator it mirrors. */
   def oracles: Map[String, String] = Map(
+    "q_stream_chunks"    -> TrainingData.qChunkRagSql,
+    "q_stream_scriptmix" -> TextAnalysis.qTextScriptmixSql,
     "q_stream_ann"       -> Similarity.qAnnIvfSql,
     "q_stream_anomaly"   -> Events.qEvAnomalySql,
     "q_stream_fmgws"     -> qStreamFmgwsSql,
