@@ -134,4 +134,79 @@ object MediaFunctions {
   /** Frame sampling for "video" blobs: every `stride`-th byte is a frame. */
   def sampleFrames(blob: Array[Byte], stride: Int): Array[Byte] =
     blob.indices.collect { case i if i % stride == 0 => blob(i) }.toArray
+
+  // ---- Real pixel codec: binary PPM (P6), a public Netpbm format ----
+  // The one raster format simple enough to implement completely and
+  // correctly with zero dependencies, so the pixel path (decode →
+  // luma → feature) runs on TRUE decoded pixels instead of raw payload
+  // bytes. A JPEG/PNG codec would drop in at the same seam.
+
+  /** A decoded P6 image: dimensions and the raw RGB raster (3 bytes per
+    * pixel, row-major). */
+  final case class PpmImage(width: Int, height: Int, maxVal: Int, rgb: Array[Byte]) {
+    /** Integer luma of pixel i: (r+g+b) DIV 3 — exact, codec-honest. */
+    def luma(i: Int): Int =
+      ((rgb(3 * i) & 0xFF) + (rgb(3 * i + 1) & 0xFF) + (rgb(3 * i + 2) & 0xFF)) / 3
+  }
+
+  /** Minimal P6 writer: grayscale luma replicated to RGB. */
+  def encodePpmGray(width: Int, height: Int, luma: Array[Byte]): Array[Byte] = {
+    require(luma.length == width * height,
+      s"luma length ${luma.length} != $width x $height")
+    val header = s"P6\n# graft synthetic\n$width $height\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + width * height * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < luma.length) {
+      val o = header.length + i * 3
+      out(o) = luma(i); out(o + 1) = luma(i); out(o + 2) = luma(i)
+      i += 1
+    }
+    out
+  }
+
+  /** Full P6 parser per the Netpbm spec: ASCII header tokens ("P6",
+    * width, height, maxval) separated by whitespace, '#' comments
+    * running to end-of-line allowed anywhere in the header, then
+    * EXACTLY ONE whitespace byte before the binary raster. Malformed
+    * input (wrong magic, non-numeric dims, 16-bit maxval, truncated
+    * raster) throws — a decoder that silently returns garbage corrupts
+    * every feature downstream. */
+  def decodePpm(blob: Array[Byte]): PpmImage = {
+    var pos = 0
+    def isWs(c: Byte): Boolean = c == ' ' || c == '\t' || c == '\n' || c == '\r'
+    def skipWsAndComments(): Unit = {
+      var done = false
+      while (!done && pos < blob.length) {
+        if (blob(pos) == '#') {
+          while (pos < blob.length && blob(pos) != '\n') pos += 1
+        } else if (isWs(blob(pos))) pos += 1
+        else done = true
+      }
+    }
+    def token(): String = {
+      skipWsAndComments()
+      val start = pos
+      while (pos < blob.length && !isWs(blob(pos)) && blob(pos) != '#') pos += 1
+      require(pos > start, "unexpected end of PPM header")
+      new String(blob, start, pos - start, "US-ASCII")
+    }
+    val magic = token()
+    require(magic == "P6", s"not a binary PPM: magic '$magic'")
+    def num(what: String): Int = {
+      val t = token()
+      require(t.forall(_.isDigit), s"non-numeric $what: '$t'")
+      t.toInt
+    }
+    val w = num("width"); val h = num("height"); val maxVal = num("maxval")
+    require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+    require(maxVal > 0 && maxVal < 256,
+      s"maxval $maxVal unsupported (only 8-bit rasters)")
+    require(pos < blob.length && isWs(blob(pos)), "missing raster separator")
+    pos += 1 // exactly one whitespace byte, then raster
+    val need = w * h * 3
+    require(blob.length - pos >= need,
+      s"truncated raster: need $need bytes, have ${blob.length - pos}")
+    PpmImage(w, h, maxVal, java.util.Arrays.copyOfRange(blob, pos, pos + need))
+  }
 }

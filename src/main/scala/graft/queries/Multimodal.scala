@@ -162,7 +162,70 @@ object Multimodal {
       |FROM h a JOIN h b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.ah, b.ah)) <= 3""".stripMargin
 
+  /** REAL-CODEC pixel path (round-9): each document carries an actual
+    * binary P6 PPM image (8x8 grayscale, 64 luma bytes = the
+    * concatenated md5 stream of the text — deterministic, so the oracle
+    * can recompute the pixel values), and the engine runs the genuine
+    * codec pipeline: encode → [[MediaFunctions.decodePpm]] (full
+    * Netpbm header parse: magic, comment lines, dimensions from the
+    * HEADER not assumption, raster extraction) → integer luma
+    * ((r+g+b) DIV 3) → aHash + luma stats. The hash splits into two
+    * 32-bit halves (ah_lo/ah_hi) because bit 63 as a BIGINT power
+    * overflows DuckDB's checked arithmetic. Width/height reaching the
+    * output FROM the parsed header is what distinguishes this gate
+    * from the byte-path gates: a decoder bug (mis-parsed dims, offset
+    * raster) breaks the hash. MultimodalSpec pins the parser's
+    * malformed-input behavior. */
+  def qMmPixels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        unhex(concat((0 until 4).map(j => md5(concat($"text", lit(j.toString)))): _*)).as("luma"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, luma) =>
+        MediaBlob(id, "ppm", MediaFunctions.encodePpmGray(8, 8, luma))
+      }
+      .map { m =>
+        val img = MediaFunctions.decodePpm(m.blob)
+        val n = img.width * img.height
+        val lum = Array.tabulate(n)(img.luma)
+        var sum = 0L
+        var i = 0
+        while (i < n) { sum += lum(i); i += 1 }
+        val mean = sum / n
+        var lo = 0L
+        var hi = 0L
+        i = 0
+        while (i < n && i < 64) {
+          if (lum(i) >= mean) {
+            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+          }
+          i += 1
+        }
+        (m.docId, img.width.toLong, img.height.toLong, mean,
+          lo, hi, lum.distinct.length.toLong)
+      }
+      .toDF("doc_id", "w", "h", "mean_luma", "ah_lo", "ah_hi", "n_distinct_luma")
+  }
+
+  val qMmPixelsSql: String =
+    """WITH px AS (
+      |  SELECT doc_id, i,
+      |    ('0x' || substr(md5(text || CAST(i // 16 AS VARCHAR)), 2 * (i % 16) + 1, 2))::BIGINT AS b
+      |  FROM documents, range(0, 64) r(i)),
+      |mn AS (SELECT doc_id, CAST(sum(b) // 64 AS BIGINT) AS mean_luma FROM px GROUP BY 1),
+      |bits AS (
+      |  SELECT px.doc_id,
+      |    CAST(sum(CASE WHEN b >= mean_luma AND i < 32 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS ah_lo,
+      |    CAST(sum(CASE WHEN b >= mean_luma AND i >= 32 THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS ah_hi,
+      |    CAST(count(DISTINCT b) AS BIGINT) AS n_distinct_luma
+      |  FROM px JOIN mn ON px.doc_id = mn.doc_id GROUP BY 1)
+      |SELECT b.doc_id, 8::BIGINT AS w, 8::BIGINT AS h, mean_luma,
+      |  ah_lo, ah_hi, n_distinct_luma
+      |FROM bits b JOIN mn ON b.doc_id = mn.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_pixels"     -> (qMmPixels _),
     "q_mm_phash"      -> (qMmPhash _),
     "q_mm_decode"     -> (qMmDecode _),
     "q_mm_frames"     -> (qMmFrames _),
@@ -170,6 +233,7 @@ object Multimodal {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_mm_pixels"     -> qMmPixelsSql,
     "q_mm_phash"      -> qMmPhashSql,
     "q_mm_decode"     -> qMmDecodeSql,
     "q_mm_frames"     -> qMmFramesSql,

@@ -19,6 +19,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.forall(_.pixels.length == 16))
   }
 
+  test("PPM codec: encode/decode round-trip recovers dims, maxval, and exact pixels") {
+    val luma = blob(64)
+    val img = MediaFunctions.decodePpm(MediaFunctions.encodePpmGray(8, 8, luma))
+    assert(img.width == 8 && img.height == 8 && img.maxVal == 255)
+    assert((0 until 64).forall(i => img.luma(i) == (luma(i) & 0xFF)))
+    // non-square dims parse from the header, not assumption
+    val wide = MediaFunctions.decodePpm(MediaFunctions.encodePpmGray(16, 4, luma))
+    assert(wide.width == 16 && wide.height == 4)
+  }
+
+  test("PPM parser: comments/whitespace tolerated, malformed input rejected") {
+    // comments and arbitrary whitespace anywhere in the header
+    val raster = Array.fill(2 * 1 * 3)(42.toByte)
+    val weird = ("P6 # magic comment\n#another\n  2\t1 # dims\n 255\n")
+      .getBytes("US-ASCII") ++ raster
+    val img = MediaFunctions.decodePpm(weird)
+    assert(img.width == 2 && img.height == 1 && img.luma(0) == 42)
+    // wrong magic (P5 = grayscale PGM, not handled here)
+    intercept[IllegalArgumentException] {
+      MediaFunctions.decodePpm("P5\n2 1\n255\n".getBytes("US-ASCII") ++ raster)
+    }
+    // 16-bit raster unsupported
+    intercept[IllegalArgumentException] {
+      MediaFunctions.decodePpm("P6\n2 1\n65535\n".getBytes("US-ASCII") ++ raster)
+    }
+    // truncated raster
+    intercept[IllegalArgumentException] {
+      MediaFunctions.decodePpm("P6\n2 1\n255\n".getBytes("US-ASCII") ++ raster.take(3))
+    }
+    // non-numeric dimension
+    intercept[IllegalArgumentException] {
+      MediaFunctions.decodePpm("P6\nx 1\n255\n".getBytes("US-ASCII") ++ raster)
+    }
+  }
+
   test("intensity signal is deterministic and bounded [0,1]") {
     val px = MediaFunctions.byteIntensities(blob(64))
     assert(px.forall(p => p >= 0.0 && p <= 1.0))
