@@ -135,15 +135,36 @@ object ScaleUpBench {
       case "gen" :: src :: out :: factor :: Nil =>
         gen(s, src, out, factor.toInt)
       case "run" :: dirA :: dirB :: names :: Nil =>
-        val qs = names.split(",").toSeq
+        // "all" = the full registry — the round-9 audit shape: every
+        // gated query's AQE-final plan diffed at both scales, dangerous
+        // flips asserted MECHANICALLY (summary line), not by sampling
+        val qs =
+          if (names == "all") SparkEntry.queries.keys.toSeq.sorted
+          else names.split(",").toSeq
+        val dangerous = scala.collection.mutable.ArrayBuffer[String]()
+        val flipped = scala.collection.mutable.ArrayBuffer[String]()
         qs.foreach { q =>
           val (ta, rowsA, shapeA) = timeQuery(s, q, dirA)
           val (tb, rowsB, shapeB) = timeQuery(s, q, dirB)
           def p50(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
           val flip = if (shapeA == shapeB) "" else s""","plan_flip":"$shapeA -> $shapeB""""
+          if (shapeA != shapeB) flipped += q
+          // The dangerous direction is a BROADCAST-class join APPEARING
+          // (or multiplying) at the LARGER scale: a corpus-proportional
+          // side AQE decides to pin in memory. Broadcast->SMJ (count
+          // decreasing) is the correct threshold transition; equal
+          // shapes are no flip at all.
+          def bcast(m: Map[String, Int]): Int =
+            m.filter { case (k, _) => k.contains("Broadcast") }.values.sum
+          if (bcast(shapeB) > bcast(shapeA)) dangerous += q
           println(f"""{"query":"$q","a_ms":${p50(ta)}%.0f,"b_ms":${p50(tb)}%.0f,""" +
             f""""ratio":${p50(tb) / p50(ta)}%.2f,"rows_a":$rowsA,"rows_b":$rowsB$flip}""")
         }
+        def jarr(xs: Seq[String]): String =
+          if (xs.isEmpty) "[]" else xs.sorted.mkString("[\"", "\",\"", "\"]")
+        println(s"""{"summary":true,"n_queries":${qs.size},""" +
+          s""""n_flipped":${flipped.size},"flipped":${jarr(flipped.toSeq)},""" +
+          s""""n_dangerous":${dangerous.size},"dangerous":${jarr(dangerous.toSeq)}}""")
       case _ =>
         System.err.println("usage: gen <src> <out> <factor> | run <dirA> <dirB> <q1,q2,...>")
         sys.exit(2)
