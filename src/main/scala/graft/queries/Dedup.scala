@@ -1509,11 +1509,21 @@ object Dedup {
     * SCALE SHAPE: with k = sqrt(n) cells, expected cell size is
     * NProbe*sqrt(n), so candidate volume is O(NProbe^2 * n^2 / k) =
     * O(36 * n^1.5) — sub-quadratic where the sign-bit path is
-    * Theta(0.41 * n^2) (ScaleUpBench measures the 10x exponent); the
-    * crossover vs sign-bit LSH sits near n ~ (36/0.41)^2 ~ 8k vectors,
-    * below any corpus where the choice matters. At the sf0.1 fixture
-    * (n=2000, k=45) the candidate set is deliberately saturated (~57%
-    * of all pairs) — cell geometry only bites once k grows. The centroid broadcast
+    * Theta(0.41 * n^2); the crossover vs sign-bit LSH sits near
+    * n ~ (36/0.41)^2 ~ 8k vectors, below any corpus where the choice
+    * matters. At the sf0.1 fixture (n=2000, k=45) the candidate set is
+    * deliberately saturated (~57% of all pairs) — cell geometry only
+    * bites once k grows.
+    *
+    * MEASURED (round 9, 10x corpus, NOTES_r9): candidates grew 39x for
+    * 10x rows (1.15M -> 44.9M; n^1.5 theory 31.6x, skew adds the rest)
+    * and the candidate FRACTION fell 57% -> 22%, where the sign-bit
+    * banding is measured scale-invariant at ~41% (= 100x growth); wall
+    * ratio 27.6x vs the LSH entry's 64.8x on the same box and corpus.
+    * 10x recall 2440/2877 = 84.8% — the misses are the synthesized
+    * corpus's cross-shard 4-sigma tail (cosines barely over 0.5
+    * between decorrelated shards), the regime the nprobe knob trades
+    * on; fixture-structure recall at sf0.1 is 14/14 (spec floor 0.9). The centroid broadcast
     * grows as sqrt(n)*dim: ~16 MB at 1e9 vectors (64-dim doubles) —
     * deliberately NOT corpus-independent like the ANN serving quantizer
     * (CentBound), because pair GENERATION needs cell size, not cell
@@ -1553,7 +1563,12 @@ object Dedup {
       Similarity.recenterInt(Similarity.assignInt(v, c0)).localCheckpoint(true),
       "cq", "cd")
     val topk = new graft.functions.TopKAggregator(IvfDedupNProbe).toColumn
-    val probes = v.select($"vec_id", $"vd")
+    // MATERIALIZED once, like qDedupEmbedLsh's band index: the probe
+    // relation feeds BOTH sides of the pair self-join, and without
+    // truncation the n x k scoring cross join and the typed top-k
+    // aggregation execute twice (no exchange reuse across the join
+    // sides) — at scale this is the cell index a pipeline writes once
+    val probes = Memo.materialize(v.select($"vec_id", $"vd")
       .crossJoin(broadcast(c1.select($"c_id", $"cd")))
       .select($"vec_id", cosine($"vd", $"cd").as("c_cos"), $"c_id")
       .as[(Long, Double, Long)]
@@ -1561,7 +1576,7 @@ object Dedup {
       .agg(topk.name("top"))
       .toDF("vec_id", "top")
       .select($"vec_id", explode($"top").as("t"))
-      .select($"vec_id", $"t._2".as("c_id"))
+      .select($"vec_id", $"t._2".as("c_id")))
     val cand = probes.as("a").join(probes.as("b"),
         $"a.c_id" === $"b.c_id" && $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"))
