@@ -1539,6 +1539,9 @@ object Dedup {
     * quantized vectors (exact from float32), cosines over their
     * integer-valued doubles — identical bits cross-engine. */
   private val IvfDedupNProbe = 6
+  /** Incremental embedding dedup: cells each HISTORICAL vector is
+    * indexed into (multi-assignment — see embedIncrStatic). */
+  private val IvfIncrIndexAssign = 4
 
   def qDedupEmbedIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1590,6 +1593,155 @@ object Dedup {
       .filter($"cos_sim" >= 0.5)
       .select($"vec_a", $"vec_b", round($"cos_sim" * 1e9).cast("long").as("cos_ppb"))
   }
+
+  /** Static sides of the INCREMENTAL embedding dedup: the historical
+    * corpus's IVF cell structure — one Lloyd-refined centroid set
+    * (k = ceil(sqrt(n_hist)), trained on history only) and the
+    * write-once inverted cell index (each historical vector in its ONE
+    * nearest cell). Shared by the batch operator and the streaming
+    * gate (which collects the sqrt(n)-bounded centroid relation to a
+    * plan literal, exactly like ANN serving). */
+  private[graft] def embedIncrStatic(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val v = Similarity.withDoubles(
+      Tables.embeddings(s, dir)
+        .select($"vec_id",
+          transform($"embedding", x => round(x.cast("double") * 1e7).cast("long")).as("vq"))
+        .repartition($"vec_id"),
+      "vq", "vd")
+    val hist = v.filter($"vec_id" % 5 =!= 0)
+    val nHist = Tables.embeddings(s, dir).filter($"vec_id" % 5 =!= 0).count()
+    val k = math.max(math.ceil(math.sqrt(nHist.toDouble)).toLong, 1L)
+    val step = math.max(nHist / k, 1L)
+    // seed OFFSET 1, not 0: the historical slice excludes vec_id%5==0,
+    // and step is frequently a multiple of 5 (n_hist=1600 -> step=40),
+    // so offset-0 seeds would ALL fall in the excluded new slice and
+    // the centroid set would be empty (caught by a vacuous-0-rows gate
+    // during round 9). 1 % step also handles step==1 (every vector a
+    // seed for tiny histories).
+    val c0 = Similarity.withDoubles(
+      hist.filter($"vec_id" % step === 1L % step).select($"vec_id".as("c_id"), $"vq".as("cq")),
+      "cq", "cd")
+    val c1 = Similarity.withDoubles(
+      Similarity.recenterInt(Similarity.assignInt(hist, c0)).localCheckpoint(true),
+      "cq", "cd")
+    // MULTI-ASSIGNED index: each historical vector lives in its top-m=4
+    // cells, not just the nearest — one-sided probing (history indexed
+    // once, only the arriving side probes) otherwise misses cross pairs
+    // whose history member sits just outside the new vector's probe set
+    // (measured at sf0.1: single-assign recall 2/5 straddling pairs at
+    // nprobe=6 and still 3/5 at nprobe=24; m=4 restores 5/5). Storage
+    // 4x, candidate work per arriving vector still bounded by probed
+    // cell population (~nprobe*m*sqrt(n_hist)).
+    val topm = new graft.functions.TopKAggregator(IvfIncrIndexAssign).toColumn
+    val lists = hist.select($"vec_id", $"vd")
+      .crossJoin(broadcast(c1.select($"c_id", $"cd")))
+      .select($"vec_id", cosine($"vd", $"cd").as("c_cos"), $"c_id")
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .agg(topm.name("top"))
+      .toDF("vec_id", "top")
+      .select($"vec_id", explode($"top").as("t"))
+      .select($"vec_id", $"t._2".as("c_id"))
+      .join(hist.select($"vec_id", $"vd"), Seq("vec_id"))
+    (c1, lists)
+  }
+
+  /** The arriving-slice quantized vectors (the vec_id % 5 == 0
+    * incremental convention shared with q_dedup_incremental). */
+  private[graft] def embedIncrNew(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.withDoubles(
+      Tables.embeddings(s, dir)
+        .filter($"vec_id" % 5 === 0)
+        .select($"vec_id",
+          transform($"embedding", x => round(x.cast("double") * 1e7).cast("long")).as("vq")),
+      "vq", "vd")
+  }
+
+  /** INCREMENTAL embedding near-dup — [[qDedupEmbedIvf]]'s daily-ingest
+    * form, completing the incremental family (jaccard/minhash/lines/
+    * novelty all have one; embeddings did not): the arriving slice
+    * (vec_id % 5 == 0) dedups against the HISTORICAL corpus's
+    * write-once IVF cell index, never pairing historical vectors with
+    * each other. New vectors probe their NProbe=6 nearest
+    * history-trained cells (bounded TopKAggregator), candidates =
+    * (new, hist) pairs sharing a probed cell, pair-dedup BEFORE the
+    * exact verify (a near-identical pair shares several probed cells
+    * and must pay the cosine once — the same ordering as the minhash
+    * incremental path), exact integer-cosine >= 0.5. Work per arriving
+    * vector is bounded by the probed cells' population — the property
+    * that makes daily embedding-dedup ingest O(slice), not O(corpus).
+    * Streaming twin: [[graft.streaming.StreamingEtl.embedDedupStream]]
+    * (gated as q_stream_embeddedup, sharing this oracle). */
+  def qDedupEmbedIncr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (c1, lists) = embedIncrStatic(s, dir)
+    val topk = new graft.functions.TopKAggregator(IvfDedupNProbe).toColumn
+    val probes = embedIncrNew(s, dir).select($"vec_id", $"vd")
+      .crossJoin(broadcast(c1.select($"c_id", $"cd")))
+      .select($"vec_id", cosine($"vd", $"cd").as("c_cos"), $"c_id")
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .agg(topk.name("top"))
+      .toDF("vec_id", "top")
+      .select($"vec_id", explode($"top").as("t"))
+      .select($"vec_id".as("new_vec"), $"t._2".as("c_id"))
+    probes
+      .join(embedIncrNew(s, dir).select($"vec_id".as("new_vec"), $"vd".as("nd")), "new_vec")
+      .join(lists.select($"vec_id".as("hist_vec"), $"vd".as("hd"), $"c_id"), Seq("c_id"))
+      .dropDuplicates("new_vec", "hist_vec")
+      .select($"new_vec", $"hist_vec", cosine($"nd", $"hd").as("cos_sim"))
+      .filter($"cos_sim" >= 0.5)
+      .select($"new_vec", $"hist_vec",
+        round($"cos_sim" * 1e9).cast("long").as("cos_ppb"))
+  }
+
+  val qDedupEmbedIncrSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |hist AS (SELECT * FROM v WHERE vec_id % 5 <> 0),
+       |nw AS (SELECT * FROM v WHERE vec_id % 5 = 0),
+       |prm AS (
+       |  SELECT GREATEST(count(*) // GREATEST(CAST(CEIL(SQRT(count(*))) AS BIGINT), 1), 1) AS step
+       |  FROM hist),
+       |c0 AS (SELECT vec_id AS c_id, vq AS cq FROM hist, prm WHERE vec_id % step = 1 % step),
+       |a1 AS (
+       |  SELECT vec_id, vq, c_id FROM (
+       |    SELECT h.vec_id, h.vq, c0.c_id,
+       |      row_number() OVER (PARTITION BY h.vec_id
+       |        ORDER BY list_cosine_similarity(h.vq::DOUBLE[], c0.cq::DOUBLE[]) DESC,
+       |                 c0.c_id ASC) AS rn
+       |    FROM hist h CROSS JOIN c0) WHERE rn = 1),
+       |c1 AS (
+       |  SELECT c_id, list(s // n ORDER BY i) AS cq FROM (
+       |    SELECT c_id, i, CAST(sum(vq[i]) AS BIGINT) AS s, count(*) AS n
+       |    FROM a1, range(1, 65) r(i) GROUP BY 1, 2) GROUP BY c_id),
+       |lists AS (
+       |  SELECT vec_id, vq, c_id FROM (
+       |    SELECT h.vec_id, h.vq, c1.c_id,
+       |      row_number() OVER (PARTITION BY h.vec_id
+       |        ORDER BY list_cosine_similarity(h.vq::DOUBLE[], c1.cq::DOUBLE[]) DESC,
+       |                 c1.c_id ASC) AS rn
+       |    FROM hist h CROSS JOIN c1) WHERE rn <= $IvfIncrIndexAssign),
+       |probes AS (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT n.vec_id, c1.c_id,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_cosine_similarity(n.vq::DOUBLE[], c1.cq::DOUBLE[]) DESC,
+       |                 c1.c_id ASC) AS pr
+       |    FROM nw n CROSS JOIN c1) WHERE pr <= $IvfDedupNProbe),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS new_vec, l.vec_id AS hist_vec
+       |  FROM probes p JOIN lists l ON l.c_id = p.c_id)
+       |SELECT new_vec, hist_vec,
+       |  CAST(round(list_cosine_similarity(x.vq::DOUBLE[], y.vq::DOUBLE[]) * 1e9) AS BIGINT) AS cos_ppb
+       |FROM cand JOIN nw x ON x.vec_id = cand.new_vec
+       |          JOIN hist y ON y.vec_id = cand.hist_vec
+       |WHERE list_cosine_similarity(x.vq::DOUBLE[], y.vq::DOUBLE[]) >= 0.5""".stripMargin
 
   /** The IVF algorithm stated in SQL — cells, probes, pairs and verify in
     * the same exact integer space as the engine (assign/recenter CTE
@@ -2442,6 +2594,7 @@ object Dedup {
     "q_dedup_jaccard_prefix" -> (qDedupJaccardPrefix _),
     "q_dedup_embed_lsh" -> (qDedupEmbedLsh _),
     "q_dedup_embed_ivf" -> (qDedupEmbedIvf _),
+    "q_dedup_embed_incr" -> (qDedupEmbedIncr _),
     "q_dedup_cluster" -> (qDedupCluster _),
     "q_dedup_exact"   -> (qDedupExact _),
     "q_dedup_exact_keep" -> (qDedupExactKeep _),
@@ -2484,6 +2637,7 @@ object Dedup {
     "q_dedup_jaccard_prefix" -> bruteJaccardSql, // exact-equivalent by theorem
     "q_dedup_embed_lsh" -> qDedupEmbedFullSql, // same semantic output as exact, full corpus
     "q_dedup_embed_ivf" -> qDedupEmbedIvfSql, // the IVF algorithm itself, exact integer space
+    "q_dedup_embed_incr" -> qDedupEmbedIncrSql, // arriving slice vs historical cell index
     "q_dedup_cluster" -> qDedupClusterSql,
     "q_dedup_exact"   -> qDedupExactSql,
     "q_dedup_exact_keep" -> qDedupExactKeepSql,

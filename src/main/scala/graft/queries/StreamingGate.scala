@@ -414,6 +414,29 @@ object StreamingGate {
       "anomaly", "complete")
   }
 
+  /** STREAMING INCREMENTAL EMBEDDING DEDUP, gated — arriving vectors
+    * (the vec_id % 5 == 0 incremental convention) flagged against the
+    * historical corpus's multi-assigned IVF cell index at ingest
+    * ([[StreamingEtl.embedDedupStream]]). Static sides — the
+    * history-trained centroid set (collected to a sqrt(n)-bounded plan
+    * literal, the ANN-serving pattern) and the multi-assigned inverted
+    * lists — build on the parent session; the probe is a stateless
+    * per-row HOF, candidates join stream-static on c_id, pair-dedup in
+    * stream state precedes the single exact verify. Append mode ==
+    * batch == q_dedup_embed_incr's oracle VERBATIM. */
+  def qStreamEmbedDedup(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    import s0.implicits._
+    val (c1, lists) = Dedup.embedIncrStatic(s0, dir)
+    val cents = c1.select(col("c_id"), col("cd"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val vecs = parquetStream(s, dir, "embeddings")
+      .filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding"))
+    runGate(StreamingEtl.embedDedupStream(vecs, cents, lists),
+      "embeddedup", "append")
+  }
+
   /** STREAMING CONTEXT-WINDOW CHUNKING, gated — at-ingest chunk cost
     * reporting ([[StreamingEtl.chunkStream]]): stateless bounded row
     * fan-out into 64/48 chunk rows, ONE complete-mode aggregation.
@@ -435,6 +458,7 @@ object StreamingGate {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_embeddedup" -> (qStreamEmbedDedup _),
     "q_stream_chunks"    -> (qStreamChunks _),
     "q_stream_scriptmix" -> (qStreamScriptmix _),
     "q_stream_ann"       -> (qStreamAnn _),
@@ -452,6 +476,7 @@ object StreamingGate {
   /** The twins assert stream==batch by construction: each shares its
     * oracle VERBATIM with the batch operator it mirrors. */
   def oracles: Map[String, String] = Map(
+    "q_stream_embeddedup" -> Dedup.qDedupEmbedIncrSql,
     "q_stream_chunks"    -> TrainingData.qChunkRagSql,
     "q_stream_scriptmix" -> TextAnalysis.qTextScriptmixSql,
     "q_stream_ann"       -> Similarity.qAnnIvfSql,

@@ -257,6 +257,65 @@ object StreamingEtl {
         expr("(i * 1000000L) DIV u").as("jaccard_ppm"))
   }
 
+  /** Per-row top-`nprobe` nearest-cell selection over a bounded centroid
+    * LITERAL (rides the plan — no join, no shuffle; the serving-side
+    * probe of IVF). Explicit comparator for (cos desc, c_id asc): the
+    * negate-and-sort trick would put a NaN cosine at the wrong end
+    * (Spark SQL orders NaN largest; -NaN is still NaN), diverging from
+    * the batch window's desc ordering on zero vectors. */
+  private def probeCells(v: org.apache.spark.sql.Column,
+                         cents: Seq[(Long, Seq[Double])], nprobe: Int)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.NativeExprs
+    val cmp = (l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =>
+      when(l.getField("c") > r.getField("c"), lit(-1))
+        .when(l.getField("c") < r.getField("c"), lit(1))
+        .when(l.getField("cid") < r.getField("cid"), lit(-1))
+        .when(l.getField("cid") > r.getField("cid"), lit(1))
+        .otherwise(lit(0))
+    transform(
+      slice(array_sort(transform(typedLit(cents), c =>
+        struct(NativeExprs.arrayCosine(v, c.getField("_2")).as("c"),
+          c.getField("_1").as("cid"))), cmp), 1, nprobe),
+      p => p.getField("cid"))
+  }
+
+  /** Streaming INCREMENTAL EMBEDDING DEDUP — vectors arriving on a
+    * stream dedup against the historical corpus's multi-assigned IVF
+    * cell index (the online form of queries.Dedup.qDedupEmbedIncr,
+    * sharing its oracle via the q_stream_embeddedup gate):
+    *  1. per-row integer quantization + top-nprobe cell probe over the
+    *     bounded centroid literal (stateless — no join, no shuffle);
+    *  2. stream-static equi-join against the historical lists on c_id
+    *     (bucketed by c_id at scale — co-partitioned);
+    *  3. candidate pair-dedup in stream state BEFORE the exact verify
+    *     (a near-identical pair shares several probed cells and must
+    *     pay the cosine once — same ordering as incrementalDedupStream;
+    *     production bounds the state with an arrival-time watermark via
+    *     dropDuplicatesWithinWatermark);
+    *  4. exact integer-cosine >= 0.5, append mode.
+    * Vector near-dup filtering at ingest latency — arriving embeddings
+    * are flagged against history before they land in the lake. */
+  def embedDedupStream(newVecs: DataFrame, cents: Seq[(Long, Seq[Double])],
+                       histLists: DataFrame, nprobe: Int = 6): DataFrame = {
+    import org.apache.spark.sql.graft.NativeExprs
+    val probed = newVecs
+      .select(col("vec_id").as("new_vec"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e7).cast("long").cast("double")).as("nd"))
+      .withColumn("probe", probeCells(col("nd"), cents, nprobe))
+      .select(col("new_vec"), col("nd"), explode(col("probe")).as("c_id"))
+    probed
+      .join(histLists.select(col("vec_id").as("hist_vec"), col("vd").as("hd"),
+        col("c_id")), Seq("c_id"))
+      .dropDuplicates("new_vec", "hist_vec")
+      .select(col("new_vec"), col("hist_vec"),
+        NativeExprs.arrayCosine(col("nd"), col("hd")).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.5)
+      .select(col("new_vec"), col("hist_vec"),
+        round(col("cos_sim") * 1e9).cast("long").as("cos_ppb"))
+  }
+
   /** Streaming VECTOR-SEARCH serving — IVF retrieval for queries arriving
     * on a stream, against the write-once static index (the serving shape
     * of queries.Similarity.qAnnIvf):
@@ -275,23 +334,8 @@ object StreamingEtl {
     val spark = queries.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.graft.NativeExprs
-    val centLit = typedLit(cents)
-    // per-row probe: explicit comparator for (cos desc, c_id asc) — the
-    // negate-and-sort trick would put a NaN cosine at the wrong end
-    // (Spark SQL orders NaN largest; -NaN is still NaN), diverging from
-    // the batch window's desc ordering on zero vectors
-    val cmp = (l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =>
-      when(l.getField("c") > r.getField("c"), lit(-1))
-        .when(l.getField("c") < r.getField("c"), lit(1))
-        .when(l.getField("cid") < r.getField("cid"), lit(-1))
-        .when(l.getField("cid") > r.getField("cid"), lit(1))
-        .otherwise(lit(0))
     val probed = queries
-      .withColumn("probe", transform(
-        slice(array_sort(transform(centLit, c =>
-          struct(NativeExprs.arrayCosine(col("qv"), c.getField("_2")).as("c"),
-            c.getField("_1").as("cid"))), cmp), 1, nprobe),
-        p => p.getField("cid")))
+      .withColumn("probe", probeCells(col("qv"), cents, nprobe))
       .select(col("q_id"), col("qv"), explode(col("probe")).as("c_id"))
     val scored = probed.join(lists, Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))

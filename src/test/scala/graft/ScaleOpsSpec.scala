@@ -37,6 +37,26 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"non-boundary false positive: ${extras.take(3).mkString(",")}")
   }
 
+  test("incremental embedding dedup recovers every straddling exact pair at sf0.1") {
+    // Non-vacuity + recall for q_dedup_embed_incr: the exact cos>=0.5
+    // pair set (== the gated q_dedup_embed_lsh output) restricted to
+    // pairs straddling the %5 split must ALL be found by the
+    // incremental operator — that's what the multi-assigned (m=4)
+    // index buys over single-assignment (which measured 2/5 here).
+    val sfDir = "/root/testdata/sf0.1"
+    val exactStraddle = queries.Dedup.qDedupEmbedLsh(spark, sfDir)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 5 == 0) != (b % 5 == 0) }
+      .map { case (a, b) => if (a % 5 == 0) (a, b) else (b, a) }.toSet
+    val incr = queries.Dedup.qDedupEmbedIncr(spark, sfDir)
+      .select("new_vec", "hist_vec").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactStraddle.nonEmpty, "vacuous: no straddling exact pairs at sf0.1")
+    assert((exactStraddle -- incr).isEmpty,
+      s"incremental dedup missed straddling pairs: ${exactStraddle -- incr}")
+  }
+
   test("salted join result equals the plain equi-join") {
     val orders = Tables.orders(spark, sf).select("o_orderkey", "o_orderpriority")
     val lineitem = Tables.lineitem(spark, sf)
