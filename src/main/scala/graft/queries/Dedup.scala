@@ -1743,6 +1743,44 @@ object Dedup {
        |          JOIN hist y ON y.vec_id = cand.hist_vec
        |WHERE list_cosine_similarity(x.vq::DOUBLE[], y.vq::DOUBLE[]) >= 0.5""".stripMargin
 
+  /** EMBEDDING keep-decision — [[qDedupEmbedIvf]]'s pair graph closed
+    * into clusters (the same alternating-star ConnectedComponents as
+    * the text-side q_dedup_cluster) with the min-id member kept: the
+    * removal list a vector-dedup pipeline executes. Emits
+    * (removed_vec, kept_vec). Oracle = the IVF pair SQL composed with
+    * a recursive-CTE transitive closure, so the cluster assignment
+    * cannot drift from the gated pair semantics. */
+  def qDedupEmbedKeep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.ConnectedComponents.run(
+        qDedupEmbedIvf(s, dir).select($"vec_a", $"vec_b"))
+      .select($"id".as("vec_id"), $"cluster")
+      .filter($"vec_id" =!= $"cluster")
+      .select($"vec_id".as("removed_vec"), $"cluster".as("kept_vec"))
+  }
+
+  // lazy: derives from qDedupEmbedIvfSql, which is declared further down
+  // the file (val init order)
+  lazy val qDedupEmbedKeepSql: String = {
+    val body = qDedupEmbedIvfSql.replaceFirst("WITH ", "WITH RECURSIVE ")
+    val i = body.indexOf("SELECT vec_a, vec_b,")
+    body.substring(0, i).stripTrailing() + ",\n" +
+      """pairs AS (
+        |  SELECT vec_a, vec_b
+        |  FROM cand JOIN v x ON x.vec_id = cand.vec_a JOIN v y ON y.vec_id = cand.vec_b
+        |  WHERE list_cosine_similarity(x.vq::DOUBLE[], y.vq::DOUBLE[]) >= 0.5),
+        |edges AS (
+        |  SELECT vec_a AS u, vec_b AS v2 FROM pairs
+        |  UNION ALL SELECT vec_b, vec_a FROM pairs),
+        |reach AS (
+        |  SELECT u, u AS v2 FROM (SELECT DISTINCT u FROM edges)
+        |  UNION
+        |  SELECT e.u, r.v2 FROM edges e JOIN reach r ON e.v2 = r.u),
+        |cl AS (SELECT u AS vec_id, min(v2) AS cluster FROM reach GROUP BY u)
+        |SELECT vec_id AS removed_vec, cluster AS kept_vec FROM cl
+        |WHERE vec_id != cluster""".stripMargin
+  }
+
   /** The IVF algorithm stated in SQL — cells, probes, pairs and verify in
     * the same exact integer space as the engine (assign/recenter CTE
     * bodies mirror [[Similarity.qAnnKmeansSql]]; dims fixed at 64 like
@@ -2595,6 +2633,7 @@ object Dedup {
     "q_dedup_embed_lsh" -> (qDedupEmbedLsh _),
     "q_dedup_embed_ivf" -> (qDedupEmbedIvf _),
     "q_dedup_embed_incr" -> (qDedupEmbedIncr _),
+    "q_dedup_embed_keep" -> (qDedupEmbedKeep _),
     "q_dedup_cluster" -> (qDedupCluster _),
     "q_dedup_exact"   -> (qDedupExact _),
     "q_dedup_exact_keep" -> (qDedupExactKeep _),
@@ -2638,6 +2677,7 @@ object Dedup {
     "q_dedup_embed_lsh" -> qDedupEmbedFullSql, // same semantic output as exact, full corpus
     "q_dedup_embed_ivf" -> qDedupEmbedIvfSql, // the IVF algorithm itself, exact integer space
     "q_dedup_embed_incr" -> qDedupEmbedIncrSql, // arriving slice vs historical cell index
+    "q_dedup_embed_keep" -> qDedupEmbedKeepSql, // IVF pairs + recursive closure, min-id keep
     "q_dedup_cluster" -> qDedupClusterSql,
     "q_dedup_exact"   -> qDedupExactSql,
     "q_dedup_exact_keep" -> qDedupExactKeepSql,
