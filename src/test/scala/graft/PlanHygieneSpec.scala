@@ -253,6 +253,20 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"unbounded low-cardinality window in: ${offenders.mkString("; ")}")
   }
 
+  test("raw IVF dedup pipeline plans only broadcast-bounded cross joins") {
+    // The registry entry for q_dedup_embed_ivf serves the memoized
+    // (checkpointed) pair relation, so the suite-wide cartesian scan
+    // sees a scan, not the pipeline — audit the RAW pipeline here so a
+    // regression (a non-broadcast cartesian creeping into the cell
+    // machinery) still fails the build. crossJoin(broadcast(√n
+    // centroids)) legitimately plans BroadcastNestedLoopJoin; an
+    // unhinted CartesianProduct is never acceptable.
+    val p = queries.Dedup.qDedupEmbedIvf(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"raw IVF dedup plans a CartesianProduct:\n$p")
+  }
+
   test("streaming ANN serving: rank state is the bounded top-k aggregator only") {
     // q_stream_ann's scale contract: the one stateful operator in the
     // serving plan keeps O(k) TopKAggregator state per in-flight query.
