@@ -1685,10 +1685,10 @@ object Dedup {
     * write-once IVF cell index, never pairing historical vectors with
     * each other. New vectors probe their NProbe=6 nearest
     * history-trained cells (bounded TopKAggregator), candidates =
-    * (new, hist) pairs sharing a probed cell, pair-dedup BEFORE the
-    * exact verify (a near-identical pair shares several probed cells
-    * and must pay the cosine once — the same ordering as the minhash
-    * incremental path), exact integer-cosine >= 0.5. Work per arriving
+    * (new, hist) pairs sharing a probed cell, exact integer-cosine
+    * >= 0.5 verify FIRST and pair-dedup of the survivors after (see
+    * the inline note for why this family inverts the minhash path's
+    * dedup-then-verify ordering). Work per arriving
     * vector is bounded by the probed cells' population — the property
     * that makes daily embedding-dedup ingest O(slice), not O(corpus).
     * Streaming twin: [[graft.streaming.StreamingEtl.embedDedupStream]]
@@ -1706,14 +1706,22 @@ object Dedup {
       .toDF("vec_id", "top")
       .select($"vec_id", explode($"top").as("t"))
       .select($"vec_id".as("new_vec"), $"t._2".as("c_id"))
+    // verify FIRST, dedup AFTER: a candidate pair appears once per
+    // shared probed cell (<= min(nprobe, m) = 4 times), so deduping
+    // before the verify would shuffle the full candidate volume to pay
+    // each cosine once — but the codegen'd 64-mul cosine is CHEAPER
+    // than a shuffled row, and deduping the <=4x-duplicated SURVIVORS
+    // shuffles only output-scale rows. (The minhash incremental path
+    // makes the opposite call because its verify is an expensive
+    // shingle-set intersection against a corpus-scale store.)
     probes
       .join(embedIncrNew(s, dir).select($"vec_id".as("new_vec"), $"vd".as("nd")), "new_vec")
       .join(lists.select($"vec_id".as("hist_vec"), $"vd".as("hd"), $"c_id"), Seq("c_id"))
-      .dropDuplicates("new_vec", "hist_vec")
       .select($"new_vec", $"hist_vec", cosine($"nd", $"hd").as("cos_sim"))
       .filter($"cos_sim" >= 0.5)
       .select($"new_vec", $"hist_vec",
         round($"cos_sim" * 1e9).cast("long").as("cos_ppb"))
+      .dropDuplicates("new_vec", "hist_vec")
   }
 
   val qDedupEmbedIncrSql: String =

@@ -421,8 +421,9 @@ object StreamingGate {
     * history-trained centroid set (collected to a sqrt(n)-bounded plan
     * literal, the ANN-serving pattern) and the multi-assigned inverted
     * lists — build on the parent session; the probe is a stateless
-    * per-row HOF, candidates join stream-static on c_id, pair-dedup in
-    * stream state precedes the single exact verify. Append mode ==
+    * per-row HOF, candidates join stream-static on c_id and verify
+    * map-side, and only the SURVIVORS pay stateful pair-dedup (state
+    * at output scale, never candidate scale). Append mode ==
     * batch == q_dedup_embed_incr's oracle VERBATIM. */
   def qStreamEmbedDedup(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0)

@@ -288,12 +288,13 @@ object StreamingEtl {
     *     bounded centroid literal (stateless — no join, no shuffle);
     *  2. stream-static equi-join against the historical lists on c_id
     *     (bucketed by c_id at scale — co-partitioned);
-    *  3. candidate pair-dedup in stream state BEFORE the exact verify
-    *     (a near-identical pair shares several probed cells and must
-    *     pay the cosine once — same ordering as incrementalDedupStream;
-    *     production bounds the state with an arrival-time watermark via
-    *     dropDuplicatesWithinWatermark);
-    *  4. exact integer-cosine >= 0.5, append mode.
+    *  3. exact integer-cosine >= 0.5 (map-side, stateless — a pair
+    *     shares <= 4 probed cells, so at most 4 duplicate cosines);
+    *  4. pair-dedup of the verified SURVIVORS in stream state (append
+    *     mode) — dedup after the verify so the state store holds
+    *     output-scale keys, never candidate-scale (see the inline
+    *     note); production bounds it further with an arrival-time
+    *     watermark via dropDuplicatesWithinWatermark.
     * Vector near-dup filtering at ingest latency — arriving embeddings
     * are flagged against history before they land in the lake. */
   def embedDedupStream(newVecs: DataFrame, cents: Seq[(Long, Seq[Double])],
@@ -305,15 +306,21 @@ object StreamingEtl {
           x => round(x.cast("double") * 1e7).cast("long").cast("double")).as("nd"))
       .withColumn("probe", probeCells(col("nd"), cents, nprobe))
       .select(col("new_vec"), col("nd"), explode(col("probe")).as("c_id"))
+    // verify FIRST, dedup AFTER — on a stream this is load-bearing, not
+    // just cheaper: dropDuplicates keeps its keys in the STATE STORE,
+    // so deduping candidates would grow state with candidate volume
+    // (O(slice x sqrt(history)) rows), while deduping the verified
+    // survivors keeps state at OUTPUT scale. The <= 4x duplicate
+    // cosines (one per shared probed cell) are stateless map-side work.
     probed
       .join(histLists.select(col("vec_id").as("hist_vec"), col("vd").as("hd"),
         col("c_id")), Seq("c_id"))
-      .dropDuplicates("new_vec", "hist_vec")
       .select(col("new_vec"), col("hist_vec"),
         NativeExprs.arrayCosine(col("nd"), col("hd")).as("cos_sim"))
       .filter(col("cos_sim") >= 0.5)
       .select(col("new_vec"), col("hist_vec"),
         round(col("cos_sim") * 1e9).cast("long").as("cos_ppb"))
+      .dropDuplicates("new_vec", "hist_vec")
   }
 
   /** Streaming VECTOR-SEARCH serving — IVF retrieval for queries arriving
