@@ -425,6 +425,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalRows == batch)
   }
 
+  test("stream-stream interval join: inclusive [v_ts, v_ts+30min] bounds pinned to the microsecond") {
+    // Same class of check as the fmgws boundary test: the gate's oracle
+    // states b.ts IN [a.ts, a.ts + 30 min] inclusive — pin that the
+    // ENGINE's stream-stream join agrees at both endpoints with
+    // microsecond precision (clicks at exactly +30:00.000000 included,
+    // +30:00.000001 excluded, 1 µs before the view excluded).
+    val dir = s"$tmp/join_boundary"
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def row(id: Long, typ: String, at: java.time.Instant) =
+      (id, 1L, typ, java.sql.Timestamp.from(at))
+    import spark.implicits._
+    Seq(
+      row(1L, "view", t0),
+      row(2L, "click", t0),                                   // gap 0: in
+      row(3L, "click", t0.plusSeconds(1800)),                 // boundary: in
+      row(4L, "click", t0.plusSeconds(1800).plusNanos(1000)), // +1 µs: out
+      row(5L, "click", t0.minusNanos(1000)))                  // before view: out
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.queries.StreamingGate.qStreamJoin(spark, dir)
+    val got = out.select("click_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L),
+      s"interval-join boundary drifted: matched clicks $got, expected {2, 3}")
+  }
+
   test("fmgws event-time timeout fires exactly at the oracle's <= boundary") {
     // Pins the engine/oracle boundary agreement the q_stream_fmgws gate
     // relies on: the oracle emits a final session iff
