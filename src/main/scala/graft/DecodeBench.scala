@@ -109,7 +109,7 @@ object DecodeBench {
       // (a bare select would be pruned back into the scan)
       val n = wide
         .agg(count(lit(1)),
-          sum(length(concat_ws("|", wide.columns.map(col): _*))))
+          sum(length(concat_ws("|", wide.columns.map(col).toSeq: _*))))
         .collect()(0).getLong(0)
       if (pass == 2) full = n / ((System.nanoTime() - t0) / 1e9)
     }

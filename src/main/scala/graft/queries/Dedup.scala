@@ -728,7 +728,7 @@ object Dedup {
     bloomCache.computeIfAbsent((s, dir, tag), _ => new LazyBloom(() =>
       Option(sngs
         .agg(NativeExprs.bloomFilterAgg(xxhash64(col("sng")), 1000000L, 8000000L))
-        .head.getAs[Array[Byte]](0)))).bytes
+        .head().getAs[Array[Byte]](0)))).bytes
   }
   private[graft] def evalBloom(s: SparkSession, dir: String): Option[Array[Byte]] =
     cachedBloom(s, dir, "set")(evalShingleSet(s, dir))

@@ -72,7 +72,7 @@ object EtlFixtures {
 
     val dbcFiles = rows.groupBy(r => ufOf(r(5).substring(0, 1))).toSeq.sortBy(_._1).map {
       case (uf, rs) =>
-        val dbf = Dbf.write(dbfCols, rs)
+        val dbf = Dbf.write(dbfCols, rs.toIndexedSeq)
         val dbc = Dbc.fromDbf(dbf)
         val f = new File(base, s"RD${uf}2501.dbc")
         val out = new FileOutputStream(f)
@@ -88,7 +88,7 @@ object EtlFixtures {
       .map(r => Seq(r(0), r(1), r(2), r(3), r(5).substring(0, 1)))
     driftRows.groupBy(r => ufOf(r(4))).toSeq.sortBy(_._1).foreach {
       case (uf, rs) =>
-        val dbc = Dbc.fromDbf(Dbf.write(dbfColsDrift, rs))
+        val dbc = Dbc.fromDbf(Dbf.write(dbfColsDrift, rs.toIndexedSeq))
         val f = new File(m2502, s"RD${uf}2502.dbc")
         val out = new FileOutputStream(f)
         try out.write(dbc) finally out.close()
@@ -215,7 +215,7 @@ object Etl {
     val cols = merged.columns.sorted
     merged
       .agg(count(lit(1)).as("n_total"),
-        cols.map(c => count(col(c)).as(s"f_$c")): _*)
+        cols.map(c => count(col(c)).as(s"f_$c")).toSeq: _*)
       .selectExpr("n_total",
         s"stack(${cols.length}, " +
           cols.map(c => s"'$c', f_$c").mkString(", ") + ") AS (col, n_filled)")

@@ -41,7 +41,7 @@ object Sinks {
     // would otherwise bake NOT NULL into the created table and reject
     // later batches carrying NULLs
     val allText = df.select(df.columns.map(c =>
-      org.apache.spark.sql.functions.when(col(c).isNotNull, col(c).cast("string")).as(c)): _*)
+      org.apache.spark.sql.functions.when(col(c).isNotNull, col(c).cast("string")).as(c)).toSeq: _*)
     val opts = jdbcOptions(allText, textType = textType)
     allText.write
       .mode("append")
@@ -167,7 +167,7 @@ object Sinks {
     if (alreadyCommitted) return
     // stage (overwrite = crash-safe re-stage; executor-parallel batching)
     val allText = df.select(df.columns.map(c =>
-      org.apache.spark.sql.functions.when(col(c).isNotNull, col(c).cast("string")).as(c)): _*)
+      org.apache.spark.sql.functions.when(col(c).isNotNull, col(c).cast("string")).as(c)).toSeq: _*)
     allText.write.mode("overwrite")
       .option("createTableColumnTypes",
         allText.schema.fieldNames.map(f => s"$f $textType").mkString(", "))
