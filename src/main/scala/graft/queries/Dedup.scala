@@ -1543,7 +1543,16 @@ object Dedup {
     * indexed into (multi-assignment — see embedIncrStatic). */
   private val IvfIncrIndexAssign = 4
 
-  def qDedupEmbedIvf(s: SparkSession, dir: String): DataFrame = {
+  /** The full-corpus quantized vectors and their multi-probe cell
+    * assignment — the shared front of the gated pair query and the
+    * index-balance audit. Probe relation MATERIALIZED once, like
+    * qDedupEmbedLsh's band index: it feeds both sides of the pair
+    * self-join, and without truncation the n x k scoring cross join
+    * and the typed top-k aggregation execute twice (no exchange reuse
+    * across the join sides) — at scale this is the cell index a
+    * pipeline writes once. */
+  private def ivfVectorsAndProbes(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     import s.implicits._
     val v = Similarity.withDoubles(
       Tables.embeddings(s, dir)
@@ -1566,11 +1575,6 @@ object Dedup {
       Similarity.recenterInt(Similarity.assignInt(v, c0)).localCheckpoint(true),
       "cq", "cd")
     val topk = new graft.functions.TopKAggregator(IvfDedupNProbe).toColumn
-    // MATERIALIZED once, like qDedupEmbedLsh's band index: the probe
-    // relation feeds BOTH sides of the pair self-join, and without
-    // truncation the n x k scoring cross join and the typed top-k
-    // aggregation execute twice (no exchange reuse across the join
-    // sides) — at scale this is the cell index a pipeline writes once
     val probes = Memo.materialize(v.select($"vec_id", $"vd")
       .crossJoin(broadcast(c1.select($"c_id", $"cd")))
       .select($"vec_id", cosine($"vd", $"cd").as("c_cos"), $"c_id")
@@ -1580,6 +1584,12 @@ object Dedup {
       .toDF("vec_id", "top")
       .select($"vec_id", explode($"top").as("t"))
       .select($"vec_id", $"t._2".as("c_id")))
+    (v, probes)
+  }
+
+  def qDedupEmbedIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (v, probes) = ivfVectorsAndProbes(s, dir)
     val cand = probes.as("a").join(probes.as("b"),
         $"a.c_id" === $"b.c_id" && $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"))
@@ -1768,6 +1778,41 @@ object Dedup {
        |FROM cand JOIN nw x ON x.vec_id = cand.new_vec
        |          JOIN hist y ON y.vec_id = cand.hist_vec
        |WHERE list_cosine_similarity(x.vq::DOUBLE[], y.vq::DOUBLE[]) >= 0.5""".stripMargin
+
+  /** IVF CELL-BALANCE audit — the index-health report for the coarse
+    * quantizer, mirroring [[qLshBalance]] (the band-skew audit of the
+    * simhash index): per cell, its multi-probe population, corpus
+    * share in exact ppm, and skew vs the mean cell (x100). This is the
+    * straggler predictor for the candidate join — a hot cell's
+    * population enters the pair join quadratically, so skew here is
+    * the first thing to check when the dedup stage runs long (the
+    * operational answer is more Lloyd rounds or a larger k, both
+    * knobs of the same machinery). Output is <= k ~ sqrt(n) rows;
+    * shares [[ivfVectorsAndProbes]] (and its memoized probe relation)
+    * with the gated pair query. */
+  def qIvfBalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, probes) = ivfVectorsAndProbes(s, dir)
+    val pop = probes.groupBy($"c_id").agg(count(lit(1)).as("n_probed"))
+    val tot = pop.agg(sum($"n_probed").as("t"), count(lit(1)).as("k"))
+    pop.crossJoin(broadcast(tot))
+      .select($"c_id", $"n_probed",
+        expr("(n_probed * 1000000L) DIV t").as("share_ppm"),
+        expr("(n_probed * k * 100L) DIV t").as("skew_x100"))
+  }
+
+  /** Shares the IVF pipeline's CTEs verbatim up to `probes`, then
+    * aggregates — the audit cannot drift from the gated pair
+    * semantics. */
+  lazy val qIvfBalanceSql: String = {
+    val i = qDedupEmbedIvfSql.indexOf("cand AS (")
+    qDedupEmbedIvfSql.substring(0, i) +
+      """cellpop AS (SELECT c_id, count(*) AS n_probed FROM probes GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_probed) AS BIGINT) AS t, count(*) AS k FROM cellpop)
+        |SELECT c_id, n_probed, (n_probed * 1000000) // t AS share_ppm,
+        |  (n_probed * k * 100) // t AS skew_x100
+        |FROM cellpop, tot""".stripMargin
+  }
 
   /** EMBEDDING keep-decision — [[qDedupEmbedIvf]]'s pair graph closed
     * into clusters (the same alternating-star ConnectedComponents as
@@ -2675,6 +2720,7 @@ object Dedup {
     "q_dedup_embed_ivf" -> ((s: SparkSession, dir: String) => ivfPairsCached(s, dir)),
     "q_dedup_embed_incr" -> (qDedupEmbedIncr _),
     "q_dedup_embed_keep" -> (qDedupEmbedKeep _),
+    "q_ivf_balance"   -> (qIvfBalance _),
     "q_dedup_cluster" -> (qDedupCluster _),
     "q_dedup_exact"   -> (qDedupExact _),
     "q_dedup_exact_keep" -> (qDedupExactKeep _),
@@ -2719,6 +2765,7 @@ object Dedup {
     "q_dedup_embed_ivf" -> qDedupEmbedIvfSql, // the IVF algorithm itself, exact integer space
     "q_dedup_embed_incr" -> qDedupEmbedIncrSql, // arriving slice vs historical cell index
     "q_dedup_embed_keep" -> qDedupEmbedKeepSql, // IVF pairs + recursive closure, min-id keep
+    "q_ivf_balance"   -> qIvfBalanceSql, // cell-skew audit over the shared probe CTEs
     "q_dedup_cluster" -> qDedupClusterSql,
     "q_dedup_exact"   -> qDedupExactSql,
     "q_dedup_exact_keep" -> qDedupExactKeepSql,

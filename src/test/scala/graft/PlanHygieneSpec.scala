@@ -19,6 +19,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_dedup_embed_ivf", // crossJoin(broadcast(√n centroids)) — ~16 MB at 1e9 vectors (64-dim), grows as sqrt(corpus) by design (cell SIZE bounded, see scaladoc)
     "q_dedup_embed_incr", // same √n-centroid broadcast cross join (history-trained cells)
     "q_dedup_embed_keep", // composes q_dedup_embed_ivf (its listed √n-centroid cross join)
+    "q_ivf_balance",      // same √n-centroid cross join + 1-row totals broadcast
     "q_ann_ivf",       // crossJoin(broadcast(centroids)) — bounded build side
     "q_ann_kmeans",    // same centroid cross joins inside Lloyd rounds
     "q_kmeans_round",  // integer Lloyd round: crossJoin(broadcast(centroids))
