@@ -438,6 +438,32 @@ object StreamingGate {
       "embeddedup", "append")
   }
 
+  /** STREAMING CLASSIFIER SCORING, gated — model-based filtering at
+    * ingest ([[StreamingEtl.clfScoreStream]]): the hashing-trick linear
+    * model is a pure per-row fold over the token array (weights derive
+    * from the token hash — no vocabulary state, no shuffle, no
+    * watermark), so the batch operator's expressions run UNCHANGED on
+    * the stream in append mode. Per-document filtering decisions at
+    * ingest latency; shares q_clf_score's oracle verbatim. */
+  def qStreamClf(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    runGate(StreamingEtl.clfScoreStream(parquetStream(s, dir, "documents")),
+      "clf", "append")
+  }
+
+  /** STREAMING REPETITION METRICS, gated — Gopher-rule within-doc
+    * repetition at ingest ([[StreamingEtl.repetitionStream]]): the
+    * per-row HOF formulation touches only the row's own token array
+    * (stateless append map), emitting the same columns as the batch
+    * explode/groupBy form — the gate hash-checks that equivalence
+    * cross-engine, not just the StreamingSpec parity. Shares
+    * q_text_repetition's oracle verbatim. */
+  def qStreamRepetition(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    runGate(StreamingEtl.repetitionStream(parquetStream(s, dir, "documents")),
+      "repetition", "append")
+  }
+
   /** STREAMING CONTEXT-WINDOW CHUNKING, gated — at-ingest chunk cost
     * reporting ([[StreamingEtl.chunkStream]]): stateless bounded row
     * fan-out into 64/48 chunk rows, ONE complete-mode aggregation.
@@ -460,6 +486,8 @@ object StreamingGate {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_embeddedup" -> (qStreamEmbedDedup _),
+    "q_stream_clf"       -> (qStreamClf _),
+    "q_stream_repetition" -> (qStreamRepetition _),
     "q_stream_chunks"    -> (qStreamChunks _),
     "q_stream_scriptmix" -> (qStreamScriptmix _),
     "q_stream_ann"       -> (qStreamAnn _),
@@ -478,6 +506,8 @@ object StreamingGate {
     * oracle VERBATIM with the batch operator it mirrors. */
   def oracles: Map[String, String] = Map(
     "q_stream_embeddedup" -> Dedup.qDedupEmbedIncrSql,
+    "q_stream_clf"       -> TrainingData.qClfScoreSql,
+    "q_stream_repetition" -> TextAnalysis.qTextRepetitionSql,
     "q_stream_chunks"    -> TrainingData.qChunkRagSql,
     "q_stream_scriptmix" -> TextAnalysis.qTextScriptmixSql,
     "q_stream_ann"       -> Similarity.qAnnIvfSql,
