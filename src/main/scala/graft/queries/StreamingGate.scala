@@ -438,6 +438,49 @@ object StreamingGate {
       "embeddedup", "append")
   }
 
+  /** STREAMING VERBATIM scoring, gated — cross-doc duplication fraction
+    * at ingest ([[StreamingEtl.verbatimScoreStream]]): arriving
+    * documents explode into shingles statelessly, join stream-static
+    * against the batch-built shingle document-frequency index, and
+    * roll up per doc in ONE complete-mode aggregation. Over the full
+    * corpus vs its own index the result equals batch q_dedup_verbatim
+    * — the oracle is shared verbatim. */
+  def qStreamVerbatim(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val idx = Dedup.shingleDfIndex(Dedup.explodedShingles(s0, dir))
+    val docs = parquetStream(s, dir, "documents").select(col("doc_id"), col("text"))
+    runGate(StreamingEtl.verbatimScoreStream(docs, idx), "verbatim", "complete")
+  }
+
+  /** STREAMING LM-COVERAGE scoring, gated — language-model filtering at
+    * serving time ([[StreamingEtl.lmScoreStream]]): arriving documents
+    * explode into bigrams statelessly and join stream-static against
+    * the batch-trained FIXED-size top-500 bigram LM (broadcastable at
+    * any corpus size); per-doc rollup is the single complete-mode
+    * aggregation. Shares q_lm_score's oracle verbatim. */
+  def qStreamLm(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val lm = TrainingData.lmTop500(TrainingData.docBigrams(s0, dir))
+    val docs = parquetStream(s, dir, "documents").select(col("doc_id"), col("text"))
+    runGate(StreamingEtl.lmScoreStream(docs, lm), "lm", "complete")
+  }
+
+  /** STREAMING NOVELTY at ingest, gated — the memorization-risk gate
+    * ([[StreamingEtl.noveltyStream]]): the arriving slice (doc_id % 5
+    * == 0, the shared incremental convention) scores against the
+    * write-once HISTORICAL distinct-shingle lake table (bucketed by
+    * the probe key — zero exchanges on the history side), one
+    * complete-mode aggregation. Shares q_text_novelty_incr's oracle
+    * verbatim. */
+  def qStreamNovelty(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val hist = TextAnalysis.persistedShingleHistory(s0, dir)
+    val docs = parquetStream(s, dir, "documents")
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+    runGate(StreamingEtl.noveltyStream(docs, hist), "novelty", "complete")
+  }
+
   /** STREAMING CLASSIFIER SCORING, gated — model-based filtering at
     * ingest ([[StreamingEtl.clfScoreStream]]): the hashing-trick linear
     * model is a pure per-row fold over the token array (weights derive
@@ -488,6 +531,9 @@ object StreamingGate {
     "q_stream_embeddedup" -> (qStreamEmbedDedup _),
     "q_stream_clf"       -> (qStreamClf _),
     "q_stream_repetition" -> (qStreamRepetition _),
+    "q_stream_verbatim"  -> (qStreamVerbatim _),
+    "q_stream_lm"        -> (qStreamLm _),
+    "q_stream_novelty"   -> (qStreamNovelty _),
     "q_stream_chunks"    -> (qStreamChunks _),
     "q_stream_scriptmix" -> (qStreamScriptmix _),
     "q_stream_ann"       -> (qStreamAnn _),
@@ -508,6 +554,9 @@ object StreamingGate {
     "q_stream_embeddedup" -> Dedup.qDedupEmbedIncrSql,
     "q_stream_clf"       -> TrainingData.qClfScoreSql,
     "q_stream_repetition" -> TextAnalysis.qTextRepetitionSql,
+    "q_stream_verbatim"  -> Dedup.qDedupVerbatimSql,
+    "q_stream_lm"        -> TrainingData.qLmScoreSql,
+    "q_stream_novelty"   -> TextAnalysis.qTextNoveltyIncrSql,
     "q_stream_chunks"    -> TrainingData.qChunkRagSql,
     "q_stream_scriptmix" -> TextAnalysis.qTextScriptmixSql,
     "q_stream_ann"       -> Similarity.qAnnIvfSql,

@@ -1076,7 +1076,7 @@ object TrainingData {
   }
   private val bigramsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), LazyDf]()
-  private def docBigrams(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def docBigrams(s: SparkSession, dir: String): DataFrame = {
     bigramsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     bigramsCache.computeIfAbsent((s, dir), _ => new LazyDf(() =>
       Memo.materialize(bigramsOf(Tables.documents(s, dir))))).df
