@@ -438,6 +438,34 @@ object StreamingGate {
       "embeddedup", "append")
   }
 
+  /** STREAMING CONTEXT-WINDOW PACKER, gated — the second custom-state
+    * (flatMapGroupsWithState) gate next to q_stream_fmgws: per-source
+    * running token count carried in state, each arriving document
+    * assigned its 8192-token bin on arrival
+    * ([[StreamingEtl.packStream]]; same arrival contract as the batch
+    * prefix-sum packer — per-source doc_id order, which the
+    * single-file catch-up stream satisfies). The oracle states the bin
+    * assignment as a per-source running-sum window — cross-engine
+    * hash-checks the stateful fold's arithmetic per document, where
+    * q_pack_bins gates the downstream aggregate. */
+  def qStreamPack(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val docs = parquetStream(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    runGate(StreamingEtl.packStream(docs).toDF()
+        .select(col("source"), col("docId").as("doc_id"),
+          col("tokEst").as("tok_est"), col("bin")),
+      "pack", "append")
+  }
+
+  val qStreamPackSql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id, n_chars // 4 + 1 AS tok_est FROM documents)
+      |SELECT source, doc_id, tok_est,
+      |  (CAST(sum(tok_est) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) - 1)
+      |    // 8192 AS bin
+      |FROM d""".stripMargin
+
   /** STREAMING VERBATIM scoring, gated — cross-doc duplication fraction
     * at ingest ([[StreamingEtl.verbatimScoreStream]]): arriving
     * documents explode into shingles statelessly, join stream-static
@@ -532,6 +560,7 @@ object StreamingGate {
     "q_stream_clf"       -> (qStreamClf _),
     "q_stream_repetition" -> (qStreamRepetition _),
     "q_stream_verbatim"  -> (qStreamVerbatim _),
+    "q_stream_pack"      -> (qStreamPack _),
     "q_stream_lm"        -> (qStreamLm _),
     "q_stream_novelty"   -> (qStreamNovelty _),
     "q_stream_chunks"    -> (qStreamChunks _),
@@ -555,6 +584,7 @@ object StreamingGate {
     "q_stream_clf"       -> TrainingData.qClfScoreSql,
     "q_stream_repetition" -> TextAnalysis.qTextRepetitionSql,
     "q_stream_verbatim"  -> Dedup.qDedupVerbatimSql,
+    "q_stream_pack"      -> qStreamPackSql,
     "q_stream_lm"        -> TrainingData.qLmScoreSql,
     "q_stream_novelty"   -> TextAnalysis.qTextNoveltyIncrSql,
     "q_stream_chunks"    -> TrainingData.qChunkRagSql,
