@@ -165,8 +165,32 @@ object ScaleUpBench {
         println(s"""{"summary":true,"n_queries":${qs.size},""" +
           s""""n_flipped":${flipped.size},"flipped":${jarr(flipped.toSeq)},""" +
           s""""n_dangerous":${dangerous.size},"dangerous":${jarr(dangerous.toSeq)}}""")
+      case "nprobe" :: dir :: widths :: Nil =>
+        // Cost/recall economics of the IVF probe-width knob, measured:
+        // per width, the deduplicated candidate volume (the quantity that
+        // enters the verify join), the verified output pairs, the recall
+        // vs the bounded exact slice (qIvfRecall's denominator), and the
+        // end-to-end wall of the pair pipeline (1 warm-up + 3 runs, p50).
+        // One JSON line per width — NOTES_r10 records the table.
+        widths.split(",").map(_.trim.toInt).foreach { np =>
+          import graft.queries.Dedup
+          Dedup.qDedupEmbedIvf(s, dir, np).count() // warm-up: memo + probes
+          val cand = Dedup.ivfCandidates(s, dir, np).count()
+          val times = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            Dedup.qDedupEmbedIvf(s, dir, np).count()
+            (System.nanoTime() - t0) / 1e6
+          }
+          val out = Dedup.qDedupEmbedIvf(s, dir, np).count()
+          val rec = Dedup.ivfRecallOf(s, dir, Dedup.qDedupEmbedIvf(s, dir, np))
+            .collect()(0)
+          println(f"""{"nprobe":$np,"cand_pairs":$cand,"out_pairs":$out,""" +
+            f""""wall_ms":${times.sorted.apply(1)}%.0f,""" +
+            f""""n_exact":${rec.getLong(0)},"n_hit":${rec.getLong(1)},""" +
+            f""""recall_ppm":${rec.getLong(2)}}""")
+        }
       case _ =>
-        System.err.println("usage: gen <src> <out> <factor> | run <dirA> <dirB> <q1,q2,...>")
+        System.err.println("usage: gen <src> <out> <factor> | run <dirA> <dirB> <q1,q2,...> | nprobe <dir> <w1,w2,...>")
         sys.exit(2)
     }
     s.stop()

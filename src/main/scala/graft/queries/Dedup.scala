@@ -718,12 +718,19 @@ object Dedup {
     bloomCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     // hard bound: each entry pins ~1 MB + a session ref, and stopped-
     // context eviction never fires for per-client sessions over a LIVE
-    // shared context. Evict only OTHER sessions' entries, oldest-free
-    // order, so one insert can't dump every live session's sketch at once
+    // shared context. Prefer evicting OTHER sessions' entries (so one
+    // insert can't dump every live session's sketch at once), but fall
+    // back to this session's own entries when no other-session victims
+    // exist — a single long-lived session sweeping many (dir, tag)
+    // corpora must still respect the bound (round-9 ADVICE). Victim
+    // order is arbitrary (ConcurrentHashMap iteration), not LRU: the
+    // sketch is cheap to rebuild, so a bad eviction costs one
+    // re-aggregation, never correctness.
     if (bloomCache.size > 64) {
-      val victims = new scala.collection.mutable.ArrayBuffer[(SparkSession, String, String)]
-      bloomCache.forEachKey(Long.MaxValue, k => if (k._1 ne s) victims += k)
-      victims.take(bloomCache.size - 64).foreach(bloomCache.remove)
+      val others = new scala.collection.mutable.ArrayBuffer[(SparkSession, String, String)]
+      val own = new scala.collection.mutable.ArrayBuffer[(SparkSession, String, String)]
+      bloomCache.forEachKey(Long.MaxValue, k => (if (k._1 ne s) others else own) += k)
+      (others ++ own).take(bloomCache.size - 64).foreach(bloomCache.remove)
     }
     bloomCache.computeIfAbsent((s, dir, tag), _ => new LazyBloom(() =>
       Option(sngs
@@ -1551,8 +1558,23 @@ object Dedup {
     * and the typed top-k aggregation execute twice (no exchange reuse
     * across the join sides) — at scale this is the cell index a
     * pipeline writes once. */
-  private def ivfVectorsAndProbes(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
+  private val ivfFrontCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), LazyPair]()
+
+  private def ivfVectorsAndProbes(s: SparkSession, dir: String,
+      nprobe: Int = IvfDedupNProbe): (DataFrame, DataFrame) = {
+    // memoized per (session, corpus, nprobe): the count action, the Lloyd
+    // round and the probe materialization are the expensive front shared
+    // by the gated pair query, the balance audit and the recall gate —
+    // without this each caller re-trains the coarse quantizer (round-9
+    // ADVICE: only the final pair relation was memoized)
+    ivfFrontCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    ivfFrontCache.computeIfAbsent((s, dir, nprobe), _ =>
+      new LazyPair(() => ivfVectorsAndProbesBuild(s, dir, nprobe))).v
+  }
+
+  private def ivfVectorsAndProbesBuild(s: SparkSession, dir: String,
+      nprobe: Int): (DataFrame, DataFrame) = {
     import s.implicits._
     val v = Similarity.withDoubles(
       Tables.embeddings(s, dir)
@@ -1574,7 +1596,7 @@ object Dedup {
     val c1 = Similarity.withDoubles(
       Similarity.recenterInt(Similarity.assignInt(v, c0)).localCheckpoint(true),
       "cq", "cd")
-    val topk = new graft.functions.TopKAggregator(IvfDedupNProbe).toColumn
+    val topk = new graft.functions.TopKAggregator(nprobe).toColumn
     val probes = Memo.materialize(v.select($"vec_id", $"vd")
       .crossJoin(broadcast(c1.select($"c_id", $"cd")))
       .select($"vec_id", cosine($"vd", $"cd").as("c_cos"), $"c_id")
@@ -1587,13 +1609,24 @@ object Dedup {
     (v, probes)
   }
 
-  def qDedupEmbedIvf(s: SparkSession, dir: String): DataFrame = {
+  /** The deduplicated IVF candidate pair set at a given probe width —
+    * split out so the nprobe cost/recall sweep (ScaleUpBench `nprobe`
+    * mode) can count candidates separately from verified output. */
+  private[graft] def ivfCandidates(s: SparkSession, dir: String,
+      nprobe: Int = IvfDedupNProbe): DataFrame = {
     import s.implicits._
-    val (v, probes) = ivfVectorsAndProbes(s, dir)
-    val cand = probes.as("a").join(probes.as("b"),
+    val (_, probes) = ivfVectorsAndProbes(s, dir, nprobe)
+    probes.as("a").join(probes.as("b"),
         $"a.c_id" === $"b.c_id" && $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"))
       .distinct()
+  }
+
+  def qDedupEmbedIvf(s: SparkSession, dir: String,
+      nprobe: Int = IvfDedupNProbe): DataFrame = {
+    import s.implicits._
+    val (v, _) = ivfVectorsAndProbes(s, dir, nprobe)
+    val cand = ivfCandidates(s, dir, nprobe)
     // no broadcast hint on the rejoin: the vector table grows with the
     // corpus — AQE picks broadcast when small, shuffle-hash otherwise
     cand
@@ -1812,6 +1845,75 @@ object Dedup {
         |SELECT c_id, n_probed, (n_probed * 1000000) // t AS share_ppm,
         |  (n_probed * k * 100) // t AS skew_x100
         |FROM cellpop, tot""".stripMargin
+  }
+
+  /** IVF PAIR-GENERATION recall, IN-ENGINE — the dedup-side mirror of
+    * [[Similarity.qAnnRecall]] (which gated serving recall in round 8):
+    * recall of the approximate IVF pair set ([[qDedupEmbedIvf]]) against
+    * the EXACT pair set on the bounded anchor slice (vec_id <
+    * EmbedExactCap — [[qDedupEmbed]]'s anchoring pattern: the cartesian
+    * exact join stays O(cap²) forever, so the denominator is computable
+    * at any corpus size). Both sides verify in the SAME exact integer
+    * space (round(x*1e7) BIGINT-quantized vectors), so a miss here is a
+    * CELL-GEOMETRY miss — the quantity the nprobe knob trades on — never
+    * a quantization artifact. Output: one row (n_exact, n_hit,
+    * recall_ppm) in exact integer ppm, hash-gated cross-engine; the
+    * sf0.1 recall floor previously lived only in ScaleOpsSpec and
+    * NOTES_r9 prose — this puts the number under the oracle. Shares the
+    * memoized IVF pair relation with the gated pair entry (the slice
+    * restriction is a filter over it, not a re-run). */
+  def qIvfRecall(s: SparkSession, dir: String): DataFrame =
+    ivfRecallOf(s, dir, ivfPairsCached(s, dir))
+
+  /** Recall of an arbitrary (vec_a, vec_b) pair relation against the
+    * bounded-slice exact pair set — shared by the gated entry (memoized
+    * nprobe=6 pairs) and the ScaleUpBench nprobe sweep (live pairs at
+    * each probe width). */
+  private[graft] def ivfRecallOf(s: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    val slice = Similarity.withDoubles(
+      Tables.embeddings(s, dir)
+        .filter($"vec_id" < EmbedExactCap)
+        .select($"vec_id",
+          transform($"embedding", x => round(x.cast("double") * 1e7).cast("long")).as("vq")),
+      "vq", "vd")
+    val exact = slice.as("a").join(slice.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        cosine($"a.vd", $"b.vd").as("cs"))
+      .filter($"cs" >= 0.5)
+      .select($"vec_a", $"vec_b")
+    val ivf = pairs
+      .filter($"vec_a" < EmbedExactCap && $"vec_b" < EmbedExactCap)
+      .select($"vec_a", $"vec_b", lit(1L).as("hit"))
+    exact.join(ivf, Seq("vec_a", "vec_b"), "left")
+      .agg(count(lit(1)).as("n_exact"), count($"hit").as("n_hit"))
+      .select($"n_exact", $"n_hit",
+        expr("(n_hit * 1000000L) DIV n_exact").as("recall_ppm"))
+  }
+
+  /** Shares the IVF pipeline's CTEs verbatim up to `cand`, wraps the
+    * verified pair select as a CTE, and left-joins it against the
+    * bounded-slice exact pair set — the recall number cannot drift from
+    * the gated pair semantics. */
+  lazy val qIvfRecallSql: String = {
+    val i = qDedupEmbedIvfSql.indexOf("SELECT vec_a, vec_b,")
+    qDedupEmbedIvfSql.substring(0, i).stripTrailing() + ",\n" +
+      s"""ivfp AS (
+         |  SELECT vec_a, vec_b
+         |  FROM cand JOIN v x ON x.vec_id = cand.vec_a JOIN v y ON y.vec_id = cand.vec_b
+         |  WHERE list_cosine_similarity(x.vq::DOUBLE[], y.vq::DOUBLE[]) >= 0.5
+         |    AND vec_a < $EmbedExactCap AND vec_b < $EmbedExactCap),
+         |sl AS (SELECT vec_id, vq FROM v WHERE vec_id < $EmbedExactCap),
+         |exact AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM sl a JOIN sl b ON a.vec_id < b.vec_id
+         |  WHERE list_cosine_similarity(a.vq::DOUBLE[], b.vq::DOUBLE[]) >= 0.5)
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(i.vec_a) AS BIGINT) AS n_hit,
+         |  CAST((count(i.vec_a) * 1000000) // count(*) AS BIGINT) AS recall_ppm
+         |FROM exact e LEFT JOIN ivfp i
+         |  ON e.vec_a = i.vec_a AND e.vec_b = i.vec_b""".stripMargin
   }
 
   /** EMBEDDING keep-decision — [[qDedupEmbedIvf]]'s pair graph closed
@@ -2721,6 +2823,7 @@ object Dedup {
     "q_dedup_embed_incr" -> (qDedupEmbedIncr _),
     "q_dedup_embed_keep" -> (qDedupEmbedKeep _),
     "q_ivf_balance"   -> (qIvfBalance _),
+    "q_ivf_recall"    -> (qIvfRecall _),
     "q_dedup_cluster" -> (qDedupCluster _),
     "q_dedup_exact"   -> (qDedupExact _),
     "q_dedup_exact_keep" -> (qDedupExactKeep _),
@@ -2766,6 +2869,7 @@ object Dedup {
     "q_dedup_embed_incr" -> qDedupEmbedIncrSql, // arriving slice vs historical cell index
     "q_dedup_embed_keep" -> qDedupEmbedKeepSql, // IVF pairs + recursive closure, min-id keep
     "q_ivf_balance"   -> qIvfBalanceSql, // cell-skew audit over the shared probe CTEs
+    "q_ivf_recall"    -> qIvfRecallSql, // IVF pair recall vs bounded exact slice, integer ppm
     "q_dedup_cluster" -> qDedupClusterSql,
     "q_dedup_exact"   -> qDedupExactSql,
     "q_dedup_exact_keep" -> qDedupExactKeepSql,

@@ -129,8 +129,9 @@ object Sinks {
     * BEFORE the checkpoint commits, so the same batchId replays on
     * restart. Epoch-guard + stage-and-swap:
     *
-    *  1. `<table>_EPOCHS(batch_id PK)` records committed batches; a
-    *     replayed batchId returns immediately (the guard);
+    *  1. `<table>_EPOCHS(batch_id, writer_id PK)` records committed
+    *     batches per writer; a replayed batchId returns immediately
+    *     (the guard);
     *  2. the batch stages into `<table>_STAGE` via the normal
     *     executor-parallel batched writer in OVERWRITE mode — a partial
     *     staging write from a previous crash is simply overwritten;
@@ -141,16 +142,31 @@ object Sinks {
     *     (committed) or a clean re-stage (not committed).
     *
     * Single-writer contract per (url, table) — the same contract every
-    * epoch-guard sink has (Delta/Iceberg txn ids per query). Target and
+    * epoch-guard sink has (Delta/Iceberg txn ids per query) — but the
+    * bookkeeping no longer TRUSTS it (round-9 ADVICE): `writerId`
+    * (the query/checkpoint identity; [[graft.streaming.StreamingEtl.runToJdbc]]
+    * passes its checkpoint path) enters both the epoch key
+    * (batch_id, writer_id composite PK) and the staging table name, so
+    * two queries streaming into the same (url, table) — or a zombie
+    * pre-restart driver racing its replacement — can neither skip each
+    * other's batches via a shared batchId nor cross-overwrite a shared
+    * stage. Duplicate TARGET rows from two writers are still possible
+    * (that is the documented contract violation), but each writer's own
+    * exactly-once guarantee now holds independently. Target and
     * staging share the all-text DDL of [[writeJdbc]]; `textType` must
     * be a concrete SQL type here (e.g. VARCHAR(4096)) because the
     * driver issues its own CREATE. Proven by StreamingRecoverySpec:
     * mid-run kill, restart, no double-insert, final table == batch. */
   def jdbcUpsertBatch(df: DataFrame, batchId: Long, url: String, table: String,
                       props: java.util.Properties = new java.util.Properties(),
-                      textType: String = "VARCHAR(4096)"): Unit = {
+                      textType: String = "VARCHAR(4096)",
+                      writerId: String = ""): Unit = {
     val epochs = s"${table}_EPOCHS"
-    val stage = s"${table}_STAGE"
+    // stage name must stay a legal unquoted identifier: hash the free-form
+    // writer id into a fixed-width hex suffix rather than embedding it
+    val stage =
+      if (writerId.isEmpty) s"${table}_STAGE"
+      else f"${table}_STAGE_${writerId.hashCode & 0x7fffffff}%08X"
     def withConn[A](f: java.sql.Connection => A): A = {
       val c = java.sql.DriverManager.getConnection(url, props)
       try f(c) finally c.close()
@@ -159,10 +175,14 @@ object Sinks {
       try { val st = c.createStatement(); try st.execute(ddl) finally st.close() }
       catch { case e: java.sql.SQLException if isExistingRelation(e) => }
     val alreadyCommitted = withConn { c =>
-      ensureTable(c, s"CREATE TABLE $epochs (batch_id BIGINT PRIMARY KEY)")
-      val st = c.prepareStatement(s"SELECT 1 FROM $epochs WHERE batch_id = ?")
-      try { st.setLong(1, batchId); val rs = st.executeQuery(); rs.next() }
-      finally st.close()
+      ensureTable(c, s"CREATE TABLE $epochs (batch_id BIGINT, " +
+        "writer_id VARCHAR(512) NOT NULL, PRIMARY KEY (batch_id, writer_id))")
+      val st = c.prepareStatement(
+        s"SELECT 1 FROM $epochs WHERE batch_id = ? AND writer_id = ?")
+      try {
+        st.setLong(1, batchId); st.setString(2, writerId)
+        val rs = st.executeQuery(); rs.next()
+      } finally st.close()
     }
     if (alreadyCommitted) return
     // stage (overwrite = crash-safe re-stage; executor-parallel batching)
@@ -184,7 +204,10 @@ object Sinks {
       val st = c.createStatement()
       try {
         st.executeUpdate(s"INSERT INTO $table ($cols) SELECT $cols FROM $stage")
-        st.executeUpdate(s"INSERT INTO $epochs (batch_id) VALUES ($batchId)")
+        val ep = c.prepareStatement(
+          s"INSERT INTO $epochs (batch_id, writer_id) VALUES (?, ?)")
+        try { ep.setLong(1, batchId); ep.setString(2, writerId); ep.executeUpdate() }
+        finally ep.close()
         c.commit()
       } catch { case e: Throwable => c.rollback(); throw e }
       finally st.close()

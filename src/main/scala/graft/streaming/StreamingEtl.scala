@@ -262,13 +262,20 @@ object StreamingEtl {
     * probe of IVF). Explicit comparator for (cos desc, c_id asc): the
     * negate-and-sort trick would put a NaN cosine at the wrong end
     * (Spark SQL orders NaN largest; -NaN is still NaN), diverging from
-    * the batch window's desc ordering on zero vectors. */
-  private def probeCells(v: org.apache.spark.sql.Column,
-                         cents: Seq[(Long, Seq[Double])], nprobe: Int)
+    * the batch window's desc ordering on zero vectors. NaN branches are
+    * explicit because `>`/`<` are both false on NaN — without them a
+    * NaN cosine (zero centroid) would read as a TIE on score and fall
+    * to the cid tiebreak, while the batch twin's TopKAggregator uses
+    * java.lang.Double.compare (NaN ranks LARGEST, so it sorts FIRST
+    * under desc). Round-9 ADVICE: pin the same order here. */
+  private[graft] def probeCells(v: org.apache.spark.sql.Column,
+                                cents: Seq[(Long, Seq[Double])], nprobe: Int)
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graft.NativeExprs
     val cmp = (l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =>
-      when(l.getField("c") > r.getField("c"), lit(-1))
+      when(isnan(l.getField("c")) && !isnan(r.getField("c")), lit(-1))
+        .when(!isnan(l.getField("c")) && isnan(r.getField("c")), lit(1))
+        .when(l.getField("c") > r.getField("c"), lit(-1))
         .when(l.getField("c") < r.getField("c"), lit(1))
         .when(l.getField("cid") < r.getField("cid"), lit(-1))
         .when(l.getField("cid") > r.getField("cid"), lit(1))
@@ -583,8 +590,11 @@ object StreamingEtl {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // writer identity = the checkpoint path: stable across restarts
+        // of the SAME logical stream (batchIds continue from it), unique
+        // across different streams into the same table
         graft.sources.Sinks.jdbcUpsertBatch(batch, batchId, url, table,
-          textType = textType)
+          textType = textType, writerId = checkpoint)
       }
       .start()
 }

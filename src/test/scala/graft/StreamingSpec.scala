@@ -610,4 +610,38 @@ class StreamingSpec extends AnyFunSuite {
     val n2 = spark.read.parquet(out).count()
     assert(n1 == n2)
   }
+
+  test("probeCells orders a NaN cosine (zero centroid) like Double.compare — batch-probe parity") {
+    // A zero centroid makes every cosine against it NaN. The batch twin's
+    // TopKAggregator ranks scores with java.lang.Double.compare, where NaN
+    // is LARGEST — so under desc ordering the zero cell sorts FIRST. The
+    // streaming comparator must agree (round-9 ADVICE: without explicit
+    // isnan branches, NaN read as a score-TIE and fell to the cid
+    // tiebreak, ordering differently when cids straddle the others').
+    import spark.implicits._
+    val dim = 4
+    val cents: Seq[(Long, Seq[Double])] = Seq(
+      (10L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (20L, Seq.fill(dim)(0.0)), // zero centroid -> NaN cosine
+      (30L, Seq(0.0, 1.0, 0.0, 0.0)))
+    val vecs = Seq((1L, Seq(1.0, 0.5, 0.0, 0.0)), (2L, Seq(0.1, 1.0, 0.0, 0.0)))
+    val got = vecs.toDF("vec_id", "v")
+      .select(col("vec_id"), StreamingEtl.probeCells(col("v"), cents, 2).as("p"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // expected order via Double.compare on the exact same cosines
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = vecs.map { case (id, v) =>
+      id -> cents.map { case (cid, c) => (cos(v, c), cid) }
+        .sortWith { case ((ca, ia), (cb, ib)) =>
+          val c = java.lang.Double.compare(ca, cb)
+          if (c != 0) c > 0 else ia < ib // desc score, asc cid
+        }.take(2).map(_._2)
+    }.toMap
+    assert(got == expected)
+    // the NaN cell must actually be in front (guards against a vacuous pass)
+    assert(expected.values.forall(_.head == 20L))
+  }
 }
