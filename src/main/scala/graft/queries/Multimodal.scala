@@ -224,7 +224,89 @@ object Multimodal {
       |  ah_lo, ah_hi, n_distinct_luma
       |FROM bits b JOIN mn ON b.doc_id = mn.doc_id""".stripMargin
 
+  /** PNG-CODEC pixel path (round-10): the same decode→luma→feature seam
+    * as [[qMmPixels]], through the real PNG codec
+    * ([[MediaFunctions.decodePng]]: signature, CRC-verified chunk walk,
+    * IHDR parse, concatenated-IDAT zlib inflate, scanline unfilter).
+    * Even doc_ids carry an 8x8 GRAYSCALE image (the 64-byte md5 stream
+    * as luma), odd doc_ids a 4x4 RGB image (the first 48 bytes as
+    * packed RGB triples) — both header-declared COLOR TYPES are on the
+    * hash path. Each row y is encoded with filter type (doc_id + y) % 5,
+    * so ALL FIVE unfilter paths (None/Sub/Up/Average/Paeth) sit between
+    * the encoder and the oracle hash: a single wrong predictor byte
+    * cascades through the row and breaks mean/ah/distinct. The oracle
+    * recomputes luma arithmetically from the md5 stream — it never sees
+    * PNG bytes, so engine==oracle proves the decoder inverted the
+    * filters exactly. Dims + color type reach the output from the
+    * PARSED HEADER, per the gate convention that distinguishes codec
+    * gates from byte-path gates. */
+  def qMmPng(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        unhex(concat((0 until 4).map(j => md5(concat($"text", lit(j.toString)))): _*)).as("stream"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, stream) =>
+        val (w, h, ct, raster) =
+          if (id % 2 == 0) (8, 8, 0, stream)            // gray: 64 luma bytes
+          else (4, 4, 2, stream.take(48))               // RGB: 16 packed triples
+        (id, MediaFunctions.encodePng(w, h, ct, raster,
+          y => ((id + y) % 5).toInt))
+      }
+      .map { case (id, png) =>
+        val img = MediaFunctions.decodePng(png)
+        val n = img.width * img.height
+        val lum = Array.tabulate(n)(img.luma)
+        var sum = 0L
+        var i = 0
+        while (i < n) { sum += lum(i); i += 1 }
+        val mean = sum / n
+        var lo = 0L
+        var hi = 0L
+        i = 0
+        while (i < n && i < 64) {
+          if (lum(i) >= mean) {
+            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+          }
+          i += 1
+        }
+        (id, img.width.toLong, img.height.toLong, img.colorType.toLong,
+          mean, lo, hi, lum.distinct.length.toLong)
+      }
+      .toDF("doc_id", "w", "h", "color_type", "mean_luma",
+        "ah_lo", "ah_hi", "n_distinct_luma")
+  }
+
+  val qMmPngSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, i,
+      |    ('0x' || substr(md5(text || CAST(i // 16 AS VARCHAR)), 2 * (i % 16) + 1, 2))::BIGINT AS lum
+      |  FROM documents, range(0, 64) r(i) WHERE doc_id % 2 = 0),
+      |c AS (
+      |  SELECT doc_id, j,
+      |    (('0x' || substr(md5(text || CAST((3*j) // 16 AS VARCHAR)), 2 * ((3*j) % 16) + 1, 2))::BIGINT
+      |     + ('0x' || substr(md5(text || CAST((3*j+1) // 16 AS VARCHAR)), 2 * ((3*j+1) % 16) + 1, 2))::BIGINT
+      |     + ('0x' || substr(md5(text || CAST((3*j+2) // 16 AS VARCHAR)), 2 * ((3*j+2) % 16) + 1, 2))::BIGINT) // 3 AS lum
+      |  FROM documents, range(0, 16) r(j) WHERE doc_id % 2 = 1),
+      |px AS (SELECT doc_id, i, lum FROM g UNION ALL SELECT doc_id, j AS i, lum FROM c),
+      |mn AS (
+      |  SELECT doc_id, CAST(sum(lum) // count(*) AS BIGINT) AS mean_luma
+      |  FROM px GROUP BY 1),
+      |bits AS (
+      |  SELECT px.doc_id,
+      |    CAST(sum(CASE WHEN lum >= mean_luma AND i < 32 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS ah_lo,
+      |    CAST(sum(CASE WHEN lum >= mean_luma AND i >= 32 THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS ah_hi,
+      |    CAST(count(DISTINCT lum) AS BIGINT) AS n_distinct_luma
+      |  FROM px JOIN mn USING (doc_id) GROUP BY 1)
+      |SELECT b.doc_id,
+      |  CAST(CASE WHEN b.doc_id % 2 = 0 THEN 8 ELSE 4 END AS BIGINT) AS w,
+      |  CAST(CASE WHEN b.doc_id % 2 = 0 THEN 8 ELSE 4 END AS BIGINT) AS h,
+      |  CAST(CASE WHEN b.doc_id % 2 = 0 THEN 0 ELSE 2 END AS BIGINT) AS color_type,
+      |  mean_luma, ah_lo, ah_hi, n_distinct_luma
+      |FROM bits b JOIN mn USING (doc_id)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_png"        -> (qMmPng _),
     "q_mm_pixels"     -> (qMmPixels _),
     "q_mm_phash"      -> (qMmPhash _),
     "q_mm_decode"     -> (qMmDecode _),
@@ -233,6 +315,7 @@ object Multimodal {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_mm_png"        -> qMmPngSql,
     "q_mm_pixels"     -> qMmPixelsSql,
     "q_mm_phash"      -> qMmPhashSql,
     "q_mm_decode"     -> qMmDecodeSql,

@@ -126,4 +126,60 @@ class MultimodalSpec extends AnyFunSuite {
     } yield (ids(i), ids(j))).toSet
     assert(rows.map(p => (p._1, p._2)).toSet == brute)
   }
+
+  test("PNG codec: round-trip recovers dims, color type, and exact pixels under every filter") {
+    val gray = Array.tabulate(8 * 8)(i => ((i * 37 + 11) % 256).toByte)
+    val rgb = Array.tabulate(4 * 4 * 3)(i => ((i * 91 + 5) % 256).toByte)
+    // each filter type alone, plus the all-five mix the gate query uses
+    val filterPlans: Seq[Int => Int] =
+      (0 to 4).map(f => (_: Int) => f) :+ ((y: Int) => y % 5)
+    filterPlans.foreach { plan =>
+      val g = MediaFunctions.decodePng(MediaFunctions.encodePng(8, 8, 0, gray, plan))
+      assert((g.width, g.height, g.colorType) == (8, 8, 0))
+      assert(g.pixels.sameElements(gray))
+      val c = MediaFunctions.decodePng(MediaFunctions.encodePng(4, 4, 2, rgb, plan))
+      assert((c.width, c.height, c.colorType) == (4, 4, 2))
+      assert(c.pixels.sameElements(rgb))
+    }
+    // luma: gray = the byte; RGB = (r+g+b) DIV 3
+    val c = MediaFunctions.decodePng(MediaFunctions.encodePng(4, 4, 2, rgb))
+    assert(c.luma(0) == ((rgb(0) & 0xFF) + (rgb(1) & 0xFF) + (rgb(2) & 0xFF)) / 3)
+  }
+
+  test("PNG parser: malformed input rejected, ancillary chunks tolerated") {
+    val gray = Array.tabulate(4)(i => (i * 50).toByte)
+    val ok = MediaFunctions.encodePng(2, 2, 0, gray)
+    // bad signature
+    assertThrows[IllegalArgumentException](
+      MediaFunctions.decodePng("JFIF0000".getBytes ++ ok.drop(8)))
+    // corrupt one IDAT payload byte -> CRC mismatch must throw, not decode
+    val corrupt = ok.clone()
+    corrupt(ok.length - 13) = (corrupt(ok.length - 13) ^ 0x55).toByte
+    assertThrows[IllegalArgumentException](MediaFunctions.decodePng(corrupt))
+    // truncated mid-chunk
+    assertThrows[IllegalArgumentException](
+      MediaFunctions.decodePng(ok.take(ok.length - 6)))
+    // unsupported shapes rejected at encode AND at decode (hand-build a
+    // 16-bit-depth IHDR to hit the decoder's check)
+    assertThrows[IllegalArgumentException](MediaFunctions.encodePng(2, 2, 6, gray))
+    val depth16 = ok.clone()
+    depth16(8 + 8 + 8) = 16.toByte // IHDR bit-depth byte
+    // fix the IHDR CRC so the depth check (not the CRC check) fires
+    val crc = new java.util.zip.CRC32()
+    crc.update(depth16, 12, 4 + 13)
+    val fixed = java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array()
+    System.arraycopy(fixed, 0, depth16, 12 + 4 + 13, 4)
+    val e = intercept[IllegalArgumentException](MediaFunctions.decodePng(depth16))
+    assert(e.getMessage.contains("bit depth"))
+    // an ancillary chunk (tEXt) between IDAT and IEND is walked over
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val tb = typ.getBytes("US-ASCII")
+      val c2 = new java.util.zip.CRC32(); c2.update(tb); c2.update(data)
+      java.nio.ByteBuffer.allocate(4).putInt(data.length).array() ++ tb ++ data ++
+        java.nio.ByteBuffer.allocate(4).putInt(c2.getValue.toInt).array()
+    }
+    val withText = ok.take(ok.length - 12) ++
+      chunk("tEXt", "graft test".getBytes("US-ASCII")) ++ ok.drop(ok.length - 12)
+    assert(MediaFunctions.decodePng(withText).pixels.sameElements(gray))
+  }
 }
