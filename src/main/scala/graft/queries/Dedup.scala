@@ -2217,7 +2217,12 @@ object Dedup {
     * (pair, diagonal) — partitioning rides the pair join's shuffle;
     * match volume is bounded by shared-shingle counts of VERIFIED
     * near-dup pairs, not the corpus. */
-  def qDedupSpan(s: SparkSession, dir: String): DataFrame = {
+  /** Maximal shared-trigram diagonal runs ("islands") per near-dup pair
+    * — the shared core of the span REPORT ([[qDedupSpan]]) and the span
+    * CUT ([[qDedupSpanCut]]): per island, its run length in trigrams and
+    * its 0-BASED start positions in both documents (pa0 in doc_a, pb0 in
+    * doc_b). */
+  private def spanIslands(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = jaccardPairsCached(s, dir).select($"doc_a", $"doc_b")
     val members = pairs.select($"doc_a".as("doc_id"))
@@ -2236,7 +2241,13 @@ object Dedup {
     val wd = Window.partitionBy($"doc_a", $"doc_b", $"diag").orderBy($"pa".asc)
     m.withColumn("isl", $"pa" - row_number().over(wd))
       .groupBy($"doc_a", $"doc_b", $"diag", $"isl")
-      .agg(count(lit(1)).as("run"))
+      .agg(count(lit(1)).as("run"), min($"pa").as("pa0"))
+      .withColumn("pb0", $"pa0" - $"diag")
+  }
+
+  def qDedupSpan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    spanIslands(s, dir)
       .groupBy($"doc_a", $"doc_b")
       .agg((max($"run") + 2).cast("long").as("span_tokens"),
            count(lit(1)).as("n_runs"))
@@ -2273,6 +2284,109 @@ object Dedup {
       |SELECT doc_a, doc_b, CAST(max(run) + 2 AS BIGINT) AS span_tokens,
       |  count(*) AS n_runs
       |FROM runs GROUP BY 1, 2""".stripMargin
+
+  /** SPAN-CUT dedup — [[qDedupSpan]] finds the longest shared verbatim
+    * span per near-dup pair; a real pipeline (ExactSubstr, Lee et al.)
+    * REMOVES it. This emits the removal: for each cut-side document
+    * (doc_b, the larger id of its pair, keeping the copy in the
+    * min-id doc), the single best span across all its pairs —
+    * deterministic argmax (run desc, doc_a asc, pa0 asc, diag asc) —
+    * is cut from the token sequence, and the row reports the cleaned
+    * document's re-hashed content (clean_md5 of the space-joined
+    * remaining tokens) plus the exact token and CHARACTER mass removed,
+    * with `source` on every row so per-source removed-char mass is one
+    * rollup away ([[qSpanCutMass]] gates it). The char identity
+    * orig_chars == clean_chars + removed_chars + (1 iff both sides
+    * nonempty) is pinned in ScaleOpsSpec — removed_chars is computed
+    * from the REMOVED slice independently, not as a difference, so a
+    * mis-sliced cut breaks both the spec and the oracle hash. Cost
+    * shape: islands ride [[spanIslands]] (bounded by verified near-dup
+    * pairs' shared shingles); the cut itself is one window over doc_b +
+    * a per-row array slice — linear, no new corpus-scale shuffle. */
+  def qDedupSpanCut(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val best = spanIslands(s, dir)
+      .withColumn("rn", row_number().over(Window.partitionBy($"doc_b")
+        .orderBy($"run".desc, $"doc_a".asc, $"pa0".asc, $"diag".asc)))
+      .filter($"rn" === 1)
+      .select($"doc_b".as("doc_id"), $"run", $"pb0")
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"source", tokens($"text").as("t"))
+    best.join(docs, "doc_id")
+      .withColumn("ct", concat(
+        slice($"t", lit(1), $"pb0"),
+        slice($"t", $"pb0" + $"run" + lit(3), size($"t"))))
+      .withColumn("rt", slice($"t", $"pb0" + lit(1), $"run" + lit(2)))
+      .select($"doc_id", $"source",
+        ($"run" + 2).cast("long").as("span_tokens"),
+        size($"t").cast("long").as("n_tokens_orig"),
+        size($"ct").cast("long").as("n_tokens_clean"),
+        length(array_join($"t", " ")).cast("long").as("orig_chars"),
+        length(array_join($"rt", " ")).cast("long").as("removed_chars"),
+        length(array_join($"ct", " ")).cast("long").as("clean_chars"),
+        md5(array_join($"ct", " ")).as("clean_md5"))
+  }
+
+  /** Shares [[qDedupSpanSql]]'s CTEs up to the island derivation (the
+    * cut cannot drift from the gated span semantics), keeps `pa` through
+    * the gaps-and-islands step so island START positions exist, then
+    * states the argmax + slice. SQL token positions are 1-based
+    * (DuckDB lists) vs the engine's 0-based posexplode — diag and run
+    * are shift-invariant, and the slice bounds differ by exactly the
+    * documented 1. */
+  lazy val qDedupSpanCutSql: String = {
+    val i = qDedupSpanSql.indexOf(" isl AS (")
+    qDedupSpanSql.substring(0, i) +
+      """ isl AS (
+        |   SELECT doc_a, doc_b, pa, pa - pb AS diag,
+        |     pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa ASC) AS isl
+        |   FROM m),
+        | islands AS (
+        |   SELECT doc_a, doc_b, diag, isl, count(*) AS run, min(pa) AS pa0
+        |   FROM isl GROUP BY 1, 2, 3, 4),
+        | best AS (
+        |   SELECT doc_b AS doc_id, run, pa0 - diag AS pb0 FROM (
+        |     SELECT doc_a, doc_b, diag, run, pa0,
+        |       row_number() OVER (PARTITION BY doc_b
+        |         ORDER BY run DESC, doc_a ASC, pa0 ASC, diag ASC) AS rn
+        |     FROM islands) WHERE rn = 1),
+        | cut AS (
+        |   SELECT b.doc_id, d.source, t.t AS t, b.run,
+        |     list_slice(t.t, 1, b.pb0 - 1) || list_slice(t.t, b.pb0 + b.run + 2, len(t.t)) AS ct,
+        |     list_slice(t.t, b.pb0, b.pb0 + b.run + 1) AS rt
+        |   FROM best b JOIN toks t ON t.doc_id = b.doc_id
+        |   JOIN documents d ON d.doc_id = b.doc_id)
+        |SELECT doc_id, source,
+        |  CAST(run + 2 AS BIGINT) AS span_tokens,
+        |  CAST(len(t) AS BIGINT) AS n_tokens_orig,
+        |  CAST(len(ct) AS BIGINT) AS n_tokens_clean,
+        |  CAST(length(array_to_string(t, ' ')) AS BIGINT) AS orig_chars,
+        |  CAST(length(array_to_string(rt, ' ')) AS BIGINT) AS removed_chars,
+        |  CAST(length(coalesce(array_to_string(ct, ' '), '')) AS BIGINT) AS clean_chars,
+        |  md5(coalesce(array_to_string(ct, ' '), '')) AS clean_md5
+        |FROM cut""".stripMargin
+  }
+
+  /** Per-source removed-char MASS of the span cut — the number a
+    * curation dashboard actually tracks (how much verbatim duplication
+    * each source contributes); one rollup over [[qDedupSpanCut]],
+    * oracle sharing its SQL as a subquery. */
+  def qSpanCutMass(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    qDedupSpanCut(s, dir)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs_cut"),
+        sum($"span_tokens").as("removed_tokens"),
+        sum($"removed_chars").as("removed_chars"),
+        sum($"orig_chars").as("orig_chars"))
+  }
+
+  lazy val qSpanCutMassSql: String =
+    s"""SELECT source, count(*) AS n_docs_cut,
+       |  CAST(sum(span_tokens) AS BIGINT) AS removed_tokens,
+       |  CAST(sum(removed_chars) AS BIGINT) AS removed_chars,
+       |  CAST(sum(orig_chars) AS BIGINT) AS orig_chars
+       |FROM ($qDedupSpanCutSql) GROUP BY 1""".stripMargin
 
   /** CLUSTER-AWARE train/val/test split — the leakage-free assignment a
     * training pipeline must make: splitting DOCUMENTS uniformly puts
@@ -2807,6 +2921,8 @@ object Dedup {
     "q_dedup_contain" -> (qDedupContain _),
     "q_dedup_contain_prefix" -> (qDedupContainPrefix _),
     "q_dedup_span"    -> (qDedupSpan _),
+    "q_dedup_span_cut" -> (qDedupSpanCut _),
+    "q_span_cut_mass" -> (qSpanCutMass _),
     "q_split_leakfree" -> (qSplitLeakfree _),
     "q_dedup_chain"   -> (qDedupChain _),
     "q_dedup_keep"    -> (qDedupKeep _),
@@ -2856,6 +2972,8 @@ object Dedup {
     "q_dedup_contain" -> qDedupContainSql,
     "q_dedup_contain_prefix" -> qDedupContainSql, // exact-equivalent by the pigeonhole theorem
     "q_dedup_span"    -> qDedupSpanSql,
+    "q_dedup_span_cut" -> qDedupSpanCutSql,
+    "q_span_cut_mass" -> qSpanCutMassSql,
     "q_split_leakfree" -> qSplitLeakfreeSql,
     "q_dedup_chain"   -> qDedupChainSql,
     "q_dedup_keep"    -> qDedupKeepSql,

@@ -347,6 +347,38 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got == expect, s"$got vs $expect")
   }
 
+  test("span cut: char identity, token identity, and the cut really removes the reported span") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.01"
+    val rows = graft.queries.Dedup.qDedupSpanCut(spark, sfDir).collect()
+    assert(rows.nonEmpty, "no span cuts at sf0.01 — vacuous")
+    val toks = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    rows.foreach { r =>
+      val (id, span, nOrig, nClean) = (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))
+      val (origChars, removedChars, cleanChars) = (r.getLong(5), r.getLong(6), r.getLong(7))
+      // token identity
+      assert(nOrig == toks(id).size.toLong, s"doc $id orig token count")
+      assert(nClean == nOrig - span, s"doc $id clean token count")
+      // char identity: removing k tokens from a space-joined doc removes
+      // their chars plus ONE junction space iff both sides are nonempty
+      val junction = if (nClean > 0) 1L else 0L
+      assert(origChars == cleanChars + removedChars + junction,
+        s"doc $id char identity: $origChars != $cleanChars + $removedChars + $junction")
+      // the reported hash is the md5 of a genuine subsequence cut: some
+      // contiguous k-token window of the original yields exactly clean_md5
+      val t = toks(id)
+      val k = span.toInt
+      val hit = (0 to t.size - k).exists { st =>
+        val clean = (t.take(st) ++ t.drop(st + k)).mkString(" ")
+        java.security.MessageDigest.getInstance("MD5").digest(clean.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString == r.getString(8)
+      }
+      assert(hit, s"doc $id: clean_md5 is not any contiguous $k-token cut of the original")
+    }
+  }
+
   test("novelty laws: equal shingle totals across entries; anti-monotone in history") {
     import spark.implicits._
     // NOTE: no dominance law relates the two GATED entries — the
