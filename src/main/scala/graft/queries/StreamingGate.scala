@@ -287,6 +287,57 @@ object StreamingGate {
       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_value_c
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** SLIDING (hopping) windowed aggregation, gated — the overlapping-
+    * window core ([[StreamingEtl.slidingCounts]]: 2-hour windows every
+    * hour, each event in exactly two) run as a real watermarked stream
+    * in complete mode; the per-event window fan-out happens MAP-SIDE
+    * before the keyed aggregation, so state is O(windows x types), not
+    * O(events). Shares q_ev_sliding's oracle verbatim (the oracle
+    * reproduces Spark's epoch-aligned window assignment
+    * arithmetically). */
+  def qStreamSliding(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val agg = StreamingEtl.slidingCounts(eventsStream(s, dir))
+      .select(col("window_start").cast("long").as("win_start_s"),
+        col("event_type"), col("n"), col("total_value_c"))
+    runGate(agg, "sliding", "complete")
+  }
+
+  /** HASH-DETERMINISTIC SAMPLING at ingest, gated — the stateless
+    * training-mix core ([[StreamingEtl.sampleStream]]): membership
+    * depends only on the key's md5 bucket, never on arrival order,
+    * batch boundaries, or executor count, so the streamed sample must
+    * equal the batch predicate row-for-row. The 60-bit hash is the
+    * engine's single cross-engine definition (graft.functions.Hashing);
+    * the oracle restates it in DuckDB. */
+  def qStreamSample(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    runGate(StreamingEtl.sampleStream(eventsStream(s, dir), "event_id", 37)
+      .select(col("event_id"), col("user_id"), col("event_type")),
+      "sample", "append")
+  }
+
+  val qStreamSampleSql: String =
+    s"""SELECT event_id, user_id, event_type FROM events
+       |WHERE ${graft.functions.Hashing.h60Duck("event_id")} % 100 < 37""".stripMargin
+
+  /** STREAMING EXACT DEDUP by key, gated — the idempotence core
+    * ([[StreamingEtl.dedupStream]]: dropDuplicatesWithinWatermark, the
+    * fix for the reference's duplicate-competência appends) with the
+    * result projected to the DEDUP KEYS, the deterministic part of
+    * first-wins semantics (which row of a key group survives depends on
+    * arrival order; the surviving KEY SET does not). State is bounded
+    * by the watermark; append mode emits each key once. Oracle:
+    * SELECT DISTINCT. */
+  def qStreamDedup(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    runGate(StreamingEtl.dedupStream(eventsStream(s, dir), Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type")), "dedup", "append")
+  }
+
+  val qStreamDedupSql: String =
+    "SELECT DISTINCT user_id, event_type FROM events"
+
   /** STREAMING SKETCH MAINTENANCE, gated — the histogram-quantile
     * sketch ([[Events.qHistQuantile]]) kept up to date ON the stream:
     * per-bin counts as a streaming aggregation whose state is exactly
@@ -570,6 +621,9 @@ object StreamingGate {
     "q_stream_fmgws"     -> (qStreamFmgws _),
     "q_stream_quantile"  -> (qStreamQuantile _),
     "q_stream_hourly"    -> (qStreamHourly _),
+    "q_stream_sliding"   -> (qStreamSliding _),
+    "q_stream_sample"    -> (qStreamSample _),
+    "q_stream_dedup"     -> (qStreamDedup _),
     "q_stream_sessions"  -> (qStreamSessions _),
     "q_stream_decontam"  -> (qStreamDecontam _),
     "q_stream_pii"       -> (qStreamPii _),
@@ -594,6 +648,9 @@ object StreamingGate {
     "q_stream_fmgws"     -> qStreamFmgwsSql,
     "q_stream_quantile"  -> qStreamQuantileSql,
     "q_stream_hourly"    -> qStreamHourlySql,
+    "q_stream_sliding"   -> Events.qEvSlidingSql,
+    "q_stream_sample"    -> qStreamSampleSql,
+    "q_stream_dedup"     -> qStreamDedupSql,
     "q_stream_sessions"  -> qStreamSessionsSql,
     "q_stream_decontam"  -> Dedup.qDecontaminateSql,
     "q_stream_pii"       -> TrainingData.qPiiScrubSql,

@@ -41,14 +41,18 @@ object StreamingEtl {
   /** SLIDING (hopping) windowed counts — window(ts, len, slide) emits one
     * row per overlapping window (len/slide windows per event); watermark
     * bounds state exactly as for tumbling windows. The streaming twin of
-    * queries.Events.qEvSliding (StreamingSpec: stream == batch). */
+    * queries.Events.qEvSliding (StreamingSpec: stream == batch; gated as
+    * q_stream_sliding sharing that oracle — total_value_c uses the same
+    * integer-cents convention so no float reaches the gate hash). */
   def slidingCounts(events: DataFrame, windowLen: String = "2 hours",
                     slide: String = "1 hour", lateness: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", lateness)
       .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("total_value_c"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value_c"))
 
   /** Streaming hash-deterministic sampling: the batch training-mix
     * operator (queries.TrainingData.qSampleStratified) is stateless
@@ -418,7 +422,17 @@ object StreamingEtl {
   /** Custom streaming state via mapGroupsWithState: per-user running
     * (event count, value total), emitted each micro-batch in update mode.
     * The arbitrary-state escape hatch for aggregations the built-in
-    * windowed operators can't express. */
+    * windowed operators can't express.
+    *
+    * SPEC-ONLY (deliberately not oracle-gated): the operator's contract
+    * is its PER-BATCH emission trace — update mode appends one row per
+    * touched user per micro-batch, so the result RELATION depends on
+    * micro-batch boundaries, and the running total accumulates IEEE
+    * floats in arrival order. Both are the semantics a running-total
+    * monitor wants, and neither is a deterministic cross-engine relation
+    * a DuckDB oracle can hash. StreamingSpec pins the final state
+    * against the batch aggregate instead; the ORACLE-shaped custom-state
+    * operators are the gated q_stream_fmgws / q_stream_pack. */
   final case class RunningTotal(n: Long, total: Double)
   final case class PackState(running: Long)
   final case class PackedDoc(source: String, docId: Long, tokEst: Long, bin: Long)
