@@ -106,6 +106,24 @@ object Bench {
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** Loadavg GUARD (round-10, verdict item 6): the decode probe is the
+    * measurement most exposed to external box load (r9 repeats spanned
+    * 804k–1.54M rec/s across runs on an otherwise unchanged engine), so
+    * before the decode sweeps we WAIT — bounded — for the 1-minute load
+    * to fall below `threshold` rather than measuring into the noise and
+    * hoping the trimmed median saves it. Returns the load actually
+    * observed when measurement began (rides the artifact's loadavg
+    * array), so a guarded-but-still-busy run stays self-identifying. */
+  private def awaitQuietBox(maxWaitSec: Int, threshold: Double): Double = {
+    val deadline = System.nanoTime() + maxWaitSec * 1000000000L
+    var l = loadavg1m()
+    while (l > threshold && System.nanoTime() < deadline) {
+      Thread.sleep(5000)
+      l = loadavg1m()
+    }
+    l
+  }
+
   /** Cumulative process CPU seconds (all threads); -1 if unsupported. */
   private def processCpuSec(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
@@ -144,23 +162,32 @@ object Bench {
     def decodeOnce(n: Int = 500000): Double =
       try DecodeBench.measure(spark, n)._2 catch { case _: Throwable => 0.0 }
     var decodeResweeps = 0
-    def guardDecode(runs: Seq[Double], n: Int): Seq[Double] = {
+    def guardDecode(runs0: Seq[Double], n: Int): Seq[Double] = {
       // >3x spread across repeats = a contended measurement, not the
-      // engine; one replacement of the worst run, flagged in the artifact.
-      // The replacement targets the slowest SUCCESSFUL run (ok.min) — a
-      // failed 0.0 run is not the contended one the spread check fired on.
-      val ok = runs.filter(_ > 0)
-      if (ok.isEmpty || ok.max <= 3 * ok.min) runs
-      else {
-        decodeResweeps += 1
-        runs.updated(runs.indexOf(ok.min), decodeOnce(n))
+      // engine; replace the slowest SUCCESSFUL run (ok.min — a failed 0.0
+      // run is not the contended one the spread check fired on), up to
+      // twice (round-10: one replacement left r9's spread standing when
+      // two runs of seven were contended), flagged in the artifact.
+      var runs = runs0
+      var tries = 0
+      while (tries < 2 && {
+        val ok = runs.filter(_ > 0); ok.nonEmpty && ok.max > 3 * ok.min
+      }) {
+        decodeResweeps += 1; tries += 1
+        val ok = runs.filter(_ > 0)
+        runs = runs.updated(runs.indexOf(ok.min), decodeOnce(n))
       }
+      runs
     }
-    // 5 runs each, reported as the trimmed median (drop best + worst,
-    // median of the middle 3): BENCH_r04's decode92_runs spread 4.3x
-    // inside one artifact while the >3x guard only catches outright
-    // failures — a stat robust to one outlier beats a wider guard.
-    val DecodeRuns = 5
+    // loadavg guard before any decode measurement (see awaitQuietBox):
+    // wait up to 90 s for the box to quiet below half the core budget
+    val loadAtDecode = awaitQuietBox(90, cpus.toDouble / 2)
+    // 7 runs each (round-10, was 5), reported as the trimmed median (drop
+    // best + worst, median of the middle 5): BENCH_r04's decode92_runs
+    // spread 4.3x inside one artifact while the >3x guard only catches
+    // outright failures — a stat robust to outliers beats a wider guard,
+    // and at ~2-4 s per corpus-warm run the extra sweeps are cheap.
+    val DecodeRuns = 7
     val decodeRuns = guardDecode((1 to DecodeRuns).map(_ => decodeOnce()), 500000)
     // second corpus scale: 4x the records — shows the number is not a
     // small-corpus cache artifact
@@ -236,11 +263,16 @@ object Bench {
       (loadStart > 0 && loadStart > cpus.toDouble)
     val line = renderLine(names, perP50, perP90, env, sfDir, total, decodeRate,
       decodeRuns, decode2mRuns, totalsPerRun, resweeps, decodeResweeps,
-      loadavg = Seq(loadStart, loadEnd), cpuPerRun = cpuPerRun,
+      loadavg = Seq(loadStart, loadAtDecode, loadEnd), cpuPerRun = cpuPerRun,
       contended = contended)
     // Belt and braces: the full line also lands in the repo, immune to any
-    // stdout tail capture.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+    // stdout tail capture. SPARK_GRAFT_BENCH_OUT names the file so a
+    // round's full artifact can be COMMITTED as BENCH_LOCAL_r{N}.json
+    // (round-9 verdict item 5: the driver's 2000-char tail amputates the
+    // per-query map, and the default BENCH_LOCAL.json gets overwritten —
+    // cross-round per-query regression diffs need a kept copy per round).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(line)
