@@ -20,6 +20,8 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_dedup_embed_incr", // same √n-centroid broadcast cross join (history-trained cells)
     "q_dedup_embed_keep", // composes q_dedup_embed_ivf (its listed √n-centroid cross join)
     "q_ivf_balance",      // same √n-centroid cross join + 1-row totals broadcast
+    "q_ivf_recall",       // bounded-slice (≤ EmbedExactCap²) exact anchor join + the IVF pipeline's listed cross joins
+    "q_ivf_refresh",      // 1x1 cross of two agg rows + composes q_ivf_balance's listed cross joins
     "q_ann_ivf",       // crossJoin(broadcast(centroids)) — bounded build side
     "q_ann_kmeans",    // same centroid cross joins inside Lloyd rounds
     "q_kmeans_round",  // integer Lloyd round: crossJoin(broadcast(centroids))
