@@ -96,6 +96,41 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(keys.count(_ == "null-row") == 1)
   }
 
+  test("epoch-guard upsert isolates writers: per-writer epochs and stages, per-writer replay guard") {
+    // Round-10 hardening (round-9 ADVICE): two logical streams writing
+    // the same (url, table) used to share one _STAGE table and key
+    // epochs on batchId alone — writer B's batch 0 would be silently
+    // skipped because writer A had already committed ITS batch 0, and a
+    // concurrent stage write would be cross-overwritten. Now writer
+    // identity enters the epoch key and the stage name.
+    val df = records("2507").drop("competencia")
+    val t = "EO_TWO_WRITERS"
+    // same batchId from two distinct writers: BOTH must land
+    Sinks.jdbcUpsertBatch(df, 0L, url, t, textType = "VARCHAR(4096)",
+      writerId = "writer-A")
+    Sinks.jdbcUpsertBatch(df, 0L, url, t, textType = "VARCHAR(4096)",
+      writerId = "writer-B")
+    assert(Sinks.readJdbc(spark, url, t).count() == 200,
+      "second writer's batch 0 was skipped by the first writer's epoch")
+    // replay of the SAME (batch, writer) must still be guarded
+    Sinks.jdbcUpsertBatch(df, 0L, url, t, textType = "VARCHAR(4096)",
+      writerId = "writer-A")
+    assert(Sinks.readJdbc(spark, url, t).count() == 200,
+      "replayed (batch 0, writer-A) double-inserted")
+    // epoch bookkeeping: one row per (batch, writer)
+    val epochs = Sinks.readJdbc(spark, url, s"${t}_EPOCHS")
+    assert(epochs.count() == 2)
+    assert(epochs.select("WRITER_ID").distinct().count() == 2)
+    // stages are per-writer tables (distinct names, both present)
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c.getMetaData.getTables(null, null, s"${t}_STAGE%", null)
+      val stages = Iterator.continually(rs)
+        .takeWhile(_.next()).map(_.getString("TABLE_NAME")).toSet
+      assert(stages.size == 2, s"expected two per-writer stages, got $stages")
+    } finally c.close()
+  }
+
   test("missing-relation detection matches exact SQLStates, not class 42") {
     def sql(state: String) = new java.sql.SQLException("boom", state)
     // true missing-relation states, directly and nested in a cause chain

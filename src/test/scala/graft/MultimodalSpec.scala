@@ -146,6 +146,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(c.luma(0) == ((rgb(0) & 0xFF) + (rgb(1) & 0xFF) + (rgb(2) & 0xFF)) / 3)
   }
 
+  test("PNG codec: randomized round-trip over arbitrary dims, color types, filter plans") {
+    // seeded-random shapes the gate fixtures never produce: 1-pixel rows
+    // and columns (left/up predictors degenerate), odd strides, random
+    // per-row filter mixes — any predictor bug cascades through the row
+    // and breaks exact pixel equality
+    val rnd = new scala.util.Random(1234)
+    (1 to 60).foreach { i =>
+      val w = rnd.nextInt(24) + 1
+      val h = rnd.nextInt(24) + 1
+      val ct = if (rnd.nextBoolean()) 0 else 2
+      val ch = if (ct == 0) 1 else 3
+      val raster = Array.fill(w * h * ch)(rnd.nextInt(256).toByte)
+      val filters = Array.fill(h)(rnd.nextInt(5))
+      val img = MediaFunctions.decodePng(
+        MediaFunctions.encodePng(w, h, ct, raster, y => filters(y)))
+      assert((img.width, img.height, img.colorType) == (w, h, ct), s"iter $i dims")
+      assert(img.pixels.sameElements(raster),
+        s"iter $i pixels (w=$w h=$h ct=$ct filters=${filters.toSeq})")
+    }
+  }
+
   test("PNG parser: malformed input rejected, ancillary chunks tolerated") {
     val gray = Array.tabulate(4)(i => (i * 50).toByte)
     val ok = MediaFunctions.encodePng(2, 2, 0, gray)
