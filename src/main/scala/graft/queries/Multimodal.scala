@@ -305,8 +305,91 @@ object Multimodal {
       |  mean_luma, ah_lo, ah_hi, n_distinct_luma
       |FROM bits b JOIN mn USING (doc_id)""".stripMargin
 
+  /** CODEC-FED perceptual near-dup (round 10) — [[qMmPhash]] run on
+    * DECODED pixels instead of raw payload bytes: every document as an
+    * 8x8 grayscale PNG (the same per-row-filtered encoding as
+    * [[qMmPng]]'s even half) decodes through the full PNG path, the
+    * 64 luma values fold into a 64-bit aHash (as lo/hi 32-bit halves —
+    * bit 63 as a BIGINT power overflows DuckDB's checked arithmetic),
+    * and near-dups come from the lossless 4x16-bit band pigeonhole
+    * (hamming <= 3 ⇒ at least one intact 16-bit band) with the exact
+    * bit_count verify only on band-collided candidates. Injected
+    * duplicate documents share their md5 luma stream, so they land at
+    * hamming 0 through the codec (8 pairs at sf0.1; sf0.01 carries no
+    * exact-dup pair and 64-bit chance collisions at hamming <= 3 are
+    * ~2e-9/pair, so its gate row count is legitimately 0 — same
+    * convention as q_dedup_embed_incr, non-vacuous at sf0.1; unlike
+    * the 16-bit q_mm_phash, whose sf0.01 matches are chance
+    * collisions — exactly why this gate carries 64 bits). The oracle
+    * is the brute all-pairs form over md5 arithmetic (it never sees
+    * PNG bytes): engine==oracle proves decode + hash + banding end to
+    * end. Scale shape: band join candidates are bounded by 16-bit
+    * bucket collisions (sub-quadratic), verify is per-candidate. */
+  def qMmPngDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = Tables.documents(s, dir)
+      .select($"doc_id",
+        unhex(concat((0 until 4).map(j => md5(concat($"text", lit(j.toString)))): _*)).as("stream"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, luma) =>
+        val img = MediaFunctions.decodePng(
+          MediaFunctions.encodePng(8, 8, 0, luma, y => ((id + y) % 5).toInt))
+        val n = img.width * img.height
+        val lum = Array.tabulate(n)(img.luma)
+        var sum = 0L
+        var i = 0
+        while (i < n) { sum += lum(i); i += 1 }
+        val mean = sum / n
+        var lo = 0L
+        var hi = 0L
+        i = 0
+        while (i < n) {
+          if (lum(i) >= mean) {
+            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+          }
+          i += 1
+        }
+        (id, lo, hi)
+      }
+      .toDF("doc_id", "lo", "hi")
+    val bands = hashes.select($"doc_id", $"lo", $"hi",
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          (if (b < 2) shiftright($"lo", 16 * b)
+           else shiftright($"hi", 16 * (b - 2))).mod(65536).as("chunk"))): _*)).as("bn"))
+      .select($"doc_id", $"lo", $"hi",
+        $"bn.band".as("band"), $"bn.chunk".as("chunk"))
+    bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.chunk" === $"y.chunk" &&
+        $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+        $"x.lo".as("lo_a"), $"x.hi".as("hi_a"),
+        $"y.lo".as("lo_b"), $"y.hi".as("hi_b"))
+      .distinct()
+      .withColumn("hamming",
+        expr("CAST(bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b) AS LONG)"))
+      .filter($"hamming" <= 3)
+      .select($"doc_a", $"doc_b", $"hamming")
+  }
+
+  val qMmPngDedupSql: String =
+    """WITH px AS (
+      |  SELECT doc_id, i,
+      |    ('0x' || substr(md5(text || CAST(i // 16 AS VARCHAR)), 2 * (i % 16) + 1, 2))::BIGINT AS lum
+      |  FROM documents, range(0, 64) r(i)),
+      |mn AS (SELECT doc_id, CAST(sum(lum) // 64 AS BIGINT) AS mean_luma FROM px GROUP BY 1),
+      |h AS (
+      |  SELECT px.doc_id,
+      |    CAST(sum(CASE WHEN lum >= mean_luma AND i < 32 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS lo,
+      |    CAST(sum(CASE WHEN lum >= mean_luma AND i >= 32 THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS hi
+      |  FROM px JOIN mn USING (doc_id) GROUP BY 1)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+      |FROM h a JOIN h b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_png"        -> (qMmPng _),
+    "q_mm_png_dedup"  -> (qMmPngDedup _),
     "q_mm_pixels"     -> (qMmPixels _),
     "q_mm_phash"      -> (qMmPhash _),
     "q_mm_decode"     -> (qMmDecode _),
@@ -316,6 +399,7 @@ object Multimodal {
 
   def oracles: Map[String, String] = Map(
     "q_mm_png"        -> qMmPngSql,
+    "q_mm_png_dedup"  -> qMmPngDedupSql,
     "q_mm_pixels"     -> qMmPixelsSql,
     "q_mm_phash"      -> qMmPhashSql,
     "q_mm_decode"     -> qMmDecodeSql,
