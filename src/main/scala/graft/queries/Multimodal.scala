@@ -240,11 +240,20 @@ object Multimodal {
     * filters exactly. Dims + color type reach the output from the
     * PARSED HEADER, per the gate convention that distinguishes codec
     * gates from byte-path gates. */
-  def qMmPng(s: SparkSession, dir: String): DataFrame = {
+  def qMmPng(s: SparkSession, dir: String): DataFrame =
+    pngFeatures(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  /** The PNG encode→decode→feature core over a (doc_id, text) relation —
+    * STATELESS per-row, so the SAME code runs on a bounded batch
+    * ([[qMmPng]]) and on an unbounded document stream (the
+    * q_stream_png gate: decode-at-ingest, the arrival-time form of a
+    * multimodal feature-extraction pipeline). */
+  private[queries] def pngFeatures(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables.documents(s, dir)
-      .select($"doc_id",
-        unhex(concat((0 until 4).map(j => md5(concat($"text", lit(j.toString)))): _*)).as("stream"))
+    docs
+      .select(col("doc_id"),
+        unhex(concat((0 until 4).map(j => md5(concat(col("text"), lit(j.toString)))): _*)).as("stream"))
       .as[(Long, Array[Byte])]
       .map { case (id, stream) =>
         val (w, h, ct, raster) =

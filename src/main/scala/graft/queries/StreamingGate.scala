@@ -338,6 +338,21 @@ object StreamingGate {
   val qStreamDedupSql: String =
     "SELECT DISTINCT user_id, event_type FROM events"
 
+  /** MULTIMODAL DECODE AT INGEST, gated — the PNG encode→decode→feature
+    * core ([[Multimodal.pngFeatures]]: full codec path, all five
+    * scanline filters on the hash path, parsed-header dims in the
+    * output) run STATELESS on a document stream in append mode: every
+    * arriving row decodes once and emits once, the arrival-time form
+    * of a multimodal feature-extraction pipeline (no state, no
+    * shuffle — pure per-row compute that scales with executor count).
+    * Shares q_mm_png's oracle verbatim. */
+  def qStreamPng(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    runGate(Multimodal.pngFeatures(
+      parquetStream(s, dir, "documents").select(col("doc_id"), col("text"))),
+      "png", "append")
+  }
+
   /** STREAMING SKETCH MAINTENANCE, gated — the histogram-quantile
     * sketch ([[Events.qHistQuantile]]) kept up to date ON the stream:
     * per-bin counts as a streaming aggregation whose state is exactly
@@ -624,6 +639,7 @@ object StreamingGate {
     "q_stream_sliding"   -> (qStreamSliding _),
     "q_stream_sample"    -> (qStreamSample _),
     "q_stream_dedup"     -> (qStreamDedup _),
+    "q_stream_png"       -> (qStreamPng _),
     "q_stream_sessions"  -> (qStreamSessions _),
     "q_stream_decontam"  -> (qStreamDecontam _),
     "q_stream_pii"       -> (qStreamPii _),
@@ -651,6 +667,7 @@ object StreamingGate {
     "q_stream_sliding"   -> Events.qEvSlidingSql,
     "q_stream_sample"    -> qStreamSampleSql,
     "q_stream_dedup"     -> qStreamDedupSql,
+    "q_stream_png"       -> Multimodal.qMmPngSql,
     "q_stream_sessions"  -> qStreamSessionsSql,
     "q_stream_decontam"  -> Dedup.qDecontaminateSql,
     "q_stream_pii"       -> TrainingData.qPiiScrubSql,
