@@ -754,16 +754,20 @@ object TrainingData {
 
   /** The END-TO-END curation pipeline as ONE query — the funnel a corpus
     * actually runs: quality gate (the C4-flavored composite rules) →
-    * near-dup removal (keep each cluster's canonical doc) → deterministic
+    * near-dup removal (keep each cluster's canonical doc) →
+    * eval-set DECONTAMINATION (round 10: the majority-shingle-overlap
+    * removal flag of q_decontaminate, completing the canonical
+    * quality→dedup→decontam→sample→pack stage order) → deterministic
     * 50% hash sample → context-window packing manifest. Output is the
     * per-source assembly report (counts surviving each stage, token
     * volume, bin count) — the corpus manifest a training run consumes.
     * Every stage is a per-row flag over ONE pass of the documents table
-    * (the near-dup removal set joins in from the memoized cluster
-    * assignment), so the funnel costs one scan + one source-keyed
-    * aggregate beyond the shared pair-graph pipeline. Oracle composes
-    * the cluster-closure SQL in a derived table (DuckDB allows WITH
-    * RECURSIVE there) with the same per-doc flags. */
+    * (the near-dup removal set and the contaminated set join in from
+    * the already-memoized/gated relations), so the funnel costs one
+    * scan + one source-keyed aggregate beyond the shared pipelines.
+    * Oracle composes the cluster-closure SQL and the decontamination
+    * SQL in derived tables (DuckDB allows WITH RECURSIVE there) with
+    * the same per-doc flags. */
   def qPipelineCurate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val m = qualityMetrics(s, dir)
@@ -771,13 +775,19 @@ object TrainingData {
       .withColumn("bucket", graft.functions.Hashing.bucket("doc_id", 100))
     val removed = graft.queries.Dedup.qDedupKeep(s, dir)
       .select($"removed_doc".as("doc_id"), lit(1L).as("rm"))
+    val cont = graft.queries.Dedup.qDecontaminate(s, dir)
+      .filter($"contaminated" === 1L)
+      .select($"doc_id", lit(1L).as("ct"))
     m.join(removed, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
       .withColumn("kept_dedup", $"q_pass" && $"rm".isNull)
-      .withColumn("sampled", $"kept_dedup" && $"bucket" < 50)
+      .withColumn("kept_clean", $"kept_dedup" && $"ct".isNull)
+      .withColumn("sampled", $"kept_clean" && $"bucket" < 50)
       .groupBy($"source")
       .agg(count(lit(1)).as("n_input"),
            sum($"q_pass".cast("long")).as("n_quality"),
            sum($"kept_dedup".cast("long")).as("n_dedup"),
+           sum($"kept_clean".cast("long")).as("n_decontam"),
            sum($"sampled".cast("long")).as("n_sampled"),
            coalesce(sum(when($"sampled", $"tok_est")), lit(0L)).as("tok_total"))
       .withColumn("n_bins", expr("(tok_total + 8191L) DIV 8192"))
@@ -788,20 +798,26 @@ object TrainingData {
        |  SELECT doc_id FROM (
        |    SELECT * FROM (${graft.queries.Dedup.qDedupClusterSql}) cc) c
        |  WHERE doc_id <> cluster),
+       |ct AS (
+       |  SELECT doc_id FROM (${graft.queries.Dedup.qDecontaminateSql}) dc
+       |  WHERE contaminated = 1),
        |$qualityMetricsCte,
        |f AS (
        |  SELECT mq.*, n_chars // 4 + 1 AS tok_est,
        |    ${h60Duck("mq.doc_id")} % 100 AS bucket,
-       |    rm.doc_id IS NOT NULL AS is_removed
-       |  FROM mq LEFT JOIN rm ON mq.doc_id = rm.doc_id),
+       |    rm.doc_id IS NOT NULL AS is_removed,
+       |    ct.doc_id IS NOT NULL AS is_cont
+       |  FROM mq LEFT JOIN rm ON mq.doc_id = rm.doc_id
+       |           LEFT JOIN ct ON mq.doc_id = ct.doc_id),
        |g AS (
        |  SELECT source, count(*) AS n_input,
        |    CAST(sum(CASE WHEN q_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
        |    CAST(sum(CASE WHEN q_pass AND NOT is_removed THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
-       |    CAST(sum(CASE WHEN q_pass AND NOT is_removed AND bucket < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-       |    CAST(coalesce(sum(CASE WHEN q_pass AND NOT is_removed AND bucket < 50 THEN tok_est END), 0) AS BIGINT) AS tok_total
+       |    CAST(sum(CASE WHEN q_pass AND NOT is_removed AND NOT is_cont THEN 1 ELSE 0 END) AS BIGINT) AS n_decontam,
+       |    CAST(sum(CASE WHEN q_pass AND NOT is_removed AND NOT is_cont AND bucket < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       |    CAST(coalesce(sum(CASE WHEN q_pass AND NOT is_removed AND NOT is_cont AND bucket < 50 THEN tok_est END), 0) AS BIGINT) AS tok_total
        |  FROM f GROUP BY source)
-       |SELECT source, n_input, n_quality, n_dedup, n_sampled, tok_total,
+       |SELECT source, n_input, n_quality, n_dedup, n_decontam, n_sampled, tok_total,
        |  (tok_total + 8191) // 8192 AS n_bins
        |FROM g""".stripMargin
 
