@@ -169,12 +169,18 @@ object ScaleUpBench {
         // Cost/recall economics of the IVF probe-width knob, measured:
         // per width, the deduplicated candidate volume (the quantity that
         // enters the verify join), the verified output pairs, the recall
-        // vs the bounded exact slice (qIvfRecall's denominator), and the
-        // end-to-end wall of the pair pipeline (1 warm-up + 3 runs, p50).
-        // One JSON line per width — NOTES_r10 records the table.
+        // vs the bounded exact slice (qIvfRecall's denominator), and TWO
+        // walls (round-10 ADVICE: the memoized front hid the component
+        // whose cost actually grows with nprobe): `cold_ms` is the first
+        // run — quantizer training + probe materialization + pair join —
+        // and `wall_ms` is the p50 of 3 warm runs, covering only the
+        // pair join + verify stage against the memoized front. One JSON
+        // line per width — NOTES records the table.
         widths.split(",").map(_.trim.toInt).foreach { np =>
           import graft.queries.Dedup
-          Dedup.qDedupEmbedIvf(s, dir, np).count() // warm-up: memo + probes
+          val t0c = System.nanoTime()
+          Dedup.qDedupEmbedIvf(s, dir, np).count() // cold: trains + probes + joins
+          val coldMs = (System.nanoTime() - t0c) / 1e6
           val cand = Dedup.ivfCandidates(s, dir, np).count()
           val times = (1 to 3).map { _ =>
             val t0 = System.nanoTime()
@@ -185,7 +191,7 @@ object ScaleUpBench {
           val rec = Dedup.ivfRecallOf(s, dir, Dedup.qDedupEmbedIvf(s, dir, np))
             .collect()(0)
           println(f"""{"nprobe":$np,"cand_pairs":$cand,"out_pairs":$out,""" +
-            f""""wall_ms":${times.sorted.apply(1)}%.0f,""" +
+            f""""cold_ms":$coldMs%.0f,"wall_ms":${times.sorted.apply(1)}%.0f,""" +
             f""""n_exact":${rec.getLong(0)},"n_hit":${rec.getLong(1)},""" +
             f""""recall_ppm":${rec.getLong(2)}}""")
         }

@@ -251,6 +251,11 @@ object MediaFunctions {
                 rowFilter: Int => Int = _ => 0): Array[Byte] = {
     require(colorType == 0 || colorType == 2, s"unsupported color type $colorType")
     val ch = if (colorType == 0) 1 else 3
+    // same Long-arithmetic guard as decodePng: a wrapped Int product
+    // could coincidentally equal raster.length and corrupt the filter pass
+    require(width > 0 && height > 0 &&
+      width.toLong * ch * height + height <= Int.MaxValue,
+      s"bad dimensions ${width}x$height ct=$colorType")
     require(raster.length == width * height * ch,
       s"raster length ${raster.length} != $width x $height x $ch")
     val stride = width * ch
@@ -359,6 +364,12 @@ object MediaFunctions {
     require(sawIhdr, "missing IHDR")
     require(idat.size() > 0, "missing IDAT")
     val ch = if (colorType == 0) 1 else 3
+    // header dims are attacker-controlled 31-bit values: validate the
+    // buffer sizes in Long BEFORE any Int multiply, or e.g. width near
+    // 2^30 with RGB wraps (stride+1)*height into a negative or
+    // wrapped-small allocation with bogus reported dims
+    require(width.toLong * ch * height + height <= Int.MaxValue,
+      s"raster too large: ${width}x$height ct=$colorType")
     val stride = width * ch
     val filtered = new Array[Byte]((stride + 1) * height)
     val inflater = new java.util.zip.Inflater()
@@ -367,7 +378,12 @@ object MediaFunctions {
     try {
       while (got < filtered.length && !inflater.finished()) {
         val n = inflater.inflate(filtered, got, filtered.length - got)
-        require(n > 0 || !inflater.needsInput, "truncated IDAT stream")
+        // ANY zero-progress non-finished state fails closed: needsInput
+        // = truncated stream; needsDictionary (zlib FDICT, which PNG
+        // forbids, spec §10.1) would otherwise spin this loop forever
+        require(n > 0 || inflater.finished(),
+          if (inflater.needsDictionary) "preset dictionary (FDICT) set — forbidden in PNG"
+          else "truncated IDAT stream")
         got += n
       }
       require(got == filtered.length, s"short inflate: $got of ${filtered.length}")

@@ -152,7 +152,17 @@ object Sinks {
     * other's batches via a shared batchId nor cross-overwrite a shared
     * stage. Duplicate TARGET rows from two writers are still possible
     * (that is the documented contract violation), but each writer's own
-    * exactly-once guarantee now holds independently. Target and
+    * exactly-once guarantee now holds independently. Writer identity is
+    * keyed by a COLLISION-RESISTANT digest (MD5 hex of `writerId`, the
+    * [[graft.queries.Memo.persistedBucketedTable]] naming pattern) in
+    * BOTH the epoch row and the stage-table suffix: the previous 31-bit
+    * truncated `String.hashCode` suffix let two distinct checkpoint
+    * paths silently share one stage (birthday bound ~2^16 writers), and
+    * a >512-char path either failed the epoch insert after the target
+    * insert or — on length-truncating databases — conflated distinct
+    * writers in the replay guard. The digest is fixed-width (32 hex
+    * chars), so neither hazard exists regardless of path length. Target
+    * and
     * staging share the all-text DDL of [[writeJdbc]]; `textType` must
     * be a concrete SQL type here (e.g. VARCHAR(4096)) because the
     * driver issues its own CREATE. Proven by StreamingRecoverySpec:
@@ -162,11 +172,16 @@ object Sinks {
                       textType: String = "VARCHAR(4096)",
                       writerId: String = ""): Unit = {
     val epochs = s"${table}_EPOCHS"
-    // stage name must stay a legal unquoted identifier: hash the free-form
-    // writer id into a fixed-width hex suffix rather than embedding it
+    // free-form writer id -> fixed-width collision-resistant key: used
+    // verbatim in the epoch rows and (uppercased prefix, to stay a legal
+    // unquoted identifier) in the stage-table suffix
+    val writerKey =
+      if (writerId.isEmpty) ""
+      else java.security.MessageDigest.getInstance("MD5")
+        .digest(writerId.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val stage =
       if (writerId.isEmpty) s"${table}_STAGE"
-      else f"${table}_STAGE_${writerId.hashCode & 0x7fffffff}%08X"
+      else s"${table}_STAGE_${writerKey.take(16).toUpperCase}"
     def withConn[A](f: java.sql.Connection => A): A = {
       val c = java.sql.DriverManager.getConnection(url, props)
       try f(c) finally c.close()
@@ -176,11 +191,11 @@ object Sinks {
       catch { case e: java.sql.SQLException if isExistingRelation(e) => }
     val alreadyCommitted = withConn { c =>
       ensureTable(c, s"CREATE TABLE $epochs (batch_id BIGINT, " +
-        "writer_id VARCHAR(512) NOT NULL, PRIMARY KEY (batch_id, writer_id))")
+        "writer_id VARCHAR(64) NOT NULL, PRIMARY KEY (batch_id, writer_id))")
       val st = c.prepareStatement(
         s"SELECT 1 FROM $epochs WHERE batch_id = ? AND writer_id = ?")
       try {
-        st.setLong(1, batchId); st.setString(2, writerId)
+        st.setLong(1, batchId); st.setString(2, writerKey)
         val rs = st.executeQuery(); rs.next()
       } finally st.close()
     }
@@ -206,7 +221,7 @@ object Sinks {
         st.executeUpdate(s"INSERT INTO $table ($cols) SELECT $cols FROM $stage")
         val ep = c.prepareStatement(
           s"INSERT INTO $epochs (batch_id, writer_id) VALUES (?, ?)")
-        try { ep.setLong(1, batchId); ep.setString(2, writerId); ep.executeUpdate() }
+        try { ep.setLong(1, batchId); ep.setString(2, writerKey); ep.executeUpdate() }
         finally ep.close()
         c.commit()
       } catch { case e: Throwable => c.rollback(); throw e }

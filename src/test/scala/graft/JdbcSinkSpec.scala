@@ -131,6 +131,38 @@ class JdbcSinkSpec extends AnyFunSuite {
     } finally c.close()
   }
 
+  test("epoch-guard upsert: hashCode-colliding and overlong writer ids stay isolated (round-10 ADVICE)") {
+    // "Aa" and "BB" are the classic String.hashCode collision (both 2112):
+    // the pre-fix 31-bit-truncated stage suffix silently shared one
+    // _STAGE table between them. The MD5-keyed suffix must keep them
+    // apart — same batchId from both, BOTH must land, stages distinct.
+    val df = records("2508").drop("competencia")
+    val t = "EO_COLLIDING_WRITERS"
+    assert("Aa".hashCode == "BB".hashCode, "test premise: hashCode collision")
+    Sinks.jdbcUpsertBatch(df, 0L, url, t, textType = "VARCHAR(4096)", writerId = "Aa")
+    Sinks.jdbcUpsertBatch(df, 0L, url, t, textType = "VARCHAR(4096)", writerId = "BB")
+    assert(Sinks.readJdbc(spark, url, t).count() == 200,
+      "hashCode-colliding writers shared a stage or an epoch key")
+    // a checkpoint path far beyond the old VARCHAR(512) must neither fail
+    // the epoch insert nor conflate with a different long path sharing a
+    // 512-char prefix (the lenient-truncation hazard)
+    val longA = "file:///ckpt/" + ("x" * 600) + "/A"
+    val longB = "file:///ckpt/" + ("x" * 600) + "/B"
+    Sinks.jdbcUpsertBatch(df, 1L, url, t, textType = "VARCHAR(4096)", writerId = longA)
+    Sinks.jdbcUpsertBatch(df, 1L, url, t, textType = "VARCHAR(4096)", writerId = longB)
+    assert(Sinks.readJdbc(spark, url, t).count() == 400,
+      "long writer ids failed or conflated in the epoch key")
+    // replay guard still holds per long writer
+    Sinks.jdbcUpsertBatch(df, 1L, url, t, textType = "VARCHAR(4096)", writerId = longA)
+    assert(Sinks.readJdbc(spark, url, t).count() == 400)
+    // epochs key on the fixed-width digest: 4 rows, every key 32 hex chars
+    val epochs = Sinks.readJdbc(spark, url, s"${t}_EPOCHS")
+    assert(epochs.count() == 4)
+    val keys = epochs.select("WRITER_ID").collect().map(_.getString(0))
+    assert(keys.forall(k => k.length == 32 && k.matches("[0-9a-f]{32}")),
+      s"epoch keys are not fixed-width digests: ${keys.toSeq}")
+  }
+
   test("missing-relation detection matches exact SQLStates, not class 42") {
     def sql(state: String) = new java.sql.SQLException("boom", state)
     // true missing-relation states, directly and nested in a cause chain

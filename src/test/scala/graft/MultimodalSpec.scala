@@ -203,4 +203,123 @@ class MultimodalSpec extends AnyFunSuite {
       chunk("tEXt", "graft test".getBytes("US-ASCII")) ++ ok.drop(ok.length - 12)
     assert(MediaFunctions.decodePng(withText).pixels.sameElements(gray))
   }
+
+  // hand-build a chunk (length + type + data + CRC32 over type+data)
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val tb = typ.getBytes("US-ASCII")
+    val c = new java.util.zip.CRC32(); c.update(tb); c.update(data)
+    java.nio.ByteBuffer.allocate(4).putInt(data.length).array() ++ tb ++ data ++
+      java.nio.ByteBuffer.allocate(4).putInt(c.getValue.toInt).array()
+  }
+  private val pngSig =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+  private def ihdr(w: Int, h: Int, ct: Int): Array[Byte] =
+    pngChunk("IHDR", java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(ct.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array())
+
+  test("PNG parser: FDICT zlib stream rejected, not spun on (round-10 ADVICE)") {
+    // zlib header with the FDICT bit set: CMF=0x78, FLG=0x20 satisfies the
+    // %31 check ((0x7820 % 31) == 0) and PNG forbids preset dictionaries
+    // (spec 10.1). Inflater.inflate returns 0 with needsDictionary set,
+    // which used to spin the inflate loop forever; now it must throw.
+    val fdict = Array(0x78, 0x20, 0, 0, 0, 1, 0xDE, 0xAD).map(_.toByte)
+    val blob = pngSig ++ ihdr(2, 2, 0) ++ pngChunk("IDAT", fdict) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    val e = intercept[IllegalArgumentException](MediaFunctions.decodePng(blob))
+    assert(e.getMessage.contains("FDICT"))
+  }
+
+  test("PNG parser: adversarial IHDR dims fail the Long-arithmetic guard, no overflow") {
+    // width 2^30 RGB: stride*height wraps Int (would have been a negative
+    // or wrapped-small allocation); must throw the checked failure instead
+    val blob = pngSig ++ ihdr(1 << 30, 4, 2) ++
+      pngChunk("IDAT", Array(0x78, 0x9C).map(_.toByte)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    val e = intercept[IllegalArgumentException](MediaFunctions.decodePng(blob))
+    assert(e.getMessage.contains("raster too large"))
+    // encode side refuses the same shapes before touching the raster math
+    assertThrows[IllegalArgumentException](
+      MediaFunctions.encodePng(1 << 30, 4, 2, Array.emptyByteArray))
+  }
+
+  // ---- Independent-oracle cross-validation (round-10 VERDICT #2): the
+  // JDK ships a second, independently-authored PNG implementation
+  // (javax.imageio). Round-trips through OUR encoder+decoder can't catch
+  // a self-consistent spec misread (e.g. a filter subtlety both sides
+  // implement identically wrong); pixel-exact agreement with ImageIO in
+  // BOTH directions can. Zero new dependencies (java.desktop).
+
+  test("PNG cross-validation: encodePng output decodes pixel-exact through javax.imageio") {
+    val rnd = new scala.util.Random(4321)
+    (1 to 20).foreach { i =>
+      val w = rnd.nextInt(24) + 1
+      val h = rnd.nextInt(24) + 1
+      val ct = if (i % 2 == 0) 0 else 2
+      val ch = if (ct == 0) 1 else 3
+      val raster = Array.fill(w * h * ch)(rnd.nextInt(256).toByte)
+      // filter-diverse: every row a random filter, so agreement covers
+      // Sub/Up/Average/Paeth, not just None
+      val filters = Array.fill(h)(rnd.nextInt(5))
+      val bytes = MediaFunctions.encodePng(w, h, ct, raster, y => filters(y))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"iter $i: ImageIO rejected encodePng output")
+      assert(img.getWidth == w && img.getHeight == h, s"iter $i dims")
+      val r = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          if (ct == 0) {
+            assert(r.getSample(x, y, 0) == (raster(y * w + x) & 0xFF),
+              s"iter $i gray ($x,$y) filters=${filters.toSeq}")
+          } else {
+            val base = (y * w + x) * 3
+            assert(r.getSample(x, y, 0) == (raster(base) & 0xFF) &&
+                   r.getSample(x, y, 1) == (raster(base + 1) & 0xFF) &&
+                   r.getSample(x, y, 2) == (raster(base + 2) & 0xFF),
+              s"iter $i rgb ($x,$y) filters=${filters.toSeq}")
+          }
+          x += 1
+        }
+        y += 1
+      }
+    }
+  }
+
+  test("PNG cross-validation: javax.imageio-encoded PNGs decode pixel-exact through decodePng") {
+    val rnd = new scala.util.Random(9876)
+    (1 to 20).foreach { i =>
+      val w = rnd.nextInt(24) + 1
+      val h = rnd.nextInt(24) + 1
+      val ct = if (i % 2 == 0) 0 else 2
+      // build the image through AWT types so the PNG writer (its own
+      // adaptive per-row filter choice) produces the compressed stream
+      val (bi, expected) =
+        if (ct == 0) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val px = Array.fill(w * h)(rnd.nextInt(256))
+          px.zipWithIndex.foreach { case (v, k) =>
+            img.getRaster.setSample(k % w, k / w, 0, v)
+          }
+          (img, px.map(_.toByte))
+        } else {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val px = Array.fill(w * h * 3)(rnd.nextInt(256))
+          (0 until w * h).foreach { k =>
+            img.setRGB(k % w, k / w,
+              (px(3 * k) << 16) | (px(3 * k + 1) << 8) | px(3 * k + 2))
+          }
+          (img, px.map(_.toByte))
+        }
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(bi, "png", baos), s"iter $i: no PNG writer")
+      val dec = MediaFunctions.decodePng(baos.toByteArray)
+      assert(dec.width == w && dec.height == h, s"iter $i dims")
+      assert(dec.colorType == ct, s"iter $i color type " + dec.colorType)
+      assert(dec.pixels.sameElements(expected), s"iter $i pixels (w=$w h=$h ct=$ct)")
+    }
+  }
 }
