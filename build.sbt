@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The 10x plan-flip audit (ScaleAuditSpec) generates a corpus and runs the
+// join-bearing registry at two scales — excluded from the default test run,
+// invoked per-round via `sbt scaleAudit`.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.SlowScaleAudit")
+// exclusion beats inclusion in ScalaTest's Filter, so the alias clears the
+// option for its command session rather than passing -n alongside -l
+addCommandAlias("scaleAudit",
+  ";set Test / testOptions := Seq() ;testOnly graft.ScaleAuditSpec")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

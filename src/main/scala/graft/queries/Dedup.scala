@@ -1916,6 +1916,39 @@ object Dedup {
          |  ON e.vec_a = i.vec_a AND e.vec_b = i.vec_b""".stripMargin
   }
 
+  /** FULL-corpus IVF pair recall (round-10 VERDICT #3) — measurement
+    * harness for ScaleUpBench's `recall` mode, NOT a registry entry: the
+    * denominator is the brute all-pairs cosine join over the ENTIRE
+    * corpus (O(n²) — 2e8 dot products at the 10× audit corpus's 20k
+    * vectors; a measurement one affords on the audit box, never an
+    * operator), the numerator the same memoized gated IVF pair relation
+    * the [[qDedupEmbedIvf]] entry ships. [[qIvfRecall]] gates the
+    * bounded anchor slice under the oracle each round; this puts the
+    * honest full-corpus number (84.8 % at 10× in round 9, previously
+    * NOTES prose only) in SCALEUP_r*.jsonl where a recall regression is
+    * as visible as a plan flip. Same exact-integer verify space as the
+    * gated entry, so divergence is cell geometry, not quantization. */
+  private[graft] def ivfFullRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = Similarity.withDoubles(
+      Tables.embeddings(s, dir).select($"vec_id",
+        transform($"embedding", x => round(x.cast("double") * 1e7).cast("long")).as("vq")),
+      "vq", "vd").select($"vec_id", $"vd")
+    val exact = v.as("a").crossJoin(v.as("b"))
+      .filter($"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        cosine($"a.vd", $"b.vd").as("cs"))
+      .filter($"cs" >= 0.5)
+      .select($"vec_a", $"vec_b")
+    val ivf = ivfPairsCached(s, dir)
+      .select($"vec_a", $"vec_b", lit(1L).as("hit"))
+    exact.join(ivf, Seq("vec_a", "vec_b"), "left")
+      .agg(count(lit(1)).as("n_exact"), count($"hit").as("n_hit"))
+      .select($"n_exact", $"n_hit",
+        expr("CASE WHEN n_exact = 0 THEN 1000000L ELSE (n_hit * 1000000L) DIV n_exact END")
+          .as("recall_ppm"))
+  }
+
   /** Re-index decision thresholds: a source whose snapshot-to-snapshot
     * centroid moved past ~0.1 RMS per quantized coordinate
     * (drift_sq >= 7e11 over 64 dims at the 1e7 fixed-point scale), or a
