@@ -377,7 +377,55 @@ object Etl {
       |       '"total_registros":\s*(\d+)', 1) AS BIGINT) AS extracted
       |FROM orders WHERE o_orderkey % 1000 = 0""".stripMargin
 
+  /** END-TO-END LAKE PIPELINE gated as ONE unit (round-11, VERDICT-r10
+    * #8): the full [[graft.Pipeline.run]] composition — DSv2 dbc decode →
+    * name-derived partition columns → dynamic-partition-overwrite lake
+    * write → partition-discovering read-back → the run-etl.ts load
+    * report — over the fixture corpus, the way a user actually runs the
+    * engine (PipelineSpec covers the orchestration; this puts the
+    * COMPOSED result under the DuckDB oracle). Two relations feed the
+    * hash: the perTable report Pipeline.run itself computes, and a
+    * partition audit RE-READ from the written lake (distinct uf /
+    * competência partition values through disabled type inference — the
+    * zero-padded-competência trap), so decode, partition derivation,
+    * the overwrite write path, and partition-typed read-back all sit
+    * under one gate row. The mean is re-derived as exact integer cents
+    * (the float `round` in the report column is display-only and never
+    * reaches a hash). The lake dir is keyed by (dir-hash, pid):
+    * re-runs dynamic-overwrite the SAME partitions — idempotent re-load
+    * is itself the semantics under test (the reference only detects
+    * duplicates, datasus.service.ts:33). */
+  def qPipelineLake(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = EtlFixtures.ensure(s, dir)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val lakeDir = s"/tmp/graft_lake_gate/${key}_p${ProcessHandle.current().pid()}"
+    val rep = graft.Pipeline.run(s, s"$base/RD*.dbc", lakeDir)
+    val parts = s.read.parquet(lakeDir)
+      .groupBy($"tipo_arquivo".cast("string").as("tabela"))
+      .agg(countDistinct($"uf").as("n_ufs"),
+           countDistinct($"competencia").as("n_competencias"))
+    rep.perTable
+      .select($"tabela".cast("string").as("tabela"),
+        $"total_registros", $"n_arquivos",
+        expr("(total_registros * 100) DIV n_arquivos").as("media_registros_c"),
+        array_join($"competencias_existentes", ",").as("competencias"))
+      .join(parts, "tabela")
+  }
+
+  val qPipelineLakeSql: String =
+    s"""SELECT 'RD' AS tabela,
+       |  CAST(count(*) AS BIGINT) AS total_registros,
+       |  CAST(count(DISTINCT ${EtlFixtures.ufCaseSql}) AS BIGINT) AS n_arquivos,
+       |  (CAST(count(*) AS BIGINT) * 100) // count(DISTINCT ${EtlFixtures.ufCaseSql}) AS media_registros_c,
+       |  '2501' AS competencias,
+       |  CAST(count(DISTINCT ${EtlFixtures.ufCaseSql}) AS BIGINT) AS n_ufs,
+       |  CAST(1 AS BIGINT) AS n_competencias
+       |FROM orders""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_lake" -> (qPipelineLake _),
     "q_etl_scalar"   -> (qEtlScalar _),
     "q_dbc_scan"     -> (qDbcScan _),
     "q_zip_dbc"      -> (qZipDbc _),
@@ -390,6 +438,7 @@ object Etl {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_pipeline_lake" -> qPipelineLakeSql,
     "q_etl_scalar"   -> qEtlScalarSql,
     "q_dbc_scan"     -> qDbcScanSql,
     "q_zip_dbc"      -> qZipDbcSql,

@@ -396,7 +396,90 @@ object Multimodal {
       |FROM h a JOIN h b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""".stripMargin
 
+  /** JPEG-CODEC pixel path (round-11, VERDICT #4 resolved as BUILD):
+    * the decode→luma→feature seam through the third real codec,
+    * baseline-DCT JPEG ([[graft.functions.Jpeg]] — ITU-T T.81 marker
+    * walk, canonical Huffman entropy decode, dequant + IDCT). Each
+    * document's 64-byte md5 stream becomes an 8×8 grid of CONSTANT 8×8
+    * tiles — the exact-decode subset: constant tiles are DC-only blocks
+    * under an all-ones quantization table, recovered bit-exactly by any
+    * conformant decoder, so the oracle predicts decoded pixels
+    * arithmetically without ever seeing JPEG bytes (the general AC /
+    * chroma / Annex-K path is independently ImageIO-cross-validated in
+    * JpegSpec, like the PNG codec). Restart intervals vary per doc
+    * (doc_id % 5; 0 = none), putting DRI/RSTn parsing, predictor reset,
+    * and byte realignment on the hash path for 4/5 of the corpus. Dims
+    * come from the PARSED SOF header; `sum_luma` sums all 4096 decoded
+    * pixels (= 64 × the tile sum only if every pixel of every block
+    * decoded exactly), so one wrong pixel anywhere breaks the gate; the
+    * DC-prediction chain across 64 blocks means one wrong DC diff
+    * shifts every later tile. */
+  def qMmJpeg(s: SparkSession, dir: String): DataFrame =
+    jpegFeatures(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  /** The JPEG encode→decode→feature core over a (doc_id, text) relation —
+    * STATELESS per-row like [[pngFeatures]], so the same code runs on
+    * the bounded batch ([[qMmJpeg]]) and on an unbounded document
+    * stream (the q_stream_jpeg gate: decode-at-ingest). */
+  private[queries] def jpegFeatures(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(col("doc_id"),
+        unhex(concat((0 until 4).map(j => md5(concat(col("text"), lit(j.toString)))): _*)).as("stream"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, stream) =>
+        val img = graft.functions.Jpeg.decodeJpeg(
+          graft.functions.Jpeg.encodeJpegGrayTiled(8, 8, stream,
+            restartInterval = (id % 5).toInt))
+        val n = img.width * img.height
+        var sum = 0L
+        var i = 0
+        while (i < n) { sum += img.luma(i); i += 1 }
+        val mean = sum / n
+        // aHash over the 64 tile values, sampled at each block's corner
+        val tiles = Array.tabulate(64)(b => img.luma((b / 8) * 8 * img.width + (b % 8) * 8))
+        var lo = 0L
+        var hi = 0L
+        i = 0
+        while (i < 64) {
+          if (tiles(i) >= mean) {
+            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+          }
+          i += 1
+        }
+        val distinct = Array.tabulate(n)(img.luma).distinct.length.toLong
+        (id, img.width.toLong, img.height.toLong, mean, sum, lo, hi, distinct)
+      }
+      .toDF("doc_id", "w", "h", "mean_luma", "sum_luma", "ah_lo", "ah_hi",
+        "n_distinct_luma")
+  }
+
+  /** The oracle never touches JPEG bytes: every feature is arithmetic
+    * over the md5 stream — tile value b_i repeats 64× in the raster, so
+    * mean = Σb // 64 (4096-pixel mean collapses exactly), sum_luma =
+    * 64·Σb, distinct-over-pixels = distinct-over-tiles. */
+  val qMmJpegSql: String =
+    """WITH px AS (
+      |  SELECT doc_id, i,
+      |    ('0x' || substr(md5(text || CAST(i // 16 AS VARCHAR)), 2 * (i % 16) + 1, 2))::BIGINT AS lum
+      |  FROM documents, range(0, 64) r(i)),
+      |mn AS (
+      |  SELECT doc_id, CAST(sum(lum) // 64 AS BIGINT) AS mean_luma,
+      |    CAST(64 * sum(lum) AS BIGINT) AS sum_luma
+      |  FROM px GROUP BY 1),
+      |bits AS (
+      |  SELECT px.doc_id,
+      |    CAST(sum(CASE WHEN lum >= mean_luma AND i < 32 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS ah_lo,
+      |    CAST(sum(CASE WHEN lum >= mean_luma AND i >= 32 THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS ah_hi,
+      |    CAST(count(DISTINCT lum) AS BIGINT) AS n_distinct_luma
+      |  FROM px JOIN mn USING (doc_id) GROUP BY 1)
+      |SELECT b.doc_id, 64::BIGINT AS w, 64::BIGINT AS h,
+      |  mean_luma, sum_luma, ah_lo, ah_hi, n_distinct_luma
+      |FROM bits b JOIN mn USING (doc_id)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_jpeg"       -> (qMmJpeg _),
     "q_mm_png"        -> (qMmPng _),
     "q_mm_png_dedup"  -> (qMmPngDedup _),
     "q_mm_pixels"     -> (qMmPixels _),
@@ -407,6 +490,7 @@ object Multimodal {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_mm_jpeg"       -> qMmJpegSql,
     "q_mm_png"        -> qMmPngSql,
     "q_mm_png_dedup"  -> qMmPngDedupSql,
     "q_mm_pixels"     -> qMmPixelsSql,

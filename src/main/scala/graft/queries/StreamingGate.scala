@@ -353,6 +353,18 @@ object StreamingGate {
       "png", "append")
   }
 
+  /** The JPEG twin of [[qStreamPng]] (round-11): the baseline-DCT
+    * encode→decode→feature core ([[Multimodal.jpegFeatures]] — marker
+    * walk, Huffman entropy decode, per-doc restart intervals, IDCT)
+    * stateless on the document stream, append mode. Shares q_mm_jpeg's
+    * oracle verbatim. */
+  def qStreamJpeg(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    runGate(Multimodal.jpegFeatures(
+      parquetStream(s, dir, "documents").select(col("doc_id"), col("text"))),
+      "jpeg", "append")
+  }
+
   /** STREAMING SKETCH MAINTENANCE, gated — the histogram-quantile
     * sketch ([[Events.qHistQuantile]]) kept up to date ON the stream:
     * per-bin counts as a streaming aggregation whose state is exactly
@@ -640,6 +652,7 @@ object StreamingGate {
     "q_stream_sample"    -> (qStreamSample _),
     "q_stream_dedup"     -> (qStreamDedup _),
     "q_stream_png"       -> (qStreamPng _),
+    "q_stream_jpeg"      -> (qStreamJpeg _),
     "q_stream_sessions"  -> (qStreamSessions _),
     "q_stream_decontam"  -> (qStreamDecontam _),
     "q_stream_pii"       -> (qStreamPii _),
@@ -668,6 +681,7 @@ object StreamingGate {
     "q_stream_sample"    -> qStreamSampleSql,
     "q_stream_dedup"     -> qStreamDedupSql,
     "q_stream_png"       -> Multimodal.qMmPngSql,
+    "q_stream_jpeg"      -> Multimodal.qMmJpegSql,
     "q_stream_sessions"  -> qStreamSessionsSql,
     "q_stream_decontam"  -> Dedup.qDecontaminateSql,
     "q_stream_pii"       -> TrainingData.qPiiScrubSql,
