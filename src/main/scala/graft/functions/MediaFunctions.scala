@@ -5,9 +5,11 @@ package graft.functions
   * batch inside tasks (the Scala analog of a Pandas-UDF `mapInPandas`
   * pipeline: iterator-in/iterator-out, amortized per-batch setup).
   *
-  * Two REAL pixel codecs live here with zero dependencies — binary PPM
-  * (P6) and the 8-bit gray/RGB PNG subset (chunk walk + CRC, zlib
-  * inflate, all five scanline filters) — and everything else is a TRUE
+  * Three REAL codecs live here with zero dependencies — binary PPM
+  * (P6), the 8-bit gray/RGB PNG subset (chunk walk + CRC, zlib
+  * inflate, all five scanline filters), and RIFF/WAVE 16-bit PCM audio
+  * (baseline-DCT JPEG is the fourth, in [[graft.functions.Jpeg]]) —
+  * and everything else is a TRUE
   * function of the actual blob bytes, the signals a curation pipeline
   * computes on raw payloads before (or instead of) a codec pass:
   *
@@ -417,5 +419,133 @@ object MediaFunctions {
       y += 1
     }
     PngImage(width, height, colorType, pixels)
+  }
+
+  // ---- Real AUDIO codec: WAV (RIFF PCM, the public Microsoft/IBM
+  // "Multimedia Programming Interface and Data Specifications 1.0"
+  // format) ---- the third modality in the decode seam. Complete for
+  // 16-bit integer PCM: RIFF container walk (little-endian chunk sizes,
+  // WORD alignment — odd-sized chunks carry a pad byte, the part of
+  // RIFF where parser bugs actually live), fmt parse with cross-field
+  // validation (blockAlign and byteRate must agree with
+  // channels x bits), ancillary chunks (LIST/INFO etc.) tolerated and
+  // skipped, checked failures for float/extensible/compressed format
+  // tags, non-16-bit depths, truncated data, and malformed headers.
+  // Same discipline as the image codecs: header-parsed metadata
+  // (sample rate, channel count, frame count) must reach gate outputs
+  // FROM the parse, and a decoder returning garbage corrupts every
+  // downstream feature.
+
+  /** A decoded WAV clip: header-parsed format + interleaved signed
+    * 16-bit samples. */
+  final case class WavClip(sampleRate: Int, channels: Int,
+                           samples: Array[Short]) {
+    def nFrames: Int = samples.length / channels
+  }
+
+  /** Minimal RIFF/WAVE writer for the decoder's supported subset
+    * (PCM 16-bit LE). `ancillary` inserts an odd-length LIST chunk
+    * between fmt and data so the decoder's chunk walk + pad-byte
+    * handling sit on gate hash paths, not just the happy path. */
+  def encodeWavPcm16(sampleRate: Int, channels: Int, samples: Array[Short],
+                     ancillary: Boolean = false): Array[Byte] = {
+    require(sampleRate > 0, s"bad sample rate $sampleRate")
+    require(channels > 0 && channels <= 8, s"bad channel count $channels")
+    require(samples.length % channels == 0,
+      s"${samples.length} samples not a whole number of $channels-channel frames")
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+    val blockAlign = channels * 2
+    val dataLen = samples.length * 2
+    // odd-length JUNK payload (11 bytes) + its mandatory pad byte
+    val junkLen = if (ancillary) 8 + 11 + 1 else 0
+    out.write("RIFF".getBytes("US-ASCII"))
+    le32(4 + 24 + junkLen + 8 + dataLen) // WAVE + fmt + [JUNK+pad] + data
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); le32(16)
+    le16(1)                       // wFormatTag = PCM
+    le16(channels)
+    le32(sampleRate)
+    le32(sampleRate * blockAlign) // nAvgBytesPerSec
+    le16(blockAlign)
+    le16(16)                      // wBitsPerSample
+    if (ancillary) {
+      // standard padding chunk, ODD size: a decoder that forgets RIFF's
+      // WORD alignment reads the pad byte as the next chunk id and fails
+      out.write("JUNK".getBytes("US-ASCII")); le32(11)
+      out.write("graft-audio".getBytes("US-ASCII")) // 11 bytes
+      out.write(0)                                  // pad to WORD boundary
+    }
+    out.write("data".getBytes("US-ASCII")); le32(dataLen)
+    var i = 0
+    while (i < samples.length) { le16(samples(i) & 0xFFFF); i += 1 }
+    out.toByteArray
+  }
+
+  /** Full RIFF/WAVE parse for the supported subset, with the image
+    * codecs' checked-failure discipline: bad magic/form, truncated
+    * chunks, float (3) / extensible (0xFFFE) / compressed format tags,
+    * non-16-bit depth, blockAlign or byteRate disagreeing with the
+    * declared format, data before fmt, and partial frames all throw.
+    * Ancillary chunks are skipped per the spec, INCLUDING the pad byte
+    * after odd-sized chunks (RIFF chunks are WORD-aligned). */
+  def decodeWavPcm16(blob: Array[Byte]): WavClip = {
+    require(blob.length >= 12, "truncated RIFF header")
+    def fourcc(o: Int): String = new String(blob, o, 4, "US-ASCII")
+    def le16(o: Int): Int = (blob(o) & 0xFF) | ((blob(o + 1) & 0xFF) << 8)
+    def le32(o: Int): Long = (le16(o) | (le16(o + 2).toLong << 16)) & 0xFFFFFFFFL
+    require(fourcc(0) == "RIFF", s"not a RIFF file: magic '${fourcc(0)}'")
+    require(fourcc(8) == "WAVE", s"not a WAVE form: '${fourcc(8)}'")
+    var pos = 12
+    var sampleRate = 0; var channels = 0
+    var sawFmt = false
+    var data: Array[Byte] = null
+    while (pos < blob.length && data == null) {
+      require(blob.length - pos >= 8, "truncated chunk header")
+      val id = fourcc(pos)
+      val len = le32(pos + 4)
+      require(len <= Int.MaxValue && blob.length - pos - 8 >= len,
+        s"truncated chunk '$id' (len $len)")
+      id match {
+        case "fmt " =>
+          require(!sawFmt, "duplicate fmt chunk")
+          require(len >= 16, s"fmt chunk too short ($len)")
+          val tag = le16(pos + 8)
+          require(tag != 3, "IEEE-float WAV unsupported (PCM only)")
+          require(tag != 0xFFFE, "WAVE_FORMAT_EXTENSIBLE unsupported")
+          require(tag == 1, s"compressed WAV (format tag $tag) unsupported")
+          channels = le16(pos + 10)
+          require(channels > 0 && channels <= 8, s"bad channel count $channels")
+          sampleRate = le32(pos + 12).toInt
+          require(sampleRate > 0, s"bad sample rate $sampleRate")
+          val byteRate = le32(pos + 16)
+          val blockAlign = le16(pos + 20)
+          val bits = le16(pos + 22)
+          require(bits == 16, s"bit depth $bits unsupported (16-bit PCM only)")
+          require(blockAlign == channels * 2,
+            s"blockAlign $blockAlign != channels x 2")
+          require(byteRate == sampleRate.toLong * blockAlign,
+            s"byteRate $byteRate != sampleRate x blockAlign")
+          sawFmt = true
+        case "data" =>
+          require(sawFmt, "data chunk before fmt")
+          require(data == null, "duplicate data chunk")
+          require(len % (channels * 2) == 0,
+            s"data length $len is a partial frame (blockAlign ${channels * 2})")
+          data = java.util.Arrays.copyOfRange(blob, pos + 8, pos + 8 + len.toInt)
+        case _ => // ancillary chunk (LIST, fact, cue ...): skipped
+      }
+      pos += 8 + len.toInt + (len % 2).toInt // RIFF chunks are WORD-aligned
+    }
+    require(sawFmt, "missing fmt chunk")
+    require(data != null, "missing data chunk")
+    val samples = new Array[Short](data.length / 2)
+    var i = 0
+    while (i < samples.length) {
+      samples(i) = ((data(2 * i) & 0xFF) | (data(2 * i + 1) << 8)).toShort
+      i += 1
+    }
+    WavClip(sampleRate, channels, samples)
   }
 }

@@ -478,7 +478,108 @@ object Multimodal {
       |  mean_luma, sum_luma, ah_lo, ah_hi, n_distinct_luma
       |FROM bits b JOIN mn USING (doc_id)""".stripMargin
 
+  /** AUDIO-CODEC path (round-11): the decode seam's third MODALITY —
+    * each document's 64-byte md5 stream becomes 64 signed 16-bit PCM
+    * samples (s = b·257 − 32768, a bijective byte→full-range map the
+    * oracle reproduces arithmetically), packaged as a REAL RIFF/WAVE
+    * file and decoded through [[MediaFunctions.decodeWavPcm16]] (RIFF
+    * chunk walk with WORD alignment, fmt cross-field validation, data
+    * extraction). Format varies per doc so the HEADER PARSE is on the
+    * hash path: sample rate 8/16/24/32 kHz (doc_id % 4) — duration_us
+    * depends on it; mono/stereo (doc_id % 2) — n_frames and the
+    * per-channel zero-crossing count depend on de-interleaving by the
+    * parsed channel count; every third doc carries an odd-length JUNK
+    * chunk, so pad-byte alignment sits between the encoder and the
+    * hash. Features are the audio-curation signals in exact integers:
+    * peak amplitude, DC sum, energy Σs², per-channel zero crossings
+    * (the classic voiced/unvoiced + silence heuristics). The oracle
+    * never sees WAV bytes; JDK cross-validation
+    * (javax.sound.sampled, an independently-authored RIFF parser)
+    * covers the general path in MultimodalSpec, like ImageIO for
+    * PNG/JPEG. */
+  def qMmWav(s: SparkSession, dir: String): DataFrame =
+    wavFeatures(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  /** The WAV encode→decode→feature core over a (doc_id, text) relation —
+    * STATELESS per-row like [[pngFeatures]]/[[jpegFeatures]], so the
+    * same code runs on the bounded batch ([[qMmWav]]) and on an
+    * unbounded document stream (the q_stream_wav gate:
+    * audio-decode-at-ingest). */
+  private[queries] def wavFeatures(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(col("doc_id"),
+        unhex(concat((0 until 4).map(j => md5(concat(col("text"), lit(j.toString)))): _*)).as("stream"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, stream) =>
+        val samples = stream.map(b => ((b & 0xFF) * 257 - 32768).toShort)
+        val rate = 8000 * (1 + (id % 4).toInt)
+        val ch = 1 + (id % 2).toInt
+        val clip = MediaFunctions.decodeWavPcm16(
+          MediaFunctions.encodeWavPcm16(rate, ch, samples,
+            ancillary = id % 3 == 0))
+        val n = clip.samples.length
+        var peak = 0L; var sumS = 0L; var energy = 0L
+        var i = 0
+        while (i < n) {
+          val v = clip.samples(i).toLong
+          if (math.abs(v) > peak) peak = math.abs(v)
+          sumS += v; energy += v * v
+          i += 1
+        }
+        // zero crossings per channel over consecutive FRAMES — the
+        // de-interleave step that makes the parsed channel count load-bearing
+        var zc = 0L
+        var c = 0
+        while (c < clip.channels) {
+          var j = 1
+          while (j < clip.nFrames) {
+            val prev = clip.samples((j - 1) * clip.channels + c) < 0
+            val cur = clip.samples(j * clip.channels + c) < 0
+            if (prev != cur) zc += 1
+            j += 1
+          }
+          c += 1
+        }
+        (id, clip.sampleRate.toLong, clip.channels.toLong, clip.nFrames.toLong,
+          clip.nFrames.toLong * 1000000L / clip.sampleRate,
+          peak, sumS, energy, zc)
+      }
+      .toDF("doc_id", "sample_rate", "channels", "n_frames", "duration_us",
+        "peak", "sum_s", "energy", "zero_cross")
+  }
+
+  /** The oracle is pure md5 arithmetic — it never touches RIFF bytes:
+    * samples from the byte stream, channel structure from i % ch,
+    * duration from the same integer division both engines floor. */
+  val qMmWavSql: String =
+    """WITH px AS (
+      |  SELECT doc_id, i,
+      |    ('0x' || substr(md5(text || CAST(i // 16 AS VARCHAR)), 2 * (i % 16) + 1, 2))::BIGINT * 257 - 32768 AS s,
+      |    1 + doc_id % 2 AS ch
+      |  FROM documents, range(0, 64) r(i)),
+      |zc AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS zero_cross FROM (
+      |    SELECT doc_id,
+      |      (s < 0) != (lag(s) OVER (PARTITION BY doc_id, i % ch ORDER BY i) < 0) AS flip
+      |    FROM px) WHERE flip GROUP BY doc_id),
+      |agg AS (
+      |  SELECT doc_id, CAST(max(ch) AS BIGINT) AS channels,
+      |    CAST(max(abs(s)) AS BIGINT) AS peak,
+      |    CAST(sum(s) AS BIGINT) AS sum_s,
+      |    CAST(sum(s * s) AS BIGINT) AS energy
+      |  FROM px GROUP BY doc_id)
+      |SELECT a.doc_id,
+      |  CAST(8000 * (1 + a.doc_id % 4) AS BIGINT) AS sample_rate,
+      |  channels, CAST(64 // channels AS BIGINT) AS n_frames,
+      |  CAST((64 // channels) * 1000000 // (8000 * (1 + a.doc_id % 4)) AS BIGINT) AS duration_us,
+      |  peak, sum_s, energy,
+      |  CAST(COALESCE(zero_cross, 0) AS BIGINT) AS zero_cross
+      |FROM agg a LEFT JOIN zc USING (doc_id)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_wav"        -> (qMmWav _),
     "q_mm_jpeg"       -> (qMmJpeg _),
     "q_mm_png"        -> (qMmPng _),
     "q_mm_png_dedup"  -> (qMmPngDedup _),
@@ -490,6 +591,7 @@ object Multimodal {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_mm_wav"        -> qMmWavSql,
     "q_mm_jpeg"       -> qMmJpegSql,
     "q_mm_png"        -> qMmPngSql,
     "q_mm_png_dedup"  -> qMmPngDedupSql,

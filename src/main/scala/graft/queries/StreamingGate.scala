@@ -353,6 +353,18 @@ object StreamingGate {
       "png", "append")
   }
 
+  /** The AUDIO twin of [[qStreamPng]] (round-11): the RIFF/WAVE PCM
+    * encode→decode→feature core ([[Multimodal.wavFeatures]] — chunk
+    * walk, fmt validation, de-interleaved per-channel zero crossings)
+    * stateless on the document stream, append mode — audio decode at
+    * ingest. Shares q_mm_wav's oracle verbatim. */
+  def qStreamWav(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    runGate(Multimodal.wavFeatures(
+      parquetStream(s, dir, "documents").select(col("doc_id"), col("text"))),
+      "wav", "append")
+  }
+
   /** The JPEG twin of [[qStreamPng]] (round-11): the baseline-DCT
     * encode→decode→feature core ([[Multimodal.jpegFeatures]] — marker
     * walk, Huffman entropy decode, per-doc restart intervals, IDCT)
@@ -653,6 +665,7 @@ object StreamingGate {
     "q_stream_dedup"     -> (qStreamDedup _),
     "q_stream_png"       -> (qStreamPng _),
     "q_stream_jpeg"      -> (qStreamJpeg _),
+    "q_stream_wav"       -> (qStreamWav _),
     "q_stream_sessions"  -> (qStreamSessions _),
     "q_stream_decontam"  -> (qStreamDecontam _),
     "q_stream_pii"       -> (qStreamPii _),
@@ -682,6 +695,7 @@ object StreamingGate {
     "q_stream_dedup"     -> qStreamDedupSql,
     "q_stream_png"       -> Multimodal.qMmPngSql,
     "q_stream_jpeg"      -> Multimodal.qMmJpegSql,
+    "q_stream_wav"       -> Multimodal.qMmWavSql,
     "q_stream_sessions"  -> qStreamSessionsSql,
     "q_stream_decontam"  -> Dedup.qDecontaminateSql,
     "q_stream_pii"       -> TrainingData.qPiiScrubSql,

@@ -322,4 +322,108 @@ class MultimodalSpec extends AnyFunSuite {
       assert(dec.pixels.sameElements(expected), s"iter $i pixels (w=$w h=$h ct=$ct)")
     }
   }
+
+  // ---- WAV (RIFF PCM) codec: the audio modality in the decode seam ----
+
+  test("WAV round-trip: format + samples survive encode/decode, ancillary chunk skipped") {
+    val rnd = new scala.util.Random(1357)
+    (1 to 20).foreach { i =>
+      val ch = rnd.nextInt(3) + 1
+      val frames = rnd.nextInt(200) + 1
+      val rate = Seq(8000, 16000, 22050, 44100)(rnd.nextInt(4))
+      val samples = Array.fill(frames * ch)((rnd.nextInt(65536) - 32768).toShort)
+      val bytes = MediaFunctions.encodeWavPcm16(rate, ch, samples,
+        ancillary = i % 2 == 0)
+      val clip = MediaFunctions.decodeWavPcm16(bytes)
+      assert(clip.sampleRate == rate && clip.channels == ch, s"iter $i format")
+      assert(clip.nFrames == frames, s"iter $i frames")
+      assert(clip.samples.sameElements(samples), s"iter $i samples")
+    }
+  }
+
+  test("WAV malformed inputs fail closed with named errors") {
+    val good = MediaFunctions.encodeWavPcm16(16000, 2, Array[Short](1, -2, 3, -4))
+    def mutated(off: Int, v: Int): Array[Byte] = {
+      val b = good.clone(); b(off) = v.toByte; b
+    }
+    def err(blob: Array[Byte]): String =
+      intercept[IllegalArgumentException](
+        MediaFunctions.decodeWavPcm16(blob)).getMessage
+    assert(err(mutated(0, 'X')).contains("not a RIFF"))
+    assert(err(mutated(8, 'X')).contains("not a WAVE"))
+    assert(err(mutated(20, 3)).contains("IEEE-float"))          // format tag 3
+    assert(err(mutated(34, 8)).contains("bit depth 8"))         // bits 16 -> 8
+    assert(err(mutated(32, 5)).contains("blockAlign"))          // 4 -> 5
+    assert(err(mutated(29, 0)).contains("byteRate"))            // 0xFA byte of 64000
+    assert(err(good.take(good.length - 2)).contains("truncated chunk 'data'"))
+    assert(err(good.take(30)).contains("truncated chunk"))      // inside fmt
+    // extensible format tag (0xFFFE little-endian at offset 20)
+    val ext = good.clone(); ext(20) = 0xFE.toByte; ext(21) = 0xFF.toByte
+    assert(err(ext).contains("EXTENSIBLE"))
+    // a data length that is a partial frame (7 bytes with blockAlign 4)
+    val partial = good.clone(); partial(40) = 7
+    assert(err(partial).contains("partial frame"))
+    // no data chunk at all: cut right after fmt
+    assert(err(good.take(36)).contains("missing data"))
+  }
+
+  // ---- Independent-oracle cross-validation, audio edition: the JDK
+  // ships a second, independently-authored RIFF/WAVE implementation
+  // (javax.sound.sampled). Same reasoning as the ImageIO tests: a
+  // self-consistent spec misread in our encoder+decoder pair survives
+  // round-trips, but not agreement with a different author's parser.
+  // Zero new dependencies (java.desktop).
+
+  test("WAV cross-validation: encodeWavPcm16 output parses through javax.sound.sampled") {
+    import javax.sound.sampled.{AudioSystem, AudioFormat}
+    val rnd = new scala.util.Random(8642)
+    (1 to 20).foreach { i =>
+      val ch = rnd.nextInt(2) + 1
+      val frames = rnd.nextInt(100) + 1
+      val rate = Seq(8000, 16000, 32000, 48000)(rnd.nextInt(4))
+      val samples = Array.fill(frames * ch)((rnd.nextInt(65536) - 32768).toShort)
+      val bytes = MediaFunctions.encodeWavPcm16(rate, ch, samples,
+        ancillary = i % 2 == 0)
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = ais.getFormat
+      assert(f.getEncoding == AudioFormat.Encoding.PCM_SIGNED, s"iter $i encoding")
+      assert(f.getSampleRate == rate.toFloat, s"iter $i rate")
+      assert(f.getChannels == ch, s"iter $i channels")
+      assert(f.getSampleSizeInBits == 16 && !f.isBigEndian, s"iter $i depth/endian")
+      assert(ais.getFrameLength == frames, s"iter $i frame count")
+      val pcm = ais.readAllBytes()
+      val expected = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { k =>
+        expected(2 * k) = (samples(k) & 0xFF).toByte
+        expected(2 * k + 1) = ((samples(k) >> 8) & 0xFF).toByte
+      }
+      assert(pcm.sameElements(expected), s"iter $i pcm bytes (anc=${i % 2 == 0})")
+    }
+  }
+
+  test("WAV cross-validation: javax.sound.sampled-written WAVs decode sample-exact") {
+    import javax.sound.sampled.{AudioSystem, AudioFormat, AudioInputStream, AudioFileFormat}
+    val rnd = new scala.util.Random(7531)
+    (1 to 20).foreach { i =>
+      val ch = rnd.nextInt(2) + 1
+      val frames = rnd.nextInt(100) + 1
+      val rate = Seq(8000, 16000, 32000, 48000)(rnd.nextInt(4))
+      val samples = Array.fill(frames * ch)((rnd.nextInt(65536) - 32768).toShort)
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { k =>
+        pcm(2 * k) = (samples(k) & 0xFF).toByte
+        pcm(2 * k + 1) = ((samples(k) >> 8) & 0xFF).toByte
+      }
+      val fmt = new AudioFormat(rate.toFloat, 16, ch, true, false)
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+        AudioFileFormat.Type.WAVE, baos)
+      val clip = MediaFunctions.decodeWavPcm16(baos.toByteArray)
+      assert(clip.sampleRate == rate && clip.channels == ch, s"iter $i format")
+      assert(clip.nFrames == frames, s"iter $i frames")
+      assert(clip.samples.sameElements(samples), s"iter $i samples")
+    }
+  }
 }
