@@ -1,0 +1,287 @@
+package graft.functions
+
+/** VIDEO-container support for the decode seam: a real ISO Base Media
+  * File Format parser (ISO/IEC 14496-12, the public MP4 container
+  * spec), zero dependencies. The brief's "video as an opaque binary
+  * column with typed metadata" becomes literal here: the payload stays
+  * opaque (we do not decode H.264 — that is the clearly-marked stub
+  * tier), but the CONTAINER is parsed for real, the way a 100 TB video
+  * curation pipeline actually touches most of its bytes — box walk,
+  * track metadata, and frame extraction through the sample tables:
+  *
+  *  - box walk: 32-bit size + fourcc, `size == 1` → 64-bit largesize,
+  *    `size == 0` → box extends to end of file (both classic MP4
+  *    parser trip-ups), unknown boxes skipped, truncation fails closed;
+  *  - moov/trak/mdia/minf/stbl recursion; mvhd + mdhd timescales, tkhd
+  *    track dimensions (16.16 fixed point), stts total duration,
+  *    stsz per-sample sizes, stco chunk offset;
+  *  - frame extraction: sample payloads sliced out of mdat at
+  *    stco + Σ stsz offsets, bounds-checked against the mdat extent —
+  *    a wrong size table cannot read another box's bytes.
+  *
+  * The encoder writes the same subset (single video track, one chunk),
+  * so gate queries can round-trip documents through a genuine
+  * container: dims/timescale/duration/frame boundaries reach the
+  * output only via the PARSED sample tables.
+  */
+object Mp4 {
+
+  /** Parsed video metadata + extracted (still-encoded) frame payloads. */
+  final case class Mp4Video(width: Int, height: Int,
+                            timescale: Long, durationTicks: Long,
+                            frames: Array[Array[Byte]]) {
+    def nFrames: Int = frames.length
+  }
+
+  // ---- encoder ----
+
+  /** Minimal ISO BMFF writer for the decoder's subset: ftyp + moov
+    * (mvhd/trak/tkhd/mdia/mdhd/hdlr/minf/stbl) + mdat, one video track,
+    * one chunk, per-frame sizes in stsz, uniform frame duration in
+    * stts. `withFree` inserts a skippable `free` box before mdat;
+    * `largesizeMdat` writes mdat with the size==1 + 64-bit largesize
+    * form — both put the box walk's edge paths under gates, not just
+    * the happy path. */
+  def encodeMp4(width: Int, height: Int, timescale: Long, frameDelta: Long,
+                frames: Array[Array[Byte]], withFree: Boolean = false,
+                largesizeMdat: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0 && width < (1 << 16) && height < (1 << 16),
+      s"bad dimensions ${width}x$height")
+    require(timescale > 0 && frameDelta > 0, "bad timing")
+    require(frames.nonEmpty, "no frames")
+    val out = new java.io.ByteArrayOutputStream()
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    def be32(v: Long): Unit = { be16(((v >> 16) & 0xFFFF).toInt); be16((v & 0xFFFF).toInt) }
+    def be64(v: Long): Unit = { be32(v >>> 32); be32(v & 0xFFFFFFFFL) }
+    def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    /** A box whose payload is built by `body`; size back-patched. */
+    def box(typ: String)(body: => Unit): Unit = {
+      val sizeAt = out.size()
+      be32(0); fourcc(typ)
+      body
+      val bytes = out.toByteArray // back-patch: rebuild prefix is wasteful but
+      val size = bytes.length - sizeAt // files here are tiny and test-grade
+      bytes(sizeAt) = ((size >> 24) & 0xFF).toByte
+      bytes(sizeAt + 1) = ((size >> 16) & 0xFF).toByte
+      bytes(sizeAt + 2) = ((size >> 8) & 0xFF).toByte
+      bytes(sizeAt + 3) = (size & 0xFF).toByte
+      out.reset(); out.write(bytes, 0, bytes.length)
+    }
+    val duration = frameDelta * frames.length
+    box("ftyp") { fourcc("isom"); be32(0x200); fourcc("isom"); fourcc("mp41") }
+    box("moov") {
+      box("mvhd") {
+        be32(0) // version 0 + flags
+        be32(0); be32(0) // creation / modification time
+        be32(timescale); be32(duration)
+        be32(0x00010000L); be16(0x0100); be16(0) // rate, volume, reserved
+        be32(0); be32(0) // reserved
+        Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L).foreach(be32)
+        (0 until 6).foreach(_ => be32(0)) // pre_defined
+        be32(2) // next_track_ID
+      }
+      box("trak") {
+        box("tkhd") {
+          be32(7) // version 0, flags: enabled | in-movie | in-preview
+          be32(0); be32(0); be32(1); be32(0) // times, track_ID, reserved
+          be32(duration)
+          be32(0); be32(0) // reserved
+          be16(0); be16(0); be16(0); be16(0) // layer, alt_group, volume, reserved
+          Seq(0x00010000L, 0, 0, 0, 0x00010000L, 0, 0, 0, 0x40000000L).foreach(be32)
+          be32(width.toLong << 16); be32(height.toLong << 16) // 16.16 fixed
+        }
+        box("mdia") {
+          box("mdhd") {
+            be32(0); be32(0); be32(0)
+            be32(timescale); be32(duration)
+            be16(0x55C4); be16(0) // language "und", pre_defined
+          }
+          box("hdlr") {
+            be32(0); be32(0); fourcc("vide")
+            be32(0); be32(0); be32(0)
+            out.write("graft".getBytes("US-ASCII")); out.write(0)
+          }
+          box("minf") {
+            box("stbl") {
+              box("stsd") {
+                be32(0); be32(1) // one sample entry: an opaque payload format
+                box("gfrm") { (0 until 2).foreach(_ => be32(0)) } // reserved(6)+index(2)
+              }
+              box("stts") { be32(0); be32(1); be32(frames.length.toLong); be32(frameDelta) }
+              box("stsc") { be32(0); be32(1); be32(1); be32(frames.length.toLong); be32(1) }
+              box("stsz") {
+                be32(0); be32(0) // sample_size 0 => per-sample table
+                be32(frames.length.toLong)
+                frames.foreach(f => be32(f.length.toLong))
+              }
+              box("stco") {
+                be32(0); be32(1)
+                // one chunk: mdat payload starts after everything before it;
+                // patched below once the moov size is final
+                be32(0xDEADBEEFL)
+              }
+            }
+          }
+        }
+      }
+    }
+    if (withFree) box("free") { fourcc("pad!"); out.write(0) } // odd payload
+    val mdatHeader = if (largesizeMdat) 16 else 8
+    val mdatPayloadAt = out.size() + mdatHeader
+    // patch the stco chunk offset placeholder now that it is known
+    val assembled = out.toByteArray
+    val ph = Array(0xDE, 0xAD, 0xBE, 0xEF).map(_.toByte)
+    val at = assembled.indices.indexWhere(i => i + 4 <= assembled.length &&
+      assembled(i) == ph(0) && assembled(i + 1) == ph(1) &&
+      assembled(i + 2) == ph(2) && assembled(i + 3) == ph(3))
+    require(at >= 0, "stco placeholder lost")
+    assembled(at) = ((mdatPayloadAt >> 24) & 0xFF).toByte
+    assembled(at + 1) = ((mdatPayloadAt >> 16) & 0xFF).toByte
+    assembled(at + 2) = ((mdatPayloadAt >> 8) & 0xFF).toByte
+    assembled(at + 3) = (mdatPayloadAt & 0xFF).toByte
+    out.reset(); out.write(assembled, 0, assembled.length)
+    val payloadLen = frames.iterator.map(_.length).sum
+    if (largesizeMdat) {
+      be32(1); fourcc("mdat"); be64(mdatHeader.toLong + payloadLen)
+    } else {
+      be32((mdatHeader + payloadLen).toLong); fourcc("mdat")
+    }
+    frames.foreach(f => out.write(f, 0, f.length))
+    out.toByteArray
+  }
+
+  // ---- decoder ----
+
+  /** Full container parse for the supported subset, with the codec
+    * family's checked-failure discipline: truncated boxes, size < 8
+    * without the largesize/to-EOF forms, 64-bit sizes past the buffer,
+    * missing required boxes, non-v0 full boxes, multi-chunk or
+    * multi-entry tables outside the subset, and sample extents escaping
+    * the mdat box all throw. Unknown boxes at any level are skipped
+    * (that is what makes a box format forward-compatible). */
+  def decodeMp4(blob: Array[Byte]): Mp4Video = {
+    def be16(o: Int): Int = ((blob(o) & 0xFF) << 8) | (blob(o + 1) & 0xFF)
+    def be32(o: Int): Long = (be16(o).toLong << 16) | be16(o + 2)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    def fourcc(o: Int): String = new String(blob, o, 4, "US-ASCII")
+
+    /** Walk boxes in [from, to); call visit(type, payloadFrom, payloadTo). */
+    def walk(from: Int, to: Int)(visit: (String, Int, Int) => Unit): Unit = {
+      var pos = from
+      while (pos < to) {
+        require(to - pos >= 8, s"truncated box header at $pos")
+        val size32 = be32(pos)
+        val typ = fourcc(pos + 4)
+        var header = 8
+        val size: Long =
+          if (size32 == 1) { // 64-bit largesize
+            require(to - pos >= 16, s"truncated largesize box '$typ'")
+            header = 16
+            be64(pos + 8)
+          } else if (size32 == 0) (to - pos).toLong // box runs to end
+          else size32
+        require(size >= header, s"box '$typ' size $size < header")
+        require(size <= to - pos, s"box '$typ' size $size overruns container")
+        visit(typ, pos + header, pos + size.toInt)
+        pos += size.toInt
+      }
+    }
+    def fullBoxV0(typ: String, from: Int): Int = {
+      require((blob(from) & 0xFF) == 0, s"$typ version ${blob(from) & 0xFF} unsupported")
+      from + 4 // skip version + flags
+    }
+
+    var width = -1; var height = -1
+    var timescale = -1L; var durationTicks = -1L
+    var sttsTotal = -1L
+    var sizes: Array[Int] = null
+    var chunkOffset = -1L
+    var mdatFrom = -1; var mdatTo = -1
+
+    walk(0, blob.length) {
+      case ("moov", mFrom, mTo) =>
+        walk(mFrom, mTo) {
+          case ("trak", tFrom, tTo) =>
+            walk(tFrom, tTo) {
+              case ("tkhd", from, to) =>
+                val p = fullBoxV0("tkhd", from)
+                // v0 layout: times(8) id(4) res(4) dur(4) res(8)
+                // layer/alt/vol/res(8) matrix(36) then width/height 16.16
+                require(to - p >= 80, "tkhd box truncated")
+                val dimAt = p + 8 + 4 + 4 + 4 + 8 + 8 + 36
+                width = (be32(dimAt) >> 16).toInt
+                height = (be32(dimAt + 4) >> 16).toInt
+              case ("mdia", dFrom, dTo) =>
+                walk(dFrom, dTo) {
+                  case ("mdhd", from, to) =>
+                    val p = fullBoxV0("mdhd", from)
+                    require(to - p >= 16, "mdhd box truncated")
+                    timescale = be32(p + 8)
+                    durationTicks = be32(p + 12)
+                  case ("minf", fFrom, fTo) =>
+                    walk(fFrom, fTo) {
+                      case ("stbl", sFrom, sTo) =>
+                        walk(sFrom, sTo) {
+                          case ("stts", from, to) =>
+                            val p = fullBoxV0("stts", from)
+                            val n = be32(p)
+                            // entry counts are attacker-controlled: the
+                            // claimed table must FIT ITS BOX before any read
+                            require(to - p - 4 >= 8L * n, s"stts table truncated ($n entries)")
+                            var total = 0L
+                            var i = 0
+                            while (i < n) {
+                              total += be32(p + 4 + 8 * i) * be32(p + 8 + 8 * i)
+                              i += 1
+                            }
+                            sttsTotal = total
+                          case ("stsz", from, to) =>
+                            val p = fullBoxV0("stsz", from)
+                            require(be32(p) == 0,
+                              "constant sample_size outside subset (per-sample table only)")
+                            val n = be32(p + 4)
+                            require(to - p - 8 >= 4L * n, s"stsz table truncated ($n entries)")
+                            sizes = Array.tabulate(n.toInt) { i =>
+                              be32(p + 8 + 4 * i).toInt
+                            }
+                          case ("stco", from, to) =>
+                            val p = fullBoxV0("stco", from)
+                            require(be32(p) == 1,
+                              s"${be32(p)} chunks outside subset (single chunk only)")
+                            require(to - p - 4 >= 4L, "stco table truncated")
+                            chunkOffset = be32(p + 4)
+                          case _ => ()
+                        }
+                      case _ => ()
+                    }
+                  case _ => ()
+                }
+              case _ => ()
+            }
+          case _ => ()
+        }
+      case ("mdat", from, to) =>
+        require(mdatFrom < 0, "duplicate mdat outside subset")
+        mdatFrom = from; mdatTo = to
+      case _ => () // ftyp, free, and any unknown top-level box: skipped
+    }
+
+    require(width > 0 && height > 0, "missing or empty tkhd")
+    require(timescale > 0, "missing mdhd")
+    require(sttsTotal >= 0, "missing stts")
+    require(sizes != null, "missing stsz")
+    require(chunkOffset >= 0, "missing stco")
+    require(mdatFrom >= 0, "missing mdat")
+    // slice frames out of mdat; every extent bounds-checked against the
+    // box, so a corrupt size table cannot read another box's bytes
+    var off = chunkOffset
+    val frames = sizes.map { sz =>
+      require(off >= mdatFrom && off + sz <= mdatTo,
+        s"sample extent [$off, ${off + sz}) escapes mdat [$mdatFrom, $mdatTo)")
+      val f = java.util.Arrays.copyOfRange(blob, off.toInt, off.toInt + sz)
+      off += sz
+      f
+    }
+    Mp4Video(width, height, timescale, durationTicks, frames)
+  }
+}

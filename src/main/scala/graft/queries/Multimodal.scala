@@ -578,7 +578,93 @@ object Multimodal {
       |  CAST(COALESCE(zero_cross, 0) AS BIGINT) AS zero_cross
       |FROM agg a LEFT JOIN zc USING (doc_id)""".stripMargin
 
+  /** VIDEO-CONTAINER path (round-11): the decode seam's third modality
+    * made literal — each document's 64-byte md5 stream splits into 4
+    * "frames" (sizes 8/16/24/16: boundaries only recoverable from the
+    * PARSED stsz table), packaged as a genuine ISO BMFF (MP4) file and
+    * parsed through [[graft.functions.Mp4.decodeMp4]]: box walk,
+    * moov/trak/mdia/stbl recursion, tkhd 16.16 dims, mdhd
+    * timescale/duration, stts/stsz/stco sample tables, bounds-checked
+    * frame extraction from mdat. Per-doc variation puts the container
+    * edge paths on the hash path: dims (doc_id % 4) and timing
+    * (doc_id % 2 timescale, % 3 frame delta) flow from parsed headers
+    * into duration_ms; every third doc carries a skippable `free` box;
+    * every fifth writes mdat in the size==1 + 64-bit LARGESIZE form.
+    * `frame_weighted` multiplies each frame's byte sum by its 1-based
+    * index, so a mis-sliced frame boundary (off-by-one in stco/stsz
+    * arithmetic) breaks the gate even when the total payload survives.
+    * The frame PAYLOAD stays opaque (no H.264 here — the honest stub
+    * tier); the container parse, the part a curation pipeline touches
+    * for every byte it manages, is real. Oracle: pure md5 arithmetic
+    * with the same fixed frame partition — it never sees MP4 bytes. */
+  def qMmMp4(s: SparkSession, dir: String): DataFrame =
+    mp4Features(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  /** The MP4 encode→parse→feature core over a (doc_id, text) relation —
+    * STATELESS per-row like the other codec cores, shared by the batch
+    * gate and the q_stream_mp4 ingest twin. */
+  private[queries] def mp4Features(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(col("doc_id"),
+        unhex(concat((0 until 4).map(j => md5(concat(col("text"), lit(j.toString)))): _*)).as("stream"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, stream) =>
+        val frames = Array(
+          stream.slice(0, 8), stream.slice(8, 24),
+          stream.slice(24, 48), stream.slice(48, 64))
+        val k = 1 + (id % 4).toInt
+        val video = graft.functions.Mp4.decodeMp4(
+          graft.functions.Mp4.encodeMp4(
+            width = 16 * k, height = 9 * k,
+            timescale = 1000L * (1 + id % 2),
+            frameDelta = 40L * (1 + id % 3),
+            frames = frames,
+            withFree = id % 3 == 0,
+            largesizeMdat = id % 5 == 0))
+        var payloadSum = 0L
+        var weighted = 0L
+        var f = 0
+        while (f < video.nFrames) {
+          var fs = 0L
+          val fr = video.frames(f)
+          var i = 0
+          while (i < fr.length) { fs += fr(i) & 0xFF; i += 1 }
+          payloadSum += fs
+          weighted += (f + 1) * fs
+          f += 1
+        }
+        (id, video.nFrames.toLong, video.width.toLong, video.height.toLong,
+          video.timescale, video.durationTicks,
+          video.durationTicks * 1000L / video.timescale,
+          payloadSum, weighted)
+      }
+      .toDF("doc_id", "n_frames", "w", "h", "timescale", "duration_ticks",
+        "duration_ms", "payload_sum", "frame_weighted")
+  }
+
+  val qMmMp4Sql: String =
+    """WITH px AS (
+      |  SELECT doc_id, i,
+      |    ('0x' || substr(md5(text || CAST(i // 16 AS VARCHAR)), 2 * (i % 16) + 1, 2))::BIGINT AS b,
+      |    CASE WHEN i < 8 THEN 0 WHEN i < 24 THEN 1 WHEN i < 48 THEN 2 ELSE 3 END AS f
+      |  FROM documents, range(0, 64) r(i)),
+      |agg AS (
+      |  SELECT doc_id, CAST(sum(b) AS BIGINT) AS payload_sum,
+      |    CAST(sum((f + 1) * b) AS BIGINT) AS frame_weighted
+      |  FROM px GROUP BY doc_id)
+      |SELECT doc_id, 4::BIGINT AS n_frames,
+      |  CAST(16 * (1 + doc_id % 4) AS BIGINT) AS w,
+      |  CAST(9 * (1 + doc_id % 4) AS BIGINT) AS h,
+      |  CAST(1000 * (1 + doc_id % 2) AS BIGINT) AS timescale,
+      |  CAST(4 * 40 * (1 + doc_id % 3) AS BIGINT) AS duration_ticks,
+      |  CAST((4 * 40 * (1 + doc_id % 3)) * 1000 // (1000 * (1 + doc_id % 2)) AS BIGINT) AS duration_ms,
+      |  payload_sum, frame_weighted
+      |FROM agg""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_mp4"        -> (qMmMp4 _),
     "q_mm_wav"        -> (qMmWav _),
     "q_mm_jpeg"       -> (qMmJpeg _),
     "q_mm_png"        -> (qMmPng _),
@@ -591,6 +677,7 @@ object Multimodal {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_mm_mp4"        -> qMmMp4Sql,
     "q_mm_wav"        -> qMmWavSql,
     "q_mm_jpeg"       -> qMmJpegSql,
     "q_mm_png"        -> qMmPngSql,

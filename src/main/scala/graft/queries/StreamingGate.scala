@@ -365,6 +365,19 @@ object StreamingGate {
       "wav", "append")
   }
 
+  /** The VIDEO-CONTAINER twin of [[qStreamPng]] (round-11): the ISO
+    * BMFF encode→parse→feature core ([[Multimodal.mp4Features]] — box
+    * walk, sample tables, bounds-checked frame extraction) stateless
+    * on the document stream, append mode — container inspection at
+    * ingest, the arrival-time form of a video curation pipeline's
+    * metadata pass. Shares q_mm_mp4's oracle verbatim. */
+  def qStreamMp4(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    runGate(Multimodal.mp4Features(
+      parquetStream(s, dir, "documents").select(col("doc_id"), col("text"))),
+      "mp4", "append")
+  }
+
   /** The JPEG twin of [[qStreamPng]] (round-11): the baseline-DCT
     * encode→decode→feature core ([[Multimodal.jpegFeatures]] — marker
     * walk, Huffman entropy decode, per-doc restart intervals, IDCT)
@@ -666,6 +679,7 @@ object StreamingGate {
     "q_stream_png"       -> (qStreamPng _),
     "q_stream_jpeg"      -> (qStreamJpeg _),
     "q_stream_wav"       -> (qStreamWav _),
+    "q_stream_mp4"       -> (qStreamMp4 _),
     "q_stream_sessions"  -> (qStreamSessions _),
     "q_stream_decontam"  -> (qStreamDecontam _),
     "q_stream_pii"       -> (qStreamPii _),
@@ -696,6 +710,7 @@ object StreamingGate {
     "q_stream_png"       -> Multimodal.qMmPngSql,
     "q_stream_jpeg"      -> Multimodal.qMmJpegSql,
     "q_stream_wav"       -> Multimodal.qMmWavSql,
+    "q_stream_mp4"       -> Multimodal.qMmMp4Sql,
     "q_stream_sessions"  -> qStreamSessionsSql,
     "q_stream_decontam"  -> Dedup.qDecontaminateSql,
     "q_stream_pii"       -> TrainingData.qPiiScrubSql,
