@@ -548,4 +548,32 @@ object MediaFunctions {
     }
     WavClip(sampleRate, channels, samples)
   }
+
+  // ---- Modality router: magic-byte sniffing over a mixed binary column ----
+
+  /** Identify a blob's container format from its magic bytes — the
+    * dispatch step of a mixed-modality lake scan, where ONE binary
+    * column holds images, audio, and video and each row must reach the
+    * right decoder without trusting any side-channel label. Recognizes
+    * the five formats in the decode seam: binary PPM ("P6"), PNG (the
+    * full 8-byte signature, including the \r\n transmission-damage
+    * canary bytes the spec put there), JPEG (SOI marker FF D8 FF), WAV
+    * (RIFF....WAVE — both fourccs checked, since RIFF alone also covers
+    * AVI/WebP), and MP4 (an ISO BMFF `ftyp` box at offset 4). Anything
+    * else fails closed by name — an unroutable blob must never reach a
+    * decoder that would misparse it. */
+  def sniffModality(blob: Array[Byte]): String = {
+    require(blob.length >= 12, s"blob too short to route (${blob.length} bytes)")
+    def u(i: Int): Int = blob(i) & 0xFF
+    def ascii(from: Int, s: String): Boolean =
+      (0 until s.length).forall(k => u(from + k) == s.charAt(k))
+    if (ascii(0, "P6")) "ppm"
+    else if (u(0) == 0x89 && ascii(1, "PNG") && u(4) == 0x0D && u(5) == 0x0A &&
+             u(6) == 0x1A && u(7) == 0x0A) "png"
+    else if (u(0) == 0xFF && u(1) == 0xD8 && u(2) == 0xFF) "jpeg"
+    else if (ascii(0, "RIFF") && ascii(8, "WAVE")) "wav"
+    else if (ascii(4, "ftyp")) "mp4"
+    else throw new IllegalArgumentException(
+      f"unroutable blob: unknown magic ${u(0)}%02x ${u(1)}%02x ${u(2)}%02x ${u(3)}%02x")
+  }
 }

@@ -49,6 +49,12 @@ object Mp4 {
       s"bad dimensions ${width}x$height")
     require(timescale > 0 && frameDelta > 0, "bad timing")
     require(frames.nonEmpty, "no frames")
+    // mvhd/mdhd/tkhd v0 carry 32-bit timescale/duration fields; a value
+    // that silently truncated through be32 would decode as a different
+    // (wrong) timing instead of failing here
+    require(timescale <= 0xFFFFFFFFL, s"timescale $timescale exceeds 32-bit v0 field")
+    require(frameDelta * frames.length <= 0xFFFFFFFFL,
+      s"duration ${frameDelta * frames.length} exceeds 32-bit v0 field")
     val out = new java.io.ByteArrayOutputStream()
     def be16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
     def be32(v: Long): Unit = { be16(((v >> 16) & 0xFFFF).toInt); be16((v & 0xFFFF).toInt) }
@@ -68,6 +74,7 @@ object Mp4 {
       out.reset(); out.write(bytes, 0, bytes.length)
     }
     val duration = frameDelta * frames.length
+    var stcoAt = -1
     box("ftyp") { fourcc("isom"); be32(0x200); fourcc("isom"); fourcc("mp41") }
     box("moov") {
       box("mvhd") {
@@ -116,9 +123,15 @@ object Mp4 {
               }
               box("stco") {
                 be32(0); be32(1)
-                // one chunk: mdat payload starts after everything before it;
-                // patched below once the moov size is final
-                be32(0xDEADBEEFL)
+                // one chunk: mdat payload starts after everything before
+                // it; patched below once the moov size is final. The
+                // POSITION is recorded rather than searched for — a
+                // sentinel search could collide with a duration or
+                // timescale field that legitimately holds the same bytes.
+                // (box() back-patches sizes in place without shifting
+                // content, so the offset recorded here stays valid.)
+                stcoAt = out.size()
+                be32(0)
               }
             }
           }
@@ -130,15 +143,11 @@ object Mp4 {
     val mdatPayloadAt = out.size() + mdatHeader
     // patch the stco chunk offset placeholder now that it is known
     val assembled = out.toByteArray
-    val ph = Array(0xDE, 0xAD, 0xBE, 0xEF).map(_.toByte)
-    val at = assembled.indices.indexWhere(i => i + 4 <= assembled.length &&
-      assembled(i) == ph(0) && assembled(i + 1) == ph(1) &&
-      assembled(i + 2) == ph(2) && assembled(i + 3) == ph(3))
-    require(at >= 0, "stco placeholder lost")
-    assembled(at) = ((mdatPayloadAt >> 24) & 0xFF).toByte
-    assembled(at + 1) = ((mdatPayloadAt >> 16) & 0xFF).toByte
-    assembled(at + 2) = ((mdatPayloadAt >> 8) & 0xFF).toByte
-    assembled(at + 3) = (mdatPayloadAt & 0xFF).toByte
+    require(stcoAt >= 0, "stco placeholder position lost")
+    assembled(stcoAt) = ((mdatPayloadAt >> 24) & 0xFF).toByte
+    assembled(stcoAt + 1) = ((mdatPayloadAt >> 16) & 0xFF).toByte
+    assembled(stcoAt + 2) = ((mdatPayloadAt >> 8) & 0xFF).toByte
+    assembled(stcoAt + 3) = (mdatPayloadAt & 0xFF).toByte
     out.reset(); out.write(assembled, 0, assembled.length)
     val payloadLen = frames.iterator.map(_.length).sum
     if (largesizeMdat) {

@@ -663,8 +663,175 @@ object Multimodal {
       |  payload_sum, frame_weighted
       |FROM agg""".stripMargin
 
+  /** CONTAINER-TRUE FRAME SAMPLING (round-11): the brief's
+    * "frame-sample" op against a REAL container rather than a byte
+    * stride. Each doc becomes an MP4 with a VARIABLE frame count
+    * (2 + doc_id%7 → 2..8 frames; sizes 64/n each, remainder on the
+    * last — so stts/stsz genuinely differ per doc, unlike q_mm_mp4's
+    * fixed split), and the sampler selects every k-th frame
+    * (k = 1 + doc_id%3) BY INDEX FROM THE PARSED SAMPLE TABLE — the
+    * cheap curation pass that pulls one frame in k out of a video
+    * column without touching the rest. `sampled_weighted` multiplies
+    * each sampled frame's byte-sum by its 1-based index, so sampling
+    * the right AMOUNT from the wrong POSITIONS still breaks the gate.
+    * Oracle: md5 arithmetic over the same partition — frame of byte i
+    * is least(i div (64 div n), n−1), n_sampled = ceil(n/k). */
+  def qMmMp4Sample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .select(col("doc_id"),
+        unhex(concat((0 until 4).map(j => md5(concat(col("text"), lit(j.toString)))): _*)).as("stream"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, stream) =>
+        val n = 2 + (id % 7).toInt
+        val base = 64 / n
+        val frames = Array.tabulate(n) { f =>
+          stream.slice(f * base, if (f == n - 1) 64 else (f + 1) * base)
+        }
+        val k = 1 + (id % 3).toInt
+        val video = graft.functions.Mp4.decodeMp4(
+          graft.functions.Mp4.encodeMp4(16, 9, 1000L, 40L, frames,
+            withFree = id % 3 == 0, largesizeMdat = id % 5 == 0))
+        var nSampled = 0L; var sampledSum = 0L; var sampledWeighted = 0L
+        var f = 0
+        while (f < video.nFrames) {
+          if (f % k == 0) {
+            nSampled += 1
+            val fr = video.frames(f)
+            var i = 0; var fs = 0L
+            while (i < fr.length) { fs += fr(i) & 0xFF; i += 1 }
+            sampledSum += fs
+            sampledWeighted += (f + 1) * fs
+          }
+          f += 1
+        }
+        (id, video.nFrames.toLong, k.toLong, nSampled, sampledSum, sampledWeighted)
+      }
+      .toDF("doc_id", "n_frames", "stride", "n_sampled", "sampled_sum",
+        "sampled_weighted")
+  }
+
+  val qMmMp4SampleSql: String =
+    """WITH fr AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(text || CAST(i // 16 AS VARCHAR)), 2 * (i % 16) + 1, 2))::BIGINT AS b,
+      |    least(i // (64 // (2 + doc_id % 7)), 2 + doc_id % 7 - 1) AS f,
+      |    2 + doc_id % 7 AS n, 1 + doc_id % 3 AS k
+      |  FROM documents, range(0, 64) r(i))
+      |SELECT doc_id,
+      |  CAST(max(n) AS BIGINT) AS n_frames,
+      |  CAST(max(k) AS BIGINT) AS stride,
+      |  CAST((max(n) + max(k) - 1) // max(k) AS BIGINT) AS n_sampled,
+      |  CAST(sum(CASE WHEN f % k = 0 THEN b ELSE 0 END) AS BIGINT) AS sampled_sum,
+      |  CAST(sum(CASE WHEN f % k = 0 THEN (f + 1) * b ELSE 0 END) AS BIGINT) AS sampled_weighted
+      |FROM fr GROUP BY doc_id""".stripMargin
+
+  /** MODALITY ROUTER (round-11): the whole decode seam as ONE mixed
+    * scan — the shape a real multimodal lake actually has. One binary
+    * column holds all five formats (doc_id % 5 → PPM / PNG / JPEG /
+    * WAV / MP4, each through its real encoder with its gate's edge
+    * paths kept live: PNG filter (doc_id+y)%5, JPEG restart intervals
+    * on even ids, WAV stereo/odd-JUNK variation, MP4 free-box +
+    * largesize forms); the ROUTER then sees ONLY the blob — it sniffs
+    * magic bytes ([[MediaFunctions.sniffModality]]) and dispatches to
+    * the matching decoder, so the modality column in the output is
+    * evidence the DISPATCH was right, not an echo of the label: a
+    * mis-sniff either fails closed in the wrong decoder or emits a
+    * modality string the oracle's doc_id%5 arithmetic contradicts.
+    * `content_sum` is each modality's exact-integer content in one
+    * comparable column (image: Σ decoded luma; audio: Σ PCM samples;
+    * video: Σ extracted frame bytes), `n_units` the decoded-domain
+    * size (pixels / samples / frames). Oracle: pure md5 arithmetic per
+    * modality branch — Σb for ppm/png/mp4, 64·Σb for JPEG's 8×8
+    * constant tiles, 257·Σb − 32768·64 for WAV's sample map. */
+  def qMmRoute(s: SparkSession, dir: String): DataFrame =
+    routeFeatures(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  /** The encode→sniff→dispatch→decode→feature core over a
+    * (doc_id, text) relation — STATELESS per-row like the other codec
+    * cores, shared by the batch gate and the q_stream_route ingest
+    * twin. */
+  private[queries] def routeFeatures(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(col("doc_id"),
+        unhex(concat((0 until 4).map(j => md5(concat(col("text"), lit(j.toString)))): _*)).as("stream"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, stream) =>
+        val blob = (id % 5).toInt match {
+          case 0 => MediaFunctions.encodePpmGray(8, 8, stream)
+          case 1 => MediaFunctions.encodePng(8, 8, 0, stream,
+            rowFilter = y => ((id + y) % 5).toInt)
+          case 2 => graft.functions.Jpeg.encodeJpegGrayTiled(8, 8, stream,
+            restartInterval = if (id % 2 == 0) 4 else 0)
+          case 3 => MediaFunctions.encodeWavPcm16(16000, 1 + (id % 2).toInt,
+            stream.map(b => ((b & 0xFF) * 257 - 32768).toShort),
+            ancillary = id % 3 == 0)
+          case _ => graft.functions.Mp4.encodeMp4(16, 9, 1000L, 40L,
+            Array(stream.slice(0, 8), stream.slice(8, 24),
+              stream.slice(24, 48), stream.slice(48, 64)),
+            withFree = id % 3 == 0, largesizeMdat = id % 2 == 0)
+        }
+        // from here the row is label-blind: only the blob decides
+        val modality = MediaFunctions.sniffModality(blob)
+        val (nUnits, contentSum) = modality match {
+          case "ppm" =>
+            val im = MediaFunctions.decodePpm(blob)
+            val n = im.width * im.height
+            var sum = 0L; var i = 0
+            while (i < n) { sum += im.luma(i); i += 1 }
+            (n.toLong, sum)
+          case "png" =>
+            val im = MediaFunctions.decodePng(blob)
+            val n = im.width * im.height
+            var sum = 0L; var i = 0
+            while (i < n) { sum += im.luma(i); i += 1 }
+            (n.toLong, sum)
+          case "jpeg" =>
+            val im = graft.functions.Jpeg.decodeJpeg(blob)
+            val n = im.width * im.height
+            var sum = 0L; var i = 0
+            while (i < n) { sum += im.luma(i); i += 1 }
+            (n.toLong, sum)
+          case "wav" =>
+            val c = MediaFunctions.decodeWavPcm16(blob)
+            var sum = 0L; var i = 0
+            while (i < c.samples.length) { sum += c.samples(i); i += 1 }
+            (c.samples.length.toLong, sum)
+          case "mp4" =>
+            val v = graft.functions.Mp4.decodeMp4(blob)
+            var sum = 0L
+            v.frames.foreach { fr =>
+              var i = 0
+              while (i < fr.length) { sum += fr(i) & 0xFF; i += 1 }
+            }
+            (v.nFrames.toLong, sum)
+        }
+        (id, modality, nUnits, contentSum)
+      }
+      .toDF("doc_id", "modality", "n_units", "content_sum")
+  }
+
+  val qMmRouteSql: String =
+    """WITH px AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(text || CAST(i // 16 AS VARCHAR)), 2 * (i % 16) + 1, 2))::BIGINT AS b
+      |  FROM documents, range(0, 64) r(i)),
+      |s AS (SELECT doc_id, sum(b) AS sb FROM px GROUP BY doc_id)
+      |SELECT doc_id,
+      |  CASE doc_id % 5 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png' WHEN 2 THEN 'jpeg'
+      |                  WHEN 3 THEN 'wav' ELSE 'mp4' END AS modality,
+      |  CAST(CASE doc_id % 5 WHEN 2 THEN 4096 WHEN 4 THEN 4 ELSE 64 END AS BIGINT) AS n_units,
+      |  CAST(CASE doc_id % 5 WHEN 2 THEN 64 * sb
+      |                       WHEN 3 THEN 257 * sb - 32768 * 64
+      |                       ELSE sb END AS BIGINT) AS content_sum
+      |FROM s""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_route"      -> (qMmRoute _),
     "q_mm_mp4"        -> (qMmMp4 _),
+    "q_mm_mp4_sample" -> (qMmMp4Sample _),
     "q_mm_wav"        -> (qMmWav _),
     "q_mm_jpeg"       -> (qMmJpeg _),
     "q_mm_png"        -> (qMmPng _),
@@ -677,7 +844,9 @@ object Multimodal {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_mm_route"      -> qMmRouteSql,
     "q_mm_mp4"        -> qMmMp4Sql,
+    "q_mm_mp4_sample" -> qMmMp4SampleSql,
     "q_mm_wav"        -> qMmWavSql,
     "q_mm_jpeg"       -> qMmJpegSql,
     "q_mm_png"        -> qMmPngSql,

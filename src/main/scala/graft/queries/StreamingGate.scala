@@ -378,6 +378,21 @@ object StreamingGate {
       "mp4", "append")
   }
 
+  /** MIXED-MODALITY ROUTING AT INGEST (round-11): the modality router
+    * ([[Multimodal.routeFeatures]] — magic-byte sniff over a mixed
+    * binary column, dispatch into the right one of five real codecs)
+    * stateless on the document stream, append mode. This is the
+    * arrival-time shape of a real multimodal lake's first pass: one
+    * stream, five formats interleaved, each row routed and decoded
+    * without a side-channel label. Shares q_mm_route's md5-arithmetic
+    * oracle verbatim. */
+  def qStreamRoute(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    runGate(Multimodal.routeFeatures(
+      parquetStream(s, dir, "documents").select(col("doc_id"), col("text"))),
+      "route", "append")
+  }
+
   /** The JPEG twin of [[qStreamPng]] (round-11): the baseline-DCT
     * encode→decode→feature core ([[Multimodal.jpegFeatures]] — marker
     * walk, Huffman entropy decode, per-doc restart intervals, IDCT)
@@ -680,6 +695,7 @@ object StreamingGate {
     "q_stream_jpeg"      -> (qStreamJpeg _),
     "q_stream_wav"       -> (qStreamWav _),
     "q_stream_mp4"       -> (qStreamMp4 _),
+    "q_stream_route"     -> (qStreamRoute _),
     "q_stream_sessions"  -> (qStreamSessions _),
     "q_stream_decontam"  -> (qStreamDecontam _),
     "q_stream_pii"       -> (qStreamPii _),
@@ -711,6 +727,7 @@ object StreamingGate {
     "q_stream_jpeg"      -> Multimodal.qMmJpegSql,
     "q_stream_wav"       -> Multimodal.qMmWavSql,
     "q_stream_mp4"       -> Multimodal.qMmMp4Sql,
+    "q_stream_route"     -> Multimodal.qMmRouteSql,
     "q_stream_sessions"  -> qStreamSessionsSql,
     "q_stream_decontam"  -> Dedup.qDecontaminateSql,
     "q_stream_pii"       -> TrainingData.qPiiScrubSql,

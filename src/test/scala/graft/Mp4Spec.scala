@@ -40,6 +40,27 @@ class Mp4Spec extends AnyFunSuite {
     }
   }
 
+  test("a duration field equal to the old stco sentinel bytes round-trips") {
+    // regression: the encoder once back-patched stco by SEARCHING for a
+    // 0xDEADBEEF placeholder; a duration legitimately holding those
+    // bytes (written into mvhd, BEFORE stco) would have been patched
+    // instead, corrupting the timing and leaving stco pointing nowhere
+    val frames = mkFrames(8)
+    val v = Mp4.decodeMp4(Mp4.encodeMp4(64, 36, 90000L, 0xDEADBEEFL, frames))
+    assert(v.durationTicks == 0xDEADBEEFL)
+    assert(v.frames(0).sameElements(frames(0)))
+  }
+
+  test("timescale or duration overflowing the 32-bit v0 fields fails closed") {
+    val frames = mkFrames(8)
+    assert(intercept[IllegalArgumentException](
+      Mp4.encodeMp4(64, 36, 0x1_0000_0000L, 40L, frames))
+      .getMessage.contains("exceeds 32-bit"))
+    assert(intercept[IllegalArgumentException](
+      Mp4.encodeMp4(64, 36, 90000L, 0x1_0000_0000L, frames))
+      .getMessage.contains("exceeds 32-bit"))
+  }
+
   test("size==0 (box to end of file) parses: mdat as the unsized last box") {
     val frames = mkFrames(8, 16)
     val bytes = Mp4.encodeMp4(64, 36, 1000L, 40L, frames)
