@@ -242,6 +242,13 @@ object Jpeg {
           // header dims are attacker-controlled
           require(width.toLong * height * math.max(comps.length, 3) <= Int.MaxValue,
             s"raster too large: ${width}x$height")
+          // allocation-proportionality guard: every coded block costs at
+          // least 2 bits (a 1-bit-minimum DC code + a 1-bit-minimum EOB),
+          // so a tiny file whose header claims a near-gigabyte raster is
+          // rejected BEFORE the plane allocations it would have caused
+          val blocksMin = ((width + 7L) / 8) * ((height + 7L) / 8)
+          require(blob.length.toLong * 8 >= blocksMin * 2,
+            s"entropy stream too short for a ${width}x$height frame")
           pos += len
         case 0xC2 =>
           require(false, "progressive JPEG (SOF2) unsupported — baseline only")

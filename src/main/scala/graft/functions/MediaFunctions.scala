@@ -198,7 +198,10 @@ object MediaFunctions {
     require(magic == "P6", s"not a binary PPM: magic '$magic'")
     def num(what: String): Int = {
       val t = token()
-      require(t.forall(_.isDigit), s"non-numeric $what: '$t'")
+      // digit-check alone is not enough: "99999999999" overflows toInt
+      // into NumberFormatException instead of the checked path
+      require(t.nonEmpty && t.length <= 9 && t.forall(_.isDigit),
+        s"non-numeric or oversized $what: '$t'")
       t.toInt
     }
     val w = num("width"); val h = num("height"); val maxVal = num("maxval")
@@ -207,6 +210,9 @@ object MediaFunctions {
       s"maxval $maxVal unsupported (only 8-bit rasters)")
     require(pos < blob.length && isWs(blob(pos)), "missing raster separator")
     pos += 1 // exactly one whitespace byte, then raster
+    // header dims are attacker-controlled: validate the product in Long
+    // or w*h*3 wraps and a small blob "satisfies" a bogus-huge header
+    require(w.toLong * h * 3 <= Int.MaxValue, s"raster too large: ${w}x$h")
     val need = w * h * 3
     require(blob.length - pos >= need,
       s"truncated raster: need $need bytes, have ${blob.length - pos}")
@@ -372,6 +378,12 @@ object MediaFunctions {
     // wrapped-small allocation with bogus reported dims
     require(width.toLong * ch * height + height <= Int.MaxValue,
       s"raster too large: ${width}x$height ct=$colorType")
+    // allocation-proportionality guard: deflate cannot expand past
+    // ~1032:1, so a tiny IDAT claiming a gigabyte raster (the header
+    // CRC is not a secret — an attacker can craft a valid one) is
+    // rejected BEFORE the allocation it would have caused
+    require((width.toLong * ch + 1) * height <= idat.size().toLong * 1032 + 64,
+      s"IDAT too short for a ${width}x$height raster")
     val stride = width * ch
     val filtered = new Array[Byte]((stride + 1) * height)
     val inflater = new java.util.zip.Inflater()
@@ -393,6 +405,12 @@ object MediaFunctions {
       val probe = new Array[Byte](1)
       require(inflater.finished() || inflater.inflate(probe) == 0,
         "IDAT stream longer than raster")
+    } catch {
+      // corrupt zlib data surfaces as a checked DataFormatException from
+      // Inflater — normalize it onto the same named-failure path as
+      // every other malformed-input case
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(s"corrupt IDAT zlib stream: ${e.getMessage}", e)
     } finally inflater.end()
     // unfilter in place into the output raster
     val pixels = new Array[Byte](stride * height)

@@ -195,7 +195,10 @@ object Mp4 {
         pos += size.toInt
       }
     }
-    def fullBoxV0(typ: String, from: Int): Int = {
+    def fullBoxV0(typ: String, from: Int, to: Int): Int = {
+      // bounds BEFORE the version read: an empty full box (size == header)
+      // must fail by name, not read the neighbor box's first byte
+      require(to - from >= 4, s"$typ full-box header truncated")
       require((blob(from) & 0xFF) == 0, s"$typ version ${blob(from) & 0xFF} unsupported")
       from + 4 // skip version + flags
     }
@@ -213,7 +216,7 @@ object Mp4 {
           case ("trak", tFrom, tTo) =>
             walk(tFrom, tTo) {
               case ("tkhd", from, to) =>
-                val p = fullBoxV0("tkhd", from)
+                val p = fullBoxV0("tkhd", from, to)
                 // v0 layout: times(8) id(4) res(4) dur(4) res(8)
                 // layer/alt/vol/res(8) matrix(36) then width/height 16.16
                 require(to - p >= 80, "tkhd box truncated")
@@ -223,7 +226,7 @@ object Mp4 {
               case ("mdia", dFrom, dTo) =>
                 walk(dFrom, dTo) {
                   case ("mdhd", from, to) =>
-                    val p = fullBoxV0("mdhd", from)
+                    val p = fullBoxV0("mdhd", from, to)
                     require(to - p >= 16, "mdhd box truncated")
                     timescale = be32(p + 8)
                     durationTicks = be32(p + 12)
@@ -232,7 +235,7 @@ object Mp4 {
                       case ("stbl", sFrom, sTo) =>
                         walk(sFrom, sTo) {
                           case ("stts", from, to) =>
-                            val p = fullBoxV0("stts", from)
+                            val p = fullBoxV0("stts", from, to)
                             val n = be32(p)
                             // entry counts are attacker-controlled: the
                             // claimed table must FIT ITS BOX before any read
@@ -245,7 +248,7 @@ object Mp4 {
                             }
                             sttsTotal = total
                           case ("stsz", from, to) =>
-                            val p = fullBoxV0("stsz", from)
+                            val p = fullBoxV0("stsz", from, to)
                             require(be32(p) == 0,
                               "constant sample_size outside subset (per-sample table only)")
                             val n = be32(p + 4)
@@ -254,7 +257,7 @@ object Mp4 {
                               be32(p + 8 + 4 * i).toInt
                             }
                           case ("stco", from, to) =>
-                            val p = fullBoxV0("stco", from)
+                            val p = fullBoxV0("stco", from, to)
                             require(be32(p) == 1,
                               s"${be32(p)} chunks outside subset (single chunk only)")
                             require(to - p - 4 >= 4L, "stco table truncated")

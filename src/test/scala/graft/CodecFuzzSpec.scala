@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{MediaFunctions, Jpeg, Mp4}
+
+/** Mutation-fuzz contract for the codec tier: on 100 TB of untrusted
+  * bytes a decoder has exactly two acceptable outcomes — decode, or
+  * throw a named IllegalArgumentException. Anything else
+  * (ArrayIndexOutOfBounds, NumberFormat, NegativeArraySize, zip
+  * DataFormatException, a hang, a multi-gigabyte allocation from a
+  * 200-byte file) is a task-killer an adversarial corpus WILL find.
+  * Deterministic seed, so a failure reproduces exactly.
+  *
+  * Three attack classes per codec: random byte mutations of a valid
+  * blob (corrupt fields on every parse path), prefix truncations
+  * (every partial-read path), and pure garbage (the sniff/magic path).
+  */
+class CodecFuzzSpec extends AnyFunSuite {
+
+  private val Mutations = 600
+  private val Truncations = 150
+  private val Garbage = 150
+
+  private def fuzz(name: String, valid: Array[Byte], decode: Array[Byte] => Any): Unit = {
+    decode(valid) // sanity: the unmutated blob must decode
+    val rnd = new scala.util.Random(0xC0DEC + name.hashCode)
+    var ok = 0L
+    var rejected = 0L
+    def one(b: Array[Byte], what: => String): Unit =
+      try { decode(b); ok += 1 }
+      catch {
+        case _: IllegalArgumentException => rejected += 1
+        case t: Throwable =>
+          fail(s"$name/$what escaped the checked-failure contract: " +
+            s"${t.getClass.getName}: ${t.getMessage}")
+      }
+    (1 to Mutations).foreach { i =>
+      val b = valid.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      }
+      one(b, s"mutate#$i")
+    }
+    (1 to Truncations).foreach { i =>
+      one(valid.take(rnd.nextInt(valid.length)), s"trunc#$i")
+    }
+    (1 to Garbage).foreach { i =>
+      val b = new Array[Byte](1 + rnd.nextInt(256))
+      rnd.nextBytes(b)
+      one(b, s"garbage#$i")
+    }
+    info(s"$name: $ok decoded, $rejected rejected by name, 0 escapes")
+  }
+
+  private val luma = Array.tabulate(64)(i => (i * 37 % 251).toByte)
+
+  test("PPM: decode-or-IAE under mutation, truncation, and garbage") {
+    fuzz("ppm", MediaFunctions.encodePpmGray(8, 8, luma),
+      b => MediaFunctions.decodePpm(b))
+  }
+
+  test("PNG: decode-or-IAE under mutation, truncation, and garbage") {
+    fuzz("png", MediaFunctions.encodePng(8, 8, 0, luma, rowFilter = _ % 5),
+      b => MediaFunctions.decodePng(b))
+  }
+
+  test("JPEG: decode-or-IAE under mutation, truncation, and garbage") {
+    fuzz("jpeg", Jpeg.encodeJpegGrayTiled(8, 8, luma, restartInterval = 4),
+      b => Jpeg.decodeJpeg(b))
+  }
+
+  test("WAV: decode-or-IAE under mutation, truncation, and garbage") {
+    fuzz("wav", MediaFunctions.encodeWavPcm16(16000, 2,
+      luma.map(v => ((v & 0xFF) * 257 - 32768).toShort), ancillary = true),
+      b => MediaFunctions.decodeWavPcm16(b))
+  }
+
+  test("MP4: decode-or-IAE under mutation, truncation, and garbage") {
+    fuzz("mp4", Mp4.encodeMp4(64, 36, 1000L, 40L,
+      Array(luma.take(8), luma.slice(8, 24), luma.slice(24, 48), luma.drop(48)),
+      withFree = true),
+      b => Mp4.decodeMp4(b))
+  }
+
+  test("router: sniff-or-IAE on garbage (no blob reaches the wrong decoder)") {
+    val rnd = new scala.util.Random(0x5EED)
+    (1 to 300).foreach { _ =>
+      val b = new Array[Byte](1 + rnd.nextInt(64))
+      rnd.nextBytes(b)
+      try MediaFunctions.sniffModality(b)
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+
+  test("crafted PNG with a huge valid-CRC header cannot force the allocation") {
+    // the IHDR CRC is not a secret: build a structurally-valid PNG whose
+    // header claims ~0.5 GB and whose IDAT is 30 bytes — the
+    // allocation-proportionality guard must reject it by name
+    val big = MediaFunctions.encodePng(8, 8, 0, luma)
+    // rewrite IHDR dims (offsets 16/20 in a well-formed PNG) and re-CRC
+    val b = big.clone()
+    def putBe32(at: Int, v: Long): Unit = (0 until 4).foreach { k =>
+      b(at + k) = ((v >> (24 - 8 * k)) & 0xFF).toByte
+    }
+    putBe32(16, 23000L) // width
+    putBe32(20, 23000L) // height: 23000^2 = 529 MB raster claim
+    val crc = new java.util.zip.CRC32()
+    crc.update(b, 12, 17) // chunk type + 13-byte IHDR payload
+    putBe32(29, crc.getValue)
+    val e = intercept[IllegalArgumentException](MediaFunctions.decodePng(b))
+    assert(e.getMessage.contains("IDAT too short"))
+  }
+
+  test("tiny JPEG claiming a huge frame is rejected before allocation") {
+    val b = Jpeg.encodeJpegGrayTiled(8, 8, luma)
+    // SOF0 height/width live right after the marker+len+precision bytes;
+    // find SOF0 and claim 65528x65528 from a ~500-byte file
+    val at = (0 until b.length - 1).find(i =>
+      (b(i) & 0xFF) == 0xFF && (b(i + 1) & 0xFF) == 0xC0).get
+    def put16(o: Int, v: Int): Unit = { b(o) = (v >> 8).toByte; b(o + 1) = v.toByte }
+    put16(at + 5, 65528); put16(at + 7, 65528)
+    val e = intercept[IllegalArgumentException](Jpeg.decodeJpeg(b))
+    assert(e.getMessage.contains("entropy stream too short") ||
+      e.getMessage.contains("raster too large"))
+  }
+}
