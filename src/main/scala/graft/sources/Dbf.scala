@@ -45,7 +45,14 @@ object Dbf {
       fields += Field(name, ftype, len, dec)
       off += 32
     }
-    Header(nRecords, headerSize, recordSize, fields.result())
+    val fs = fields.result()
+    // header fields are attacker-controlled and independently encoded:
+    // a recordSize smaller than the declared field layout would let the
+    // per-field string reads run past the record (and, at the end of the
+    // buffer, past the file); recordSize 0 would spin the record loop
+    require(recordSize >= 1 + fs.iterator.map(_.length).sum,
+      s"dbf: recordSize $recordSize < 1 + field widths ${fs.iterator.map(_.length).sum}")
+    Header(nRecords, headerSize, recordSize, fs)
   }
 
   /** Iterate live records as trimmed latin1 strings (null for blank). */
@@ -222,6 +229,8 @@ object Dbc {
     * `coded = false` keeps the raw-literal variant for branch coverage. */
   def fromDbf(dbf: Array[Byte], coded: Boolean = true): Array[Byte] = {
     val h = Dbf.parseHeader(dbf)
+    require(h.headerSize <= dbf.length,
+      s"dbf: headerSize ${h.headerSize} beyond file (${dbf.length})")
     val body = new Array[Byte](dbf.length - h.headerSize)
     System.arraycopy(dbf, h.headerSize, body, 0, body.length)
     val imploded = Blast.implode(body, codedLiterals = coded)
