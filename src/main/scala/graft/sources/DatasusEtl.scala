@@ -104,24 +104,47 @@ object DatasusEtl {
     spark.read.format("binaryFile").load(zipGlob)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        val zis = new ZipInputStream(new java.io.ByteArrayInputStream(bytes))
-        val out = Seq.newBuilder[(String, String, Array[Byte])]
-        var e = zis.getNextEntry
-        while (e != null) {
-          if (!e.isDirectory && e.getName.toLowerCase.endsWith(".dbc")) {
-            val buf = new java.io.ByteArrayOutputStream()
-            val tmp = new Array[Byte](8192)
-            var n = zis.read(tmp)
-            while (n > 0) { buf.write(tmp, 0, n); n = zis.read(tmp) }
-            out += ((path, e.getName, buf.toByteArray))
-          }
-          e = zis.getNextEntry
-        }
-        zis.close()
-        out.result()
-      }
+      .flatMap { case (path, bytes) => explodeZipMembers(path, bytes) }
       .toDF("zip_path", "member", "content")
+  }
+
+  /** Per-member extraction cap: a crafted archive (zip bomb) must fail
+    * by name before it inflates a task's heap, the same
+    * allocation-proportionality discipline as the codec tier. DATASUS
+    * members are 30–150 MB; 1 GiB is an order of magnitude of slack. */
+  val MaxZipMemberBytes: Int = 1 << 30
+
+  /** The pure per-archive member walk behind [[zipExplode]], under the
+    * engine-wide untrusted-bytes contract (see CodecFuzzSpec): extract,
+    * or throw a named IllegalArgumentException. A corrupt archive from
+    * an upstream mirror would otherwise surface as a raw ZipException
+    * that kills the task (and after the retries, the 100 TB job) with
+    * no indication of WHICH file was bad. */
+  def explodeZipMembers(path: String, bytes: Array[Byte]): Seq[(String, String, Array[Byte])] = {
+    val zis = new ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val out = Seq.newBuilder[(String, String, Array[Byte])]
+      var e = zis.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory && e.getName.toLowerCase.endsWith(".dbc")) {
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](8192)
+          var n = zis.read(tmp)
+          while (n > 0) {
+            require(buf.size() + n <= MaxZipMemberBytes,
+              s"zip member ${e.getName} in $path exceeds $MaxZipMemberBytes bytes")
+            buf.write(tmp, 0, n)
+            n = zis.read(tmp)
+          }
+          out += ((path, e.getName, buf.toByteArray))
+        }
+        e = zis.getNextEntry
+      }
+      out.result()
+    } catch {
+      case e: java.io.IOException =>
+        throw new IllegalArgumentException(s"corrupt ZIP archive $path: ${e.getMessage}", e)
+    } finally zis.close()
   }
 
   /** Decode exploded ZIP members (from [[zipExplode]]) with a known column

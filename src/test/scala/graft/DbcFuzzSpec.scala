@@ -94,6 +94,22 @@ class DbcFuzzSpec extends AnyFunSuite {
     })
   }
 
+  test("ZIP member walk: extract-or-IAE under mutation, truncation, and garbage") {
+    // a valid two-member archive (one .dbc, one ignored .txt)
+    val zipBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bos)
+      zos.putNextEntry(new java.util.zip.ZipEntry("ufmg2401.dbc"))
+      zos.write(dbc); zos.closeEntry()
+      zos.putNextEntry(new java.util.zip.ZipEntry("leia-me.txt"))
+      zos.write("dados abertos".getBytes("UTF-8")); zos.closeEntry()
+      zos.close()
+      bos.toByteArray
+    }
+    fuzz("zip", zipBytes,
+      b => graft.sources.DatasusEtl.explodeZipMembers("/lake/a.zip", b))
+  }
+
   test("crafted header: recordSize below the field layout is rejected by name") {
     val b = dbf.clone()
     b(10) = 2; b(11) = 0 // recordSize 2 << 1 + field widths
