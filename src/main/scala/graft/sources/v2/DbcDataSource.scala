@@ -106,7 +106,13 @@ class DbcTable(schema: StructType, files: Seq[String])
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DbcScanBuilder(schema, files,
-      permissive = "permissive".equalsIgnoreCase(options.getOrDefault("mode", "strict")))
+      // per-read option, OR the fleet-wide knob every Spark file source
+      // honors (spark.sql.files.ignoreCorruptFiles) — so an operator who
+      // already runs parquet/orc permissively gets the same posture here
+      // without learning a source-specific option. Captured at planning
+      // time on the driver, like FileSourceScanExec does.
+      permissive = "permissive".equalsIgnoreCase(options.getOrDefault("mode", "strict")) ||
+        org.apache.spark.sql.internal.SQLConf.get.ignoreCorruptFiles)
 }
 
 class DbcScanBuilder(fullSchema: StructType, files: Seq[String], permissive: Boolean)

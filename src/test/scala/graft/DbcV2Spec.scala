@@ -71,6 +71,14 @@ class DbcV2Spec extends AnyFunSuite {
     val permissive = spark.read.format("dbc").option("mode", "permissive")
       .load(s"$dir/*.dbc")
     assert(permissive.count() == 2)
+    // the fleet-wide knob every Spark file source honors must work too:
+    // an operator running parquet/orc with ignoreCorruptFiles=true gets
+    // the same posture here without a source-specific option
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try assert(spark.read.format("dbc").load(s"$dir/*.dbc").count() == 2)
+    finally spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+    assertThrows[org.apache.spark.SparkException](
+      spark.read.format("dbc").load(s"$dir/*.dbc").count())
   }
 
   test("permissive mode truncates MID-file corruption to the rows already decoded") {
