@@ -759,59 +759,126 @@ object Multimodal {
         unhex(concat((0 until 4).map(j => md5(concat(col("text"), lit(j.toString)))): _*)).as("stream"))
       .as[(Long, Array[Byte])]
       .map { case (id, stream) =>
-        val blob = (id % 5).toInt match {
-          case 0 => MediaFunctions.encodePpmGray(8, 8, stream)
-          case 1 => MediaFunctions.encodePng(8, 8, 0, stream,
-            rowFilter = y => ((id + y) % 5).toInt)
-          case 2 => graft.functions.Jpeg.encodeJpegGrayTiled(8, 8, stream,
-            restartInterval = if (id % 2 == 0) 4 else 0)
-          case 3 => MediaFunctions.encodeWavPcm16(16000, 1 + (id % 2).toInt,
-            stream.map(b => ((b & 0xFF) * 257 - 32768).toShort),
-            ancillary = id % 3 == 0)
-          case _ => graft.functions.Mp4.encodeMp4(16, 9, 1000L, 40L,
-            Array(stream.slice(0, 8), stream.slice(8, 24),
-              stream.slice(24, 48), stream.slice(48, 64)),
-            withFree = id % 3 == 0, largesizeMdat = id % 2 == 0)
-        }
-        // from here the row is label-blind: only the blob decides
-        val modality = MediaFunctions.sniffModality(blob)
-        val (nUnits, contentSum) = modality match {
-          case "ppm" =>
-            val im = MediaFunctions.decodePpm(blob)
-            val n = im.width * im.height
-            var sum = 0L; var i = 0
-            while (i < n) { sum += im.luma(i); i += 1 }
-            (n.toLong, sum)
-          case "png" =>
-            val im = MediaFunctions.decodePng(blob)
-            val n = im.width * im.height
-            var sum = 0L; var i = 0
-            while (i < n) { sum += im.luma(i); i += 1 }
-            (n.toLong, sum)
-          case "jpeg" =>
-            val im = graft.functions.Jpeg.decodeJpeg(blob)
-            val n = im.width * im.height
-            var sum = 0L; var i = 0
-            while (i < n) { sum += im.luma(i); i += 1 }
-            (n.toLong, sum)
-          case "wav" =>
-            val c = MediaFunctions.decodeWavPcm16(blob)
-            var sum = 0L; var i = 0
-            while (i < c.samples.length) { sum += c.samples(i); i += 1 }
-            (c.samples.length.toLong, sum)
-          case "mp4" =>
-            val v = graft.functions.Mp4.decodeMp4(blob)
-            var sum = 0L
-            v.frames.foreach { fr =>
-              var i = 0
-              while (i < fr.length) { sum += fr(i) & 0xFF; i += 1 }
-            }
-            (v.nFrames.toLong, sum)
-        }
+        // from the routeDecode call on, the row is label-blind:
+        // only the blob decides
+        val (modality, nUnits, contentSum) = routeDecode(encodeForRoute(id, stream))
         (id, modality, nUnits, contentSum)
       }
       .toDF("doc_id", "modality", "n_units", "content_sum")
   }
+
+  /** One of the five real encoders by doc_id % 5, each with its gate's
+    * edge paths kept live (PNG filter variation, JPEG restart
+    * intervals, WAV stereo/odd-JUNK, MP4 free-box + largesize). */
+  private def encodeForRoute(id: Long, stream: Array[Byte]): Array[Byte] =
+    (id % 5).toInt match {
+      case 0 => MediaFunctions.encodePpmGray(8, 8, stream)
+      case 1 => MediaFunctions.encodePng(8, 8, 0, stream,
+        rowFilter = y => ((id + y) % 5).toInt)
+      case 2 => graft.functions.Jpeg.encodeJpegGrayTiled(8, 8, stream,
+        restartInterval = if (id % 2 == 0) 4 else 0)
+      case 3 => MediaFunctions.encodeWavPcm16(16000, 1 + (id % 2).toInt,
+        stream.map(b => ((b & 0xFF) * 257 - 32768).toShort),
+        ancillary = id % 3 == 0)
+      case _ => graft.functions.Mp4.encodeMp4(16, 9, 1000L, 40L,
+        Array(stream.slice(0, 8), stream.slice(8, 24),
+          stream.slice(24, 48), stream.slice(48, 64)),
+        withFree = id % 3 == 0, largesizeMdat = id % 2 == 0)
+    }
+
+  /** Label-blind sniff + dispatch + decode + feature: the router sees
+    * only the blob. Throws the codec tier's named IAE on anything
+    * unroutable or undecodable. */
+  private def routeDecode(blob: Array[Byte]): (String, Long, Long) = {
+    val modality = MediaFunctions.sniffModality(blob)
+    val (nUnits, contentSum) = modality match {
+      case "ppm" =>
+        val im = MediaFunctions.decodePpm(blob)
+        val n = im.width * im.height
+        var sum = 0L; var i = 0
+        while (i < n) { sum += im.luma(i); i += 1 }
+        (n.toLong, sum)
+      case "png" =>
+        val im = MediaFunctions.decodePng(blob)
+        val n = im.width * im.height
+        var sum = 0L; var i = 0
+        while (i < n) { sum += im.luma(i); i += 1 }
+        (n.toLong, sum)
+      case "jpeg" =>
+        val im = graft.functions.Jpeg.decodeJpeg(blob)
+        val n = im.width * im.height
+        var sum = 0L; var i = 0
+        while (i < n) { sum += im.luma(i); i += 1 }
+        (n.toLong, sum)
+      case "wav" =>
+        val c = MediaFunctions.decodeWavPcm16(blob)
+        var sum = 0L; var i = 0
+        while (i < c.samples.length) { sum += c.samples(i); i += 1 }
+        (c.samples.length.toLong, sum)
+      case "mp4" =>
+        val v = graft.functions.Mp4.decodeMp4(blob)
+        var sum = 0L
+        v.frames.foreach { fr =>
+          var i = 0
+          while (i < fr.length) { sum += fr(i) & 0xFF; i += 1 }
+        }
+        (v.nFrames.toLong, sum)
+    }
+    (modality, nUnits, contentSum)
+  }
+
+  /** QUARANTINE ROUTING (round-11): the per-ROW fault-tolerance tier of
+    * the mixed scan. The codec contract (decode or named IAE) protects
+    * the engine; `spark.sql.files.ignoreCorruptFiles` skips whole
+    * FILES; this is the missing middle — a curation pass over billions
+    * of blobs where individual corrupt payloads must land in a
+    * quarantine bucket with the rest of the row intact, not kill the
+    * task. Every 13th doc's blob has its first magic byte flipped
+    * AFTER encoding (deterministically unroutable in every modality);
+    * the router's checked failure is caught PER ROW and surfaced as
+    * modality='corrupt' with zeroed features, so the output is the
+    * lake-scan report a real pipeline quarantines from. The oracle
+    * predicts the corrupt set arithmetically (doc_id % 13) and the
+    * healthy rows with q_mm_route's md5 arithmetic — a decoder that
+    * silently "succeeds" on the corrupted blob (or a catch that eats
+    * a healthy row's decode) breaks the hash either way. */
+  def qMmRouteQuarantine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .select(col("doc_id"),
+        unhex(concat((0 until 4).map(j => md5(concat(col("text"), lit(j.toString)))): _*)).as("stream"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, stream) =>
+        val blob = encodeForRoute(id, stream)
+        if (id % 13 == 0) blob(0) = (blob(0) ^ 0x5A).toByte // corrupt the magic
+        try {
+          val (modality, nUnits, contentSum) = routeDecode(blob)
+          (id, modality, nUnits, contentSum)
+        } catch {
+          case _: IllegalArgumentException => (id, "corrupt", 0L, 0L)
+        }
+      }
+      .toDF("doc_id", "modality", "n_units", "content_sum")
+  }
+
+  val qMmRouteQuarantineSql: String =
+    """WITH px AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(text || CAST(i // 16 AS VARCHAR)), 2 * (i % 16) + 1, 2))::BIGINT AS b
+      |  FROM documents, range(0, 64) r(i)),
+      |s AS (SELECT doc_id, sum(b) AS sb FROM px GROUP BY doc_id)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 13 = 0 THEN 'corrupt'
+      |       ELSE CASE doc_id % 5 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png' WHEN 2 THEN 'jpeg'
+      |                            WHEN 3 THEN 'wav' ELSE 'mp4' END END AS modality,
+      |  CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+      |            WHEN doc_id % 5 = 2 THEN 4096 WHEN doc_id % 5 = 4 THEN 4
+      |            ELSE 64 END AS BIGINT) AS n_units,
+      |  CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+      |            WHEN doc_id % 5 = 2 THEN 64 * sb
+      |            WHEN doc_id % 5 = 3 THEN 257 * sb - 32768 * 64
+      |            ELSE sb END AS BIGINT) AS content_sum
+      |FROM s""".stripMargin
 
   val qMmRouteSql: String =
     """WITH px AS (
@@ -830,6 +897,7 @@ object Multimodal {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_route"      -> (qMmRoute _),
+    "q_mm_route_quarantine" -> (qMmRouteQuarantine _),
     "q_mm_mp4"        -> (qMmMp4 _),
     "q_mm_mp4_sample" -> (qMmMp4Sample _),
     "q_mm_wav"        -> (qMmWav _),
@@ -845,6 +913,7 @@ object Multimodal {
 
   def oracles: Map[String, String] = Map(
     "q_mm_route"      -> qMmRouteSql,
+    "q_mm_route_quarantine" -> qMmRouteQuarantineSql,
     "q_mm_mp4"        -> qMmMp4Sql,
     "q_mm_mp4_sample" -> qMmMp4SampleSql,
     "q_mm_wav"        -> qMmWavSql,
