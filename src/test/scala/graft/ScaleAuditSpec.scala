@@ -49,9 +49,27 @@ class ScaleAuditSpec extends AnyFunSuite {
   }
 
   private def shapeOf(name: String, dir: String): Map[String, Int] = {
-    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
-    df.collect() // AQE-final plan only exists after execution
-    ScaleUpBench.joinShape(df)
+    def once(): Map[String, Int] = {
+      val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+      df.collect() // AQE-final plan only exists after execution
+      ScaleUpBench.joinShape(df)
+    }
+    // QUERY EXECUTION is environmental (this box has bursty host-level
+    // load spikes; one 224-query sweep failed under one, naming nothing)
+    // — retry a transient execution failure once, and if it persists,
+    // fail WITH the query name and cause so the flake self-diagnoses.
+    // The flip ASSERTION below is deterministic and is never retried.
+    try once()
+    catch {
+      case scala.util.control.NonFatal(first) =>
+        try once()
+        catch {
+          case scala.util.control.NonFatal(second) =>
+            fail(s"query $name failed twice at $dir: " +
+              s"${second.getClass.getName}: ${second.getMessage} " +
+              s"(first attempt: ${first.getClass.getName})", second)
+        }
+    }
   }
 
   private def bcast(shape: Map[String, Int]): Int =
