@@ -726,6 +726,69 @@ object Multimodal {
       |  CAST(sum(CASE WHEN f % k = 0 THEN (f + 1) * b ELSE 0 END) AS BIGINT) AS sampled_weighted
       |FROM fr GROUP BY doc_id""".stripMargin
 
+  /** MULTI-CHUNK CONTAINERS (round-12): real muxers interleave tracks,
+    * so a track's samples land in MANY chunks — stsc maps samples to
+    * chunks, stco holds one offset per chunk. Each doc becomes an MP4
+    * with 2..8 frames (the q_mm_mp4_sample partition, so stsz varies
+    * per doc) split across 2..4 chunks with UNEVEN samples-per-chunk
+    * (the remainder lands on chunk doc_id % n_chunks, so stsc carries
+    * 1..3 genuine runs), and the encoder lays chunks in REVERSE file
+    * order inside mdat — a decoder that ignores stco and reads mdat
+    * sequentially recovers the frames in the wrong order, which
+    * `frame_weighted` (byte-sum × 1-based frame index) catches even
+    * when `payload_sum` survives. `n_chunks` is the PARSED stco entry
+    * count, not a label echo. Oracle: pure md5 arithmetic over the
+    * same frame partition — chunking must be invisible in sample
+    * order, which is exactly the property under test. */
+  def qMmMp4Chunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .select(col("doc_id"),
+        unhex(concat((0 until 4).map(j => md5(concat(col("text"), lit(j.toString)))): _*)).as("stream"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, stream) =>
+        val n = 2 + (id % 7).toInt
+        val base = 64 / n
+        val frames = Array.tabulate(n) { f =>
+          stream.slice(f * base, if (f == n - 1) 64 else (f + 1) * base)
+        }
+        val nChunks = math.min(n, 2 + (id % 3).toInt)
+        val spc = Array.fill(nChunks)(n / nChunks)
+        spc((id % nChunks).toInt) += n % nChunks
+        val video = graft.functions.Mp4.decodeMp4(
+          graft.functions.Mp4.encodeMp4(16, 9, 1000L, 40L, frames,
+            withFree = id % 3 == 0, largesizeMdat = id % 5 == 0,
+            samplesPerChunk = spc))
+        var payloadSum = 0L
+        var weighted = 0L
+        var f = 0
+        while (f < video.nFrames) {
+          val fr = video.frames(f)
+          var i = 0; var fs = 0L
+          while (i < fr.length) { fs += fr(i) & 0xFF; i += 1 }
+          payloadSum += fs
+          weighted += (f + 1) * fs
+          f += 1
+        }
+        (id, video.nFrames.toLong, video.chunkCount.toLong, payloadSum, weighted)
+      }
+      .toDF("doc_id", "n_frames", "n_chunks", "payload_sum", "frame_weighted")
+  }
+
+  val qMmMp4ChunksSql: String =
+    """WITH fr AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(text || CAST(i // 16 AS VARCHAR)), 2 * (i % 16) + 1, 2))::BIGINT AS b,
+      |    least(i // (64 // (2 + doc_id % 7)), 2 + doc_id % 7 - 1) AS f,
+      |    2 + doc_id % 7 AS n
+      |  FROM documents, range(0, 64) r(i))
+      |SELECT doc_id,
+      |  CAST(max(n) AS BIGINT) AS n_frames,
+      |  CAST(least(max(n), 2 + doc_id % 3) AS BIGINT) AS n_chunks,
+      |  CAST(sum(b) AS BIGINT) AS payload_sum,
+      |  CAST(sum((f + 1) * b) AS BIGINT) AS frame_weighted
+      |FROM fr GROUP BY doc_id""".stripMargin
+
   /** MODALITY ROUTER (round-11): the whole decode seam as ONE mixed
     * scan — the shape a real multimodal lake actually has. One binary
     * column holds all five formats (doc_id % 5 → PPM / PNG / JPEG /
@@ -899,6 +962,7 @@ object Multimodal {
     "q_mm_route"      -> (qMmRoute _),
     "q_mm_route_quarantine" -> (qMmRouteQuarantine _),
     "q_mm_mp4"        -> (qMmMp4 _),
+    "q_mm_mp4_chunks" -> (qMmMp4Chunks _),
     "q_mm_mp4_sample" -> (qMmMp4Sample _),
     "q_mm_wav"        -> (qMmWav _),
     "q_mm_jpeg"       -> (qMmJpeg _),
@@ -915,6 +979,7 @@ object Multimodal {
     "q_mm_route"      -> qMmRouteSql,
     "q_mm_route_quarantine" -> qMmRouteQuarantineSql,
     "q_mm_mp4"        -> qMmMp4Sql,
+    "q_mm_mp4_chunks" -> qMmMp4ChunksSql,
     "q_mm_mp4_sample" -> qMmMp4SampleSql,
     "q_mm_wav"        -> qMmWavSql,
     "q_mm_jpeg"       -> qMmJpegSql,

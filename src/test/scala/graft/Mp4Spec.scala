@@ -110,15 +110,86 @@ class Mp4Spec extends AnyFunSuite {
     val stcoOffAt = find("stco") + 4 + 4 + 4
     badStco(stcoOffAt) = 0x7F.toByte
     assert(err(badStco).contains("escapes mdat"))
-    // multi-chunk stco is outside the subset, rejected by name
+    // stco claiming more chunks than its table holds: named truncation,
+    // not a read into the neighbor box
     val multi = good.clone()
     multi(find("stco") + 4 + 4 + 3) = 2
-    assert(err(multi).contains("chunks outside subset"))
+    assert(err(multi).contains("stco table truncated"))
     // missing moov: cut everything except ftyp + mdat
     val ftypLen = 24
     val mdatAt = find("mdat") - 4
     val noMoov = good.take(ftypLen) ++ good.drop(mdatAt)
     assert(err(noMoov).contains("missing or empty tkhd"))
+  }
+
+  test("multi-chunk: stsc runs + per-chunk stco offsets recover sample order") {
+    // the encoder lays chunks in REVERSE file order, so a decoder that
+    // ignores stco and reads mdat sequentially returns wrong payloads —
+    // passing this test proves per-chunk offsets are actually honored
+    val rnd = new scala.util.Random(97531)
+    (1 to 25).foreach { i =>
+      val nChunks = rnd.nextInt(4) + 2 // 2..5 chunks
+      val spc = Array.fill(nChunks)(rnd.nextInt(3) + 1) // varying samples/chunk
+      val frames = mkFrames(Array.fill(spc.sum)(rnd.nextInt(30) + 1).toIndexedSeq: _*)
+      val bytes = Mp4.encodeMp4(320, 180, 1000L, 40L, frames,
+        withFree = i % 3 == 0, largesizeMdat = i % 4 == 0, samplesPerChunk = spc)
+      val v = Mp4.decodeMp4(bytes)
+      assert(v.nFrames == frames.length, s"iter $i frame count")
+      frames.indices.foreach { f =>
+        assert(v.frames(f).sameElements(frames(f)),
+          s"iter $i frame $f (chunks ${spc.mkString(",")})")
+      }
+    }
+  }
+
+  test("multi-chunk: equal samples-per-chunk compresses to one stsc run") {
+    val frames = mkFrames(5, 6, 7, 8)
+    val bytes = Mp4.encodeMp4(64, 36, 1000L, 40L, frames,
+      samplesPerChunk = Array(2, 2))
+    // stsc payload: verflags + entry_count(1) + one (first, spc, sdidx) run
+    val at = (0 until bytes.length - 4).find(i =>
+      (0 until 4).forall(k => bytes(i + k) == "stsc".charAt(k))).get
+    val entryCount = ((bytes(at + 8) & 0xFF) << 24) | ((bytes(at + 9) & 0xFF) << 16) |
+      ((bytes(at + 10) & 0xFF) << 8) | (bytes(at + 11) & 0xFF)
+    assert(entryCount == 1, "two chunks of equal spc must share one stsc run")
+    val v = Mp4.decodeMp4(bytes)
+    assert(v.nFrames == 4)
+    frames.indices.foreach(f => assert(v.frames(f).sameElements(frames(f))))
+  }
+
+  test("inconsistent sample tables fail closed with named errors") {
+    val frames = mkFrames(8, 16, 24, 10)
+    val good = Mp4.encodeMp4(64, 36, 1000L, 40L, frames,
+      samplesPerChunk = Array(3, 1))
+    def err(b: Array[Byte]): String =
+      intercept[IllegalArgumentException](Mp4.decodeMp4(b)).getMessage
+    def find(tag: String): Int =
+      (0 until good.length - 4).find(i =>
+        (0 until 4).forall(k => good(i + k) == tag.charAt(k))).get
+
+    // stsc mapping more samples than stsz holds
+    val over = good.clone()
+    // first run's samples_per_chunk: stsc + 4(verflags) + 4(count) + 4(first)
+    over(find("stsc") + 4 + 4 + 4 + 4 + 3) = 9
+    assert(err(over).contains("stsc maps"))
+    // stsc run starting past the stco chunk count
+    val past = good.clone()
+    past(find("stsc") + 4 + 4 + 4 + 12 + 3) = 7 // second run first_chunk 2 -> 7
+    assert(err(past).contains("but stco has"))
+    // stsc first run not starting at chunk 1
+    val notOne = good.clone()
+    notOne(find("stsc") + 4 + 4 + 4 + 3) = 3
+    assert(err(notOne).contains("not 1"))
+    // a full box holding ONLY verflags (size 12): the entry-count word
+    // sits past the box, and before round 12 the count read escaped as a
+    // raw ArrayIndexOutOfBoundsException when the box ended the blob —
+    // it must fail by name instead
+    val emptyStts = good.clone()
+    emptyStts(find("stts") - 4 + 3) = 12
+    assert(err(emptyStts).contains("stts entry count truncated"))
+    val emptyStco = good.clone()
+    emptyStco(find("stco") - 4 + 3) = 12
+    assert(err(emptyStco).contains("stco entry count truncated"))
   }
 
   test("unknown boxes are skipped at every level (forward compatibility)") {
