@@ -7,7 +7,8 @@ package graft.functions
   *
   * Three REAL codecs live here with zero dependencies — binary PPM
   * (P6), the 8-bit gray/RGB PNG subset (chunk walk + CRC, zlib
-  * inflate, all five scanline filters), and RIFF/WAVE 16-bit PCM audio
+  * inflate, all five scanline filters), and RIFF/WAVE audio — integer
+  * PCM16, IEEE float32, and WAVE_FORMAT_EXTENSIBLE wrapping either
   * (baseline-DCT JPEG is the fourth, in [[graft.functions.Jpeg]]) —
   * and everything else is a TRUE
   * function of the actual blob bytes, the signals a curation pipeline
@@ -441,23 +442,33 @@ object MediaFunctions {
 
   // ---- Real AUDIO codec: WAV (RIFF PCM, the public Microsoft/IBM
   // "Multimedia Programming Interface and Data Specifications 1.0"
-  // format) ---- the third modality in the decode seam. Complete for
-  // 16-bit integer PCM: RIFF container walk (little-endian chunk sizes,
-  // WORD alignment — odd-sized chunks carry a pad byte, the part of
-  // RIFF where parser bugs actually live), fmt parse with cross-field
-  // validation (blockAlign and byteRate must agree with
-  // channels x bits), ancillary chunks (LIST/INFO etc.) tolerated and
-  // skipped, checked failures for float/extensible/compressed format
-  // tags, non-16-bit depths, truncated data, and malformed headers.
-  // Same discipline as the image codecs: header-parsed metadata
-  // (sample rate, channel count, frame count) must reach gate outputs
-  // FROM the parse, and a decoder returning garbage corrupts every
-  // downstream feature.
+  // format) ---- the third modality in the decode seam. Covers the
+  // three forms a real ML audio corpus actually contains: 16-bit
+  // integer PCM (tag 1), IEEE float32 (tag 3 — common in ML corpora),
+  // and WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE — what most pro tools emit,
+  // unwrapped via the 22-byte cbSize extension's SubFormat GUID to
+  // either PCM16 or float32). RIFF container walk (little-endian chunk
+  // sizes, WORD alignment — odd-sized chunks carry a pad byte, the
+  // part of RIFF where parser bugs actually live), fmt parse with
+  // cross-field validation (blockAlign and byteRate must agree with
+  // channels x bits), ancillary chunks (LIST/fact/INFO etc.) tolerated
+  // and skipped, checked failures for compressed format tags,
+  // unsupported depths, malformed GUIDs, non-finite float samples,
+  // truncated data, and malformed headers. Same discipline as the
+  // image codecs: header-parsed metadata (sample rate, channel count,
+  // frame count, FORM) must reach gate outputs FROM the parse, and a
+  // decoder returning garbage corrupts every downstream feature.
+  // Float samples land in exact 16-bit fixed point (round-half-even of
+  // f x 32768, clamped) so gate features stay integer-exact.
 
   /** A decoded WAV clip: header-parsed format + interleaved signed
-    * 16-bit samples. */
+    * 16-bit fixed-point samples. `formTag` is the UNWRAPPED sample
+    * format (1 = integer PCM, 3 = IEEE float); `extensible` records
+    * whether it arrived wrapped in WAVE_FORMAT_EXTENSIBLE — both are
+    * parse evidence for gates, not label echoes. */
   final case class WavClip(sampleRate: Int, channels: Int,
-                           samples: Array[Short]) {
+                           samples: Array[Short],
+                           formTag: Int = 1, extensible: Boolean = false) {
     def nFrames: Int = samples.length / channels
   }
 
@@ -501,14 +512,128 @@ object MediaFunctions {
     out.toByteArray
   }
 
-  /** Full RIFF/WAVE parse for the supported subset, with the image
-    * codecs' checked-failure discipline: bad magic/form, truncated
-    * chunks, float (3) / extensible (0xFFFE) / compressed format tags,
-    * non-16-bit depth, blockAlign or byteRate disagreeing with the
-    * declared format, data before fmt, and partial frames all throw.
-    * Ancillary chunks are skipped per the spec, INCLUDING the pad byte
-    * after odd-sized chunks (RIFF chunks are WORD-aligned). */
-  def decodeWavPcm16(blob: Array[Byte]): WavClip = {
+  /** The fixed 14-byte tail of the WAVE_FORMAT_EXTENSIBLE SubFormat
+    * GUID (everything after the 2-byte format tag): the KSDATAFORMAT
+    * media-subtype base GUID from the public Microsoft multimedia
+    * headers. */
+  private val WavSubformatGuidTail: Array[Int] =
+    Array(0x00, 0x00, 0x00, 0x00, 0x10, 0x00, 0x80, 0x00,
+          0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71)
+
+  /** RIFF/WAVE writer for IEEE float32 (format tag 3) — the form ML
+    * audio corpora commonly carry. Samples are given as 16-bit fixed
+    * point and written as s / 32768f, which is EXACT in float32 (15
+    * significant bits into a 24-bit mantissa), so decode recovers the
+    * integers bit-for-bit. Writes the spec-required cbSize=0 (fmt len
+    * 18) and a `fact` chunk (dwSampleLength), both of which the
+    * decoder must walk past. `ancillary` adds the odd-length JUNK
+    * chunk like the PCM16 writer. */
+  def encodeWavFloat32(sampleRate: Int, channels: Int, samples: Array[Short],
+                       ancillary: Boolean = false): Array[Byte] = {
+    require(sampleRate > 0, s"bad sample rate $sampleRate")
+    require(channels > 0 && channels <= 8, s"bad channel count $channels")
+    require(samples.length % channels == 0,
+      s"${samples.length} samples not a whole number of $channels-channel frames")
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+    val blockAlign = channels * 4
+    val dataLen = samples.length * 4
+    val junkLen = if (ancillary) 8 + 11 + 1 else 0
+    out.write("RIFF".getBytes("US-ASCII"))
+    le32(4 + (8 + 18) + (8 + 4) + junkLen + 8 + dataLen) // WAVE + fmt + fact + [JUNK] + data
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); le32(18)
+    le16(3)                       // wFormatTag = IEEE float
+    le16(channels)
+    le32(sampleRate)
+    le32(sampleRate * blockAlign) // nAvgBytesPerSec
+    le16(blockAlign)
+    le16(32)                      // wBitsPerSample
+    le16(0)                       // cbSize = 0 (required for non-PCM)
+    out.write("fact".getBytes("US-ASCII")); le32(4)
+    le32(samples.length / channels) // dwSampleLength (frames)
+    if (ancillary) {
+      out.write("JUNK".getBytes("US-ASCII")); le32(11)
+      out.write("graft-audio".getBytes("US-ASCII"))
+      out.write(0)
+    }
+    out.write("data".getBytes("US-ASCII")); le32(dataLen)
+    var i = 0
+    while (i < samples.length) {
+      le32(java.lang.Float.floatToIntBits(samples(i) / 32768.0f))
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** RIFF/WAVE writer for WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) — the
+    * form most pro audio tools emit. The 22-byte cbSize extension
+    * carries wValidBitsPerSample, dwChannelMask, and a SubFormat GUID
+    * whose leading 2 bytes are the wrapped format tag (1 = PCM16,
+    * 3 = float32); the payload is written exactly like the wrapped
+    * form's. */
+  def encodeWavExtensible(sampleRate: Int, channels: Int, samples: Array[Short],
+                          subFloat: Boolean = false,
+                          ancillary: Boolean = false): Array[Byte] = {
+    require(sampleRate > 0, s"bad sample rate $sampleRate")
+    require(channels > 0 && channels <= 8, s"bad channel count $channels")
+    require(samples.length % channels == 0,
+      s"${samples.length} samples not a whole number of $channels-channel frames")
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
+    val bytesPerSample = if (subFloat) 4 else 2
+    val bits = bytesPerSample * 8
+    val blockAlign = channels * bytesPerSample
+    val dataLen = samples.length * bytesPerSample
+    val junkLen = if (ancillary) 8 + 11 + 1 else 0
+    out.write("RIFF".getBytes("US-ASCII"))
+    le32(4 + (8 + 40) + (8 + 4) + junkLen + 8 + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); le32(40)
+    le16(0xFFFE)                  // wFormatTag = EXTENSIBLE
+    le16(channels)
+    le32(sampleRate)
+    le32(sampleRate * blockAlign)
+    le16(blockAlign)
+    le16(bits)
+    le16(22)                      // cbSize
+    le16(bits)                    // wValidBitsPerSample (full container)
+    le32((1 << channels) - 1)     // dwChannelMask: first N speaker positions
+    le16(if (subFloat) 3 else 1)  // SubFormat GUID: wrapped tag...
+    WavSubformatGuidTail.foreach(out.write) // ...+ fixed KSDATAFORMAT tail
+    out.write("fact".getBytes("US-ASCII")); le32(4)
+    le32(samples.length / channels)
+    if (ancillary) {
+      out.write("JUNK".getBytes("US-ASCII")); le32(11)
+      out.write("graft-audio".getBytes("US-ASCII"))
+      out.write(0)
+    }
+    out.write("data".getBytes("US-ASCII")); le32(dataLen)
+    var i = 0
+    while (i < samples.length) {
+      if (subFloat) le32(java.lang.Float.floatToIntBits(samples(i) / 32768.0f))
+      else le16(samples(i) & 0xFFFF)
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Full RIFF/WAVE parse for the supported forms (integer PCM16,
+    * IEEE float32, and WAVE_FORMAT_EXTENSIBLE wrapping either), with
+    * the image codecs' checked-failure discipline: bad magic/form,
+    * truncated chunks, compressed format tags, unsupported depths
+    * (PCM must be 16-bit, float must be 32-bit), a malformed SubFormat
+    * GUID, blockAlign or byteRate disagreeing with the declared
+    * format, data before fmt, partial frames, and non-finite float
+    * samples all throw by name. Ancillary chunks (fact, LIST, cue ...)
+    * are skipped per the spec, INCLUDING the pad byte after odd-sized
+    * chunks (RIFF chunks are WORD-aligned). Float samples are
+    * converted to exact 16-bit fixed point: round-half-even of
+    * f x 32768, clamped to the short range — an encoder writing
+    * s / 32768f round-trips bit-for-bit. */
+  def decodeWav(blob: Array[Byte]): WavClip = {
     require(blob.length >= 12, "truncated RIFF header")
     def fourcc(o: Int): String = new String(blob, o, 4, "US-ASCII")
     def le16(o: Int): Int = (blob(o) & 0xFF) | ((blob(o + 1) & 0xFF) << 8)
@@ -517,6 +642,7 @@ object MediaFunctions {
     require(fourcc(8) == "WAVE", s"not a WAVE form: '${fourcc(8)}'")
     var pos = 12
     var sampleRate = 0; var channels = 0
+    var formTag = 0; var extensible = false
     var sawFmt = false
     var data: Array[Byte] = null
     while (pos < blob.length && data == null) {
@@ -530,9 +656,6 @@ object MediaFunctions {
           require(!sawFmt, "duplicate fmt chunk")
           require(len >= 16, s"fmt chunk too short ($len)")
           val tag = le16(pos + 8)
-          require(tag != 3, "IEEE-float WAV unsupported (PCM only)")
-          require(tag != 0xFFFE, "WAVE_FORMAT_EXTENSIBLE unsupported")
-          require(tag == 1, s"compressed WAV (format tag $tag) unsupported")
           channels = le16(pos + 10)
           require(channels > 0 && channels <= 8, s"bad channel count $channels")
           sampleRate = le32(pos + 12).toInt
@@ -540,32 +663,82 @@ object MediaFunctions {
           val byteRate = le32(pos + 16)
           val blockAlign = le16(pos + 20)
           val bits = le16(pos + 22)
-          require(bits == 16, s"bit depth $bits unsupported (16-bit PCM only)")
-          require(blockAlign == channels * 2,
-            s"blockAlign $blockAlign != channels x 2")
+          if (tag == 0xFFFE) {
+            // EXTENSIBLE: unwrap the 22-byte cbSize extension's
+            // SubFormat GUID — 2-byte wrapped tag + the fixed
+            // KSDATAFORMAT tail, all of it validated, not assumed
+            extensible = true
+            require(len >= 40, s"EXTENSIBLE fmt chunk too short ($len, needs 40)")
+            val cbSize = le16(pos + 24)
+            require(cbSize >= 22, s"EXTENSIBLE cbSize $cbSize < 22")
+            val validBits = le16(pos + 26)
+            require(validBits > 0 && validBits <= bits,
+              s"wValidBitsPerSample $validBits outside (0, $bits]")
+            // dwChannelMask at pos+28 carries speaker positions, not format
+            formTag = le16(pos + 32)
+            (0 until 14).foreach { k =>
+              require((blob(pos + 34 + k) & 0xFF) == WavSubformatGuidTail(k),
+                f"SubFormat GUID byte ${2 + k} is ${blob(pos + 34 + k) & 0xFF}%02x, not the KSDATAFORMAT tail")
+            }
+          } else formTag = tag
+          require(formTag == 1 || formTag == 3,
+            s"compressed WAV (format tag $formTag) unsupported")
+          val bytesPerSample = if (formTag == 3) 4 else 2
+          if (formTag == 1)
+            require(bits == 16, s"bit depth $bits unsupported (16-bit PCM only)")
+          else
+            require(bits == 32, s"bit depth $bits unsupported (32-bit float only)")
+          require(blockAlign == channels * bytesPerSample,
+            s"blockAlign $blockAlign != channels x $bytesPerSample")
           require(byteRate == sampleRate.toLong * blockAlign,
             s"byteRate $byteRate != sampleRate x blockAlign")
           sawFmt = true
         case "data" =>
           require(sawFmt, "data chunk before fmt")
           require(data == null, "duplicate data chunk")
-          require(len % (channels * 2) == 0,
-            s"data length $len is a partial frame (blockAlign ${channels * 2})")
+          val bytesPerSample = if (formTag == 3) 4 else 2
+          require(len % (channels * bytesPerSample) == 0,
+            s"data length $len is a partial frame (blockAlign ${channels * bytesPerSample})")
           data = java.util.Arrays.copyOfRange(blob, pos + 8, pos + 8 + len.toInt)
-        case _ => // ancillary chunk (LIST, fact, cue ...): skipped
+        case _ => // ancillary chunk (fact, LIST, cue ...): skipped
       }
       pos += 8 + len.toInt + (len % 2).toInt // RIFF chunks are WORD-aligned
     }
     require(sawFmt, "missing fmt chunk")
     require(data != null, "missing data chunk")
-    val samples = new Array[Short](data.length / 2)
-    var i = 0
-    while (i < samples.length) {
-      samples(i) = ((data(2 * i) & 0xFF) | (data(2 * i + 1) << 8)).toShort
-      i += 1
-    }
-    WavClip(sampleRate, channels, samples)
+    val samples: Array[Short] =
+      if (formTag == 3) {
+        val n = data.length / 4
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          val bits = (data(4 * i) & 0xFF) | ((data(4 * i + 1) & 0xFF) << 8) |
+            ((data(4 * i + 2) & 0xFF) << 16) | ((data(4 * i + 3) & 0xFF) << 24)
+          val f = java.lang.Float.intBitsToFloat(bits)
+          require(!java.lang.Float.isNaN(f) && !java.lang.Float.isInfinite(f),
+            s"non-finite float sample at index $i")
+          val v = math.rint(f.toDouble * 32768.0)
+          out(i) = math.max(-32768.0, math.min(32767.0, v)).toShort
+          i += 1
+        }
+        out
+      } else {
+        val n = data.length / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          out(i) = ((data(2 * i) & 0xFF) | (data(2 * i + 1) << 8)).toShort
+          i += 1
+        }
+        out
+      }
+    WavClip(sampleRate, channels, samples, formTag, extensible)
   }
+
+  /** Round-11 name kept for existing call sites and specs; the decoder
+    * always RETURNS 16-bit fixed-point samples, whatever the container
+    * form. Delegates to [[decodeWav]]. */
+  def decodeWavPcm16(blob: Array[Byte]): WavClip = decodeWav(blob)
 
   // ---- Modality router: magic-byte sniffing over a mixed binary column ----
 

@@ -578,6 +578,72 @@ object Multimodal {
       |  CAST(COALESCE(zero_cross, 0) AS BIGINT) AS zero_cross
       |FROM agg a LEFT JOIN zc USING (doc_id)""".stripMargin
 
+  /** WAV FORM COVERAGE (round-12): the two real-corpus forms beyond
+    * plain PCM16 — IEEE float32 (tag 3, common in ML audio) and
+    * WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE, what pro tools emit),
+    * unwrapped via the 22-byte cbSize extension's SubFormat GUID.
+    * Each doc's 64 samples encode through one of FOUR container forms
+    * by doc_id % 4 (plain PCM16 / float32 / extensible-PCM16 /
+    * extensible-float32), all carrying the SAME fixed-point values:
+    * float samples are written as s/32768f (exact in float32) and the
+    * decoder's round-half-even f×32768 recovers the integers
+    * bit-for-bit, so `sum_s`/`energy` must be IDENTICAL across forms —
+    * a lossy float path, a mis-scaled conversion, or a GUID mis-parse
+    * all break the hash. `form_tag` (unwrapped: 1 or 3) and `is_ext`
+    * are the PARSED evidence of which branch ran, and float/extensible
+    * files also carry the spec's `fact` chunk plus the odd-JUNK
+    * variation, keeping the chunk walk under the gate. Oracle: pure
+    * md5 + doc_id arithmetic — it never sees RIFF bytes. */
+  def qMmWavForms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .select(col("doc_id"),
+        unhex(concat((0 until 4).map(j => md5(concat(col("text"), lit(j.toString)))): _*)).as("stream"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, stream) =>
+        val samples = stream.map(b => ((b & 0xFF) * 257 - 32768).toShort)
+        val rate = 8000 * (1 + (id % 4).toInt)
+        val ch = 1 + (id % 2).toInt
+        val anc = id % 3 == 0
+        val blob = (id % 4).toInt match {
+          case 0 => MediaFunctions.encodeWavPcm16(rate, ch, samples, ancillary = anc)
+          case 1 => MediaFunctions.encodeWavFloat32(rate, ch, samples, ancillary = anc)
+          case 2 => MediaFunctions.encodeWavExtensible(rate, ch, samples,
+            subFloat = false, ancillary = anc)
+          case _ => MediaFunctions.encodeWavExtensible(rate, ch, samples,
+            subFloat = true, ancillary = anc)
+        }
+        val clip = MediaFunctions.decodeWav(blob)
+        var sumS = 0L; var energy = 0L
+        var i = 0
+        while (i < clip.samples.length) {
+          val v = clip.samples(i).toLong
+          sumS += v; energy += v * v
+          i += 1
+        }
+        (id, clip.formTag.toLong, if (clip.extensible) 1L else 0L,
+          clip.sampleRate.toLong, clip.channels.toLong,
+          clip.samples.length.toLong, sumS, energy)
+      }
+      .toDF("doc_id", "form_tag", "is_ext", "sample_rate", "channels",
+        "n_samples", "sum_s", "energy")
+  }
+
+  val qMmWavFormsSql: String =
+    """WITH px AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(text || CAST(i // 16 AS VARCHAR)), 2 * (i % 16) + 1, 2))::BIGINT * 257 - 32768 AS s
+      |  FROM documents, range(0, 64) r(i))
+      |SELECT doc_id,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS form_tag,
+      |  CAST(CASE WHEN doc_id % 4 >= 2 THEN 1 ELSE 0 END AS BIGINT) AS is_ext,
+      |  CAST(8000 * (1 + doc_id % 4) AS BIGINT) AS sample_rate,
+      |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+      |  CAST(64 AS BIGINT) AS n_samples,
+      |  CAST(sum(s) AS BIGINT) AS sum_s,
+      |  CAST(sum(s * s) AS BIGINT) AS energy
+      |FROM px GROUP BY doc_id""".stripMargin
+
   /** VIDEO-CONTAINER path (round-11): the decode seam's third modality
     * made literal — each document's 64-byte md5 stream splits into 4
     * "frames" (sizes 8/16/24/16: boundaries only recoverable from the
@@ -965,6 +1031,7 @@ object Multimodal {
     "q_mm_mp4_chunks" -> (qMmMp4Chunks _),
     "q_mm_mp4_sample" -> (qMmMp4Sample _),
     "q_mm_wav"        -> (qMmWav _),
+    "q_mm_wav_forms"  -> (qMmWavForms _),
     "q_mm_jpeg"       -> (qMmJpeg _),
     "q_mm_png"        -> (qMmPng _),
     "q_mm_png_dedup"  -> (qMmPngDedup _),
@@ -982,6 +1049,7 @@ object Multimodal {
     "q_mm_mp4_chunks" -> qMmMp4ChunksSql,
     "q_mm_mp4_sample" -> qMmMp4SampleSql,
     "q_mm_wav"        -> qMmWavSql,
+    "q_mm_wav_forms"  -> qMmWavFormsSql,
     "q_mm_jpeg"       -> qMmJpegSql,
     "q_mm_png"        -> qMmPngSql,
     "q_mm_png_dedup"  -> qMmPngDedupSql,

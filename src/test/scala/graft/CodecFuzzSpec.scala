@@ -83,6 +83,26 @@ class CodecFuzzSpec extends AnyFunSuite {
       b => Mp4.decodeMp4(b))
   }
 
+  test("MP4 multi-chunk: decode-or-IAE with stsc/stco tables under fire") {
+    fuzz("mp4-chunks", Mp4.encodeMp4(64, 36, 1000L, 40L,
+      Array(luma.take(8), luma.slice(8, 24), luma.slice(24, 48), luma.drop(48)),
+      samplesPerChunk = Array(1, 2, 1)),
+      b => Mp4.decodeMp4(b))
+  }
+
+  test("WAV float32: decode-or-IAE under mutation, truncation, and garbage") {
+    fuzz("wav-float32", MediaFunctions.encodeWavFloat32(16000, 2,
+      luma.map(v => ((v & 0xFF) * 257 - 32768).toShort), ancillary = true),
+      b => MediaFunctions.decodeWav(b))
+  }
+
+  test("WAV extensible: decode-or-IAE with the GUID unwrap under fire") {
+    fuzz("wav-extensible", MediaFunctions.encodeWavExtensible(16000, 2,
+      luma.map(v => ((v & 0xFF) * 257 - 32768).toShort),
+      subFloat = true, ancillary = true),
+      b => MediaFunctions.decodeWav(b))
+  }
+
   test("router: sniff-or-IAE on garbage (no blob reaches the wrong decoder)") {
     val rnd = new scala.util.Random(0x5EED)
     (1 to 300).foreach { _ =>

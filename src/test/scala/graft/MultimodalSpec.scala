@@ -351,7 +351,8 @@ class MultimodalSpec extends AnyFunSuite {
         MediaFunctions.decodeWavPcm16(blob)).getMessage
     assert(err(mutated(0, 'X')).contains("not a RIFF"))
     assert(err(mutated(8, 'X')).contains("not a WAVE"))
-    assert(err(mutated(20, 3)).contains("IEEE-float"))          // format tag 3
+    // format tag 3 on a 16-bit layout: float requires 32-bit containers
+    assert(err(mutated(20, 3)).contains("32-bit float only"))
     assert(err(mutated(34, 8)).contains("bit depth 8"))         // bits 16 -> 8
     assert(err(mutated(32, 5)).contains("blockAlign"))          // 4 -> 5
     assert(err(mutated(29, 0)).contains("byteRate"))            // 0xFA byte of 64000
@@ -425,5 +426,107 @@ class MultimodalSpec extends AnyFunSuite {
       assert(clip.nFrames == frames, s"iter $i frames")
       assert(clip.samples.sameElements(samples), s"iter $i samples")
     }
+  }
+
+  test("WAV forms: float32 and EXTENSIBLE round-trip the same integers as PCM16") {
+    val rnd = new scala.util.Random(24680)
+    (1 to 20).foreach { i =>
+      val ch = rnd.nextInt(2) + 1
+      val frames = rnd.nextInt(150) + 1
+      val rate = Seq(8000, 16000, 44100, 48000)(rnd.nextInt(4))
+      val samples = Array.fill(frames * ch)((rnd.nextInt(65536) - 32768).toShort)
+      val anc = i % 2 == 0
+      val forms = Seq(
+        ("pcm16", 1, false,
+          MediaFunctions.encodeWavPcm16(rate, ch, samples, ancillary = anc)),
+        ("float32", 3, false,
+          MediaFunctions.encodeWavFloat32(rate, ch, samples, ancillary = anc)),
+        ("ext-pcm16", 1, true,
+          MediaFunctions.encodeWavExtensible(rate, ch, samples, subFloat = false, ancillary = anc)),
+        ("ext-float32", 3, true,
+          MediaFunctions.encodeWavExtensible(rate, ch, samples, subFloat = true, ancillary = anc)))
+      forms.foreach { case (name, tag, ext, bytes) =>
+        val clip = MediaFunctions.decodeWav(bytes)
+        assert(clip.formTag == tag && clip.extensible == ext, s"iter $i $name evidence")
+        assert(clip.sampleRate == rate && clip.channels == ch, s"iter $i $name format")
+        assert(clip.nFrames == frames, s"iter $i $name frames")
+        // s/32768f is exact in float32 and round-half-even recovers it:
+        // the SAME integers out of every container form, bit-for-bit
+        assert(clip.samples.sameElements(samples), s"iter $i $name samples")
+      }
+    }
+  }
+
+  test("WAV forms: malformed float/extensible inputs fail closed with named errors") {
+    val samples = Array[Short](1000, -2000, 3000, -4000)
+    def err(blob: Array[Byte]): String =
+      intercept[IllegalArgumentException](MediaFunctions.decodeWav(blob)).getMessage
+    // non-finite float sample: overwrite the first data float with NaN
+    val f32 = MediaFunctions.encodeWavFloat32(16000, 2, samples)
+    def find(b: Array[Byte], tag: String): Int =
+      (0 until b.length - 4).find(i =>
+        (0 until 4).forall(k => b(i + k) == tag.charAt(k))).get
+    val nan = f32.clone()
+    val dataAt = find(nan, "data") + 8
+    // IEEE-754 NaN, little-endian: 00 00 C0 7F
+    nan(dataAt) = 0; nan(dataAt + 1) = 0
+    nan(dataAt + 2) = 0xC0.toByte; nan(dataAt + 3) = 0x7F.toByte
+    assert(err(nan).contains("non-finite float sample"))
+    // EXTENSIBLE with a corrupted SubFormat GUID tail
+    val ext = MediaFunctions.encodeWavExtensible(16000, 2, samples, subFloat = true)
+    val fmtAt = find(ext, "fmt ")
+    val badGuid = ext.clone()
+    badGuid(fmtAt + 8 + 26 + 4) = 0x42 // a KSDATAFORMAT tail byte
+    assert(err(badGuid).contains("KSDATAFORMAT"))
+    // EXTENSIBLE claiming cbSize < 22
+    val smallCb = ext.clone()
+    smallCb(fmtAt + 8 + 16) = 8
+    assert(err(smallCb).contains("cbSize"))
+    // EXTENSIBLE wrapping an unsupported (compressed) subtype
+    val badSub = ext.clone()
+    badSub(fmtAt + 8 + 24) = 2 // SubFormat tag 3 -> 2 (ADPCM)
+    assert(err(badSub).contains("format tag 2"))
+    // wValidBitsPerSample above the container size
+    val badValid = ext.clone()
+    badValid(fmtAt + 8 + 18) = 33
+    assert(err(badValid).contains("wValidBitsPerSample"))
+  }
+
+  test("WAV cross-validation: float32 output parses through javax.sound.sampled") {
+    import javax.sound.sampled.{AudioSystem, AudioFormat}
+    val rnd = new scala.util.Random(11223)
+    var validated = 0
+    (1 to 10).foreach { i =>
+      val ch = rnd.nextInt(2) + 1
+      val frames = rnd.nextInt(100) + 1
+      val rate = Seq(16000, 44100, 48000)(rnd.nextInt(3))
+      val samples = Array.fill(frames * ch)((rnd.nextInt(65536) - 32768).toShort)
+      val bytes = MediaFunctions.encodeWavFloat32(rate, ch, samples,
+        ancillary = i % 2 == 0)
+      try {
+        val ais = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val f = ais.getFormat
+        assert(f.getEncoding == AudioFormat.Encoding.PCM_FLOAT, s"iter $i encoding")
+        assert(f.getSampleRate == rate.toFloat, s"iter $i rate")
+        assert(f.getChannels == ch, s"iter $i channels")
+        assert(f.getSampleSizeInBits == 32 && !f.isBigEndian, s"iter $i depth/endian")
+        val raw = ais.readAllBytes()
+        assert(raw.length == samples.length * 4, s"iter $i payload length")
+        samples.indices.foreach { k =>
+          val bits = (raw(4 * k) & 0xFF) | ((raw(4 * k + 1) & 0xFF) << 8) |
+            ((raw(4 * k + 2) & 0xFF) << 16) | ((raw(4 * k + 3) & 0xFF) << 24)
+          val back = math.rint(java.lang.Float.intBitsToFloat(bits).toDouble * 32768.0)
+          assert(back == samples(k).toDouble, s"iter $i sample $k")
+        }
+        validated += 1
+      } catch {
+        // a JDK without float-WAV read support: cross-validation is
+        // best-effort per the round-11 convention (our own round-trip
+        // and fuzz contracts still cover the path)
+        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+      }
+    }
+    info(s"float32 cross-validated on $validated/10 cases (JDK support permitting)")
   }
 }
