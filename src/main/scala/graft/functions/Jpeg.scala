@@ -18,8 +18,9 @@ package graft.functions
   *  - per-block dequantization in zigzag order, separable double-
   *    precision IDCT (T.81 A.3.3), level shift + clamp;
   *  - single-scan interleaved MCU layout for 1- and 3-component frames
-  *    with sampling factors 1–2 (4:4:4, 4:2:2, 4:2:0), nearest-sample
-  *    chroma upsampling, and the JFIF YCbCr→RGB conversion.
+  *    with sampling factors 1–2 (4:4:4, 4:2:2, 4:2:0), centered
+  *    bilinear (triangle-filter) chroma upsampling, and the JFIF
+  *    YCbCr→RGB conversion.
   *
   * The gate query (q_mm_jpeg) rides the EXACT-DECODE subset: an image of
   * constant 8×8 tiles encodes to DC-only blocks under an all-ones

@@ -192,10 +192,20 @@ object Sinks {
     val alreadyCommitted = withConn { c =>
       ensureTable(c, s"CREATE TABLE $epochs (batch_id BIGINT, " +
         "writer_id VARCHAR(64) NOT NULL, PRIMARY KEY (batch_id, writer_id))")
+      // migration probe: epoch rows written before the digest-keyed
+      // identity (round 11) store the RAW writerId, so the replay guard
+      // matches either form — otherwise the first run after an upgrade
+      // would re-insert every already-committed batch once, a silent
+      // one-time duplicate-row replay. New rows always write the digest;
+      // the raw arm only ever matches legacy rows. (A raw writerId
+      // longer than the column's 64 chars was never insertable pre-r11,
+      // so the extra predicate arm cannot false-positive.)
       val st = c.prepareStatement(
-        s"SELECT 1 FROM $epochs WHERE batch_id = ? AND writer_id = ?")
+        s"SELECT 1 FROM $epochs WHERE batch_id = ? AND writer_id IN (?, ?)")
       try {
-        st.setLong(1, batchId); st.setString(2, writerKey)
+        st.setLong(1, batchId)
+        st.setString(2, writerKey)
+        st.setString(3, if (writerId.length <= 64) writerId else writerKey)
         val rs = st.executeQuery(); rs.next()
       } finally st.close()
     }

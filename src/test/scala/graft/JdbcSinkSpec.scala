@@ -163,6 +163,40 @@ class JdbcSinkSpec extends AnyFunSuite {
       s"epoch keys are not fixed-width digests: ${keys.toSeq}")
   }
 
+  test("epoch-guard upsert: pre-digest (raw writerId) epoch rows still block replay (round-11 ADVICE)") {
+    // rows written by the pre-r11 version store the RAW writerId in
+    // _EPOCHS; on upgrade the digest-keyed probe must still see them as
+    // committed, or every legacy batch replays exactly once
+    val df = records("2509").drop("competencia")
+    val t = "EO_MIGRATED_WRITERS"
+    val legacyWriter = "file:///ckpt/legacy-path"
+    // simulate the old version: target rows present, epoch row keyed RAW
+    Sinks.jdbcUpsertBatch(df, 0L, url, t, textType = "VARCHAR(4096)",
+      writerId = legacyWriter)
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      try {
+        // rewrite the digest epoch row back to the legacy raw form
+        st.executeUpdate(
+          s"UPDATE ${t}_EPOCHS SET writer_id = '$legacyWriter' WHERE batch_id = 0")
+      } finally st.close()
+    } finally c.close()
+    // the upgraded writer replays batch 0: the raw-form row must block it
+    Sinks.jdbcUpsertBatch(df, 0L, url, t, textType = "VARCHAR(4096)",
+      writerId = legacyWriter)
+    assert(Sinks.readJdbc(spark, url, t).count() == 100,
+      "legacy raw-keyed epoch row did not block the replay: one-time duplicate")
+    // and a NEW batch from the same writer commits under the digest key
+    Sinks.jdbcUpsertBatch(df, 1L, url, t, textType = "VARCHAR(4096)",
+      writerId = legacyWriter)
+    assert(Sinks.readJdbc(spark, url, t).count() == 200)
+    val keys = Sinks.readJdbc(spark, url, s"${t}_EPOCHS")
+      .select("WRITER_ID").collect().map(_.getString(0)).sorted
+    assert(keys.exists(_ == legacyWriter) && keys.exists(_.matches("[0-9a-f]{32}")),
+      s"expected one legacy raw key and one digest key: ${keys.toSeq}")
+  }
+
   test("missing-relation detection matches exact SQLStates, not class 42") {
     def sql(state: String) = new java.sql.SQLException("boom", state)
     // true missing-relation states, directly and nested in a cause chain

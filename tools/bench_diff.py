@@ -89,8 +89,13 @@ def main(old_path, new_path):
     if registry_changed:
         print("note: registry names_sha differs (expected when queries were "
               "added); diff covers the shared subset only")
-    print(f"shared-subset total: {tot_old:.1f}s -> {tot_new:.1f}s "
-          f"({tot_new / tot_old:.2f}x)   median per-query ratio: {median_ratio:.2f}x")
+    if shared and tot_old > 0:
+        print(f"shared-subset total: {tot_old:.1f}s -> {tot_new:.1f}s "
+              f"({tot_new / tot_old:.2f}x)   median per-query ratio: {median_ratio:.2f}x")
+    else:
+        # disjoint registries that still pass the env gate: report rather
+        # than crash on the division (the JSON line below already guards)
+        print("no shared queries with nonzero old timings: totals not comparable")
 
     if flagged:
         print(f"\nREGRESSIONS (> {RATIO_FLAG}x AND > {ABS_FLAG_MS:.0f} ms):")
@@ -123,7 +128,7 @@ def main(old_path, new_path):
         "added": added,
         "removed": removed,
         "total_ratio": round(tot_new / tot_old, 3) if tot_old else None,
-        "median_ratio": round(median_ratio, 3),
+        "median_ratio": round(median_ratio, 3) if ratios else None,
         "flagged": [q for q, *_ in flagged],
         "improved": [q for q, *_ in improved],
         "decode": decode_table,
