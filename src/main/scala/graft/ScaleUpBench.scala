@@ -179,17 +179,41 @@ object ScaleUpBench {
         println(s"""{"summary":true,"n_queries":${qs.size},""" +
           s""""n_flipped":${flipped.size},"flipped":${jarr(flipped.toSeq)},""" +
           s""""n_dangerous":${dangerous.size},"dangerous":${jarr(dangerous.toSeq)}}""")
-      case "recall" :: dir :: Nil =>
+      case "recall" :: dir :: rest if rest.size <= 1 =>
         // FULL-corpus IVF pair recall (round-10 VERDICT #3): the brute
         // exact denominator over the whole audit corpus vs the memoized
         // gated IVF pair set — one JSON line for SCALEUP_r*.jsonl, so a
         // recall regression is as visible round-to-round as a plan flip.
-        val t0 = System.nanoTime()
-        val row = graft.queries.Dedup.ivfFullRecall(s, dir).collect()(0)
-        println(f"""{"full_recall":true,"dir":"$dir",""" +
-          f""""n_exact":${row.getLong(0)},"n_hit":${row.getLong(1)},""" +
-          f""""recall_ppm":${row.getLong(2)},""" +
-          f""""wall_ms":${(System.nanoTime() - t0) / 1e6}%.0f}""")
+        // Round-12 (VERDICT #1): the default-width line is ASSERTED
+        // against the declared floor — the run exits nonzero when the
+        // index quality regresses, instead of just recording it. An
+        // optional width list measures off-default economics (never
+        // floor-asserted: the floor is a property of the SHIPPED width).
+        val widths = rest.headOption
+          .map(_.split(",").map(_.trim.toInt).toSeq)
+          .getOrElse(Seq(-1)) // -1 = the shipped default width
+        val floor = graft.queries.Dedup.IvfFullRecallFloorPpm
+        var failed = false
+        widths.foreach { w =>
+          val t0 = System.nanoTime()
+          val row = (if (w < 0) graft.queries.Dedup.ivfFullRecall(s, dir)
+                     else graft.queries.Dedup.ivfFullRecall(s, dir, w)).collect()(0)
+          val isDefault = w < 0
+          val pass = !isDefault || row.getLong(2) >= floor
+          if (!pass) failed = true
+          val widthTag = if (isDefault) "" else s""","nprobe":$w"""
+          val floorTag =
+            if (isDefault) s""","floor_ppm":$floor,"pass":$pass""" else ""
+          println(f"""{"full_recall":true,"dir":"$dir"$widthTag,""" +
+            f""""n_exact":${row.getLong(0)},"n_hit":${row.getLong(1)},""" +
+            f""""recall_ppm":${row.getLong(2)}$floorTag,""" +
+            f""""wall_ms":${(System.nanoTime() - t0) / 1e6}%.0f}""")
+        }
+        if (failed) {
+          System.err.println(s"FULL-CORPUS RECALL BELOW DECLARED FLOOR ($floor ppm)")
+          s.stop()
+          sys.exit(1)
+        }
       case "nprobe" :: dir :: widths :: Nil =>
         // Cost/recall economics of the IVF probe-width knob, measured:
         // per width, the deduplicated candidate volume (the quantity that

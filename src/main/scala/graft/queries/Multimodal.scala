@@ -1009,6 +1009,64 @@ object Multimodal {
       |            ELSE sb END AS BIGINT) AS content_sum
       |FROM s""".stripMargin
 
+  /** END-TO-END MEDIA LAKE PIPELINE gated as ONE unit (round-12,
+    * VERDICT-r11 #4): the multimodal tier's composition, shaped like
+    * [[Etl.qPipelineLake]] — mixed-corpus encode → magic-byte route →
+    * per-row quarantine → per-modality decode features →
+    * MODALITY-PARTITIONED lake write (dynamic partition overwrite, so
+    * re-runs are idempotent per partition) → partition-discovering
+    * READ-BACK → per-modality load report. The report aggregates the
+    * read-back relation, NOT the in-memory one, so the partitioned
+    * write path, partition-value round-trip (including the 'corrupt'
+    * quarantine partition real curation jobs re-drive from), and
+    * read-back typing all sit under the oracle: a row written to the
+    * wrong partition, a quarantine row lost in the write, or a
+    * partition value mangled in discovery shifts a group's counts and
+    * breaks the hash. Oracle: qMmRouteQuarantine's pure md5/doc_id
+    * arithmetic, aggregated per modality — it never sees the lake. */
+  def qPipelineMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val routed = qMmRouteQuarantine(s, dir)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val lakeDir = s"/tmp/graft_media_lake/${key}_p${ProcessHandle.current().pid()}"
+    routed.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("modality")
+      .parquet(lakeDir)
+    s.read.parquet(lakeDir)
+      .groupBy($"modality".cast("string").as("modality"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_units").as("units_sum"),
+        sum($"content_sum").as("contents_sum"))
+  }
+
+  val qPipelineMediaSql: String =
+    """WITH px AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(text || CAST(i // 16 AS VARCHAR)), 2 * (i % 16) + 1, 2))::BIGINT AS b
+      |  FROM documents, range(0, 64) r(i)),
+      |s AS (SELECT doc_id, sum(b) AS sb FROM px GROUP BY doc_id),
+      |r AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 0 THEN 'corrupt'
+      |         ELSE CASE doc_id % 5 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png' WHEN 2 THEN 'jpeg'
+      |                              WHEN 3 THEN 'wav' ELSE 'mp4' END END AS modality,
+      |    CASE WHEN doc_id % 13 = 0 THEN 0
+      |         WHEN doc_id % 5 = 2 THEN 4096 WHEN doc_id % 5 = 4 THEN 4
+      |         ELSE 64 END AS n_units,
+      |    CASE WHEN doc_id % 13 = 0 THEN 0
+      |         WHEN doc_id % 5 = 2 THEN 64 * sb
+      |         WHEN doc_id % 5 = 3 THEN 257 * sb - 32768 * 64
+      |         ELSE sb END AS content
+      |  FROM s)
+      |SELECT modality,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_units) AS BIGINT) AS units_sum,
+      |  CAST(sum(content) AS BIGINT) AS contents_sum
+      |FROM r GROUP BY modality""".stripMargin
+
   val qMmRouteSql: String =
     """WITH px AS (
       |  SELECT doc_id,
@@ -1027,6 +1085,7 @@ object Multimodal {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_route"      -> (qMmRoute _),
     "q_mm_route_quarantine" -> (qMmRouteQuarantine _),
+    "q_pipeline_media" -> (qPipelineMedia _),
     "q_mm_mp4"        -> (qMmMp4 _),
     "q_mm_mp4_chunks" -> (qMmMp4Chunks _),
     "q_mm_mp4_sample" -> (qMmMp4Sample _),
@@ -1045,6 +1104,7 @@ object Multimodal {
   def oracles: Map[String, String] = Map(
     "q_mm_route"      -> qMmRouteSql,
     "q_mm_route_quarantine" -> qMmRouteQuarantineSql,
+    "q_pipeline_media" -> qPipelineMediaSql,
     "q_mm_mp4"        -> qMmMp4Sql,
     "q_mm_mp4_chunks" -> qMmMp4ChunksSql,
     "q_mm_mp4_sample" -> qMmMp4SampleSql,

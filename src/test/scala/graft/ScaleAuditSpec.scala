@@ -96,4 +96,24 @@ class ScaleAuditSpec extends AnyFunSuite {
       "Broadcast-class join appeared/multiplied at 10x (corpus-proportional " +
         s"side pinned in memory):\n  ${dangerous.mkString("\n  ")}")
   }
+
+  test("10x full-corpus IVF recall holds the declared floor (round-11 VERDICT #1)",
+      SlowScaleAudit) {
+    // the one failure mode the per-round oracle gates can still miss: a
+    // QUIET index-quality regression. The floor is declared next to the
+    // probe-width constant (Dedup.IvfFullRecallFloorPpm, with the
+    // measured nprobe-economics cost argument); this CI form fails the
+    // audit build when the line drops below it. On this 10x-of-sf0.01
+    // corpus the measured value is 960674 ppm (342/356 exact pairs) —
+    // headroom over the floor is real, not threshold-hugging, because
+    // the r9 audit corpus (10x of sf0.1, 846340 ppm) is the binding one
+    // and stays asserted by `ScaleUpBench recall` each round.
+    ensureBigCorpus()
+    val row = graft.queries.Dedup.ivfFullRecall(spark, bigDir).collect()(0)
+    val floor = graft.queries.Dedup.IvfFullRecallFloorPpm
+    assert(row.getLong(0) > 0, "no exact pairs at 10x — denominator vanished")
+    assert(row.getLong(2) >= floor,
+      s"full-corpus IVF recall ${row.getLong(2)} ppm fell below the declared " +
+        s"floor $floor ppm (${row.getLong(1)}/${row.getLong(0)} pairs)")
+  }
 }
