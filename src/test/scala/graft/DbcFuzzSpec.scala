@@ -15,9 +15,14 @@ import graft.sources.{Blast, Dbf, Dbc}
   */
 class DbcFuzzSpec extends AnyFunSuite {
 
-  private val Mutations = 600
-  private val Truncations = 150
-  private val Garbage = 150
+  // Unified fuzz budget (round-12): same committed budget as
+  // CodecFuzzSpec, same GRAFT_FUZZ_SCALE validation knob — the zip walk
+  // and the record decoders run the full 7200-case tier when scaled,
+  // not a private smaller one.
+  private val Scale = sys.env.getOrElse("GRAFT_FUZZ_SCALE", "1").toInt
+  private val Mutations = 600 * Scale
+  private val Truncations = 150 * Scale
+  private val Garbage = 150 * Scale
 
   private def fuzz(name: String, valid: Array[Byte], decode: Array[Byte] => Any): Unit = {
     decode(valid)
