@@ -144,10 +144,16 @@ object ScaleUpBench {
     args.toList match {
       case "gen" :: src :: out :: factor :: Nil =>
         gen(s, src, out, factor.toInt)
-      case "run" :: dirA :: dirB :: names :: Nil =>
+      case "run" :: dirA :: dirB :: names :: rest if rest.isEmpty || rest == List("--once") =>
         // "all" = the full registry — the round-9 audit shape: every
         // gated query's AQE-final plan diffed at both scales, dangerous
-        // flips asserted MECHANICALLY (summary line), not by sampling
+        // flips asserted MECHANICALLY (summary line), not by sampling.
+        // `--once` (round-12, for the 100x audit): a single COLD run per
+        // query at both scales — at two decades up the p50-of-3 protocol
+        // quadruples a multi-hour sweep for precision the flip detector
+        // does not need; the JSON lines carry "once":true so walls from
+        // the two protocols are never silently compared.
+        val once = rest.nonEmpty
         val qs =
           if (names == "all") SparkEntry.queries.keys.toSeq.sorted
           else names.split(",").toSeq
@@ -155,12 +161,15 @@ object ScaleUpBench {
         val flipped = scala.collection.mutable.ArrayBuffer[String]()
         qs.foreach { q =>
           val capped = QuadraticCapped(q)
-          val (ta, rowsA, shapeA) = timeQuery(s, q, dirA)
+          val (ta, rowsA, shapeA) =
+            if (once) timeQuery(s, q, dirA, runs = 1, warm = false)
+            else timeQuery(s, q, dirA)
           val (tb, rowsB, shapeB) =
-            if (capped) timeQuery(s, q, dirB, runs = 1, warm = false)
+            if (capped || once) timeQuery(s, q, dirB, runs = 1, warm = false)
             else timeQuery(s, q, dirB)
           def p50(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
-          val capTag = if (capped) ""","capped":true""" else ""
+          val capTag = (if (capped) ""","capped":true""" else "") +
+            (if (once) ""","once":true""" else "")
           val flip = if (shapeA == shapeB) "" else s""","plan_flip":"$shapeA -> $shapeB""""
           if (shapeA != shapeB) flipped += q
           // The dangerous direction is a BROADCAST-class join APPEARING
@@ -198,7 +207,10 @@ object ScaleUpBench {
           val t0 = System.nanoTime()
           val row = (if (w < 0) graft.queries.Dedup.ivfFullRecall(s, dir)
                      else graft.queries.Dedup.ivfFullRecall(s, dir, w)).collect()(0)
-          val isDefault = w < 0
+          // spelling the shipped width out ("recall dir 6") is the same
+          // measurement as the argument-less form and must not dodge the
+          // floor — key the assertion on the RESOLVED width, not syntax
+          val isDefault = w < 0 || w == graft.queries.Dedup.IvfDedupNProbe
           val pass = !isDefault || row.getLong(2) >= floor
           if (!pass) failed = true
           val widthTag = if (isDefault) "" else s""","nprobe":$w"""

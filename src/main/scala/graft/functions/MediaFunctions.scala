@@ -529,43 +529,9 @@ object MediaFunctions {
     * decoder must walk past. `ancillary` adds the odd-length JUNK
     * chunk like the PCM16 writer. */
   def encodeWavFloat32(sampleRate: Int, channels: Int, samples: Array[Short],
-                       ancillary: Boolean = false): Array[Byte] = {
-    require(sampleRate > 0, s"bad sample rate $sampleRate")
-    require(channels > 0 && channels <= 8, s"bad channel count $channels")
-    require(samples.length % channels == 0,
-      s"${samples.length} samples not a whole number of $channels-channel frames")
-    val out = new java.io.ByteArrayOutputStream()
-    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
-    def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
-    val blockAlign = channels * 4
-    val dataLen = samples.length * 4
-    val junkLen = if (ancillary) 8 + 11 + 1 else 0
-    out.write("RIFF".getBytes("US-ASCII"))
-    le32(4 + (8 + 18) + (8 + 4) + junkLen + 8 + dataLen) // WAVE + fmt + fact + [JUNK] + data
-    out.write("WAVE".getBytes("US-ASCII"))
-    out.write("fmt ".getBytes("US-ASCII")); le32(18)
-    le16(3)                       // wFormatTag = IEEE float
-    le16(channels)
-    le32(sampleRate)
-    le32(sampleRate * blockAlign) // nAvgBytesPerSec
-    le16(blockAlign)
-    le16(32)                      // wBitsPerSample
-    le16(0)                       // cbSize = 0 (required for non-PCM)
-    out.write("fact".getBytes("US-ASCII")); le32(4)
-    le32(samples.length / channels) // dwSampleLength (frames)
-    if (ancillary) {
-      out.write("JUNK".getBytes("US-ASCII")); le32(11)
-      out.write("graft-audio".getBytes("US-ASCII"))
-      out.write(0)
-    }
-    out.write("data".getBytes("US-ASCII")); le32(dataLen)
-    var i = 0
-    while (i < samples.length) {
-      le32(java.lang.Float.floatToIntBits(samples(i) / 32768.0f))
-      i += 1
-    }
-    out.toByteArray
-  }
+                       ancillary: Boolean = false): Array[Byte] =
+    writeWavNonPcm(sampleRate, channels, samples, ancillary,
+      float = true, extensible = false)
 
   /** RIFF/WAVE writer for WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) — the
     * form most pro audio tools emit. The 22-byte cbSize extension
@@ -575,7 +541,16 @@ object MediaFunctions {
     * form's. */
   def encodeWavExtensible(sampleRate: Int, channels: Int, samples: Array[Short],
                           subFloat: Boolean = false,
-                          ancillary: Boolean = false): Array[Byte] = {
+                          ancillary: Boolean = false): Array[Byte] =
+    writeWavNonPcm(sampleRate, channels, samples, ancillary,
+      float = subFloat, extensible = true)
+
+  /** Shared writer for the two non-plain-PCM16 container forms. (The
+    * round-11 `encodeWavPcm16` stays a separate body on purpose: its
+    * output bytes are frozen under existing gate hashes.) */
+  private def writeWavNonPcm(sampleRate: Int, channels: Int,
+                             samples: Array[Short], ancillary: Boolean,
+                             float: Boolean, extensible: Boolean): Array[Byte] = {
     require(sampleRate > 0, s"bad sample rate $sampleRate")
     require(channels > 0 && channels <= 8, s"bad channel count $channels")
     require(samples.length % channels == 0,
@@ -583,29 +558,35 @@ object MediaFunctions {
     val out = new java.io.ByteArrayOutputStream()
     def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
     def le32(v: Int): Unit = { le16(v & 0xFFFF); le16((v >>> 16) & 0xFFFF) }
-    val bytesPerSample = if (subFloat) 4 else 2
+    val bytesPerSample = if (float) 4 else 2
     val bits = bytesPerSample * 8
     val blockAlign = channels * bytesPerSample
     val dataLen = samples.length * bytesPerSample
+    val fmtLen = if (extensible) 40 else 18
     val junkLen = if (ancillary) 8 + 11 + 1 else 0
     out.write("RIFF".getBytes("US-ASCII"))
-    le32(4 + (8 + 40) + (8 + 4) + junkLen + 8 + dataLen)
+    le32(4 + (8 + fmtLen) + (8 + 4) + junkLen + 8 + dataLen) // WAVE + fmt + fact + [JUNK] + data
     out.write("WAVE".getBytes("US-ASCII"))
-    out.write("fmt ".getBytes("US-ASCII")); le32(40)
-    le16(0xFFFE)                  // wFormatTag = EXTENSIBLE
+    out.write("fmt ".getBytes("US-ASCII")); le32(fmtLen)
+    le16(if (extensible) 0xFFFE else 3) // wFormatTag
     le16(channels)
     le32(sampleRate)
-    le32(sampleRate * blockAlign)
+    le32(sampleRate * blockAlign) // nAvgBytesPerSec
     le16(blockAlign)
-    le16(bits)
-    le16(22)                      // cbSize
-    le16(bits)                    // wValidBitsPerSample (full container)
-    le32((1 << channels) - 1)     // dwChannelMask: first N speaker positions
-    le16(if (subFloat) 3 else 1)  // SubFormat GUID: wrapped tag...
-    WavSubformatGuidTail.foreach(out.write) // ...+ fixed KSDATAFORMAT tail
+    le16(bits)                    // wBitsPerSample (container size)
+    if (extensible) {
+      le16(22)                    // cbSize
+      le16(bits)                  // wValidBitsPerSample (full container)
+      le32((1 << channels) - 1)   // dwChannelMask: first N speaker positions
+      le16(if (float) 3 else 1)   // SubFormat GUID: wrapped tag...
+      WavSubformatGuidTail.foreach(out.write) // ...+ fixed KSDATAFORMAT tail
+    } else {
+      le16(0)                     // cbSize = 0 (required for non-PCM)
+    }
     out.write("fact".getBytes("US-ASCII")); le32(4)
-    le32(samples.length / channels)
+    le32(samples.length / channels) // dwSampleLength (frames)
     if (ancillary) {
+      // odd-length padding chunk + its mandatory WORD-alignment pad byte
       out.write("JUNK".getBytes("US-ASCII")); le32(11)
       out.write("graft-audio".getBytes("US-ASCII"))
       out.write(0)
@@ -613,7 +594,7 @@ object MediaFunctions {
     out.write("data".getBytes("US-ASCII")); le32(dataLen)
     var i = 0
     while (i < samples.length) {
-      if (subFloat) le32(java.lang.Float.floatToIntBits(samples(i) / 32768.0f))
+      if (float) le32(java.lang.Float.floatToIntBits(samples(i) / 32768.0f))
       else le16(samples(i) & 0xFFFF)
       i += 1
     }

@@ -1034,6 +1034,13 @@ object Multimodal {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val lakeDir = s"/tmp/graft_media_lake/${key}_p${ProcessHandle.current().pid()}"
+    // clear any previous run's lake first: dynamic partition overwrite
+    // only replaces partitions PRESENT in the new write, so a recycled
+    // pid over a regenerated corpus could otherwise leak a stale
+    // partition into the read-back report
+    val fs = new org.apache.hadoop.fs.Path(lakeDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(lakeDir), true)
     routed.write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -193,21 +193,28 @@ object Sinks {
       ensureTable(c, s"CREATE TABLE $epochs (batch_id BIGINT, " +
         "writer_id VARCHAR(64) NOT NULL, PRIMARY KEY (batch_id, writer_id))")
       // migration probe: epoch rows written before the digest-keyed
-      // identity (round 11) store the RAW writerId, so the replay guard
-      // matches either form — otherwise the first run after an upgrade
-      // would re-insert every already-committed batch once, a silent
-      // one-time duplicate-row replay. New rows always write the digest;
-      // the raw arm only ever matches legacy rows. (A raw writerId
-      // longer than the column's 64 chars was never insertable pre-r11,
-      // so the extra predicate arm cannot false-positive.)
-      val st = c.prepareStatement(
-        s"SELECT 1 FROM $epochs WHERE batch_id = ? AND writer_id IN (?, ?)")
-      try {
-        st.setLong(1, batchId)
-        st.setString(2, writerKey)
-        st.setString(3, if (writerId.length <= 64) writerId else writerKey)
-        val rs = st.executeQuery(); rs.next()
-      } finally st.close()
+      // identity (round 11) store the RAW writerId — in a VARCHAR(512)
+      // column, so legacy ids up to 512 chars exist on disk — and the
+      // replay guard must match either form, or the first run after an
+      // upgrade re-inserts every already-committed batch once, a silent
+      // one-time duplicate-row replay. New rows always write the digest.
+      // The raw arm runs as a SEPARATE probe with SQL errors treated as
+      // no-match: against a post-r11 VARCHAR(64) epochs table, binding a
+      // longer raw id may raise a parameter-truncation error on strict
+      // databases — and an id that cannot fit the column proves no
+      // legacy row exists there.
+      def probe(id: String): Boolean = {
+        val st = c.prepareStatement(
+          s"SELECT 1 FROM $epochs WHERE batch_id = ? AND writer_id = ?")
+        try {
+          st.setLong(1, batchId); st.setString(2, id)
+          val rs = st.executeQuery(); rs.next()
+        } finally st.close()
+      }
+      probe(writerKey) ||
+        (writerId != writerKey && writerId.length <= 512 &&
+          (try probe(writerId)
+           catch { case _: java.sql.SQLException => false }))
     }
     if (alreadyCommitted) return
     // stage (overwrite = crash-safe re-stage; executor-parallel batching)

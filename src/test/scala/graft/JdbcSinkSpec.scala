@@ -164,30 +164,41 @@ class JdbcSinkSpec extends AnyFunSuite {
   }
 
   test("epoch-guard upsert: pre-digest (raw writerId) epoch rows still block replay (round-11 ADVICE)") {
-    // rows written by the pre-r11 version store the RAW writerId in
-    // _EPOCHS; on upgrade the digest-keyed probe must still see them as
-    // committed, or every legacy batch replays exactly once
+    // rows written by the pre-r11 version store the RAW writerId in a
+    // VARCHAR(512) _EPOCHS column; on upgrade the digest-keyed probe
+    // must still see them as committed, or every legacy batch replays
+    // exactly once. The legacy id here is deliberately LONGER than the
+    // new 64-char column (the checkpoint-path case the round-12 review
+    // caught: the first fix only matched raw ids <= 64 chars).
     val df = records("2509").drop("competencia")
     val t = "EO_MIGRATED_WRITERS"
-    val legacyWriter = "file:///ckpt/legacy-path"
-    // simulate the old version: target rows present, epoch row keyed RAW
-    Sinks.jdbcUpsertBatch(df, 0L, url, t, textType = "VARCHAR(4096)",
-      writerId = legacyWriter)
+    val legacyWriter = "file:///ckpt/" + ("legacy/" * 12) + "path" // 101 chars
+    assert(legacyWriter.length > 64 && legacyWriter.length <= 512)
+    // simulate the old deployment: the LEGACY DDL (VARCHAR(512)) with a
+    // raw-keyed committed row for batch 0 — created BEFORE the upgraded
+    // writer ever runs, exactly like a real upgrade
     val c = java.sql.DriverManager.getConnection(url)
     try {
       val st = c.createStatement()
       try {
-        // rewrite the digest epoch row back to the legacy raw form
+        st.executeUpdate(s"CREATE TABLE ${t}_EPOCHS (batch_id BIGINT, " +
+          "writer_id VARCHAR(512) NOT NULL, PRIMARY KEY (batch_id, writer_id))")
         st.executeUpdate(
-          s"UPDATE ${t}_EPOCHS SET writer_id = '$legacyWriter' WHERE batch_id = 0")
+          s"INSERT INTO ${t}_EPOCHS VALUES (0, '$legacyWriter')")
       } finally st.close()
     } finally c.close()
+    // the legacy target table holds batch 0's rows already
+    Sinks.writeJdbc(df, url, t, textType = "VARCHAR(4096)")
     // the upgraded writer replays batch 0: the raw-form row must block it
     Sinks.jdbcUpsertBatch(df, 0L, url, t, textType = "VARCHAR(4096)",
       writerId = legacyWriter)
     assert(Sinks.readJdbc(spark, url, t).count() == 100,
       "legacy raw-keyed epoch row did not block the replay: one-time duplicate")
-    // and a NEW batch from the same writer commits under the digest key
+    // a NEW batch from the same writer commits under the digest key
+    Sinks.jdbcUpsertBatch(df, 1L, url, t, textType = "VARCHAR(4096)",
+      writerId = legacyWriter)
+    assert(Sinks.readJdbc(spark, url, t).count() == 200)
+    // and its replay is also blocked (digest arm)
     Sinks.jdbcUpsertBatch(df, 1L, url, t, textType = "VARCHAR(4096)",
       writerId = legacyWriter)
     assert(Sinks.readJdbc(spark, url, t).count() == 200)
@@ -195,6 +206,22 @@ class JdbcSinkSpec extends AnyFunSuite {
       .select("WRITER_ID").collect().map(_.getString(0)).sorted
     assert(keys.exists(_ == legacyWriter) && keys.exists(_.matches("[0-9a-f]{32}")),
       s"expected one legacy raw key and one digest key: ${keys.toSeq}")
+  }
+
+  test("epoch-guard upsert: a 65..512-char writer id works against a FRESH epochs table") {
+    // the raw probe arm must never break commits on new deployments: a
+    // long-but-legacy-legal writer id probes a VARCHAR(64) table (the
+    // bind may be rejected by strict databases) and the guard must treat
+    // that as no-match, not as a failed batch
+    val df = records("2510").drop("competencia")
+    val t = "EO_FRESH_LONG_WRITER"
+    val longWriter = "file:///ckpt/" + ("x" * 80) + "/A" // 95 chars
+    Sinks.jdbcUpsertBatch(df, 0L, url, t, textType = "VARCHAR(4096)",
+      writerId = longWriter)
+    assert(Sinks.readJdbc(spark, url, t).count() == 100)
+    Sinks.jdbcUpsertBatch(df, 0L, url, t, textType = "VARCHAR(4096)",
+      writerId = longWriter)
+    assert(Sinks.readJdbc(spark, url, t).count() == 100, "replay not blocked")
   }
 
   test("missing-relation detection matches exact SQLStates, not class 42") {

@@ -87,7 +87,6 @@ RES[benchdiff]=skipped
 if [[ $QUICK -eq 0 ]]; then
   load=$(cut -d' ' -f1 /proc/loadavg)
   if python3 -c "import sys; sys.exit(0 if float('$load') < 0.5 else 1)"; then
-    round_n=$(ls BENCH_LOCAL_r*.json 2>/dev/null | sed 's/[^0-9]*//g' | sort -n | tail -1)
     new_bench="$OUT/BENCH_LOCAL_new.json"
     if SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_OUT="$new_bench" \
        SPARK_GRAFT_SF_DIR="$SF01" sbt -batch "runMain graft.Bench" \
