@@ -136,7 +136,13 @@ object ScaleUpBench {
     * grow (round-10 VERDICT #5). Never silent: the per-query JSON line
     * carries `"capped":true` and the cap halves reps, it does not skip
     * the measurement — wall and AQE-final plan shape are still real. */
-  private val QuadraticCapped = Set("q_dedup_embed_lsh", "q_mm_phash")
+  private val QuadraticCapped = Set("q_dedup_embed_lsh", "q_mm_phash",
+    // round-12 100x audit: lossless hamming<=3 pigeonholing needs FIXED
+    // 4x15-bit bands, so band collisions grow ~n^2/2^15 once cross-shard
+    // simhashes decorrelate — measured 211x wall for 10x rows at the
+    // 100x decade (SCALEUP_r12_100x.jsonl); q_dedup_minhash (8.6x) and
+    // the IVF embedding family are the gated sub-quadratic siblings
+    "q_dedup_simhash")
 
   def main(args: Array[String]): Unit = {
     val s = GraftSession.local()
