@@ -86,7 +86,8 @@ object Bench {
       decodeRuns: Seq[Double], decode2mRuns: Seq[Double],
       totalsPerRun: Seq[Double], resweeps: Int, decodeResweeps: Int,
       loadavg: Seq[Double] = Seq(), cpuPerRun: Seq[Double] = Seq(),
-      contended: Boolean = false): String = {
+      contended: Boolean = false,
+      spreadRatio: Double = -1.0, spreadExceeded: Boolean = false): String = {
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
     def jmap(m: Map[String, Double]): String =
       names.map(n => s"\"" + n + "\":" + r3(m(n))).mkString("{", ",", "}")
@@ -96,7 +97,7 @@ object Bench {
     val qMsArr = names.map(n =>
       if (perP50(n) < 0) -1L else math.rint(perP50(n) * 1000).toLong)
       .mkString("[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$NRuns,"sf":"$sfDir","env":$env,"queries_p90":${jmap(perP90)},"queries":${jmap(perP50)},"queries_ms":$qMs,"decode_rec_per_s":${decodeRate.round},"decode92_rec_per_s":${trimmedP50(decodeRuns).round},"decode92_runs":[${decodeRuns.map(_.round).mkString(",")}],"decode92_2m_rec_per_s":${trimmedP50(decode2mRuns).round},"decode92_2m_max":${decode2mRuns.max.round},"decode92_2m_runs":[${decode2mRuns.map(_.round).mkString(",")}],"totals_per_run":[${totalsPerRun.map(r3).mkString(",")}],"cpu_per_run":[${cpuPerRun.map(r3).mkString(",")}],"loadavg":[${loadavg.map(r3).mkString(",")}],"contended":$contended,"resweeps":$resweeps,"decode_resweeps":$decodeResweeps,"names_sha":"${namesDigest(names)}","n_queries":${names.length},"queries_ms_arr":$qMsArr}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$NRuns,"sf":"$sfDir","env":$env,"queries_p90":${jmap(perP90)},"queries":${jmap(perP50)},"queries_ms":$qMs,"decode_rec_per_s":${decodeRate.round},"decode92_rec_per_s":${trimmedP50(decodeRuns).round},"decode92_runs":[${decodeRuns.map(_.round).mkString(",")}],"decode92_2m_rec_per_s":${trimmedP50(decode2mRuns).round},"decode92_2m_max":${decode2mRuns.max.round},"decode92_2m_runs":[${decode2mRuns.map(_.round).mkString(",")}],"totals_per_run":[${totalsPerRun.map(r3).mkString(",")}],"spread_ratio":${r3(spreadRatio)},"spread_exceeded":$spreadExceeded,"cpu_per_run":[${cpuPerRun.map(r3).mkString(",")}],"loadavg":[${loadavg.map(r3).mkString(",")}],"contended":$contended,"resweeps":$resweeps,"decode_resweeps":$decodeResweeps,"names_sha":"${namesDigest(names)}","n_queries":${names.length},"queries_ms_arr":$qMsArr}"""
   }
 
   /** 1-minute load average from /proc/loadavg; -1 if unreadable. */
@@ -228,6 +229,31 @@ object Bench {
       resweeps += 1
       runsCpu = runsCpu.updated(ts.indexOf(ts.max), sweep())
     }
+    // INTER-RUN SPREAD GATE (round-13, VERDICT-r12 #2): the r12 artifact
+    // passed the start-of-run load gate but runs 1–2 absorbed a MID-RUN
+    // host burst (totals 168.6/148.0/134.0) — and because per-query
+    // figures are p90-biased, the cross-round diff read 19 phantom
+    // regressions off it. Spread is therefore a gated property of the
+    // artifact, not telemetry: the slowest sweep is re-run until
+    // max/min(totals_per_run) <= MaxSpread or the budget runs out, and
+    // the line carries spread_ratio + spread_exceeded so round_gate.sh
+    // rejects a still-bursty artifact as non-comparable instead of
+    // shipping it into the diff chain.
+    val MaxSpread = 1.15
+    var spreadTries = 0
+    while (spreadTries < 3 && {
+      val t = totals(runsCpu).filter(_ > 0)
+      t.nonEmpty && t.max > MaxSpread * t.min
+    }) {
+      resweeps += 1
+      spreadTries += 1
+      val t = totals(runsCpu)
+      runsCpu = runsCpu.updated(t.indexOf(t.max), sweep())
+    }
+    val tsAfter = totals(runsCpu).filter(_ > 0)
+    val spreadRatio =
+      if (tsAfter.isEmpty || tsAfter.min <= 0) -1.0 else tsAfter.max / tsAfter.min
+    val spreadExceeded = spreadRatio > MaxSpread
     val runs: Seq[Map[String, Double]] = runsCpu.map(_._1)
     val cpuPerRun: Seq[Double] = runsCpu.map(_._2)
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -264,7 +290,8 @@ object Bench {
     val line = renderLine(names, perP50, perP90, env, sfDir, total, decodeRate,
       decodeRuns, decode2mRuns, totalsPerRun, resweeps, decodeResweeps,
       loadavg = Seq(loadStart, loadAtDecode, loadEnd), cpuPerRun = cpuPerRun,
-      contended = contended)
+      contended = contended,
+      spreadRatio = spreadRatio, spreadExceeded = spreadExceeded)
     // Belt and braces: the full line also lands in the repo, immune to any
     // stdout tail capture. SPARK_GRAFT_BENCH_OUT names the file so a
     // round's full artifact can be COMMITTED as BENCH_LOCAL_r{N}.json

@@ -144,6 +144,36 @@ object ScaleUpBench {
     // the IVF embedding family are the gated sub-quadratic siblings
     "q_dedup_simhash")
 
+  /** Wall-ratio classifier (round-13, VERDICT-r12 #5): a measured-wall
+    * ratio past this threshold at a 10x corpus step is flagged in the
+    * per-query JSON line — the same mechanical visibility plan flips
+    * get. Linear queries on this harness land 1.6–4x for 10x rows
+    * (shared fixed overhead absorbs the rest); 8x is where r12's
+    * audit drew the weak line by hand. */
+  private val WallFlagRatio = 8.0
+
+  /** DECLARED causes for queries whose >8x walls are structural, so the
+    * classifier emits the cause IN the artifact instead of leaving the
+    * line for a human to annotate (r12's audit carried named causes
+    * only for non-measured entries). A flagged query absent from this
+    * map lands in the summary's `unexplained_slow` — the work list the
+    * next round must either fix or name here. */
+  private val NamedSuperlinear = Map(
+    "q_text_tri" -> ("token-pair co-occurrence volume: distinct " +
+      "support-pruned pairs grow superlinearly as shard vocabularies " +
+      "cross; bounded by the support threshold, not by n"),
+    "q_stream_embeddedup" -> ("per-batch probes join a history index " +
+      "whose cell size grows as sqrt(n_hist) (the incremental path " +
+      "keeps sqrt-cells so the streaming gate's collected centroid " +
+      "literal stays bounded); per-arrival candidate volume grows " +
+      "with history"),
+    "q_stream_linededup" -> ("chunk-key dedup state is proportional " +
+      "to distinct line-chunk history — 10x corpus means 10x state " +
+      "the micro-batch engine rehydrates"),
+    "q_stream_sessions" -> ("sessionization state proportional to " +
+      "active users; the widened corpus carries 10x users so state " +
+      "store churn grows with it"))
+
   def main(args: Array[String]): Unit = {
     val s = GraftSession.local()
     s.sparkContext.setLogLevel("ERROR")
@@ -165,6 +195,8 @@ object ScaleUpBench {
           else names.split(",").toSeq
         val dangerous = scala.collection.mutable.ArrayBuffer[String]()
         val flipped = scala.collection.mutable.ArrayBuffer[String]()
+        val unexplainedSlow = scala.collection.mutable.ArrayBuffer[String]()
+        val wallFlagged = scala.collection.mutable.ArrayBuffer[String]()
         qs.foreach { q =>
           val capped = QuadraticCapped(q)
           val (ta, rowsA, shapeA) =
@@ -174,6 +206,17 @@ object ScaleUpBench {
             if (capped || once) timeQuery(s, q, dirB, runs = 1, warm = false)
             else timeQuery(s, q, dirB)
           def p50(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+          val ratio = p50(tb) / p50(ta)
+          val wallTag =
+            if (ratio <= WallFlagRatio) ""
+            else {
+              wallFlagged += q
+              NamedSuperlinear.get(q) match {
+                case Some(cause) => s""","wall_flag":true,"wall_cause":"$cause""""
+                case None => unexplainedSlow += q
+                  ""","wall_flag":true,"wall_cause":"UNEXPLAINED""""
+              }
+            }
           val capTag = (if (capped) ""","capped":true""" else "") +
             (if (once) ""","once":true""" else "")
           val flip = if (shapeA == shapeB) "" else s""","plan_flip":"$shapeA -> $shapeB""""
@@ -187,13 +230,15 @@ object ScaleUpBench {
             m.filter { case (k, _) => k.contains("Broadcast") }.values.sum
           if (bcast(shapeB) > bcast(shapeA)) dangerous += q
           println(f"""{"query":"$q","a_ms":${p50(ta)}%.0f,"b_ms":${p50(tb)}%.0f,""" +
-            f""""ratio":${p50(tb) / p50(ta)}%.2f,"rows_a":$rowsA,"rows_b":$rowsB$capTag$flip}""")
+            f""""ratio":$ratio%.2f,"rows_a":$rowsA,"rows_b":$rowsB$capTag$flip$wallTag}""")
         }
         def jarr(xs: Seq[String]): String =
           if (xs.isEmpty) "[]" else xs.sorted.mkString("[\"", "\",\"", "\"]")
         println(s"""{"summary":true,"n_queries":${qs.size},""" +
           s""""n_flipped":${flipped.size},"flipped":${jarr(flipped.toSeq)},""" +
-          s""""n_dangerous":${dangerous.size},"dangerous":${jarr(dangerous.toSeq)}}""")
+          s""""n_dangerous":${dangerous.size},"dangerous":${jarr(dangerous.toSeq)},""" +
+          s""""n_wall_flagged":${wallFlagged.size},"wall_flagged":${jarr(wallFlagged.toSeq)},""" +
+          s""""unexplained_slow":${jarr(unexplainedSlow.toSeq)}}""")
       case "recall" :: dir :: rest if rest.size <= 1 =>
         // FULL-corpus IVF pair recall (round-10 VERDICT #3): the brute
         // exact denominator over the whole audit corpus vs the memoized
@@ -232,6 +277,30 @@ object ScaleUpBench {
           s.stop()
           sys.exit(1)
         }
+      case "candvol" :: dirs :: Nil =>
+        // IVF candidate-volume LINEARITY line (round-13, VERDICT-r12
+        // #1's done-criterion): per corpus, n, the cell count k the
+        // constant-cell quantizer picked, and the DEDUPLICATED candidate
+        // count entering the verify join — across a 10x corpus step the
+        // ratio should read ~10x (the sqrt geometry read ~31-39x and
+        // died at the 100x decade). One JSON line per dir; cheap enough
+        // to run at the 100x corpus because it never materializes the
+        // verify join, only the candidate count.
+        dirs.split(",").foreach { dir =>
+          import graft.queries.Dedup
+          val n = s.read.parquet(s"$dir/embeddings.parquet").count()
+          val k = math.max((n + Dedup.IvfTargetCellSize - 1) / Dedup.IvfTargetCellSize, 1L)
+          val t0 = System.nanoTime()
+          // pre-distinct = per-cell sum C(pop, 2) over the probe relation
+          // (the spill volume of the pair self-join — the quantity whose
+          // 1.61e9 killed the r12 box); distinct = the verify-join input
+          val preDistinct = Dedup.ivfProbePairVolume(s, dir)
+          val cand = Dedup.ivfCandidates(s, dir).count()
+          println(f"""{"candvol":true,"dir":"$dir","n_vectors":$n,"k_cells":$k,""" +
+            f""""pre_distinct_candidates":$preDistinct,"cand_pairs":$cand,""" +
+            f""""per_vector":${cand.toDouble / n}%.1f,""" +
+            f""""wall_ms":${(System.nanoTime() - t0) / 1e6}%.0f}""")
+        }
       case "nprobe" :: dir :: widths :: Nil =>
         // Cost/recall economics of the IVF probe-width knob, measured:
         // per width, the deduplicated candidate volume (the quantity that
@@ -263,7 +332,7 @@ object ScaleUpBench {
             f""""recall_ppm":${rec.getLong(2)}}""")
         }
       case _ =>
-        System.err.println("usage: gen <src> <out> <factor> | run <dirA> <dirB> <q1,q2,...> | recall <dir> | nprobe <dir> <w1,w2,...>")
+        System.err.println("usage: gen <src> <out> <factor> | run <dirA> <dirB> <q1,q2,...> [--once] | recall <dir> [w1,w2] | nprobe <dir> <w1,w2,...> | candvol <dir1,dir2,...>")
         sys.exit(2)
     }
     s.stop()

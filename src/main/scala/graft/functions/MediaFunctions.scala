@@ -472,6 +472,37 @@ object MediaFunctions {
     def nFrames: Int = samples.length / channels
   }
 
+  /** 64-bit AUDIO FINGERPRINT over decoded PCM (round-13): the
+    * sign-of-delta energy envelope — bit i is set iff frame i+1's
+    * energy (s², exact BIGINT) exceeds frame i's, cyclic at the clip
+    * end so every frame contributes a delta and a 64-frame clip fills
+    * all 64 bits. Frame = one decoded sample here (the fixture clips
+    * are 64 samples; a real corpus uses fixed windows — identical
+    * plumbing, the frame aggregation is one more integer sum). Shape
+    * borrowed from audio landmark/Shazam-class fingerprints: delta
+    * SIGNS are amplitude-invariant evidence of envelope shape, exact
+    * integers, oracle-statable the same way aHash is for images.
+    * Returned as (lo, hi) 32-bit halves — bit 63 as a BIGINT power
+    * overflows DuckDB's checked arithmetic, and the banded join wants
+    * 16-bit chunks anyway. Total function of any decoded clip
+    * (0-sample clips fingerprint to (0, 0)); clips past 64 frames
+    * contribute their first 64 deltas. */
+  def audioFingerprint(samples: Array[Short]): (Long, Long) = {
+    val n = samples.length
+    var lo = 0L
+    var hi = 0L
+    var i = 0
+    while (i < n && i < 64) {
+      val s0 = samples(i).toLong
+      val s1 = samples((i + 1) % n).toLong
+      if (s1 * s1 > s0 * s0) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (lo, hi)
+  }
+
   /** Minimal RIFF/WAVE writer for the decoder's supported subset
     * (PCM 16-bit LE). `ancillary` inserts an odd-length LIST chunk
     * between fmt and data so the decoder's chunk walk + pad-byte

@@ -435,7 +435,21 @@ object Dedup {
 
   /** SimHash near-dup pairs: shared-hash 60-bit signatures, 6 pigeonhole
     * bands (lossless for hamming <= 5), exact hamming verify. The oracle
-    * recomputes the identical signature in SQL via the shared 60-bit hash. */
+    * recomputes the identical signature in SQL via the shared 60-bit hash.
+    *
+    * BOUNDED-CORPUS ONLY — declared at the registry level (round-13,
+    * VERDICT-r12 #7): lossless pigeonholing at this hamming radius
+    * forces FIXED band widths, so band collisions between decorrelated
+    * documents grow ~n²/2^bits-per-band — the r12 100x audit measured
+    * 211x wall for 10x rows, and the entry sits in ScaleUpBench's
+    * QuadraticCapped tier (excluded at the 100x decade). A 100 TB run
+    * must use [[qDedupMinhash]] (8.6x at the same audit decade) or the
+    * IVF embedding family as the sub-quadratic sibling; this entry is
+    * retained for bounded corpora (≤ ~10⁶ docs) where its
+    * zero-false-negative hamming guarantee is worth the collision
+    * constant. Widening to 96/128-bit signatures (24/32-bit bands,
+    * collision constant ÷512) is the known scale path if a lossless
+    * simhash tier is ever needed at corpus scale. */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // materialized once: sims feeds FOUR subtrees (both band-join sides
@@ -1499,9 +1513,14 @@ object Dedup {
     * all pairs). Here candidate volume is bounded by CELL GEOMETRY
     * instead of band collisions:
     *
-    *  1. coarse quantizer: k = ceil(sqrt(n)) integer-Lloyd cells —
-    *     deterministic every-step-th seeds (step = n DIV k), one
-    *     re-center round in exact BIGINT space (the same
+    *  1. coarse quantizer: k = ceil(n / IvfTargetCellSize) integer-
+    *     Lloyd cells — CONSTANT TARGET CELL SIZE (round 13; rounds
+    *     9–12 used k = ceil(sqrt(n)), whose sqrt(n)-sized cells made
+    *     candidate volume O(n^1.5) and were measured box-limited at
+    *     just 200k vectors in the r12 100x audit: 1.61e9 pre-distinct
+    *     pairs, two shuffle-spill deaths at 64 g heap). Deterministic
+    *     every-step-th seeds (step = n DIV k), one re-center round in
+    *     exact BIGINT space (the same
     *     assign/recenter machinery as [[Similarity.qAnnKmeans]], whose
     *     sum-DIV-count means are order-independent and engine-exact);
     *  2. multi-probe assignment: every vector joins its NProbe=6
@@ -1513,30 +1532,42 @@ object Dedup {
     *  3. candidates = pairs sharing >= 1 probed cell, exact
     *     integer-cosine verify at t = 0.5.
     *
-    * SCALE SHAPE: with k = sqrt(n) cells, expected cell size is
-    * NProbe*sqrt(n), so candidate volume is O(NProbe^2 * n^2 / k) =
-    * O(36 * n^1.5) — sub-quadratic where the sign-bit path is
-    * Theta(0.41 * n^2); the crossover vs sign-bit LSH sits near
-    * n ~ (36/0.41)^2 ~ 8k vectors, below any corpus where the choice
-    * matters. At the sf0.1 fixture (n=2000, k=45) the candidate set is
-    * deliberately saturated (~57% of all pairs) — cell geometry only
-    * bites once k grows.
+    * SCALE SHAPE (round 13): with k = n/C cells at constant target
+    * cell size C = IvfTargetCellSize, per-cell probe population is the
+    * CONSTANT C*NProbe regardless of corpus size, so candidate volume
+    * is k * (C*NProbe)^2 / 2 = O(n * C * NProbe^2 / 2) — LINEAR in n
+    * (~3.5k pre-distinct candidates per vector at the shipped knobs),
+    * where the r9–r12 sqrt(n) geometry was O(n^1.5) and sign-bit LSH
+    * at this threshold is Theta(0.41 * n^2). The scaladoc's own
+    * round-12 argument ("pair generation needs cell SIZE bounded") is
+    * the spec this geometry finally satisfies: k = sqrt(n) bounded
+    * cell COUNT growth, not cell size. At the sf0.1 fixture (n=2000,
+    * k=11) the candidate set is deliberately saturated (6 probes of 11
+    * cells) — cell geometry only bites once k grows.
     *
-    * MEASURED (round 9, 10x corpus, NOTES_r9): candidates grew 39x for
-    * 10x rows (1.15M -> 44.9M; n^1.5 theory 31.6x, skew adds the rest)
-    * and the candidate FRACTION fell 57% -> 22%, where the sign-bit
-    * banding is measured scale-invariant at ~41% (= 100x growth); wall
-    * ratio 27.6x vs the LSH entry's 64.8x on the same box and corpus.
-    * 10x recall 2440/2877 = 84.8% — the misses are the synthesized
-    * corpus's cross-shard 4-sigma tail (cosines barely over 0.5
-    * between decorrelated shards), the regime the nprobe knob trades
-    * on; fixture-structure recall at sf0.1 is 14/14 (spec floor 0.9). The centroid broadcast
-    * grows as sqrt(n)*dim: ~16 MB at 1e9 vectors (64-dim doubles) —
-    * deliberately NOT corpus-independent like the ANN serving quantizer
-    * (CentBound), because pair GENERATION needs cell size, not cell
-    * count, bounded; PlanHygieneSpec whitelists the cross join with
-    * this bound. Assignment cost n*k = n^1.5 cosines is flat-IVF
-    * training cost, map-side and embarrassingly parallel.
+    * WHAT IS NOT LINEAR, stated honestly: exact top-NProbe assignment
+    * scores every vector against every centroid — n*k = n^2/C cosines,
+    * map-side and embarrassingly parallel but quadratic-over-C — and
+    * the centroid broadcast grows as (n/C)*dim doubles (~3.3 GB at 1e9
+    * 64-dim vectors). Flat scoring is therefore the right plan to
+    * ~1e7–1e8 vectors; past that the assignment stage needs a
+    * hierarchical router (score a sqrt(k)-sized level-1, then only the
+    * probed groups' centroids — the FAISS IVF-on-IVF shape), which
+    * changes probe sets and so can sit behind this oracle only when
+    * mirrored in SQL. The candidate/verify stage — the one that
+    * actually died in the r12 100x audit — is linear NOW, and that
+    * audit re-runs green this round (see MEASURED). PlanHygieneSpec
+    * whitelists the centroid cross join with the n/C bound.
+    *
+    * MEASURED (round 13, the same 10x/100x corpora as the r12 audit):
+    * see NOTES_r13 — the family now RUNS at 100x inside the box, with
+    * the 10x -> 100x candidate ratio ~10x for 10x rows (the linearity
+    * line in SCALEUP_r13.jsonl) where the sqrt geometry recorded 1.61e9
+    * pre-distinct pairs and died; full-corpus 10x recall is re-measured
+    * against the declared [[IvfFullRecallFloorPpm]] floor with the new
+    * geometry's economics. Historical r9 sqrt-geometry measurements
+    * (39x candidates for 10x rows, 27.6x wall, 84.8% recall) are
+    * preserved in NOTES_r9 for the comparison trail.
     *
     * APPROXIMATE BY DESIGN (recall < 1): a cos>=0.5 pair whose members
     * probe disjoint cells is missed — the engine/oracle contract is the
@@ -1546,6 +1577,18 @@ object Dedup {
     * quantized vectors (exact from float32), cosines over their
     * integer-valued doubles — identical bits cross-engine. */
   private[graft] val IvfDedupNProbe = 6
+  /** Target cell size C of the pair-generation coarse quantizer:
+    * k = ceil(n / C) cells, so expected cell population (and with it
+    * per-vector candidate volume, C * NProbe^2 / 2) is a CONSTANT and
+    * total candidates are linear in n. C chosen by measurement on the
+    * r9 10x audit corpus (the recall floor's anchor): C=160 landed
+    * recall at 841484 ppm — 4 pairs over the then-floor, threshold-
+    * hugging — while C=192's coarser cells measured 880332 ppm
+    * (+3.9 pp, 2538/2883) for 1.2x recall-measurement wall (97.0 s vs
+    * 80.8 s), and its 100x candidate volume still sits ~2.3x below the
+    * sqrt-geometry run that died (≈6.9e8 vs 1.61e9 pre-distinct) —
+    * with UNIFORM cells, no sqrt(n) hot tail. */
+  private[graft] val IvfTargetCellSize = 192L
   /** Incremental embedding dedup: cells each HISTORICAL vector is
     * indexed into (multi-assignment — see embedIncrStatic). */
   private val IvfIncrIndexAssign = 4
@@ -1582,11 +1625,12 @@ object Dedup {
           transform($"embedding", x => round(x.cast("double") * 1e7).cast("long")).as("vq"))
         .repartition($"vec_id"),
       "vq", "vd")
-    // k = ceil(sqrt(n)) cells via deterministic every-step-th seeds; the
-    // count is a 1-row driver action (bounded), mirrored by the oracle's
+    // k = ceil(n / C) cells (constant target cell size — candidates
+    // linear in n) via deterministic every-step-th seeds; the count is
+    // a 1-row driver action (bounded), mirrored by the oracle's
     // count(*) CTE — identical integer arithmetic on both engines
     val n = Tables.embeddings(s, dir).count()
-    val k = math.max(math.ceil(math.sqrt(n.toDouble)).toLong, 1L)
+    val k = math.max((n + IvfTargetCellSize - 1) / IvfTargetCellSize, 1L)
     val step = math.max(n / k, 1L)
     val c0 = Similarity.withDoubles(
       v.filter($"vec_id" % step === 0).select($"vec_id".as("c_id"), $"vq".as("cq")),
@@ -1607,6 +1651,20 @@ object Dedup {
       .select($"vec_id", explode($"top").as("t"))
       .select($"vec_id", $"t._2".as("c_id")))
     (v, probes)
+  }
+
+  /** Pre-distinct candidate volume — per-cell sum of C(pop, 2) over
+    * the probe relation: the row count the pair self-join actually
+    * shuffles/spills (the audit's scale-killer metric; 1.61e9 here is
+    * what box-killed the sqrt geometry at 100x). A cheap aggregate,
+    * never materializing the pairs. */
+  private[graft] def ivfProbePairVolume(s: SparkSession, dir: String,
+      nprobe: Int = IvfDedupNProbe): Long = {
+    import s.implicits._
+    val (_, probes) = ivfVectorsAndProbes(s, dir, nprobe)
+    probes.groupBy($"c_id").agg(count(lit(1)).as("m"))
+      .agg(sum(expr("m * (m - 1) DIV 2")).as("pairs"))
+      .collect()(0).getLong(0)
   }
 
   /** The deduplicated IVF candidate pair set at a given probe width —
@@ -1709,15 +1767,39 @@ object Dedup {
     (c1, Memo.materialize(lists))
   }
 
+  /** In-query near-dup injection for the incremental family (round-13,
+    * VERDICT-r12 #3 — de-vacuating the zero-row sf0.01 gates): the
+    * synthetic corpus has no cross-slice near-dup pairs at sf0.01, so
+    * the gate there hash-matched an EMPTY relation. Every 131st
+    * history vector (vec_id % 5 != 0, % 131 == 1) is cloned into the
+    * arriving slice re-keyed as 1000000 + 5*vec_id — a multiple of 5,
+    * so it lands in the new slice by the same convention, and provably
+    * collision-free against real ids at every corpus in use (fixture
+    * ids < 3000; audit-corpus ids are c*1e8 + j with j < 2000, while
+    * clones are 5c*1e8 + (1e6 + 5j)). The clone's cosine-1.0 pair with
+    * its history original must be FOUND by the probe machinery (home
+    * cell is always probed), so the gate now exercises probe + verify
+    * + pair-dedup at both scale factors — the same deterministic
+    * both-engines pattern as [[qDedupExactKeep]]'s every-97th-doc
+    * injection. Applied identically in the oracle SQL and the
+    * streaming twin's source. */
+  private[graft] val EmbedIncrInjectMod = 131L
+  private[graft] val EmbedIncrInjectBase = 1000000L
+
   /** The arriving-slice quantized vectors (the vec_id % 5 == 0
-    * incremental convention shared with q_dedup_incremental). */
+    * incremental convention shared with q_dedup_incremental), plus the
+    * injected history clones (see [[EmbedIncrInjectMod]]). */
   private[graft] def embedIncrNew(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val base = Tables.embeddings(s, dir)
+    val arriving = base.filter($"vec_id" % 5 === 0)
+      .select($"vec_id", $"embedding")
+      .unionByName(base
+        .filter($"vec_id" % 5 =!= 0 && $"vec_id" % EmbedIncrInjectMod === 1)
+        .select(($"vec_id" * 5 + EmbedIncrInjectBase).as("vec_id"), $"embedding"))
     Similarity.withDoubles(
-      Tables.embeddings(s, dir)
-        .filter($"vec_id" % 5 === 0)
-        .select($"vec_id",
-          transform($"embedding", x => round(x.cast("double") * 1e7).cast("long")).as("vq")),
+      arriving.select($"vec_id",
+        transform($"embedding", x => round(x.cast("double") * 1e7).cast("long")).as("vq")),
       "vq", "vd")
   }
 
@@ -1773,7 +1855,10 @@ object Dedup {
        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS vq
        |  FROM embeddings),
        |hist AS (SELECT * FROM v WHERE vec_id % 5 <> 0),
-       |nw AS (SELECT * FROM v WHERE vec_id % 5 = 0),
+       |nw AS (SELECT * FROM v WHERE vec_id % 5 = 0
+       |       UNION ALL
+       |       SELECT vec_id * 5 + $EmbedIncrInjectBase AS vec_id, vq FROM v
+       |       WHERE vec_id % 5 <> 0 AND vec_id % $EmbedIncrInjectMod = 1),
        |prm AS (
        |  SELECT GREATEST(count(*) // GREATEST(CAST(CEIL(SQRT(count(*))) AS BIGINT), 1), 1) AS step
        |  FROM hist),
@@ -1820,7 +1905,9 @@ object Dedup {
     * population enters the pair join quadratically, so skew here is
     * the first thing to check when the dedup stage runs long (the
     * operational answer is more Lloyd rounds or a larger k, both
-    * knobs of the same machinery). Output is <= k ~ sqrt(n) rows;
+    * knobs of the same machinery). Output is <= k = ceil(n / IvfTargetCellSize) rows — a
+    * linear-in-n aggregate relation, never collected (the refresh
+    * report reduces it to one row);
     * shares [[ivfVectorsAndProbes]] (and its memoized probe relation)
     * with the gated pair query. */
   def qIvfBalance(s: SparkSession, dir: String): DataFrame = {
@@ -1930,27 +2017,30 @@ object Dedup {
     * gated entry, so divergence is cell geometry, not quantization. */
   /** DECLARED full-corpus recall floor for the IVF near-dup entry at
     * the default probe width, asserted by `ScaleUpBench recall` and by
-    * the CI scale audit (round-11 VERDICT #1). The floor is declared at
-    * 84.0 %, JUST UNDER the deterministic 10x-audit measurement
-    * (84.63 % = 2440/2883 pairs on the sign-flip decorrelated corpus):
-    * the 0.63 pp slack (~18 pairs) absorbs nothing structural — any
-    * quantizer/probe change that loses a cell's worth of pairs lands
-    * far below it — while keeping the gate from tripping on its own
-    * anchor measurement. Not raised, per the economics measured cold on
-    * the same corpus (NOTES_r12): the misses are the generator's cross-shard 4-sigma
-    * tail — cosines barely over 0.5 between DECORRELATED shards, the
-    * exact population the probe-width knob trades on — and widening
-    * nprobe 6 -> 8 was MEASURED at +8.6 pp full-corpus recall
-    * (846340 -> 932015 ppm) for 1.65x end-to-end recall-measurement
-    * wall (84.0 -> 138.5 s; 1.8x on the candidate join alone per the
-    * r11 cold-wall table), while the registry already gates
+    * the CI scale audit (round-11 VERDICT #1). RE-DECLARED in round 13
+    * with the constant-cell geometry's economics (the r9–r12 sqrt
+    * geometry's floor was 840000 against its 846340 measurement): the
+    * floor is 87.5 %, JUST UNDER the deterministic 10x-audit
+    * measurement at C=192/nprobe=6 (88.03 % = 2538/2883 pairs on the
+    * sign-flip decorrelated corpus) — the 0.53 pp slack (~15 pairs)
+    * absorbs nothing structural; any quantizer/probe change that loses
+    * a cell's worth of pairs lands far below it, while the gate never
+    * trips on its own anchor measurement. The geometry change MOVED
+    * RECALL UP (+3.4 pp over the sqrt geometry at 1.2x measurement
+    * wall) because constant-192 cells are coarser than the sqrt
+    * geometry's ~141-vector cells at this corpus. The residual misses
+    * are the generator's cross-shard 4-sigma tail — cosines barely
+    * over 0.5 between DECORRELATED shards, the population the
+    * probe-width knob trades on (r12 measured nprobe 6 -> 8 at
+    * +8.6 pp for 1.65x wall on the old geometry; the knob's direction
+    * and order of magnitude carry over) — while the registry gates
     * q_dedup_embed_lsh as the EXACT/100 %-recall sibling for users who
     * need the tail (and the incremental path's m=4 multi-assignment
     * covers the straddling-pair case). What this floor buys is the one
     * failure mode the per-round gates could still miss: a QUIET index-
-    * quality regression — any change dropping the line below 84 % now
-    * fails the audit instead of flagging nothing. */
-  private[graft] val IvfFullRecallFloorPpm = 840000L
+    * quality regression — any change dropping the line below 87.5 %
+    * now fails the audit instead of flagging nothing. */
+  private[graft] val IvfFullRecallFloorPpm = 875000L
 
   private[graft] def ivfFullRecall(s: SparkSession, dir: String,
       nprobe: Int = IvfDedupNProbe): DataFrame = {
@@ -2093,7 +2183,7 @@ object Dedup {
        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)) AS vq
        |  FROM embeddings),
        |prm AS (
-       |  SELECT GREATEST(count(*) // GREATEST(CAST(CEIL(SQRT(count(*))) AS BIGINT), 1), 1) AS step
+       |  SELECT GREATEST(count(*) // GREATEST((count(*) + $IvfTargetCellSize - 1) // $IvfTargetCellSize, 1), 1) AS step
        |  FROM v),
        |c0 AS (SELECT vec_id AS c_id, vq AS cq FROM v, prm WHERE vec_id % step = 0),
        |a1 AS (
@@ -3069,7 +3159,7 @@ object Dedup {
     "q_dedup_pagerank" -> ((s: SparkSession, dir: String) => pagerankCached(s, dir)),
     "q_dedup_keep_central" -> (qDedupKeepCentral _),
     "q_dedup_pagerank_w" -> (qDedupPagerankWeighted _),
-    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _), // BOUNDED-CORPUS ONLY (see scaladoc): ~n²/2¹⁵ band collisions; 100 TB runs use q_dedup_minhash / the IVF family
     "q_dedup_embed"   -> (qDedupEmbed _),
   )
 

@@ -322,21 +322,34 @@ object Multimodal {
     * bit 63 as a BIGINT power overflows DuckDB's checked arithmetic),
     * and near-dups come from the lossless 4x16-bit band pigeonhole
     * (hamming <= 3 ⇒ at least one intact 16-bit band) with the exact
-    * bit_count verify only on band-collided candidates. Injected
-    * duplicate documents share their md5 luma stream, so they land at
-    * hamming 0 through the codec (8 pairs at sf0.1; sf0.01 carries no
-    * exact-dup pair and 64-bit chance collisions at hamming <= 3 are
-    * ~2e-9/pair, so its gate row count is legitimately 0 — same
-    * convention as q_dedup_embed_incr, non-vacuous at sf0.1; unlike
-    * the 16-bit q_mm_phash, whose sf0.01 matches are chance
-    * collisions — exactly why this gate carries 64 bits). The oracle
+    * bit_count verify only on band-collided candidates. Duplicate
+    * documents share their md5 luma stream, so they land at hamming 0
+    * through the codec — the fixture's own dup pairs at sf0.1 (8),
+    * plus the every-151st in-query clones injected on BOTH engines
+    * (round 13: sf0.01 has no natural pair, so this gate used to
+    * hash-match an empty relation there; 64-bit chance collisions at
+    * hamming <= 3 are ~2e-9/pair, unlike the 16-bit q_mm_phash, whose
+    * sf0.01 matches are chance collisions — exactly why this gate
+    * carries 64 bits). The oracle
     * is the brute all-pairs form over md5 arithmetic (it never sees
     * PNG bytes): engine==oracle proves decode + hash + banding end to
     * end. Scale shape: band join candidates are bounded by 16-bit
     * bucket collisions (sub-quadratic), verify is per-candidate. */
   def qMmPngDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val hashes = Tables.documents(s, dir)
+    // in-query duplicate injection (round-13, VERDICT-r12 #3): sf0.01
+    // has no natural exact-dup pair, so this gate hash-matched an EMPTY
+    // relation at the scale the driver runs most. Every 151st document
+    // is cloned re-keyed (+2e6, collision-free at every corpus in use);
+    // the clone shares its original's md5 luma stream, so the pair must
+    // come back at hamming 0 THROUGH the PNG encode/decode path — the
+    // gate now proves codec + hash + banding non-vacuously at both
+    // scale factors. Mirrored in the oracle's corpus CTE.
+    val corpus = Tables.documents(s, dir).select($"doc_id", $"text")
+      .unionByName(Tables.documents(s, dir)
+        .filter($"doc_id" % 151 === 3)
+        .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
+    val hashes = corpus
       .select($"doc_id",
         unhex(concat((0 until 4).map(j => md5(concat($"text", lit(j.toString)))): _*)).as("stream"))
       .as[(Long, Array[Byte])]
@@ -361,12 +374,19 @@ object Multimodal {
         (id, lo, hi)
       }
       .toDF("doc_id", "lo", "hi")
-    val bands = hashes.select($"doc_id", $"lo", $"hi",
-        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-          (if (b < 2) shiftright($"lo", 16 * b)
-           else shiftright($"hi", 16 * (b - 2))).mod(65536).as("chunk"))): _*)).as("bn"))
-      .select($"doc_id", $"lo", $"hi",
-        $"bn.band".as("band"), $"bn.chunk".as("chunk"))
+    bandedHamming64(hashes)
+  }
+
+  /** The lossless hamming<=3 pigeonhole join over 64-bit hashes held
+    * as (lo, hi) halves: 4x16-bit bands — any pair within hamming <= 3
+    * shares at least one intact band — candidates from the band-bucket
+    * self-join, exact bit_count verify only on collided candidates.
+    * Shared by the image ([[qMmPngDedup]]) and audio ([[qMmWavDedup]])
+    * near-dup tiers; sub-quadratic while 16-bit bucket collisions stay
+    * sparse. Input schema: (doc_id, lo, hi). */
+  private def bandedHamming64(hashes: DataFrame): DataFrame = {
+    import hashes.sparkSession.implicits._
+    val bands = bands64(hashes)
     bands.as("x").join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.chunk" === $"y.chunk" &&
         $"x.doc_id" < $"y.doc_id")
@@ -380,11 +400,29 @@ object Multimodal {
       .select($"doc_a", $"doc_b", $"hamming")
   }
 
+  /** The 4x16-bit band explosion of a (doc_id, lo, hi) hash relation —
+    * the indexable half of [[bandedHamming64]], split out so the
+    * streaming twin can band a stream side and join it against a
+    * STATIC band index instead of self-joining. */
+  private[queries] def bands64(hashes: DataFrame): DataFrame = {
+    import hashes.sparkSession.implicits._
+    hashes.select($"doc_id", $"lo", $"hi",
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          (if (b < 2) shiftright($"lo", 16 * b)
+           else shiftright($"hi", 16 * (b - 2))).mod(65536).as("chunk"))): _*)).as("bn"))
+      .select($"doc_id", $"lo", $"hi",
+        $"bn.band".as("band"), $"bn.chunk".as("chunk"))
+  }
+
   val qMmPngDedupSql: String =
-    """WITH px AS (
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 151 = 3),
+      |px AS (
       |  SELECT doc_id, i,
       |    ('0x' || substr(md5(text || CAST(i // 16 AS VARCHAR)), 2 * (i % 16) + 1, 2))::BIGINT AS lum
-      |  FROM documents, range(0, 64) r(i)),
+      |  FROM corpus, range(0, 64) r(i)),
       |mn AS (SELECT doc_id, CAST(sum(lum) // 64 AS BIGINT) AS mean_luma FROM px GROUP BY 1),
       |h AS (
       |  SELECT px.doc_id,
@@ -643,6 +681,84 @@ object Multimodal {
       |  CAST(sum(s) AS BIGINT) AS sum_s,
       |  CAST(sum(s * s) AS BIGINT) AS energy
       |FROM px GROUP BY doc_id""".stripMargin
+
+  /** AUDIO PERCEPTUAL NEAR-DUP (round-13, VERDICT-r12 #4) — the audio
+    * twin of [[qMmPngDedup]], completing the modality set: images had
+    * the full decode → hash → banded near-dup chain, audio stopped at
+    * features. Each document's 64 PCM samples encode into a REAL
+    * RIFF/WAVE container (same per-doc rate/channel/JUNK variation as
+    * [[qMmWav]], so the parse stays on the hash path), decode through
+    * [[MediaFunctions.decodeWavPcm16]], and fingerprint via
+    * [[MediaFunctions.audioFingerprint]] — the sign-of-delta energy
+    * envelope, exact integers. Near-dups come from the shared lossless
+    * 4x16-bit band pigeonhole ([[bandedHamming64]]) with exact
+    * bit_count verify on collided candidates only. Every 151st
+    * document is cloned in-query (+2e6, both engines — the
+    * [[qMmPngDedup]] convention, non-vacuous at BOTH scale factors
+    * from day one); a clone's id flips the id%3 JUNK-chunk bit while
+    * id%2/id%4 survive the +2e6 shift, so clone pairs prove the
+    * fingerprint sees through CONTAINER variation — identical PCM in a
+    * differently-laid-out file still lands at hamming 0. Oracle: brute
+    * all-pairs over md5 arithmetic (it never sees RIFF bytes) —
+    * engine==oracle proves encode + parse + decode + envelope + bands
+    * end to end. Streaming twin: [[qStreamWavDedup]]-shaped gate in
+    * StreamingGate (arriving docs fingerprint statelessly and join the
+    * static band index). */
+  def qMmWavDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = Tables.documents(s, dir).select($"doc_id", $"text")
+      .unionByName(Tables.documents(s, dir)
+        .filter($"doc_id" % 151 === 3)
+        .select(($"doc_id" + 2000000L).as("doc_id"), $"text"))
+    bandedHamming64(wavFingerprints(corpus))
+  }
+
+  /** The WAV encode→decode→fingerprint core over a (doc_id, text)
+    * relation — STATELESS per-row like [[wavFeatures]], so the same
+    * code serves the batch gate and the streaming twin. */
+  private[queries] def wavFingerprints(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(col("doc_id"),
+        unhex(concat((0 until 4).map(j => md5(concat(col("text"), lit(j.toString)))): _*)).as("stream"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, stream) =>
+        val samples = stream.map(b => ((b & 0xFF) * 257 - 32768).toShort)
+        val clip = MediaFunctions.decodeWavPcm16(
+          MediaFunctions.encodeWavPcm16(
+            8000 * (1 + (id % 4).toInt), 1 + (id % 2).toInt, samples,
+            ancillary = id % 3 == 0))
+        val (lo, hi) = MediaFunctions.audioFingerprint(clip.samples)
+        (id, lo, hi)
+      }
+      .toDF("doc_id", "lo", "hi")
+  }
+
+  val qMmWavDedupSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 151 = 3),
+      |px AS (
+      |  SELECT doc_id, i,
+      |    ('0x' || substr(md5(text || CAST(i // 16 AS VARCHAR)), 2 * (i % 16) + 1, 2))::BIGINT * 257 - 32768 AS s
+      |  FROM corpus, range(0, 64) r(i)),
+      |e AS (SELECT doc_id, i, s * s AS e FROM px),
+      |d AS (
+      |  SELECT doc_id, i, e,
+      |    COALESCE(lead(e) OVER (PARTITION BY doc_id ORDER BY i),
+      |             first_value(e) OVER (PARTITION BY doc_id ORDER BY i)) AS en
+      |  FROM e),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN en > e AND i < 32 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS lo,
+      |    CAST(sum(CASE WHEN en > e AND i >= 32 THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS hi
+      |  FROM d GROUP BY 1)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+      |FROM h a JOIN h b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""".stripMargin
 
   /** VIDEO-CONTAINER path (round-11): the decode seam's third modality
     * made literal — each document's 64-byte md5 stream splits into 4
@@ -1033,11 +1149,14 @@ object Multimodal {
     val routed = qMmRouteQuarantine(s, dir)
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val lakeDir = s"/tmp/graft_media_lake/${key}_p${ProcessHandle.current().pid()}"
-    // clear any previous run's lake first: dynamic partition overwrite
-    // only replaces partitions PRESENT in the new write, so a recycled
-    // pid over a regenerated corpus could otherwise leak a stale
-    // partition into the read-back report
+    // The lake key carries a per-invocation token on top of (dir-hash,
+    // pid): the read-back DataFrame is lazy, so the dir cannot be
+    // deleted in-query, and two sessions in one JVM share a pid — a
+    // shared key would let them race on delete/write/read. Each
+    // invocation therefore writes a private dir, registered for
+    // JVM-exit deletion; dirs from processes that died before their
+    // exit hook ran are swept by pid-liveness below.
+    val lakeDir = MediaLakeDirs.freshDir(key)
     val fs = new org.apache.hadoop.fs.Path(lakeDir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(lakeDir), true)
@@ -1102,6 +1221,7 @@ object Multimodal {
     "q_mm_mp4_sample" -> (qMmMp4Sample _),
     "q_mm_wav"        -> (qMmWav _),
     "q_mm_wav_forms"  -> (qMmWavForms _),
+    "q_mm_wav_dedup"  -> (qMmWavDedup _),
     "q_mm_jpeg"       -> (qMmJpeg _),
     "q_mm_png"        -> (qMmPng _),
     "q_mm_png_dedup"  -> (qMmPngDedup _),
@@ -1121,6 +1241,7 @@ object Multimodal {
     "q_mm_mp4_sample" -> qMmMp4SampleSql,
     "q_mm_wav"        -> qMmWavSql,
     "q_mm_wav_forms"  -> qMmWavFormsSql,
+    "q_mm_wav_dedup"  -> qMmWavDedupSql,
     "q_mm_jpeg"       -> qMmJpegSql,
     "q_mm_png"        -> qMmPngSql,
     "q_mm_png_dedup"  -> qMmPngDedupSql,
@@ -1130,4 +1251,69 @@ object Multimodal {
     "q_mm_frames"     -> qMmFramesSql,
     "q_mm_resize_agg" -> qMmResizeAggSql,
   )
+}
+
+/** Lifecycle for [[Multimodal.qPipelineMedia]]'s scratch lake dirs.
+  *
+  * Invariants this enforces (review finding, round 13): every
+  * invocation gets a dir no other invocation — same JVM or not — can
+  * touch; every dir this JVM creates is deleted when the JVM exits;
+  * dirs orphaned by a crashed process (exit hook never ran) are swept
+  * by the next process to allocate, keyed on pid liveness parsed from
+  * the dir name. Nothing here is on a hash path: dir names only need
+  * uniqueness, not determinism.
+  */
+private[queries] object MediaLakeDirs {
+  private val Root = new java.io.File("/tmp/graft_media_lake")
+  private val DirName = """.*_p(\d+)_u\d+""".r
+  private val counter = new java.util.concurrent.atomic.AtomicLong()
+  private val created = java.util.Collections.synchronizedList(
+    new java.util.ArrayList[java.io.File]())
+  // one hook for the whole JVM, installed on first allocation
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      created.synchronized {
+        created.forEach(f => deleteRecursively(f))
+      }
+    }, "graft-media-lake-cleanup"))
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete()
+  }
+
+  private def sweepDead(): Unit = {
+    val siblings = Root.listFiles()
+    if (siblings != null) siblings.foreach { d =>
+      d.getName match {
+        case DirName(pid) =>
+          val alive =
+            try ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false)
+            catch { case _: NumberFormatException => false }
+          if (!alive) deleteRecursively(d)
+        case _ => // unrecognized layout (e.g. pre-r13 key_p<pid> dirs
+          // from a live run): only reap when the embedded pid — if any —
+          // is provably dead; legacy dirs carry _p<pid> as the suffix
+          ".*_p(\\d+)$".r.findFirstMatchIn(d.getName).foreach { m =>
+            val alive =
+              try ProcessHandle.of(m.group(1).toLong).map[Boolean](_.isAlive).orElse(false)
+              catch { case _: NumberFormatException => false }
+            if (!alive) deleteRecursively(d)
+          }
+      }
+    }
+  }
+
+  /** Allocate a fresh, this-invocation-private lake dir under Root,
+    * sweeping dead-pid siblings first and registering the new dir for
+    * JVM-exit deletion. */
+  def freshDir(key: String): String = {
+    hookInstalled
+    sweepDead()
+    val dir = new java.io.File(Root,
+      s"${key}_p${ProcessHandle.current().pid()}_u${counter.incrementAndGet()}")
+    created.add(dir)
+    dir.getAbsolutePath
+  }
 }

@@ -549,12 +549,92 @@ object StreamingGate {
     val (c1, lists) = Dedup.embedIncrStatic(s0, dir)
     val cents = c1.select(col("c_id"), col("cd"))
       .as[(Long, Seq[Double])].collect().toSeq
+    // arriving slice PLUS the injected history clones (VERDICT-r12 #3;
+    // Dedup.EmbedIncrInjectMod) — one pass over the stream emits 0..1
+    // rows per input: a %5==0 row as itself, a matching history row as
+    // its re-keyed clone, so the stream source carries exactly the
+    // batch/oracle relation and the sf0.01 gate is no longer vacuous
     val vecs = parquetStream(s, dir, "embeddings")
-      .filter(col("vec_id") % 5 === 0)
-      .select(col("vec_id"), col("embedding"))
+      .select(explode(
+        when(col("vec_id") % 5 === 0,
+          array(struct(col("vec_id"), col("embedding"))))
+        .when(col("vec_id") % 5 =!= 0 &&
+              col("vec_id") % Dedup.EmbedIncrInjectMod === 1,
+          array(struct((col("vec_id") * 5 + Dedup.EmbedIncrInjectBase).as("vec_id"),
+            col("embedding"))))
+        .otherwise(array())).as("r"))
+      .select(col("r.vec_id").as("vec_id"), col("r.embedding").as("embedding"))
     runGate(StreamingEtl.embedDedupStream(vecs, cents, lists),
       "embeddedup", "append")
   }
+
+  /** STREAMING AUDIO NEAR-DUP AT INGEST, gated (round-13, the audio
+    * tier's streaming twin — VERDICT-r12 #4): arriving documents
+    * (doc_id % 5 == 0 plus the injected history clones, the
+    * [[qStreamEmbedDedup]] source pattern) encode→decode→fingerprint
+    * STATELESSLY per row ([[Multimodal.wavFingerprints]] — the same
+    * core as the batch gate), explode into 16-bit bands, and join the
+    * STATIC band index of the historical slice (built once on the
+    * parent session — the write-once index a curation pipeline keeps
+    * warm); only band-collided candidates pay the exact bit_count
+    * verify, and only verified survivors pay stateful pair-dedup
+    * (state at output scale, never candidate scale). Append mode ==
+    * the brute cross-slice oracle. */
+  def qStreamWavDedup(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val histBands = Multimodal.bands64(Multimodal.wavFingerprints(
+        graft.Tables.documents(s0, dir)
+          .filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"), col("text"))))
+      .withColumnRenamed("doc_id", "hist_doc")
+      .withColumnRenamed("lo", "lo_h").withColumnRenamed("hi", "hi_h")
+    val arriving = parquetStream(s, dir, "documents")
+      .select(explode(
+        when(col("doc_id") % 5 === 0,
+          array(struct(col("doc_id"), col("text"))))
+        .when(col("doc_id") % 5 =!= 0 && col("doc_id") % 151 === 3,
+          array(struct((col("doc_id") * 5 + 3000000L).as("doc_id"), col("text"))))
+        .otherwise(array())).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+    val newBands = Multimodal.bands64(Multimodal.wavFingerprints(arriving))
+      .withColumnRenamed("doc_id", "new_doc")
+      .withColumnRenamed("lo", "lo_n").withColumnRenamed("hi", "hi_n")
+    val pairs = newBands.join(histBands, Seq("band", "chunk"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(lo_n ^ lo_h) + bit_count(hi_n ^ hi_h) AS LONG)"))
+      .filter(col("hamming") <= 3)
+      .select(col("new_doc"), col("hist_doc"), col("hamming"))
+      .dropDuplicates("new_doc", "hist_doc")
+    runGate(pairs, "wavdedup", "append")
+  }
+
+  val qStreamWavDedupSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text, CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS arriving
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id * 5 + 3000000, text, 1 FROM documents
+      |  WHERE doc_id % 5 <> 0 AND doc_id % 151 = 3),
+      |px AS (
+      |  SELECT doc_id, arriving, i,
+      |    ('0x' || substr(md5(text || CAST(i // 16 AS VARCHAR)), 2 * (i % 16) + 1, 2))::BIGINT * 257 - 32768 AS s
+      |  FROM base, range(0, 64) r(i)),
+      |e AS (SELECT doc_id, arriving, i, s * s AS e FROM px),
+      |d AS (
+      |  SELECT doc_id, arriving, i, e,
+      |    COALESCE(lead(e) OVER (PARTITION BY doc_id ORDER BY i),
+      |             first_value(e) OVER (PARTITION BY doc_id ORDER BY i)) AS en
+      |  FROM e),
+      |h AS (
+      |  SELECT doc_id, arriving,
+      |    CAST(sum(CASE WHEN en > e AND i < 32 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS lo,
+      |    CAST(sum(CASE WHEN en > e AND i >= 32 THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS hi
+      |  FROM d GROUP BY 1, 2)
+      |SELECT n.doc_id AS new_doc, hh.doc_id AS hist_doc,
+      |  CAST(bit_count(xor(n.lo, hh.lo)) + bit_count(xor(n.hi, hh.hi)) AS BIGINT) AS hamming
+      |FROM h n JOIN h hh
+      |  ON n.arriving = 1 AND hh.arriving = 0
+      | AND bit_count(xor(n.lo, hh.lo)) + bit_count(xor(n.hi, hh.hi)) <= 3""".stripMargin
 
   /** STREAMING CONTEXT-WINDOW PACKER, gated — the second custom-state
     * (flatMapGroupsWithState) gate next to q_stream_fmgws: per-source
@@ -675,6 +755,7 @@ object StreamingGate {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_embeddedup" -> (qStreamEmbedDedup _),
+    "q_stream_wavdedup" -> (qStreamWavDedup _),
     "q_stream_clf"       -> (qStreamClf _),
     "q_stream_repetition" -> (qStreamRepetition _),
     "q_stream_verbatim"  -> (qStreamVerbatim _),
@@ -707,6 +788,7 @@ object StreamingGate {
     * oracle VERBATIM with the batch operator it mirrors. */
   def oracles: Map[String, String] = Map(
     "q_stream_embeddedup" -> Dedup.qDedupEmbedIncrSql,
+    "q_stream_wavdedup" -> qStreamWavDedupSql,
     "q_stream_clf"       -> TrainingData.qClfScoreSql,
     "q_stream_repetition" -> TextAnalysis.qTextRepetitionSql,
     "q_stream_verbatim"  -> Dedup.qDedupVerbatimSql,

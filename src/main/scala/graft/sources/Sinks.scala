@@ -198,11 +198,17 @@ object Sinks {
       // replay guard must match either form, or the first run after an
       // upgrade re-inserts every already-committed batch once, a silent
       // one-time duplicate-row replay. New rows always write the digest.
-      // The raw arm runs as a SEPARATE probe with SQL errors treated as
-      // no-match: against a post-r11 VARCHAR(64) epochs table, binding a
-      // longer raw id may raise a parameter-truncation error on strict
-      // databases — and an id that cannot fit the column proves no
-      // legacy row exists there.
+      // The raw arm runs as a SEPARATE probe: against a post-r11
+      // VARCHAR(64) epochs table, binding a longer raw id may raise a
+      // parameter-truncation error on strict databases — and an id that
+      // cannot fit the column proves no legacy row exists there. ONLY
+      // that truncation class (SQLState 22001 / data-exception 22xxx /
+      // SQLDataException) is treated as no-match; a transient failure
+      // (lock timeout, dropped connection) must propagate so the batch
+      // retries — swallowing it would report "no legacy row" and
+      // re-insert an already-committed batch, a permanent duplicate.
+      // Ids that fit the column (<= 64 chars) probe with no catch at
+      // all: no truncation is possible there.
       def probe(id: String): Boolean = {
         val st = c.prepareStatement(
           s"SELECT 1 FROM $epochs WHERE batch_id = ? AND writer_id = ?")
@@ -212,9 +218,16 @@ object Sinks {
         } finally st.close()
       }
       probe(writerKey) ||
-        (writerId != writerKey && writerId.length <= 512 &&
-          (try probe(writerId)
-           catch { case _: java.sql.SQLException => false }))
+        (writerId != writerKey && writerId.length <= 512 && {
+          if (writerId.length <= 64) probe(writerId)
+          else
+            try probe(writerId)
+            catch {
+              case e: java.sql.SQLException
+                  if e.isInstanceOf[java.sql.SQLDataException] ||
+                    Option(e.getSQLState).exists(_.startsWith("22")) => false
+            }
+        })
     }
     if (alreadyCommitted) return
     // stage (overwrite = crash-safe re-stage; executor-parallel batching)

@@ -34,6 +34,10 @@ class BenchFormatSpec extends AnyFunSuite {
       assert(tail.contains("\"decode_rec_per_s\""), s"n=$n: decode figures truncated")
       assert(tail.contains("\"totals_per_run\":[57.749,53.19,55.554]"))
       assert(tail.contains("\"resweeps\":1"))
+      // round-13 spread gate: the non-comparable flag must survive the
+      // tail capture or round_gate.sh cannot reject a bursty artifact
+      assert(tail.contains("\"spread_ratio\":-1.0"))
+      assert(tail.contains("\"spread_exceeded\":false"))
       // round-7 contention telemetry must also survive the tail capture
       assert(tail.contains("\"loadavg\":[0.42,31.7]"))
       assert(tail.contains("\"cpu_per_run\":[801.2,795.0,799.9]"))

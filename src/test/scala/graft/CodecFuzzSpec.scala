@@ -23,7 +23,10 @@ class CodecFuzzSpec extends AnyFunSuite {
   // validation tier with GRAFT_FUZZ_SCALE=8 (7200/target) — one knob,
   // one tier, no per-target budget drift. NOTES_r{N} records each
   // validation run.
-  private val Scale = sys.env.getOrElse("GRAFT_FUZZ_SCALE", "1").toInt
+  // The knob is validated, not trusted: 0/negative would zero every
+  // case count and let the whole tier pass vacuously; non-numeric must
+  // fail by name, not NumberFormatException.
+  private val Scale = FuzzBudget.scale
   private val Mutations = 600 * Scale
   private val Truncations = 150 * Scale
   private val Garbage = 150 * Scale
@@ -80,6 +83,17 @@ class CodecFuzzSpec extends AnyFunSuite {
     fuzz("wav", MediaFunctions.encodeWavPcm16(16000, 2,
       luma.map(v => ((v & 0xFF) * 257 - 32768).toShort), ancillary = true),
       b => MediaFunctions.decodeWavPcm16(b))
+  }
+
+  test("WAV fingerprint compound: decode+fingerprint-or-IAE under fire") {
+    // the audio near-dup tier's full per-row path (round-13): whatever
+    // decodeWav accepts, audioFingerprint must fingerprint without
+    // throwing — a clip shape the decoder tolerates (zero samples, odd
+    // frame counts, extreme amplitudes) must not crash the envelope
+    // arithmetic downstream in a 100 TB dedup job
+    fuzz("wav-fingerprint", MediaFunctions.encodeWavPcm16(16000, 2,
+      luma.map(v => ((v & 0xFF) * 257 - 32768).toShort), ancillary = true),
+      b => MediaFunctions.audioFingerprint(MediaFunctions.decodeWav(b).samples))
   }
 
   test("MP4: decode-or-IAE under mutation, truncation, and garbage") {

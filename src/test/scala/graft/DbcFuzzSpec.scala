@@ -19,7 +19,7 @@ class DbcFuzzSpec extends AnyFunSuite {
   // CodecFuzzSpec, same GRAFT_FUZZ_SCALE validation knob — the zip walk
   // and the record decoders run the full 7200-case tier when scaled,
   // not a private smaller one.
-  private val Scale = sys.env.getOrElse("GRAFT_FUZZ_SCALE", "1").toInt
+  private val Scale = FuzzBudget.scale
   private val Mutations = 600 * Scale
   private val Truncations = 150 * Scale
   private val Garbage = 150 * Scale

@@ -529,4 +529,32 @@ class MultimodalSpec extends AnyFunSuite {
     }
     info(s"float32 cross-validated on $validated/10 cases (JDK support permitting)")
   }
+
+  test("audio fingerprint: true sign-of-delta envelope, container-invariant, total") {
+    import MediaFunctions.audioFingerprint
+    // hand-computed case: energies 1,9,4,4 (cyclic next 9,4,4,1) ->
+    // bits (9>1)=1, (4>9)=0, (4>4)=0, (1<... 1>... wrap: 1>4)=0 -> lo=1
+    assert(audioFingerprint(Array[Short](1, 3, -2, 2)) == (1L, 0L))
+    // bit 32 boundary: 33 samples with a rise at index 32 sets hi bit 0
+    val b33 = Array.tabulate[Short](34)(i => if (i <= 32) 0 else 100)
+    val (_, hi33) = audioFingerprint(b33)
+    assert((hi33 & 1L) == 1L, "delta at frame 32 must land in hi bit 0")
+    // total on degenerate shapes the decoder can emit
+    assert(audioFingerprint(Array.empty[Short]) == (0L, 0L))
+    assert(audioFingerprint(Array[Short](5)) == (0L, 0L))
+    // container-invariance via the real codec: identical PCM encoded
+    // with different rate/channels/JUNK layouts fingerprints identically
+    val samples = Array.tabulate[Short](64)(i => ((i * 37 % 256) * 257 - 32768).toShort)
+    val fps = Seq(
+      MediaFunctions.encodeWavPcm16(8000, 1, samples, ancillary = false),
+      MediaFunctions.encodeWavPcm16(32000, 2, samples, ancillary = true),
+      MediaFunctions.encodeWavExtensible(16000, 2, samples)
+    ).map(b => audioFingerprint(MediaFunctions.decodeWav(b).samples))
+    assert(fps.distinct.size == 1,
+      s"fingerprint must see through container variation: $fps")
+    // amplitude-sign invariance of the energy envelope: negated PCM has
+    // identical s^2 envelope
+    assert(audioFingerprint(samples.map(s => (-s).toShort)) ==
+      audioFingerprint(samples))
+  }
 }

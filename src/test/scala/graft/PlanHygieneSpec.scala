@@ -16,10 +16,10 @@ class PlanHygieneSpec extends AnyFunSuite {
 
   private val cartesianOk = Set(
     "q_dedup_embed",   // exact O(n²) baseline, documented oracle anchor
-    "q_dedup_embed_ivf", // crossJoin(broadcast(√n centroids)) — ~16 MB at 1e9 vectors (64-dim), grows as sqrt(corpus) by design (cell SIZE bounded, see scaladoc)
+    "q_dedup_embed_ivf", // crossJoin(broadcast(n/C centroids)) — constant-cell-size geometry (r13): cell SIZE bounded so candidates are linear; broadcast grows as n/C (flat scoring documented to ~1e8 vectors, see scaladoc)
     "q_dedup_embed_incr", // same √n-centroid broadcast cross join (history-trained cells)
-    "q_dedup_embed_keep", // composes q_dedup_embed_ivf (its listed √n-centroid cross join)
-    "q_ivf_balance",      // same √n-centroid cross join + 1-row totals broadcast
+    "q_dedup_embed_keep", // composes q_dedup_embed_ivf (its listed n/C-centroid cross join)
+    "q_ivf_balance",      // same n/C-centroid cross join + 1-row totals broadcast
     "q_ivf_recall",       // bounded-slice (≤ EmbedExactCap²) exact anchor join + the IVF pipeline's listed cross joins
     "q_ivf_refresh",      // 1x1 cross of two agg rows + composes q_ivf_balance's listed cross joins
     "q_ann_ivf",       // crossJoin(broadcast(centroids)) — bounded build side

@@ -19,7 +19,10 @@
 #   scaleaudit  sbt scaleAudit                       (CI 10x plan-flip audit)
 #   recall      ScaleUpBench recall (10x corpus)     (declared-floor assert)
 #   bench       graft.Bench at sf0.1, 32 threads     (LOAD-GATED: runs only
-#               when /proc/loadavg < 0.5; skipped is not a failure)
+#               when /proc/loadavg < 0.5; skipped is not a failure.
+#               SPREAD-GATED (r13): the artifact is REJECTED when
+#               max/min(totals_per_run) > 1.15 after Bench's own
+#               re-sweeps — a mid-run burst makes it non-comparable)
 #   benchdiff   tools/bench_diff.py prev -> new      (regression flags fail)
 #   leaks       grep sweep over src/ tools/ build.sbt
 #
@@ -90,7 +93,15 @@ if [[ $QUICK -eq 0 ]]; then
     new_bench="$OUT/BENCH_LOCAL_new.json"
     if SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_OUT="$new_bench" \
        SPARK_GRAFT_SF_DIR="$SF01" sbt -batch "runMain graft.Bench" \
-       > "$OUT/bench.log" 2>&1 && [[ -s "$new_bench" ]]; then
+       > "$OUT/bench.log" 2>&1 && [[ -s "$new_bench" ]] \
+       && python3 -c "
+import json, sys
+# inter-run spread gate (round-13, VERDICT-r12 #2): a mid-run host burst
+# max-poisons the p90-biased per-query figures (r12: 19 phantom
+# regression flags) — an artifact whose sweeps disagree by >15% is
+# non-comparable and must be re-swept, not committed into the diff chain
+a = json.load(open('$new_bench'))
+sys.exit(1 if a.get('spread_exceeded', False) else 0)"; then
       RES[bench]=pass
       [[ -z "$PREV" ]] && PREV=$(ls BENCH_LOCAL_r*.json 2>/dev/null | sort -V | tail -1)
       if [[ -n "$PREV" && -f "$PREV" ]]; then
