@@ -159,6 +159,14 @@ object ScaleUpBench {
     * map lands in the summary's `unexplained_slow` — the work list the
     * next round must either fix or name here. */
   private val NamedSuperlinear = Map(
+    "q_dedup_embed_ivf" -> ("two named components on top of the " +
+      "linear candidate stage (measured 10.1x pre-distinct for 10x " +
+      "rows, SCALEUP_r13): flat top-nprobe assignment is n*k = n^2/C " +
+      "cosines (x100 per decade — the scaladoc's documented ~1e8-" +
+      "vector boundary for flat scoring), and the audit corpus's " +
+      "cross-shard 4-sigma tail grows OUTPUT pairs superlinearly " +
+      "(2538 -> 155502 = 61x for 10x vectors, a generator property " +
+      "the r9 gen notes document, not an engine property)"),
     "q_text_tri" -> ("token-pair co-occurrence volume: distinct " +
       "support-pruned pairs grow superlinearly as shard vocabularies " +
       "cross; bounded by the support threshold, not by n"),

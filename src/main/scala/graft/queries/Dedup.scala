@@ -1683,16 +1683,33 @@ object Dedup {
   def qDedupEmbedIvf(s: SparkSession, dir: String,
       nprobe: Int = IvfDedupNProbe): DataFrame = {
     import s.implicits._
-    val (v, _) = ivfVectorsAndProbes(s, dir, nprobe)
-    val cand = ivfCandidates(s, dir, nprobe)
-    // no broadcast hint on the rejoin: the vector table grows with the
-    // corpus — AQE picks broadcast when small, shuffle-hash otherwise
-    cand
-      .join(v.select($"vec_id".as("vec_a"), $"vd".as("va")), "vec_a")
-      .join(v.select($"vec_id".as("vec_b"), $"vd".as("vb")), "vec_b")
-      .select($"vec_a", $"vec_b", cosine($"va", $"vb").as("cos_sim"))
+    val (v, probes) = ivfVectorsAndProbes(s, dir, nprobe)
+    // VERIFY FIRST, DEDUP AFTER (round-13; the call qDedupEmbedIncr's
+    // scaladoc already argues): the previous shape materialized the
+    // DISTINCT candidate pair set and then re-joined both vectors onto
+    // it — at the 100x audit that shuffled 6.7e8 pair rows carrying
+    // 512-byte quantized vectors (~hundreds of GB of sort spill; the
+    // audit box died in SPILL_OUT_OF_MEMORY even after the linear-
+    // candidate geometry fixed the pair COUNT). Attaching vectors to
+    // the probe relation once (n·nprobe rows) and computing the
+    // codegen'd 64-mul cosine INSIDE the cell self-join means the only
+    // vector-bearing shuffle is probes-sized — O(n·nprobe·dim), 0.6 GB
+    // at the 100x corpus, ~3 TB distributed at 1e9 vectors — and the
+    // join output is filtered to verified survivors in the same
+    // whole-stage-codegen pipeline, never materialized. A pair sharing
+    // j probed cells pays j cosines (j <= nprobe) and one output-scale
+    // dropDuplicates — cheaper than shuffling every candidate row, the
+    // same economics the incremental path measured. Result set is
+    // IDENTICAL (exact arithmetic, duplicates collapse to equal rows),
+    // so the oracle SQL is untouched.
+    val pv = probes.join(v.select($"vec_id", $"vd"), Seq("vec_id"))
+    pv.as("a").join(pv.as("b"),
+        $"a.c_id" === $"b.c_id" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        cosine($"a.vd", $"b.vd").as("cos_sim"))
       .filter($"cos_sim" >= 0.5)
       .select($"vec_a", $"vec_b", round($"cos_sim" * 1e9).cast("long").as("cos_ppb"))
+      .dropDuplicates("vec_a", "vec_b")
   }
 
   /** Static sides of the INCREMENTAL embedding dedup: the historical
