@@ -159,6 +159,13 @@ object ScaleUpBench {
     * map lands in the summary's `unexplained_slow` — the work list the
     * next round must either fix or name here. */
   private val NamedSuperlinear = Map(
+    "q_dedup_embed_hier" -> ("the audit corpus's cross-shard 4-sigma " +
+      "tail grows OUTPUT pairs superlinearly (same generator property " +
+      "as q_dedup_embed_ivf's entry: 61x verified pairs for 10x " +
+      "vectors); the hier ASSIGNMENT stage is sqrt(k)-bounded by " +
+      "design — strictly cheaper than the flat router's n*k at every " +
+      "scale — so the wall past 8x is output- and verify-" +
+      "proportional, not routing"),
     "q_dedup_embed_ivf" -> ("two named components on top of the " +
       "linear candidate stage (measured 10.1x pre-distinct for 10x " +
       "rows, SCALEUP_r13): flat top-nprobe assignment is n*k = n^2/C " +
@@ -280,8 +287,24 @@ object ScaleUpBench {
             f""""recall_ppm":${row.getLong(2)}$floorTag,""" +
             f""""wall_ms":${(System.nanoTime() - t0) / 1e6}%.0f}""")
         }
+        // the HIERARCHICAL router's line (round 13) rides the default
+        // invocation — same brute denominator, its own declared floor —
+        // so a quiet level-1 geometry regression fails this run exactly
+        // like a fine-cell regression does. Width sweeps skip it (the
+        // hier floor is a property of the shipped knobs only).
+        if (widths == Seq(-1)) {
+          val hierFloor = graft.queries.Dedup.IvfHierFullRecallFloorPpm
+          val t0 = System.nanoTime()
+          val row = graft.queries.Dedup.hierFullRecall(s, dir).collect()(0)
+          val pass = row.getLong(2) >= hierFloor
+          if (!pass) failed = true
+          println(f"""{"full_recall":true,"variant":"hier","dir":"$dir",""" +
+            f""""n_exact":${row.getLong(0)},"n_hit":${row.getLong(1)},""" +
+            f""""recall_ppm":${row.getLong(2)},"floor_ppm":$hierFloor,"pass":$pass,""" +
+            f""""wall_ms":${(System.nanoTime() - t0) / 1e6}%.0f}""")
+        }
         if (failed) {
-          System.err.println(s"FULL-CORPUS RECALL BELOW DECLARED FLOOR ($floor ppm)")
+          System.err.println("FULL-CORPUS RECALL BELOW DECLARED FLOOR")
           s.stop()
           sys.exit(1)
         }
@@ -308,7 +331,38 @@ object ScaleUpBench {
             f""""pre_distinct_candidates":$preDistinct,"cand_pairs":$cand,""" +
             f""""per_vector":${cand.toDouble / n}%.1f,""" +
             f""""wall_ms":${(System.nanoTime() - t0) / 1e6}%.0f}""")
+          // the HIERARCHICAL router's volume line (round 13): same
+          // metrics over hierProbes — the wall here isolates the
+          // two-level assignment because the (v, c1) base is already
+          // memoized by the flat line above
+          val t1 = System.nanoTime()
+          val hp = Dedup.hierProbes(s, dir)
+          val hPre = Dedup.probePairVolumeOf(hp)
+          val hCand = Dedup.candidatesOf(hp).count()
+          println(f"""{"candvol":true,"variant":"hier","dir":"$dir","n_vectors":$n,"k_cells":$k,""" +
+            f""""pre_distinct_candidates":$hPre,"cand_pairs":$hCand,""" +
+            f""""per_vector":${hCand.toDouble / n}%.1f,""" +
+            f""""wall_ms":${(System.nanoTime() - t1) / 1e6}%.0f}""")
         }
+      case "hierroute" :: dir :: Nil =>
+        // LEVEL-1 ROUTING RETENTION (round 13): what fraction of the
+        // FLAT router's verified pair set the hierarchical router
+        // retains at a given corpus — isolates the two-level routing
+        // loss exactly (identical fine cells, identical verify) without
+        // the O(n²) brute denominator, so it is affordable at the 100x
+        // corpus where the hierarchy actually bites (g = 32 groups,
+        // w1 = 8 probed) and the brute recall line is not.
+        import graft.queries.Dedup
+        val t0 = System.nanoTime()
+        val flat = Dedup.qDedupEmbedIvf(s, dir).select("vec_a", "vec_b")
+        val hier = Dedup.qDedupEmbedHier(s, dir).select("vec_a", "vec_b")
+        val nFlat = flat.count()
+        val nHier = hier.count()
+        val nBoth = flat.intersect(hier).count()
+        println(f"""{"hier_route":true,"dir":"$dir","flat_pairs":$nFlat,""" +
+          f""""hier_pairs":$nHier,"retained":$nBoth,""" +
+          f""""retained_ppm":${if (nFlat == 0) 1000000L else nBoth * 1000000L / nFlat},""" +
+          f""""wall_ms":${(System.nanoTime() - t0) / 1e6}%.0f}""")
       case "nprobe" :: dir :: widths :: Nil =>
         // Cost/recall economics of the IVF probe-width knob, measured:
         // per width, the deduplicated candidate volume (the quantity that

@@ -1616,8 +1616,20 @@ object Dedup {
       new LazyPair(() => ivfVectorsAndProbesBuild(s, dir, nprobe))).v
   }
 
-  private def ivfVectorsAndProbesBuild(s: SparkSession, dir: String,
-      nprobe: Int): (DataFrame, DataFrame) = {
+  /** The nprobe-INDEPENDENT front of the IVF family — quantized corpus
+    * + trained coarse centroids — split out (round 13) so the FLAT and
+    * the HIERARCHICAL probe paths share one count action and one Lloyd
+    * round instead of each re-training the quantizer. */
+  private val ivfBaseCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), LazyPair]()
+
+  private def ivfBase(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    ivfBaseCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    ivfBaseCache.computeIfAbsent((s, dir), _ =>
+      new LazyPair(() => ivfBaseBuild(s, dir))).v
+  }
+
+  private def ivfBaseBuild(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val v = Similarity.withDoubles(
       Tables.embeddings(s, dir)
@@ -1640,6 +1652,13 @@ object Dedup {
     val c1 = Similarity.withDoubles(
       Similarity.recenterInt(Similarity.assignInt(v, c0)).localCheckpoint(true),
       "cq", "cd")
+    (v, c1)
+  }
+
+  private def ivfVectorsAndProbesBuild(s: SparkSession, dir: String,
+      nprobe: Int): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val (v, c1) = ivfBase(s, dir)
     val topk = new graft.functions.TopKAggregator(nprobe).toColumn
     val probes = Memo.materialize(v.select($"vec_id", $"vd")
       .crossJoin(broadcast(c1.select($"c_id", $"cd")))
@@ -1659,49 +1678,64 @@ object Dedup {
     * what box-killed the sqrt geometry at 100x). A cheap aggregate,
     * never materializing the pairs. */
   private[graft] def ivfProbePairVolume(s: SparkSession, dir: String,
-      nprobe: Int = IvfDedupNProbe): Long = {
-    import s.implicits._
-    val (_, probes) = ivfVectorsAndProbes(s, dir, nprobe)
+      nprobe: Int = IvfDedupNProbe): Long =
+    probePairVolumeOf(ivfVectorsAndProbes(s, dir, nprobe)._2)
+
+  /** Same scale-killer metric over an arbitrary probe relation —
+    * shared by the flat and hier candvol lines. */
+  private[graft] def probePairVolumeOf(probes: DataFrame): Long = {
+    import probes.sparkSession.implicits._
     probes.groupBy($"c_id").agg(count(lit(1)).as("m"))
       .agg(sum(expr("m * (m - 1) DIV 2")).as("pairs"))
       .collect()(0).getLong(0)
   }
 
-  /** The deduplicated IVF candidate pair set at a given probe width —
-    * split out so the nprobe cost/recall sweep (ScaleUpBench `nprobe`
-    * mode) can count candidates separately from verified output. */
-  private[graft] def ivfCandidates(s: SparkSession, dir: String,
-      nprobe: Int = IvfDedupNProbe): DataFrame = {
-    import s.implicits._
-    val (_, probes) = ivfVectorsAndProbes(s, dir, nprobe)
+  /** Deduplicated candidate pairs of an arbitrary probe relation. */
+  private[graft] def candidatesOf(probes: DataFrame): DataFrame = {
+    import probes.sparkSession.implicits._
     probes.as("a").join(probes.as("b"),
         $"a.c_id" === $"b.c_id" && $"a.vec_id" < $"b.vec_id")
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"))
       .distinct()
   }
 
+  /** The deduplicated IVF candidate pair set at a given probe width —
+    * split out so the nprobe cost/recall sweep (ScaleUpBench `nprobe`
+    * mode) can count candidates separately from verified output. */
+  private[graft] def ivfCandidates(s: SparkSession, dir: String,
+      nprobe: Int = IvfDedupNProbe): DataFrame =
+    candidatesOf(ivfVectorsAndProbes(s, dir, nprobe)._2)
+
   def qDedupEmbedIvf(s: SparkSession, dir: String,
       nprobe: Int = IvfDedupNProbe): DataFrame = {
-    import s.implicits._
     val (v, probes) = ivfVectorsAndProbes(s, dir, nprobe)
-    // VERIFY FIRST, DEDUP AFTER (round-13; the call qDedupEmbedIncr's
-    // scaladoc already argues): the previous shape materialized the
-    // DISTINCT candidate pair set and then re-joined both vectors onto
-    // it — at the 100x audit that shuffled 6.7e8 pair rows carrying
-    // 512-byte quantized vectors (~hundreds of GB of sort spill; the
-    // audit box died in SPILL_OUT_OF_MEMORY even after the linear-
-    // candidate geometry fixed the pair COUNT). Attaching vectors to
-    // the probe relation once (n·nprobe rows) and computing the
-    // codegen'd 64-mul cosine INSIDE the cell self-join means the only
-    // vector-bearing shuffle is probes-sized — O(n·nprobe·dim), 0.6 GB
-    // at the 100x corpus, ~3 TB distributed at 1e9 vectors — and the
-    // join output is filtered to verified survivors in the same
-    // whole-stage-codegen pipeline, never materialized. A pair sharing
-    // j probed cells pays j cosines (j <= nprobe) and one output-scale
-    // dropDuplicates — cheaper than shuffling every candidate row, the
-    // same economics the incremental path measured. Result set is
-    // IDENTICAL (exact arithmetic, duplicates collapse to equal rows),
-    // so the oracle SQL is untouched.
+    verifiedPairsOf(v, probes)
+  }
+
+  /** Verified near-dup pairs from a (vec_id, c_id) probe relation — the
+    * shared back half of the FLAT ([[qDedupEmbedIvf]]) and HIERARCHICAL
+    * ([[qDedupEmbedHier]]) paths.
+    *
+    * VERIFY FIRST, DEDUP AFTER (round-13; qDedupEmbedIncr's
+    * scaladoc already argues the call): the previous shape materialized
+    * the DISTINCT candidate pair set and then re-joined both vectors onto
+    * it — at the 100x audit that shuffled 6.7e8 pair rows carrying
+    * 512-byte quantized vectors (~hundreds of GB of sort spill; the
+    * audit box died in SPILL_OUT_OF_MEMORY even after the linear-
+    * candidate geometry fixed the pair COUNT). Attaching vectors to
+    * the probe relation once (n·nprobe rows) and computing the
+    * codegen'd 64-mul cosine INSIDE the cell self-join means the only
+    * vector-bearing shuffle is probes-sized — O(n·nprobe·dim), 0.6 GB
+    * at the 100x corpus, ~3 TB distributed at 1e9 vectors — and the
+    * join output is filtered to verified survivors in the same
+    * whole-stage-codegen pipeline, never materialized. A pair sharing
+    * j probed cells pays j cosines (j <= nprobe) and one output-scale
+    * dropDuplicates — cheaper than shuffling every candidate row, the
+    * same economics the incremental path measured. Result set is
+    * IDENTICAL to dedup-then-verify (exact arithmetic, duplicates
+    * collapse to equal rows), so the oracle SQL keeps its cand CTE. */
+  private def verifiedPairsOf(v: DataFrame, probes: DataFrame): DataFrame = {
+    import v.sparkSession.implicits._
     val pv = probes.join(v.select($"vec_id", $"vd"), Seq("vec_id"))
     pv.as("a").join(pv.as("b"),
         $"a.c_id" === $"b.c_id" && $"a.vec_id" < $"b.vec_id")
@@ -1711,6 +1745,191 @@ object Dedup {
       .select($"vec_a", $"vec_b", round($"cos_sim" * 1e9).cast("long").as("cos_ppb"))
       .dropDuplicates("vec_a", "vec_b")
   }
+
+  /** Groups the level-1 (hierarchical) router probes per vector — the
+    * assignment-stage knob of [[qDedupEmbedHier]], chosen by sweep on
+    * the r9 10x audit corpus (k = 105 cells, gsz = 11, g = 10 groups —
+    * the non-saturated regime) against the same brute denominator as
+    * the flat floor (measured at single-assignment m=1; the shipped
+    * m=3 lifts each line — see [[IvfHierCellAssign]]):
+    *
+    *   w1 = 4 -> 838015 ppm (2416/2883)
+    *   w1 = 6 -> 861255 ppm (2483/2883)
+    *   w1 = 8 -> 873395 ppm (2518/2883)   <- shipped (880332 at m=3)
+    *
+    * At the shipped (w1=8, m=3) the assignment stage stays
+    * sqrt(k)-bounded: ~(1+w1·m)·sqrt(k) ≈ 25·sqrt(k) scored centroids
+    * per vector — at 1e9 vectors (k ≈ 5.2e6) that is ~5.7e4 where flat
+    * scores all 5.2e6 (~90x less work). Raising w1 buys breadth
+    * linearly in stage-2 width; the knob saturates at g (every group
+    * probed = flat semantics, the fixture-scale regime). */
+  private[graft] val IvfHierProbeGroups = 8
+  /** Groups each FINE CELL is indexed into (the cell->group map is
+    * multi-assigned, mirroring the incremental index's m=4) — the
+    * straddling-boundary knob, swept at w1=8 against the 100x audit
+    * corpus's flat pair set (hierroute mode) and the 10x brute
+    * denominator:
+    *
+    *   m = 1 -> 100x retention 648969 ppm, 10x full recall 873395
+    *   m = 2 -> 100x retention 787700 ppm, 10x full recall 879639
+    *   m = 3 -> 100x retention 878419 ppm, 10x full recall 880332
+    *            (EXACT flat parity: the same 2538/2883 pairs)  <- shipped
+    *
+    * Stage-2 cost is m·w1·sqrt(k) scored cells per vector — still
+    * sqrt(k)-bounded; break-even vs flat scoring at m=3/w1=8 is
+    * k = (24)² = 576 cells (~110k vectors), far below the ~1e8-vector
+    * regime this router exists for. */
+  private[graft] val IvfHierCellAssign = 3
+
+  /** HIERARCHICAL (two-level) probe assignment — the scale path past the
+    * flat router's documented ~1e7–1e8-vector boundary ([[qDedupEmbedIvf]]
+    * WHAT IS NOT LINEAR note): flat top-nprobe assignment scores every
+    * vector against every centroid (n·k = n²/C cosines) and broadcasts
+    * all k = n/C centroids. Here the k fine cells are themselves grouped
+    * into g = ceil(k / gsz) super-groups of gsz = ceil(sqrt(k)) cells
+    * (the FAISS IVF-on-IVF shape), trained by the SAME deterministic
+    * machinery one level up: every gsz-th fine centroid in c_id-rank
+    * order seeds a group, one exact-integer Lloyd round over the k
+    * centroids refines the group means, and each fine centroid maps to
+    * its nearest refined groups. A vector then scores g ≈ sqrt(k) group
+    * centroids, keeps its top [[IvfHierProbeGroups]] = w1 groups, and
+    * scores ONLY those groups' fine centroids (each cell indexed into
+    * its top-[[IvfHierCellAssign]] = m groups) — n·(1 + w1·m)·sqrt(k)
+    * ≈ 25·n·sqrt(k) cosines instead of n·k, and the per-task broadcast
+    * shrinks from k centroids to sqrt(k) groups (the m·k-row
+    * (cell, group) map joins without a forced broadcast, AQE's call).
+    * At 1e9 vectors (k ≈ 5.2e6 cells) that is ~90x less assignment
+    * work per vector than flat scoring.
+    * APPROXIMATE one level deeper than flat-IVF: a fine cell ranked in
+    * the vector's true top-nprobe is missed when its GROUP is outside
+    * the top-w1 — the recall cost is measured against the same brute
+    * denominator as the flat floor (SCALEUP_r13.jsonl) and asserted at
+    * [[IvfHierFullRecallFloorPpm]]. At fixture scale (k <= w1·gsz) every
+    * group is probed and the hier probe set EQUALS the flat one
+    * (asserted by spec) — the hierarchy only bites once k grows. */
+  private val hierProbesCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), LazyDf]()
+
+  private[graft] def hierProbes(s: SparkSession, dir: String,
+      w1: Int = IvfHierProbeGroups): DataFrame = {
+    hierProbesCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    hierProbesCache.computeIfAbsent((s, dir, w1), _ =>
+      new LazyDf(() => hierProbesBuild(s, dir, w1))).df
+  }
+
+  private def hierProbesBuild(s: SparkSession, dir: String, w1: Int): DataFrame = {
+    import s.implicits._
+    val (v, c1) = ivfBase(s, dir)
+    // group size gsz = ceil(sqrt(k)) over the ACTUAL centroid count (the
+    // seed filter can produce fewer than ceil(n/C) cells); a 1-row count
+    // on the localCheckpointed k-row relation, mirrored by the oracle's
+    // count(*) over c1
+    val kc = c1.count()
+    val gsz = math.max(math.ceil(math.sqrt(kc.toDouble)).toLong, 1L)
+    // every gsz-th centroid in c_id-rank order seeds a group; the k-row
+    // single-partition window is bounded by construction (k = n/C)
+    val cr = c1.withColumn("rn", row_number().over(Window.orderBy($"c_id")))
+    val l0 = Similarity.withDoubles(
+      cr.filter(($"rn" - 1) % gsz === 0).select($"c_id".as("g_id"), $"cq".as("gq")),
+      "gq", "gd")
+    // one integer-Lloyd round over the CENTROIDS-as-vectors (k rows),
+    // then each fine centroid maps to its nearest refined group — the
+    // same assign/recenter machinery as the level below, one level up
+    val cv = c1.select($"c_id".as("vec_id"), $"cq".as("vq"), $"cd".as("vd"))
+    val l1 = Similarity.withDoubles(
+      Similarity.recenterInt(Similarity.assignInt(cv,
+          l0.select($"g_id".as("c_id"), $"gq".as("cq"), $"gd".as("cd"))))
+        .select($"c_id".as("g_id"), $"cq".as("gq"))
+        .localCheckpoint(true),
+      "gq", "gd")
+    // MULTI-ASSIGNED cell->group map: each fine centroid is indexed
+    // into its top-m nearest groups, not just the nearest — the same
+    // straddling-boundary fix the incremental path measured (m=4
+    // restored 2/5 -> 5/5 cross pairs there): a PERIPHERAL cell — the
+    // kind a barely-over-threshold pair shares — sits near a group
+    // boundary by definition, and single assignment makes it reachable
+    // through exactly one group. Measured at the 100x audit corpus
+    // (g=32 groups, w1=8 probed): m=1 retains 64.9% of the flat pair
+    // set, m=2 78.8%, m=3 87.8% (and flat parity on the 10x brute
+    // denominator) — sweep table at IvfHierCellAssign. Storage m·k map
+    // rows; stage-2 work per vector ~m·w1·gsz, still sqrt(k)-bounded.
+    val topm = new graft.functions.TopKAggregator(IvfHierCellAssign).toColumn
+    val gmap = cv.select($"vec_id", $"vd")
+      .crossJoin(broadcast(l1.select($"g_id", $"gd")))
+      .select($"vec_id", cosine($"vd", $"gd").as("g_cos"), $"g_id")
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .agg(topm.name("top"))
+      .toDF("c_id", "top")
+      .select($"c_id", explode($"top").as("t"))
+      .select($"c_id", $"t._2".as("g_id"))
+    // stage 1: every vector scores the g ≈ sqrt(k) group centroids and
+    // keeps its top-w1 groups (bounded TopKAggregator — map-side partial
+    // top-w1, never a window over the n x g score relation)
+    val topg = new graft.functions.TopKAggregator(w1).toColumn
+    val gpr = v.select($"vec_id", $"vd")
+      .crossJoin(broadcast(l1.select($"g_id", $"gd")))
+      .select($"vec_id", cosine($"vd", $"gd").as("g_cos"), $"g_id")
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .agg(topg.name("top"))
+      .toDF("vec_id", "top")
+      .select($"vec_id", explode($"top").as("t"))
+      .select($"vec_id", $"t._2".as("g_id"))
+    // stage 2: score ONLY the probed groups' fine centroids, DISTINCT
+    // (vec_id, cell) first — with m-assignment a cell reachable through
+    // two probed groups must pay one score and occupy one top-nprobe
+    // slot, exactly like the oracle's DISTINCT candidate CTE. The join
+    // fans each vector out to <= m·w1·gsz candidate cells, then the
+    // bounded top-nprobe aggregator reduces map-side exactly like the
+    // flat path. NO broadcast hint on the m·k-row (cell, group) map or
+    // the centroid rejoin: k grows as n/C, so at 1e9 vectors the map is
+    // GBs — AQE broadcasts while small and falls back to shuffle joins
+    // (probe-relation-sized, the same volume the verify stage already
+    // shuffles) once it is not
+    val cand = gpr.join(gmap, Seq("g_id"))
+      .select($"vec_id", $"c_id").dropDuplicates("vec_id", "c_id")
+    val topk = new graft.functions.TopKAggregator(IvfDedupNProbe).toColumn
+    Memo.materialize(
+      cand.join(v.select($"vec_id", $"vd"), Seq("vec_id"))
+        .join(c1.select($"c_id", $"cd"), Seq("c_id"))
+        .select($"vec_id", cosine($"vd", $"cd").as("c_cos"), $"c_id")
+        .as[(Long, Double, Long)]
+        .groupByKey(_._1)
+        .agg(topk.name("top"))
+        .toDF("vec_id", "top")
+        .select($"vec_id", explode($"top").as("t"))
+        .select($"vec_id", $"t._2".as("c_id")))
+  }
+
+  /** Embedding near-dup pairs through the HIERARCHICAL router — same
+    * fine cells, same verify, same output contract as
+    * [[qDedupEmbedIvf]]; only the probe ASSIGNMENT differs (see
+    * [[hierProbes]]). Gated under its own full-pipeline oracle
+    * ([[qDedupEmbedHierSql]] states both router levels in exact integer
+    * SQL), so the two-level assignment cannot drift from the spec. */
+  def qDedupEmbedHier(s: SparkSession, dir: String,
+      w1: Int = IvfHierProbeGroups): DataFrame = {
+    val (v, _) = ivfBase(s, dir)
+    verifiedPairsOf(v, hierProbes(s, dir, w1))
+  }
+
+  /** Memoized hier pair relation — shared by the gated pair entry and
+    * the recall gate, like [[ivfPairsCached]] for the flat path. */
+  private val hierPairCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), LazyDf]()
+  private[graft] def hierPairsCached(s: SparkSession, dir: String): DataFrame = {
+    hierPairCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    hierPairCache.computeIfAbsent((s, dir), _ => new LazyDf(() =>
+      Memo.materialize(qDedupEmbedHier(s, dir)))).df
+  }
+
+  /** Recall of the hierarchical pair set against the bounded exact
+    * anchor slice — [[qIvfRecall]]'s shape over the two-level router,
+    * hash-gated so the hierarchy's recall cost is a NUMBER under the
+    * oracle, not prose. */
+  def qIvfHierRecall(s: SparkSession, dir: String): DataFrame =
+    ivfRecallOf(s, dir, hierPairsCached(s, dir))
 
   /** Static sides of the INCREMENTAL embedding dedup: the historical
     * corpus's IVF cell structure — one Lloyd-refined centroid set
@@ -2000,24 +2219,33 @@ object Dedup {
     * verified pair select as a CTE, and left-joins it against the
     * bounded-slice exact pair set — the recall number cannot drift from
     * the gated pair semantics. */
+  private lazy val ivfRecallTailSql: String =
+    s"""ivfp AS (
+       |  SELECT vec_a, vec_b
+       |  FROM cand JOIN v x ON x.vec_id = cand.vec_a JOIN v y ON y.vec_id = cand.vec_b
+       |  WHERE list_cosine_similarity(x.vq::DOUBLE[], y.vq::DOUBLE[]) >= 0.5
+       |    AND vec_a < $EmbedExactCap AND vec_b < $EmbedExactCap),
+       |sl AS (SELECT vec_id, vq FROM v WHERE vec_id < $EmbedExactCap),
+       |exact AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM sl a JOIN sl b ON a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(a.vq::DOUBLE[], b.vq::DOUBLE[]) >= 0.5)
+       |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(count(i.vec_a) AS BIGINT) AS n_hit,
+       |  CAST((count(i.vec_a) * 1000000) // count(*) AS BIGINT) AS recall_ppm
+       |FROM exact e LEFT JOIN ivfp i
+       |  ON e.vec_a = i.vec_a AND e.vec_b = i.vec_b""".stripMargin
+
   lazy val qIvfRecallSql: String = {
     val i = qDedupEmbedIvfSql.indexOf("SELECT vec_a, vec_b,")
-    qDedupEmbedIvfSql.substring(0, i).stripTrailing() + ",\n" +
-      s"""ivfp AS (
-         |  SELECT vec_a, vec_b
-         |  FROM cand JOIN v x ON x.vec_id = cand.vec_a JOIN v y ON y.vec_id = cand.vec_b
-         |  WHERE list_cosine_similarity(x.vq::DOUBLE[], y.vq::DOUBLE[]) >= 0.5
-         |    AND vec_a < $EmbedExactCap AND vec_b < $EmbedExactCap),
-         |sl AS (SELECT vec_id, vq FROM v WHERE vec_id < $EmbedExactCap),
-         |exact AS (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM sl a JOIN sl b ON a.vec_id < b.vec_id
-         |  WHERE list_cosine_similarity(a.vq::DOUBLE[], b.vq::DOUBLE[]) >= 0.5)
-         |SELECT CAST(count(*) AS BIGINT) AS n_exact,
-         |  CAST(count(i.vec_a) AS BIGINT) AS n_hit,
-         |  CAST((count(i.vec_a) * 1000000) // count(*) AS BIGINT) AS recall_ppm
-         |FROM exact e LEFT JOIN ivfp i
-         |  ON e.vec_a = i.vec_a AND e.vec_b = i.vec_b""".stripMargin
+    qDedupEmbedIvfSql.substring(0, i).stripTrailing() + ",\n" + ivfRecallTailSql
+  }
+
+  /** Same splice over the HIERARCHICAL pipeline's SQL — the hier recall
+    * number cannot drift from the gated hier pair semantics. */
+  lazy val qIvfHierRecallSql: String = {
+    val i = qDedupEmbedHierSql.indexOf("SELECT vec_a, vec_b,")
+    qDedupEmbedHierSql.substring(0, i).stripTrailing() + ",\n" + ivfRecallTailSql
   }
 
   /** FULL-corpus IVF pair recall (round-10 VERDICT #3) — measurement
@@ -2060,7 +2288,32 @@ object Dedup {
   private[graft] val IvfFullRecallFloorPpm = 875000L
 
   private[graft] def ivfFullRecall(s: SparkSession, dir: String,
-      nprobe: Int = IvfDedupNProbe): DataFrame = {
+      nprobe: Int = IvfDedupNProbe): DataFrame =
+    fullRecallOf(s, dir,
+      if (nprobe == IvfDedupNProbe) ivfPairsCached(s, dir)
+      else qDedupEmbedIvf(s, dir, nprobe)) // off-default widths: economics runs only
+
+  /** DECLARED full-corpus recall floor for the HIERARCHICAL router at
+    * the shipped knobs (w1 = [[IvfHierProbeGroups]] = 8, m =
+    * [[IvfHierCellAssign]] = 3, nprobe 6) — same convention AND same
+    * value as [[IvfFullRecallFloorPpm]], because at the shipped knobs
+    * the 10x-audit anchor measurement is EXACT flat parity: 880332 ppm,
+    * the identical 2538/2883 pairs (the m=3 multi-assigned cell->group
+    * map recovers every pair the m=1 routing lost — sweep tables at
+    * [[IvfHierProbeGroups]] and [[IvfHierCellAssign]]). Asserted by
+    * `ScaleUpBench recall` (hier line, part of round_gate), so a quiet
+    * regression of the LEVEL-1 geometry fails the round like a
+    * fine-cell regression does. */
+  private[graft] val IvfHierFullRecallFloorPpm = 875000L
+
+  private[graft] def hierFullRecall(s: SparkSession, dir: String): DataFrame =
+    fullRecallOf(s, dir, hierPairsCached(s, dir))
+
+  /** Full-corpus recall of an arbitrary verified pair relation against
+    * the brute all-pairs denominator — shared by the flat and hier
+    * measurement harnesses (never a registry entry; O(n²) by design). */
+  private def fullRecallOf(s: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
     import s.implicits._
     val v = Similarity.withDoubles(
       Tables.embeddings(s, dir).select($"vec_id",
@@ -2072,9 +2325,6 @@ object Dedup {
         cosine($"a.vd", $"b.vd").as("cs"))
       .filter($"cs" >= 0.5)
       .select($"vec_a", $"vec_b")
-    val pairs =
-      if (nprobe == IvfDedupNProbe) ivfPairsCached(s, dir)
-      else qDedupEmbedIvf(s, dir, nprobe) // off-default widths: economics runs only
     val ivf = pairs
       .select($"vec_a", $"vec_b", lit(1L).as("hit"))
     exact.join(ivf, Seq("vec_a", "vec_b"), "left")
@@ -2228,6 +2478,61 @@ object Dedup {
        |  CAST(round(list_cosine_similarity(x.vq::DOUBLE[], y.vq::DOUBLE[]) * 1e9) AS BIGINT) AS cos_ppb
        |FROM cand JOIN v x ON x.vec_id = cand.vec_a JOIN v y ON y.vec_id = cand.vec_b
        |WHERE list_cosine_similarity(x.vq::DOUBLE[], y.vq::DOUBLE[]) >= 0.5""".stripMargin
+
+  /** The HIERARCHICAL router stated in SQL — shares [[qDedupEmbedIvfSql]]'s
+    * CTEs verbatim up to the fine centroids (c1) and from the candidate
+    * join down, replacing only the probe CTE with the two-level chain:
+    * group seeds by centroid rank, one exact-integer Lloyd round over the
+    * centroids, the (fine cell -> group) map, per-vector top-w1 groups,
+    * then top-nprobe over ONLY the probed groups' cells. Same
+    * deterministic tie order (cos DESC, id ASC) at every level. */
+  lazy val qDedupEmbedHierSql: String = {
+    val i = qDedupEmbedIvfSql.indexOf("probes AS (")
+    val j = qDedupEmbedIvfSql.indexOf("cand AS (")
+    qDedupEmbedIvfSql.substring(0, i) +
+      s"""gprm AS (
+         |  SELECT GREATEST(CAST(CEIL(SQRT(count(*))) AS BIGINT), 1) AS gsz FROM c1),
+         |cr AS (SELECT c_id, cq, row_number() OVER (ORDER BY c_id) AS rn FROM c1),
+         |l0 AS (SELECT c_id AS g_id, cq AS gq FROM cr, gprm WHERE (rn - 1) % gsz = 0),
+         |ga AS (
+         |  SELECT c_id, cq, g_id FROM (
+         |    SELECT cr.c_id, cr.cq, l0.g_id,
+         |      row_number() OVER (PARTITION BY cr.c_id
+         |        ORDER BY list_cosine_similarity(cr.cq::DOUBLE[], l0.gq::DOUBLE[]) DESC,
+         |                 l0.g_id ASC) AS rn
+         |    FROM cr CROSS JOIN l0) WHERE rn = 1),
+         |l1 AS (
+         |  SELECT g_id, list(s // n ORDER BY i) AS gq FROM (
+         |    SELECT g_id, i, CAST(sum(cq[i]) AS BIGINT) AS s, count(*) AS n
+         |    FROM ga, range(1, 65) r(i) GROUP BY 1, 2) GROUP BY g_id),
+         |gmap AS (
+         |  SELECT c_id, g_id FROM (
+         |    SELECT c1.c_id, l1.g_id,
+         |      row_number() OVER (PARTITION BY c1.c_id
+         |        ORDER BY list_cosine_similarity(c1.cq::DOUBLE[], l1.gq::DOUBLE[]) DESC,
+         |                 l1.g_id ASC) AS rn
+         |    FROM c1 CROSS JOIN l1) WHERE rn <= $IvfHierCellAssign),
+         |gpr AS (
+         |  SELECT vec_id, g_id FROM (
+         |    SELECT v.vec_id, l1.g_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY list_cosine_similarity(v.vq::DOUBLE[], l1.gq::DOUBLE[]) DESC,
+         |                 l1.g_id ASC) AS pr
+         |    FROM v CROSS JOIN l1) WHERE pr <= $IvfHierProbeGroups),
+         |pcand AS (
+         |  SELECT DISTINCT g.vec_id, m.c_id
+         |  FROM gpr g JOIN gmap m ON m.g_id = g.g_id),
+         |probes AS (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT pc.vec_id, pc.c_id,
+         |      row_number() OVER (PARTITION BY pc.vec_id
+         |        ORDER BY list_cosine_similarity(v.vq::DOUBLE[], f.cq::DOUBLE[]) DESC,
+         |                 pc.c_id ASC) AS pr
+         |    FROM pcand pc JOIN v ON v.vec_id = pc.vec_id
+         |         JOIN c1 f ON f.c_id = pc.c_id) WHERE pr <= $IvfDedupNProbe),
+         |""".stripMargin +
+      qDedupEmbedIvfSql.substring(j)
+  }
 
   /** Exact Jaccard pairs via PREFIX FILTERING (Chaudhuri et al. /
     * ppjoin): order each doc's shingles by ascending global document
@@ -3160,6 +3465,10 @@ object Dedup {
     // pipeline once, shared with the keep-decision (PlanHygieneSpec
     // audits the UNDERLYING plan via qDedupEmbedIvf's whitelist entry)
     "q_dedup_embed_ivf" -> ((s: SparkSession, dir: String) => ivfPairsCached(s, dir)),
+    // the two-level router (same memoized-form convention; PlanHygieneSpec
+    // audits the underlying plan via qDedupEmbedHier's whitelist entry)
+    "q_dedup_embed_hier" -> ((s: SparkSession, dir: String) => hierPairsCached(s, dir)),
+    "q_ivf_hier_recall" -> (qIvfHierRecall _),
     "q_dedup_embed_incr" -> (qDedupEmbedIncr _),
     "q_dedup_embed_keep" -> (qDedupEmbedKeep _),
     "q_ivf_balance"   -> (qIvfBalance _),
@@ -3209,6 +3518,8 @@ object Dedup {
     "q_dedup_jaccard_prefix" -> bruteJaccardSql, // exact-equivalent by theorem
     "q_dedup_embed_lsh" -> qDedupEmbedFullSql, // same semantic output as exact, full corpus
     "q_dedup_embed_ivf" -> qDedupEmbedIvfSql, // the IVF algorithm itself, exact integer space
+    "q_dedup_embed_hier" -> qDedupEmbedHierSql, // both router levels stated in exact integer SQL
+    "q_ivf_hier_recall" -> qIvfHierRecallSql, // hier pair recall vs bounded exact slice
     "q_dedup_embed_incr" -> qDedupEmbedIncrSql, // arriving slice vs historical cell index
     "q_dedup_embed_keep" -> qDedupEmbedKeepSql, // IVF pairs + recursive closure, min-id keep
     "q_ivf_balance"   -> qIvfBalanceSql, // cell-skew audit over the shared probe CTEs

@@ -37,6 +37,64 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"non-boundary false positive: ${extras.take(3).mkString(",")}")
   }
 
+  test("hierarchical router equals the flat router when every group is probed") {
+    // At fixture scale the level-1 geometry SATURATES: k = ceil(n/C) fine
+    // cells group into g = ceil(k / ceil(sqrt(k))) <= IvfHierProbeGroups
+    // groups, so stage 2 scores every fine centroid and the two-level
+    // probe assignment must EQUAL the flat one — pair-set equality here
+    // pins the whole hier chain (seed ranking, centroid-level Lloyd
+    // round, group map, two-stage top-k) to the flat semantics it
+    // specializes. The non-saturated regime is exercised by the synthetic
+    // corpus test below and the audit-corpus recall floor
+    // (Dedup.IvfHierFullRecallFloorPpm, asserted by ScaleUpBench recall).
+    val sfDir = "/root/testdata/sf0.1"
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b", "cos_ppb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val flat = pairs(queries.Dedup.qDedupEmbedIvf(spark, sfDir))
+    val hier = pairs(queries.Dedup.qDedupEmbedHier(spark, sfDir))
+    assert(flat.nonEmpty, "vacuous: no flat IVF pairs at sf0.1")
+    assert(hier == flat,
+      s"hier != flat in the saturated regime: only-hier=${(hier -- flat).take(3)}, " +
+        s"only-flat=${(flat -- hier).take(3)}")
+  }
+
+  test("hierarchical router finds every planted clone pair past the saturation point") {
+    // A corpus where the hierarchy BITES at w1 = 4 (k = ceil(n/C) = 32
+    // fine cells, gsz = 6, g = 6 > 4 probed groups — stage 2 scores at
+    // most 24 of 32 cells per vector; the knob is pinned below the
+    // shipped width so the NON-saturated routing path stays covered on
+    // a corpus cheap enough for CI): 6000 deterministic pseudo-random
+    // vectors plus 40 planted clones (vec 1000000+j copies vec 13j). A
+    // clone and its original carry IDENTICAL vectors, so they probe
+    // identically and share their home cell — every planted pair MUST
+    // survive two-level routing; losing one is a routing bug, not
+    // geometry. Also pins the probe-width contract: <= nprobe cells per
+    // vector.
+    val dir = "/tmp/graft_hier_spec"
+    val n = 6000
+    import spark.implicits._
+    val base = spark.range(0, n).select($"id".as("vec_id"),
+      transform(sequence(lit(1), lit(64)), d =>
+        (pmod(hash($"id" * 64 + d), lit(2000)) - 1000).cast("float") / 1000f)
+        .as("embedding"))
+    val clones = base.filter($"vec_id" % 13 === 0 && $"vec_id" < 520)
+      .select(($"vec_id" / 13 + 1000000).cast("long").as("vec_id"), $"embedding")
+    new java.io.File(dir).mkdirs()
+    base.unionByName(clones).coalesce(2)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val probes = queries.Dedup.hierProbes(spark, dir, w1 = 4)
+    val maxProbes = probes.groupBy("vec_id").count().agg(max("count")).collect()(0).getLong(0)
+    assert(maxProbes <= queries.Dedup.IvfDedupNProbe,
+      s"a vector probes $maxProbes cells > nprobe")
+    val found = queries.Dedup.qDedupEmbedHier(spark, dir, w1 = 4)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 520 by 13).map(j => (j.toLong, j / 13 + 1000000L)).toSet
+    assert((planted -- found).isEmpty,
+      s"hier routing lost planted clone pairs: ${(planted -- found).take(5)}")
+  }
+
   test("incremental embedding dedup recovers every straddling exact pair at sf0.1") {
     // Non-vacuity + recall for q_dedup_embed_incr: the exact cos>=0.5
     // pair set (== the gated q_dedup_embed_lsh output) restricted to

@@ -88,7 +88,17 @@ fi
 RES[bench]=skipped
 RES[benchdiff]=skipped
 if [[ $QUICK -eq 0 ]]; then
+  # The gate's own earlier stages (test/verify/scaleAudit) leave the 1-min
+  # loadavg elevated for a couple of minutes after they finish — an instant
+  # check here would ALWAYS skip bench when the full gate runs end-to-end.
+  # Poll for a quiet window (same < 0.5 threshold) up to 10 minutes; a box
+  # that never goes quiet still skips, as before.
   load=$(cut -d' ' -f1 /proc/loadavg)
+  for _ in $(seq 1 20); do
+    python3 -c "import sys; sys.exit(0 if float('$load') < 0.5 else 1)" && break
+    sleep 30
+    load=$(cut -d' ' -f1 /proc/loadavg)
+  done
   if python3 -c "import sys; sys.exit(0 if float('$load') < 0.5 else 1)"; then
     new_bench="$OUT/BENCH_LOCAL_new.json"
     if SPARK_GRAFT_CPUS=32 SPARK_GRAFT_BENCH_OUT="$new_bench" \
