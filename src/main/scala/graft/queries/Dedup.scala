@@ -1807,17 +1807,28 @@ object Dedup {
     * [[IvfHierFullRecallFloorPpm]]. At fixture scale (k <= w1·gsz) every
     * group is probed and the hier probe set EQUALS the flat one
     * (asserted by spec) — the hierarchy only bites once k grows. */
-  private val hierProbesCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), LazyDf]()
+  private final class LazyHier(compute: () => (DataFrame, DataFrame, DataFrame)) {
+    lazy val v: (DataFrame, DataFrame, DataFrame) = compute()
+  }
+  private val hierFrontCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), LazyHier]()
 
-  private[graft] def hierProbes(s: SparkSession, dir: String,
-      w1: Int = IvfHierProbeGroups): DataFrame = {
-    hierProbesCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    hierProbesCache.computeIfAbsent((s, dir, w1), _ =>
-      new LazyDf(() => hierProbesBuild(s, dir, w1))).df
+  /** (gmap, gpr, probes) of the hierarchical router — memoized like the
+    * flat front so the pair query, the recall gate and the group-balance
+    * audit share one level-1 training + probe materialization. */
+  private[graft] def hierFront(s: SparkSession, dir: String,
+      w1: Int = IvfHierProbeGroups): (DataFrame, DataFrame, DataFrame) = {
+    hierFrontCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    hierFrontCache.computeIfAbsent((s, dir, w1), _ =>
+      new LazyHier(() => hierFrontBuild(s, dir, w1))).v
   }
 
-  private def hierProbesBuild(s: SparkSession, dir: String, w1: Int): DataFrame = {
+  private[graft] def hierProbes(s: SparkSession, dir: String,
+      w1: Int = IvfHierProbeGroups): DataFrame =
+    hierFront(s, dir, w1)._3
+
+  private def hierFrontBuild(s: SparkSession, dir: String, w1: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val (v, c1) = ivfBase(s, dir)
     // group size gsz = ceil(sqrt(k)) over the ACTUAL centroid count (the
@@ -1887,10 +1898,15 @@ object Dedup {
     // GBs — AQE broadcasts while small and falls back to shuffle joins
     // (probe-relation-sized, the same volume the verify stage already
     // shuffles) once it is not
-    val cand = gpr.join(gmap, Seq("g_id"))
+    // gmap and gpr are materialized alongside probes: the group-balance
+    // audit aggregates both, and without this each consumer would re-run
+    // the level-1 scoring scans (the flat front's round-9 lesson)
+    val gmapM = Memo.materialize(gmap)
+    val gprM = Memo.materialize(gpr)
+    val cand = gprM.join(gmapM, Seq("g_id"))
       .select($"vec_id", $"c_id").dropDuplicates("vec_id", "c_id")
     val topk = new graft.functions.TopKAggregator(IvfDedupNProbe).toColumn
-    Memo.materialize(
+    val probes = Memo.materialize(
       cand.join(v.select($"vec_id", $"vd"), Seq("vec_id"))
         .join(c1.select($"c_id", $"cd"), Seq("c_id"))
         .select($"vec_id", cosine($"vd", $"cd").as("c_cos"), $"c_id")
@@ -1900,6 +1916,55 @@ object Dedup {
         .toDF("vec_id", "top")
         .select($"vec_id", explode($"top").as("t"))
         .select($"vec_id", $"t._2".as("c_id")))
+    (gmapM, gprM, probes)
+  }
+
+  /** GROUP-BALANCE audit of the hierarchical router — [[qIvfBalance]]'s
+    * shape one level up: per level-1 group, the cells m-assigned into
+    * it, the vectors probing it (stage-1 population — what enters the
+    * stage-2 scoring join through this group), corpus share in exact
+    * ppm and skew vs the mean group (x100). The straggler predictor
+    * for the stage-2 join, completing the index-health family (cells:
+    * q_ivf_balance; bands: q_lsh_balance; groups: this). Output is
+    * <= g ≈ sqrt(k) rows. Oracle shares the hier pipeline's CTEs
+    * verbatim up to gpr, so the audit cannot drift from the gated
+    * routing semantics. */
+  def qIvfGroupBalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (gmap, gpr, _) = hierFront(s, dir)
+    val gpop = gpr.groupBy($"g_id").agg(count(lit(1)).as("n_probed"))
+    val gcells = gmap.groupBy($"g_id").agg(count(lit(1)).as("n_cells"))
+    // full outer: a group can hold cells nobody probes, or (tiny
+    // corpora) draw probes while holding no cells — both are exactly
+    // the rows an index-health report must not hide
+    val gj = gpop.join(gcells, Seq("g_id"), "full")
+      .select($"g_id", coalesce($"n_probed", lit(0L)).as("n_probed"),
+        coalesce($"n_cells", lit(0L)).as("n_cells"))
+    val tot = gj.agg(sum($"n_probed").as("t"), count(lit(1)).as("g"))
+    gj.crossJoin(broadcast(tot))
+      .select($"g_id", $"n_probed", $"n_cells",
+        expr("(n_probed * 1000000L) DIV t").as("share_ppm"),
+        expr("(n_probed * g * 100L) DIV t").as("skew_x100"))
+  }
+
+  /** Shares the hier pipeline's CTEs verbatim up to `gpr`, then
+    * aggregates — the audit cannot drift from the routing semantics. */
+  lazy val qIvfGroupBalanceSql: String = {
+    val i = qDedupEmbedHierSql.indexOf("pcand AS (")
+    qDedupEmbedHierSql.substring(0, i) +
+      """gpop AS (SELECT g_id, count(*) AS n_probed FROM gpr GROUP BY 1),
+        |gcells AS (SELECT g_id, count(*) AS n_cells FROM gmap GROUP BY 1),
+        |gj AS (
+        |  SELECT coalesce(p.g_id, c.g_id) AS g_id,
+        |    coalesce(p.n_probed, 0) AS n_probed,
+        |    coalesce(c.n_cells, 0) AS n_cells
+        |  FROM gpop p FULL JOIN gcells c ON c.g_id = p.g_id),
+        |tot AS (SELECT CAST(sum(n_probed) AS BIGINT) AS t, count(*) AS g FROM gj)
+        |SELECT g_id, CAST(n_probed AS BIGINT) AS n_probed,
+        |  CAST(n_cells AS BIGINT) AS n_cells,
+        |  (n_probed * 1000000) // t AS share_ppm,
+        |  (n_probed * g * 100) // t AS skew_x100
+        |FROM gj, tot""".stripMargin
   }
 
   /** Embedding near-dup pairs through the HIERARCHICAL router — same
@@ -3469,6 +3534,7 @@ object Dedup {
     // audits the underlying plan via qDedupEmbedHier's whitelist entry)
     "q_dedup_embed_hier" -> ((s: SparkSession, dir: String) => hierPairsCached(s, dir)),
     "q_ivf_hier_recall" -> (qIvfHierRecall _),
+    "q_ivf_group_balance" -> (qIvfGroupBalance _),
     "q_dedup_embed_incr" -> (qDedupEmbedIncr _),
     "q_dedup_embed_keep" -> (qDedupEmbedKeep _),
     "q_ivf_balance"   -> (qIvfBalance _),
@@ -3520,6 +3586,7 @@ object Dedup {
     "q_dedup_embed_ivf" -> qDedupEmbedIvfSql, // the IVF algorithm itself, exact integer space
     "q_dedup_embed_hier" -> qDedupEmbedHierSql, // both router levels stated in exact integer SQL
     "q_ivf_hier_recall" -> qIvfHierRecallSql, // hier pair recall vs bounded exact slice
+    "q_ivf_group_balance" -> qIvfGroupBalanceSql, // level-1 group skew over the shared hier CTEs
     "q_dedup_embed_incr" -> qDedupEmbedIncrSql, // arriving slice vs historical cell index
     "q_dedup_embed_keep" -> qDedupEmbedKeepSql, // IVF pairs + recursive closure, min-id keep
     "q_ivf_balance"   -> qIvfBalanceSql, // cell-skew audit over the shared probe CTEs

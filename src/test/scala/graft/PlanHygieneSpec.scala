@@ -19,6 +19,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_dedup_embed_ivf", // crossJoin(broadcast(n/C centroids)) — constant-cell-size geometry (r13): cell SIZE bounded so candidates are linear; broadcast grows as n/C (flat scoring documented to ~1e8 vectors, see scaladoc)
     "q_dedup_embed_hier", // two bounded cross joins: broadcast(√k level-1 groups) + the k-row centroid Lloyd round one level up
     "q_ivf_hier_recall",  // bounded-slice exact anchor join + q_dedup_embed_hier's listed cross joins
+    "q_ivf_group_balance", // 1-row totals broadcast cross + q_dedup_embed_hier's listed cross joins
     "q_dedup_embed_incr", // same √n-centroid broadcast cross join (history-trained cells)
     "q_dedup_embed_keep", // composes q_dedup_embed_ivf (its listed n/C-centroid cross join)
     "q_ivf_balance",      // same n/C-centroid cross join + 1-row totals broadcast

@@ -116,4 +116,21 @@ class ScaleAuditSpec extends AnyFunSuite {
       s"full-corpus IVF recall ${row.getLong(2)} ppm fell below the declared " +
         s"floor $floor ppm (${row.getLong(1)}/${row.getLong(0)} pairs)")
   }
+
+  test("10x full-corpus HIERARCHICAL recall holds its declared floor (round 13)",
+      SlowScaleAudit) {
+    // The hier router's CI twin of the flat assertion above — on this
+    // corpus (k = 11 cells, g = 3 groups <= w1) routing is SATURATED,
+    // so the line doubles as a cross-corpus parity canary: any drift of
+    // the level-1 machinery from the flat semantics it specializes
+    // fails here, while the non-saturated floor is asserted each round
+    // by the round-gate recall stage on the r9 10x audit corpus.
+    ensureBigCorpus()
+    val row = graft.queries.Dedup.hierFullRecall(spark, bigDir).collect()(0)
+    val floor = graft.queries.Dedup.IvfHierFullRecallFloorPpm
+    assert(row.getLong(0) > 0, "no exact pairs at 10x — denominator vanished")
+    assert(row.getLong(2) >= floor,
+      s"full-corpus hier recall ${row.getLong(2)} ppm fell below the declared " +
+        s"floor $floor ppm (${row.getLong(1)}/${row.getLong(0)} pairs)")
+  }
 }
