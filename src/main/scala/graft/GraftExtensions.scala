@@ -40,6 +40,7 @@ object GraftExtensions {
   private val builders: Seq[(String, Int, Seq[Expression] => Expression)] = Seq(
     ("token_shingles", 1, args => NativeExprs.TokenShingles(args.head)),
     ("simhash60", 1, args => NativeExprs.SimHash60(args.head)),
+    ("simhash96", 1, args => NativeExprs.SimHash96(args.head)),
     ("minhash_sig", 1, args => NativeExprs.MinHashSig(args.head)),
     ("array_cosine", 2, args => NativeExprs.ArrayCosine(args(0), args(1))),
     ("array_jaccard", 2, args => NativeExprs.ArrayJaccard(args(0), args(1))),

@@ -178,10 +178,13 @@ object ScaleUpBench {
       "support-pruned pairs grow superlinearly as shard vocabularies " +
       "cross; bounded by the support threshold, not by n"),
     "q_stream_embeddedup" -> ("per-batch probes join a history index " +
-      "whose cell size grows as sqrt(n_hist) (the incremental path " +
-      "keeps sqrt-cells so the streaming gate's collected centroid " +
-      "literal stays bounded); per-arrival candidate volume grows " +
-      "with history"),
+      "whose cell size grows as sqrt(n_hist) (the FLAT incremental " +
+      "path keeps sqrt-cells so the streaming gate's collected " +
+      "centroid literal stays bounded); per-arrival candidate volume " +
+      "grows with history — q_stream_embeddedup_hier is the gated " +
+      "scale sibling: it collects only the sqrt(k) level-1 group " +
+      "centroids, so its history index keeps CONSTANT-size cells and " +
+      "per-arrival cost stays flat (round 13)"),
     "q_stream_linededup" -> ("chunk-key dedup state is proportional " +
       "to distinct line-chunk history — 10x corpus means 10x state " +
       "the micro-batch engine rehydrates"),
@@ -363,6 +366,22 @@ object ScaleUpBench {
           f""""hier_pairs":$nHier,"retained":$nBoth,""" +
           f""""retained_ppm":${if (nFlat == 0) 1000000L else nBoth * 1000000L / nFlat},""" +
           f""""wall_ms":${(System.nanoTime() - t0) / 1e6}%.0f}""")
+        // the INCREMENTAL family's twin (round 13): retention of the
+        // two-level incremental router's verified pair set vs the flat
+        // incremental path's — the flat path is the semantic anchor
+        // (its index probes all k cells), so this line isolates what
+        // the constant-cell + level-1 routing approximation costs at a
+        // corpus where it bites
+        val t1 = System.nanoTime()
+        val fi = Dedup.qDedupEmbedIncr(s, dir).select("new_vec", "hist_vec")
+        val hi = Dedup.qDedupEmbedIncrHier(s, dir).select("new_vec", "hist_vec")
+        val nFi = fi.count()
+        val nHi = hi.count()
+        val nBi = fi.intersect(hi).count()
+        println(f"""{"hier_route":true,"variant":"incr","dir":"$dir","flat_pairs":$nFi,""" +
+          f""""hier_pairs":$nHi,"retained":$nBi,""" +
+          f""""retained_ppm":${if (nFi == 0) 1000000L else nBi * 1000000L / nFi},""" +
+          f""""wall_ms":${(System.nanoTime() - t1) / 1e6}%.0f}""")
       case "nprobe" :: dir :: widths :: Nil =>
         // Cost/recall economics of the IVF probe-width knob, measured:
         // per width, the deduplicated candidate volume (the quantity that

@@ -224,6 +224,62 @@ object NativeExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** 96-bit SimHash over a string array — the WIDE form of [[SimHash60]]
+    * (round-13, the scale path the 60-bit entry's scaladoc names): two
+    * 48-bit halves [hi, lo] from md5 hex chars 1–12 and 13–24, majority
+    * vote over all 96 positions. 4 pigeonhole bands of 24 bits stay
+    * LOSSLESS for hamming <= 3 while dividing decorrelated band
+    * collisions by 2^14 vs the 60-bit form's 10-bit bands (~n²/2²⁴ per
+    * band instead of ~n²/2¹⁰) — the collision wall moves from ~10⁶ to
+    * ~10⁸ documents. Bit-identical to the DuckDB oracle's
+    * ('0x'||substr(md5(s),1,12))::BIGINT / substr(...,13,12)
+    * formulation. */
+  case class SimHash96(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "simhash96"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val weights = new Array[Int](96)
+      val md = MessageDigest.getInstance("MD5")
+      var j = 0
+      while (j < m) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(j).getBytes)
+        // hex chars 1-12 = digest bytes 0-5 (hi48); 13-24 = bytes 6-11 (lo48)
+        var hi = 0L
+        var k = 0
+        while (k < 6) { hi = (hi << 8) | (d(k) & 0xFFL); k += 1 }
+        var lo = 0L
+        while (k < 12) { lo = (lo << 8) | (d(k) & 0xFFL); k += 1 }
+        // positions 0-47 vote from lo, 48-95 from hi — the exact layout
+        // the oracle's range(0,96) CASE states
+        var i = 0
+        while (i < 48) {
+          weights(i) += (if (((lo >>> i) & 1L) == 1L) 1 else -1)
+          weights(i + 48) += (if (((hi >>> i) & 1L) == 1L) 1 else -1)
+          i += 1
+        }
+        j += 1
+      }
+      var shi = 0L
+      var slo = 0L
+      var i = 0
+      while (i < 48) {
+        if (weights(i) > 0) slo |= 1L << i
+        if (weights(i + 48) > 0) shi |= 1L << i
+        i += 1
+      }
+      new GenericArrayData(Array(shi, slo))
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Random-hyperplane LSH band keys for cosine similarity (Charikar,
     * STOC 2002): bit (i) = sign of v · h_i with h_i a fixed ±1 hyperplane
     * (deterministic splitmix-derived), grouped into `bands` keys of
@@ -508,6 +564,8 @@ object NativeExprs {
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(sh), nPerms))
   def simhash60(sh: Column): Column =
     ExpressionUtils.column(SimHash60(ExpressionUtils.expression(sh)))
+  def simhash96(sh: Column): Column =
+    ExpressionUtils.column(SimHash96(ExpressionUtils.expression(sh)))
   def arrayJaccard(a: Column, b: Column): Column =
     ExpressionUtils.column(ArrayJaccard(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def arrayIntersectSize(a: Column, b: Column): Column =

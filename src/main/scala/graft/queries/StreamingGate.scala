@@ -545,16 +545,23 @@ object StreamingGate {
     * batch == q_dedup_embed_incr's oracle VERBATIM. */
   def qStreamEmbedDedup(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0)
-    import s0.implicits._
     val (c1, lists) = Dedup.embedIncrStatic(s0, dir)
+    import s0.implicits._
     val cents = c1.select(col("c_id"), col("cd"))
       .as[(Long, Seq[Double])].collect().toSeq
-    // arriving slice PLUS the injected history clones (VERDICT-r12 #3;
-    // Dedup.EmbedIncrInjectMod) — one pass over the stream emits 0..1
-    // rows per input: a %5==0 row as itself, a matching history row as
-    // its re-keyed clone, so the stream source carries exactly the
-    // batch/oracle relation and the sf0.01 gate is no longer vacuous
-    val vecs = parquetStream(s, dir, "embeddings")
+    runGate(StreamingEtl.embedDedupStream(incrVecStream(s, dir), cents, lists),
+      "embeddedup", "append")
+  }
+
+  /** Arriving-vector stream shared by both incremental embedding-dedup
+    * gates: the %5==0 slice PLUS the injected history clones
+    * (VERDICT-r12 #3; Dedup.EmbedIncrInjectMod) — one pass over the
+    * stream emits 0..1 rows per input: a %5==0 row as itself, a
+    * matching history row as its re-keyed clone, so the stream source
+    * carries exactly the batch/oracle relation and the sf0.01 gates
+    * are never vacuous. */
+  private def incrVecStream(s: SparkSession, dir: String): DataFrame =
+    parquetStream(s, dir, "embeddings")
       .select(explode(
         when(col("vec_id") % 5 === 0,
           array(struct(col("vec_id"), col("embedding"))))
@@ -564,8 +571,29 @@ object StreamingGate {
             col("embedding"))))
         .otherwise(array())).as("r"))
       .select(col("r.vec_id").as("vec_id"), col("r.embedding").as("embedding"))
-    runGate(StreamingEtl.embedDedupStream(vecs, cents, lists),
-      "embeddedup", "append")
+
+  /** STREAMING incremental embedding dedup through the HIERARCHICAL
+    * index, gated ([[StreamingEtl.embedDedupHierStream]] — the
+    * streaming-ingest scale path whose per-arrival cost stays FLAT as
+    * history grows): the stream collects ONLY the sqrt(k)-bounded
+    * level-1 group centroids; fine cells arrive via w1 stream-static
+    * joins of packed per-group arrays; the top-nprobe cut is one
+    * stateless HOF; candidates join the constant-cell-size lists and
+    * verify map-side; survivors pay output-scale pair-dedup. Append
+    * mode == batch == q_dedup_embed_incr_hier's oracle VERBATIM. */
+  def qStreamEmbedDedupHier(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val (l1, gcells, lists) = Dedup.embedIncrHierStatic(s0, dir)
+    import s0.implicits._
+    val groups = l1.select(col("g_id"), col("gd"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    // packed per-group cell arrays — the static side of the stage-2
+    // joins (g rows, each ~m·gsz cells); order inside each array is
+    // irrelevant: the HOF cut totally orders by (cos desc, c_id asc)
+    val gcp = gcells.groupBy(col("g_id"))
+      .agg(collect_list(struct(col("c_id"), col("cd"))).as("cells"))
+    runGate(StreamingEtl.embedDedupHierStream(incrVecStream(s, dir), groups, gcp, lists),
+      "embeddedup_hier", "append")
   }
 
   /** STREAMING AUDIO NEAR-DUP AT INGEST, gated (round-13, the audio
@@ -755,6 +783,7 @@ object StreamingGate {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_embeddedup" -> (qStreamEmbedDedup _),
+    "q_stream_embeddedup_hier" -> (qStreamEmbedDedupHier _),
     "q_stream_wavdedup" -> (qStreamWavDedup _),
     "q_stream_clf"       -> (qStreamClf _),
     "q_stream_repetition" -> (qStreamRepetition _),
@@ -788,6 +817,7 @@ object StreamingGate {
     * oracle VERBATIM with the batch operator it mirrors. */
   def oracles: Map[String, String] = Map(
     "q_stream_embeddedup" -> Dedup.qDedupEmbedIncrSql,
+    "q_stream_embeddedup_hier" -> Dedup.qDedupEmbedIncrHierSql,
     "q_stream_wavdedup" -> qStreamWavDedupSql,
     "q_stream_clf"       -> TrainingData.qClfScoreSql,
     "q_stream_repetition" -> TextAnalysis.qTextRepetitionSql,

@@ -276,7 +276,18 @@ object StreamingEtl {
                                 cents: Seq[(Long, Seq[Double])], nprobe: Int)
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graft.NativeExprs
-    val cmp = (l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =>
+    transform(
+      slice(array_sort(transform(typedLit(cents), c =>
+        struct(NativeExprs.arrayCosine(v, c.getField("_2")).as("c"),
+          c.getField("_1").as("cid"))), cosIdCmp), 1, nprobe),
+      p => p.getField("cid"))
+  }
+
+  /** The (cos desc, id asc) struct comparator shared by [[probeCells]]
+    * and [[topCellsIn]] — see probeCells' scaladoc for why the NaN
+    * branches are explicit. */
+  private val cosIdCmp =
+    (l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =>
       when(isnan(l.getField("c")) && !isnan(r.getField("c")), lit(-1))
         .when(!isnan(l.getField("c")) && isnan(r.getField("c")), lit(1))
         .when(l.getField("c") > r.getField("c"), lit(-1))
@@ -284,10 +295,22 @@ object StreamingEtl {
         .when(l.getField("cid") < r.getField("cid"), lit(-1))
         .when(l.getField("cid") > r.getField("cid"), lit(1))
         .otherwise(lit(0))
+
+  /** Per-row top-`t` cell selection over a COLUMN of packed
+    * (c_id, cd) cell structs — [[probeCells]]'s HOF over a join-
+    * delivered array instead of a plan literal: the stage-2 cut of the
+    * hierarchical streaming probe, where the fine-centroid set is too
+    * large to collect (k grows as n/C) but each probed GROUP's cell
+    * array is bounded (~m·gsz entries). Same comparator, so the cut
+    * ranks identically to the batch TopKAggregator. */
+  private[graft] def topCellsIn(v: org.apache.spark.sql.Column,
+                                cells: org.apache.spark.sql.Column, t: Int)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.NativeExprs
     transform(
-      slice(array_sort(transform(typedLit(cents), c =>
-        struct(NativeExprs.arrayCosine(v, c.getField("_2")).as("c"),
-          c.getField("_1").as("cid"))), cmp), 1, nprobe),
+      slice(array_sort(transform(cells, c =>
+        struct(NativeExprs.arrayCosine(v, c.getField("cd")).as("c"),
+          c.getField("c_id").as("cid"))), cosIdCmp), 1, t),
       p => p.getField("cid"))
   }
 
@@ -324,6 +347,71 @@ object StreamingEtl {
     // survivors keeps state at OUTPUT scale. The <= 4x duplicate
     // cosines (one per shared probed cell) are stateless map-side work.
     probed
+      .join(histLists.select(col("vec_id").as("hist_vec"), col("vd").as("hd"),
+        col("c_id")), Seq("c_id"))
+      .select(col("new_vec"), col("hist_vec"),
+        NativeExprs.arrayCosine(col("nd"), col("hd")).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.5)
+      .select(col("new_vec"), col("hist_vec"),
+        round(col("cos_sim") * 1e9).cast("long").as("cos_ppb"))
+      .dropDuplicates("new_vec", "hist_vec")
+  }
+
+  /** Streaming incremental embedding dedup through the HIERARCHICAL
+    * index (queries.Dedup.embedIncrHierStatic) — the streaming-ingest
+    * scale path past [[embedDedupStream]]'s sqrt-cell history index
+    * (whose per-arrival candidate volume grows as sqrt(history) — the
+    * 27.9x wall in the r13 100x audit). The whole probe is STATELESS:
+    *  1. per-row quantize + top-w1 GROUP probe over the collected
+    *     level-1 centroid literal — g ≈ sqrt(k) = sqrt(n_hist/C)
+    *     entries (~2.3e3 rows at 1e9 history vectors), collectible
+    *     where the n/C fine-centroid set never is;
+    *  2. w1 stream-static equi-joins fetch the probed groups' PACKED
+    *     cell arrays (g static rows, each ~m·gsz cells — bounded);
+    *  3. one per-row HOF takes the global top-nprobe over the
+    *     DISTINCT union of the probed groups' cells — exactly the
+    *     batch pcand + top-nprobe cut, so stream == batch == the
+    *     shared oracle (array_distinct replaces the batch
+    *     dropDuplicates: a multi-assigned cell reachable through two
+    *     probed groups occupies one slot);
+    *  4. stream-static join against the CONSTANT-cell-size inverted
+    *     lists (per-arrival candidates = nprobe · m_i · C, independent
+    *     of history size), map-side exact verify, and only verified
+    *     survivors pay stateful pair-dedup (state at output scale).
+    * Ingest cost per arrival is bounded by sqrt(k) + constants — flat
+    * as history grows, which is the property a 100 TB streaming
+    * curation pipeline needs. */
+  def embedDedupHierStream(newVecs: DataFrame, groups: Seq[(Long, Seq[Double])],
+                           gcellsPacked: DataFrame, histLists: DataFrame,
+                           w1: Int = graft.queries.Dedup.IvfHierProbeGroups,
+                           nprobe: Int = 6): DataFrame = {
+    import org.apache.spark.sql.graft.NativeExprs
+    val probed = newVecs
+      .select(col("vec_id").as("new_vec"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e7).cast("long").cast("double")).as("nd"))
+      .withColumn("gp", probeCells(col("nd"), groups, w1))
+    // one left equi-join per probe slot: gp(i) on a short-probe row (or
+    // a corpus with fewer than w1 groups) is NULL -> no match -> the
+    // coalesce below contributes an empty array. Each join is stream-
+    // static and stateless; the static side is g rows of packed cells.
+    val joined = (0 until w1).foldLeft(probed) { (df, i) =>
+      // get(), not apply(): a probe array shorter than w1 must read as
+      // NULL (no match), not an ANSI INVALID_ARRAY_INDEX error
+      df.join(gcellsPacked.select(col("g_id").as(s"g_$i"),
+          col("cells").as(s"cells_$i")),
+        get(col("gp"), lit(i)) === col(s"g_$i"), "left")
+    }
+    // unmatched slots coalesce to an EMPTY array, never null — flatten
+    // of an array containing null is null, which would drop the row
+    val cellType = "array<struct<c_id:bigint,cd:array<double>>>"
+    val allCells = array_distinct(flatten(array(
+      (0 until w1).map(i =>
+        coalesce(col(s"cells_$i"), array().cast(cellType))): _*)))
+    val probes = joined
+      .withColumn("c_id", explode(topCellsIn(col("nd"), allCells, nprobe)))
+      .select(col("new_vec"), col("nd"), col("c_id"))
+    probes
       .join(histLists.select(col("vec_id").as("hist_vec"), col("vd").as("hd"),
         col("c_id")), Seq("c_id"))
       .select(col("new_vec"), col("hist_vec"),

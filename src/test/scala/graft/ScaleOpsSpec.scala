@@ -115,6 +115,68 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"incremental dedup missed straddling pairs: ${exactStraddle -- incr}")
   }
 
+  test("hierarchical incremental dedup recovers every straddling exact pair at sf0.1") {
+    // The two-level router's twin of the flat-incremental assertion
+    // above: at sf0.1 the level-1 geometry saturates (k = ceil(1600/192)
+    // = 9 constant-size cells, g = 3 groups <= w1 = 8 probed), so pcand
+    // covers every cell and a recall loss here would be an INDEX bug
+    // (seed ranking, Lloyd round, m_i=4 lists, top-nprobe cut), not a
+    // routing approximation. Also pins the probe-width contract.
+    val sfDir = "/root/testdata/sf0.1"
+    val exactStraddle = queries.Dedup.qDedupEmbedLsh(spark, sfDir)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 5 == 0) != (b % 5 == 0) }
+      .map { case (a, b) => if (a % 5 == 0) (a, b) else (b, a) }.toSet
+    val probes = queries.Dedup.embedIncrHierProbes(spark, sfDir)
+    val maxProbes = probes.groupBy("new_vec").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxProbes <= queries.Dedup.IvfDedupNProbe,
+      s"an arriving vector probes $maxProbes cells > nprobe")
+    val incr = queries.Dedup.qDedupEmbedIncrHier(spark, sfDir)
+      .select("new_vec", "hist_vec").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactStraddle.nonEmpty, "vacuous: no straddling exact pairs at sf0.1")
+    assert((exactStraddle -- incr).isEmpty,
+      s"hier incremental dedup missed straddling pairs: ${exactStraddle -- incr}")
+  }
+
+  test("hierarchical incremental dedup finds planted cross-slice clones past saturation") {
+    // A corpus where the level-1 routing BITES for the incremental
+    // index: n = 7500 vectors, history slice = 6000 (%5 != 0) -> k =
+    // ceil(6000/192) = 32 constant-size cells, gsz = 6, g = 6 > w1 = 4
+    // probed groups — stage 2 sees at most 24 of 32 cells per arriving
+    // vector. 40 planted clones copy HISTORY vectors (vec_id % 5 != 0)
+    // into the arriving slice (clone ids are multiples of 5): identical
+    // vectors probe identically and share their home cell/group, so
+    // every planted cross-slice pair MUST survive two-level routing —
+    // losing one is a routing bug, not geometry.
+    val dir = "/tmp/graft_incr_hier_spec"
+    val n = 7500
+    import spark.implicits._
+    val base = spark.range(0, n).select($"id".as("vec_id"),
+      transform(sequence(lit(1), lit(64)), d =>
+        (pmod(hash($"id" * 64 + d), lit(2000)) - 1000).cast("float") / 1000f)
+        .as("embedding"))
+    // originals: history ids 13j+1 (never %5==0 for j<...: pick ids
+    // coprime with 5 by filtering); clones re-keyed to multiples of 5
+    val origs = base.filter($"vec_id" % 13 === 1 && $"vec_id" % 5 =!= 0
+        && $"vec_id" < 700)
+    val clones = origs.select(($"vec_id" * 5 + 2000000).cast("long").as("vec_id"),
+      $"embedding")
+    new java.io.File(dir).mkdirs()
+    base.unionByName(clones).coalesce(2)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val planted = origs.select("vec_id").collect()
+      .map(_.getLong(0)).map(j => (j * 5 + 2000000, j)).toSet
+    assert(planted.size >= 30, s"fixture degenerated: ${planted.size} planted clones")
+    val found = queries.Dedup.qDedupEmbedIncrHier(spark, dir, w1 = 4)
+      .select("new_vec", "hist_vec").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((planted -- found).isEmpty,
+      s"hier incremental routing lost planted clone pairs: ${(planted -- found).take(5)}")
+  }
+
   test("salted join result equals the plain equi-join") {
     val orders = Tables.orders(spark, sf).select("o_orderkey", "o_orderpriority")
     val lineitem = Tables.lineitem(spark, sf)

@@ -80,6 +80,64 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(r(1) > 0 && r(1) < 30) // one-token edit moves few bits
   }
 
+  test("simhash96 equals a pure-Scala md5-walk reference") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(50)
+      .select($"doc_id", shingleSet($"text").as("sh")).filter(size($"sh") > 0)
+    val native = docs
+      .select($"doc_id", org.apache.spark.sql.graft.NativeExprs.simhash96($"sh").as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    docs.collect().foreach { r =>
+      val w = new Array[Int](96)
+      r.getSeq[String](1).foreach { s =>
+        md.reset()
+        val d = md.digest(s.getBytes("UTF-8"))
+        var hi = 0L; var lo = 0L
+        (0 until 6).foreach(k => hi = (hi << 8) | (d(k) & 0xFFL))
+        (6 until 12).foreach(k => lo = (lo << 8) | (d(k) & 0xFFL))
+        (0 until 48).foreach { i =>
+          w(i) += (if (((lo >>> i) & 1L) == 1L) 1 else -1)
+          w(i + 48) += (if (((hi >>> i) & 1L) == 1L) 1 else -1)
+        }
+      }
+      var shi = 0L; var slo = 0L
+      (0 until 48).foreach { i =>
+        if (w(i) > 0) slo |= 1L << i
+        if (w(i + 48) > 0) shi |= 1L << i
+      }
+      assert(native(r.getLong(0)) == Seq(shi, slo),
+        s"doc ${r.getLong(0)}: native ${native(r.getLong(0))} != ref ($shi, $slo)")
+    }
+  }
+
+  test("simhash96 banded plan equals brute hamming<=3 (lossless pigeonhole)") {
+    // The 4x24-bit bands are lossless for hamming <= 3 by pigeonhole
+    // (3 flipped bits touch at most 3 of 4 bands) — so the gated banded
+    // plan must emit EXACTLY the brute all-pairs hamming<=3 set. Brute
+    // side computed in-process over the collected signatures (sf0.1:
+    // ~5k docs, ~12M comparisons — spec-affordable, never a plan).
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.1"
+    val sims = graft.queries.Dedup.docShinglesSrc(spark, sfDir)
+      .select($"doc_id", org.apache.spark.sql.graft.NativeExprs.simhash96($"sh").as("sim"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)(0), r.getSeq[Long](1)(1)))
+    val brute = (for {
+      i <- sims.indices.iterator
+      j <- (i + 1) until sims.length
+      (da, ha, la) = sims(i)
+      (db, hb, lb) = sims(j)
+      hd = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if hd <= 3
+    } yield (math.min(da, db), math.max(da, db), hd.toLong)).toSet
+    val gated = graft.queries.Dedup.qDedupSimhash96(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty, "vacuous: no hamming<=3 pairs at sf0.1")
+    assert(gated == brute,
+      s"banded != brute: only-gated=${(gated -- brute).take(3)}, " +
+        s"missed=${(brute -- gated).take(3)}")
+  }
+
   test("bag fingerprint is order- and duplication-insensitive") {
     import spark.implicits._
     val df = Seq("x y z w", "w z y x x y", "x y q w").toDF("t")
