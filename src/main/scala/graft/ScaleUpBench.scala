@@ -177,6 +177,20 @@ object ScaleUpBench {
     "q_text_tri" -> ("token-pair co-occurrence volume: distinct " +
       "support-pruned pairs grow superlinearly as shard vocabularies " +
       "cross; bounded by the support threshold, not by n"),
+    "q_dedup_embed_incr" -> ("per-arrival candidate volume grows as " +
+      "sqrt(n_hist): the flat incremental index keeps sqrt-cells (the " +
+      "streaming gate's collected centroid literal must stay bounded) " +
+      "so each probed cell's list is m_i*sqrt(n_hist) rows; output " +
+      "pairs also grow ~62x for 10x vectors (generator 4-sigma tail). " +
+      "q_dedup_embed_incr_hier removes the sqrt growth (constant-size " +
+      "cells behind a two-level router)"),
+    "q_dedup_embed_incr_hier" -> ("the one-time index BUILD: " +
+      "history-side flat assignment is n_hist*k = n_hist^2/C cosines " +
+      "(the documented flat-scoring boundary - build-once, amortized " +
+      "across every arriving slice; the recurring per-arrival path is " +
+      "the stream twin's line, measured 2.97x and unflagged at this " +
+      "decade) plus output pairs growing ~54x for 10x vectors " +
+      "(generator 4-sigma tail)"),
     "q_stream_embeddedup" -> ("per-batch probes join a history index " +
       "whose cell size grows as sqrt(n_hist) (the FLAT incremental " +
       "path keeps sqrt-cells so the streaming gate's collected " +
@@ -347,6 +361,27 @@ object ScaleUpBench {
             f""""per_vector":${hCand.toDouble / n}%.1f,""" +
             f""""wall_ms":${(System.nanoTime() - t1) / 1e6}%.0f}""")
         }
+      case "incrrecall" :: dir :: rest if rest.size <= 1 =>
+        // TRUE recall of BOTH incremental routers against the exact
+        // cross-slice pair set on a bounded per-shard id slice (round
+        // 13): the hierroute retention line can only compare the two
+        // approximations against each other — at the 100x corpus they
+        // diverge (both probe different cells), so the decisive
+        // question is recall against TRUTH, which this bounded
+        // denominator affords at any corpus size.
+        import graft.queries.Dedup
+        val cap = rest.headOption.map(_.trim.toLong).getOrElse(500L)
+        Seq(
+          ("flat", () => Dedup.qDedupEmbedIncr(s, dir)),
+          ("hier", () => Dedup.qDedupEmbedIncrHier(s, dir))
+        ).foreach { case (variant, mk) =>
+          val t0 = System.nanoTime()
+          val row = Dedup.incrRecallOf(s, dir, mk(), cap).collect()(0)
+          println(f"""{"incr_recall":true,"variant":"$variant","dir":"$dir","cap":$cap,""" +
+            f""""n_exact":${row.getLong(0)},"n_hit":${row.getLong(1)},""" +
+            f""""recall_ppm":${row.getLong(2)},""" +
+            f""""wall_ms":${(System.nanoTime() - t0) / 1e6}%.0f}""")
+        }
       case "hierroute" :: dir :: Nil =>
         // LEVEL-1 ROUTING RETENTION (round 13): what fraction of the
         // FLAT router's verified pair set the hierarchical router
@@ -413,7 +448,7 @@ object ScaleUpBench {
             f""""recall_ppm":${rec.getLong(2)}}""")
         }
       case _ =>
-        System.err.println("usage: gen <src> <out> <factor> | run <dirA> <dirB> <q1,q2,...> [--once] | recall <dir> [w1,w2] | nprobe <dir> <w1,w2,...> | candvol <dir1,dir2,...>")
+        System.err.println("usage: gen <src> <out> <factor> | run <dirA> <dirB> <q1,q2,...> [--once] | recall <dir> [w1,w2] | nprobe <dir> <w1,w2,...> | candvol <dir1,dir2,...> | hierroute <dir> | incrrecall <dir> [cap]")
         sys.exit(2)
     }
     s.stop()

@@ -11,6 +11,23 @@ import org.apache.spark.sql.expressions.Aggregator
   * collect_list state. The buffer stays a sorted Vector: insert is
   * O(k) — fine for retrieval-sized k. Input is (qId, score, id); the
   * qId rides only because typed agg inputs see the full row. */
+/** [[TopKAggregator]] over (key1, key2, score, id) rows — for typed
+  * aggregations keyed by a PAIR (groupByKey on (_1, _2)), e.g. the
+  * per-(vector, group) cell cut of the hierarchical incremental
+  * router. Same bounded buffer, same (score desc, id asc) order. */
+class GroupTopKAggregator(k: Int)
+    extends Aggregator[(Long, Long, Double, Long), Vector[(Double, Long)], Seq[(Double, Long)]] {
+  private val inner = new TopKAggregator(k)
+  override def zero: Vector[(Double, Long)] = inner.zero
+  override def reduce(b: Vector[(Double, Long)], a: (Long, Long, Double, Long)): Vector[(Double, Long)] =
+    inner.reduce(b, (a._1, a._3, a._4))
+  override def merge(b1: Vector[(Double, Long)], b2: Vector[(Double, Long)]): Vector[(Double, Long)] =
+    inner.merge(b1, b2)
+  override def finish(b: Vector[(Double, Long)]): Seq[(Double, Long)] = inner.finish(b)
+  override def bufferEncoder: Encoder[Vector[(Double, Long)]] = inner.bufferEncoder
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] = inner.outputEncoder
+}
+
 class TopKAggregator(k: Int)
     extends Aggregator[(Long, Double, Long), Vector[(Double, Long)], Seq[(Double, Long)]] {
 

@@ -2286,10 +2286,11 @@ object Dedup {
     *    sqrt(n_hist / C) groups: at 1e9 history vectors (k ≈ 5.2e6
     *    cells) that is ~2.3e3 rows / ~1.2 MB — collectible where the
     *    n/C fine-centroid set (~2.7 GB) never is.
-    *  - `gcells` (g_id, c_id, cd): the multi-assigned cell→group map
-    *    carrying the fine centroids (each cell in its top-
-    *    [[IvfHierCellAssign]] = 3 groups — the straddling-boundary fix
-    *    both hier sweeps measured). Joined, never collected/broadcast.
+    *  - `gcells` (g_id, c_id, cd): the cell→group map carrying the
+    *    fine centroids — SINGLE-assigned (disjoint groups) by default:
+    *    see [[IvfIncrHierGroupAssign]] for why the incremental family
+    *    differs from the pair path's m=3 here. Joined, never
+    *    collected/broadcast.
     *  - `lists` (vec_id, vd, c_id): the inverted cell index over
     *    CONSTANT-size cells (k = ceil(n_hist / [[IvfTargetCellSize]]),
     *    each history vector in its top-[[IvfIncrIndexAssign]] = 4
@@ -2303,17 +2304,39 @@ object Dedup {
     * routes hierarchically like [[hierFront]]). What this geometry
     * buys is the cost a streaming pipeline pays FOREVER: per-arrival
     * work bounded by constants, not by history. */
-  private val embedIncrHierCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), LazyHier]()
+  /** Groups each fine cell of the INCREMENTAL hierarchical index is
+    * assigned to. SINGLE assignment (disjoint groups), unlike the pair
+    * path's m=3 — deliberately: the incremental probe takes a
+    * per-group cell budget ([[IvfIncrHierCellsPerGroup]]) instead of
+    * the pair path's global top-nprobe cut (the global cut needs the
+    * probed groups' cells TOGETHER, which on a stream forces either an
+    * aggregation-then-join — unsupported — or a w1-way packed-array
+    * fold that measured 3.7x SLOWER than the flat stream at the 100x
+    * audit from O(w1²) per-row array copying). With disjoint groups
+    * the per-group budget spreads probes across genuinely different
+    * cells, boundary coverage comes from probing w1 = 8 groups wide
+    * and from the m_i = 4 multi-assigned LISTS on the history side;
+    * retention vs the flat incremental is measured by `ScaleUpBench
+    * hierroute` (variant "incr") at both audit decades. */
+  private[graft] val IvfIncrHierGroupAssign = 1
+  /** Per-probed-group cell budget of the incremental hierarchical
+    * probe — probes <= w1 · t cells per arrival, each a CONSTANT-size
+    * cell. t = 2 at w1 = 8 gives up to 16 probed cells at scale
+    * (vs the flat path's 6 sqrt-size cells) and ~6 at the saturated
+    * fixture scale (3 disjoint groups x top-2). */
+  private[graft] val IvfIncrHierCellsPerGroup = 2
 
-  private[graft] def embedIncrHierStatic(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+  private val embedIncrHierCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), LazyHier]()
+
+  private[graft] def embedIncrHierStatic(s: SparkSession, dir: String,
+      mg: Int = IvfIncrHierGroupAssign): (DataFrame, DataFrame, DataFrame) = {
     embedIncrHierCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    embedIncrHierCache.computeIfAbsent((s, dir), _ =>
-      new LazyHier(() => embedIncrHierStaticBuild(s, dir))).v
+    embedIncrHierCache.computeIfAbsent((s, dir, mg), _ =>
+      new LazyHier(() => embedIncrHierStaticBuild(s, dir, mg))).v
   }
 
-  private def embedIncrHierStaticBuild(s: SparkSession, dir: String)
+  private def embedIncrHierStaticBuild(s: SparkSession, dir: String, mg: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val v = Similarity.withDoubles(
@@ -2367,7 +2390,7 @@ object Dedup {
         .select($"c_id".as("g_id"), $"cq".as("gq"))
         .localCheckpoint(true),
       "gq", "gd")
-    val topg = new graft.functions.TopKAggregator(IvfHierCellAssign).toColumn
+    val topg = new graft.functions.TopKAggregator(mg).toColumn
     val gmap = cv.select($"vec_id", $"vd")
       .crossJoin(broadcast(l1.select($"g_id", $"gd")))
       .select($"vec_id", cosine($"vd", $"gd").as("g_cos"), $"g_id")
@@ -2386,33 +2409,43 @@ object Dedup {
     * daily-ingest semantics routed through the TWO-LEVEL index
     * ([[embedIncrHierStatic]]): an arriving vector scores the g ≈
     * sqrt(k) group centroids, keeps its top-w1 = [[IvfHierProbeGroups]]
-    * groups, then takes the global top-[[IvfDedupNProbe]] over the
-    * probed groups' cells (DISTINCT first — a multi-assigned cell
-    * reachable through two probed groups occupies ONE slot, exactly
-    * like [[qDedupEmbedHier]]'s pcand cut). Candidates join the
-    * constant-cell-size inverted lists, verify-first exact integer
-    * cosine, output-scale pair dedup.
+    * groups, and takes the top-[[IvfIncrHierCellsPerGroup]] cells
+    * WITHIN each probed group — the per-group budget a stream can cut
+    * statelessly (see [[IvfIncrHierGroupAssign]]; the pair path's
+    * global top-nprobe cut needs the probed groups' cells together,
+    * which on a stream measured 3.7x slower than flat from per-row
+    * array folding). Candidates join the constant-cell-size inverted
+    * lists, verify-first exact integer cosine, output-scale pair
+    * dedup.
     *
     * WHY THIS EXISTS (the q_stream_embeddedup scale wall): the flat
     * incremental path's per-arrival cost is nprobe · m_i · sqrt(n_hist)
     * (sqrt cells, forced by the streaming gate's collected centroid
     * literal) — the r13 audit measured 27.9x wall for 10x rows. Here
-    * per-arrival work is (g + w1 · m · gsz) · dim assignment cosines +
-    * nprobe · m_i · C candidate cosines — every term bounded by
+    * per-arrival work is (g + w1 · gsz) · dim assignment cosines +
+    * w1 · t · m_i · C candidate cosines — every term bounded by
     * sqrt(k) or constants, so ingest cost stays FLAT as history grows.
     * Streaming twin: [[graft.streaming.StreamingEtl.embedDedupHierStream]]
     * (gated as q_stream_embeddedup_hier, sharing this oracle) — the
     * stream collects ONLY the sqrt(k)-bounded group centroids and
-    * keeps the whole probe stateless (w1 stream-static joins over
-    * packed per-group cell arrays + one HOF cut), state at output
-    * scale only. */
+    * keeps the whole probe stateless (explode + one stream-static join
+    * of packed per-group cell arrays + the per-group HOF cut in the
+    * same projection), state at output scale only. */
   /** The (new_vec, c_id) probe relation of the two-level incremental
-    * router — split out so the spec can pin the <= nprobe width
-    * contract and the saturated-regime semantics directly. */
+    * router — split out so the spec can pin the <= w1·t width contract
+    * and the probe semantics directly. The stage-2 cut is PER-GROUP
+    * top-t (not the pair path's global top-nprobe): each probed
+    * group's cells rank independently and the group keeps its best t —
+    * the cut a stream can take STATELESSLY per joined row, with no
+    * cross-group state (see [[IvfIncrHierGroupAssign]] for why the
+    * global cut was rejected by measurement). A cell reachable through
+    * two probed groups (only possible at mg > 1) still occupies one
+    * probe slot via the DISTINCT. */
   private[graft] def embedIncrHierProbes(s: SparkSession, dir: String,
-      w1: Int = IvfHierProbeGroups): DataFrame = {
+      w1: Int = IvfHierProbeGroups, t: Int = IvfIncrHierCellsPerGroup,
+      mg: Int = IvfIncrHierGroupAssign): DataFrame = {
     import s.implicits._
-    val (l1, gcells, _) = embedIncrHierStatic(s, dir)
+    val (l1, gcells, _) = embedIncrHierStatic(s, dir, mg)
     val nw = embedIncrNew(s, dir)
     // stage 1: top-w1 groups over the bounded level-1 centroid set
     val topg = new graft.functions.TopKAggregator(w1).toColumn
@@ -2425,31 +2458,30 @@ object Dedup {
       .toDF("vec_id", "top")
       .select($"vec_id", explode($"top").as("t"))
       .select($"vec_id", $"t._2".as("g_id"))
-    // stage 2: DISTINCT candidate cells of the probed groups, then the
-    // bounded top-nprobe cut. NO broadcast hint on gcells (m·k rows —
-    // grows as n/C; AQE broadcasts while small)
-    val cand = gpr.join(gcells.select($"g_id", $"c_id"), Seq("g_id"))
-      .select($"vec_id", $"c_id").dropDuplicates("vec_id", "c_id")
-    val topk = new graft.functions.TopKAggregator(IvfDedupNProbe).toColumn
-    cand
-      .join(nw.select($"vec_id", $"vd"), Seq("vec_id"))
-      .join(gcells.select($"c_id", $"cd").dropDuplicates("c_id"), Seq("c_id"))
-      .select($"vec_id", cosine($"vd", $"cd").as("c_cos"), $"c_id")
-      .as[(Long, Double, Long)]
-      .groupByKey(_._1)
-      .agg(topk.name("top"))
-      .toDF("vec_id", "top")
-      .select($"vec_id".as("new_vec"), explode($"top").as("t"))
+    // stage 2: per-(vector, group) top-t over the probed groups' cells.
+    // NO broadcast hint on gcells (mg·k rows — grows as n/C; AQE
+    // broadcasts while small)
+    val topt = new graft.functions.GroupTopKAggregator(t).toColumn
+    gpr.join(nw.select($"vec_id", $"vd"), Seq("vec_id"))
+      .join(gcells, Seq("g_id"))
+      .select($"vec_id", $"g_id", cosine($"vd", $"cd").as("c_cos"), $"c_id")
+      .as[(Long, Long, Double, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .agg(topt.name("top"))
+      .toDF("key", "top")
+      .select($"key._1".as("new_vec"), explode($"top").as("t"))
       .select($"new_vec", $"t._2".as("c_id"))
+      .dropDuplicates("new_vec", "c_id")
   }
 
   def qDedupEmbedIncrHier(s: SparkSession, dir: String,
-      w1: Int = IvfHierProbeGroups): DataFrame = {
+      w1: Int = IvfHierProbeGroups, t: Int = IvfIncrHierCellsPerGroup,
+      mg: Int = IvfIncrHierGroupAssign): DataFrame = {
     import s.implicits._
-    val (_, _, lists) = embedIncrHierStatic(s, dir)
+    val (_, _, lists) = embedIncrHierStatic(s, dir, mg)
     val nw = embedIncrNew(s, dir)
     // verify FIRST, dedup AFTER — qDedupEmbedIncr's inline note
-    embedIncrHierProbes(s, dir, w1)
+    embedIncrHierProbes(s, dir, w1, t, mg)
       .join(nw.select($"vec_id".as("new_vec"), $"vd".as("nd")), Seq("new_vec"))
       .join(lists.select($"vec_id".as("hist_vec"), $"vd".as("hd"), $"c_id"), Seq("c_id"))
       .select($"new_vec", $"hist_vec", cosine($"nd", $"hd").as("cos_sim"))
@@ -2496,7 +2528,7 @@ object Dedup {
          |      row_number() OVER (PARTITION BY c1.c_id
          |        ORDER BY list_cosine_similarity(c1.cq::DOUBLE[], l1.gq::DOUBLE[]) DESC,
          |                 l1.g_id ASC) AS rn
-         |    FROM c1 CROSS JOIN l1) WHERE rn <= $IvfHierCellAssign),
+         |    FROM c1 CROSS JOIN l1) WHERE rn <= $IvfIncrHierGroupAssign),
          |gpr AS (
          |  SELECT vec_id, g_id FROM (
          |    SELECT n.vec_id, l1.g_id,
@@ -2504,17 +2536,15 @@ object Dedup {
          |        ORDER BY list_cosine_similarity(n.vq::DOUBLE[], l1.gq::DOUBLE[]) DESC,
          |                 l1.g_id ASC) AS pr
          |    FROM nw n CROSS JOIN l1) WHERE pr <= $IvfHierProbeGroups),
-         |pcand AS (
-         |  SELECT DISTINCT g.vec_id, m.c_id
-         |  FROM gpr g JOIN gmap m ON m.g_id = g.g_id),
          |probes AS (
-         |  SELECT vec_id, c_id FROM (
-         |    SELECT pc.vec_id, pc.c_id,
-         |      row_number() OVER (PARTITION BY pc.vec_id
+         |  SELECT DISTINCT vec_id, c_id FROM (
+         |    SELECT g.vec_id, m.c_id,
+         |      row_number() OVER (PARTITION BY g.vec_id, g.g_id
          |        ORDER BY list_cosine_similarity(n.vq::DOUBLE[], f.cq::DOUBLE[]) DESC,
-         |                 pc.c_id ASC) AS pr
-         |    FROM pcand pc JOIN nw n ON n.vec_id = pc.vec_id
-         |         JOIN c1 f ON f.c_id = pc.c_id) WHERE pr <= $IvfDedupNProbe),
+         |                 m.c_id ASC) AS pr
+         |    FROM gpr g JOIN gmap m ON m.g_id = g.g_id
+         |         JOIN nw n ON n.vec_id = g.vec_id
+         |         JOIN c1 f ON f.c_id = m.c_id) WHERE pr <= $IvfIncrHierCellsPerGroup),
          |""".stripMargin +
       qDedupEmbedIncrSql.substring(ica)
   }
@@ -2694,6 +2724,43 @@ object Dedup {
 
   private[graft] def hierFullRecall(s: SparkSession, dir: String): DataFrame =
     fullRecallOf(s, dir, hierPairsCached(s, dir))
+
+  /** Recall of an incremental (new_vec, hist_vec) pair relation against
+    * the EXACT cross-slice pair set on a bounded per-shard id slice
+    * (vec_id % stride < cap — the audit corpora re-key copies by a
+    * 1e8 stride, so the slice draws cap ids from EVERY shard and the
+    * exact denominator stays O((cap·shards)²) at any corpus size,
+    * cross-shard tail pairs included). Measurement harness for
+    * `ScaleUpBench incrrecall` — never a registry entry. Injected
+    * clones (re-keyed ≥ 1e6) fall outside the slice by construction,
+    * so both the denominator and the numerators are the pure
+    * %5-convention relation. */
+  private[graft] def incrRecallOf(s: SparkSession, dir: String,
+      pairs: DataFrame, cap: Long): DataFrame = {
+    import s.implicits._
+    val stride = 100000000L
+    val v = Similarity.withDoubles(
+      Tables.embeddings(s, dir)
+        .filter($"vec_id" % stride < cap)
+        .select($"vec_id",
+          transform($"embedding", x => round(x.cast("double") * 1e7).cast("long")).as("vq")),
+      "vq", "vd")
+    val nw = v.filter($"vec_id" % 5 === 0)
+      .select($"vec_id".as("new_vec"), $"vd".as("nd"))
+    val hist = v.filter($"vec_id" % 5 =!= 0)
+      .select($"vec_id".as("hist_vec"), $"vd".as("hd"))
+    val exact = nw.join(hist) // bounded cartesian: the brute denominator
+      .select($"new_vec", $"hist_vec", cosine($"nd", $"hd").as("cs"))
+      .filter($"cs" >= 0.5)
+      .select($"new_vec", $"hist_vec")
+    val got = pairs
+      .filter($"new_vec" % stride < cap && $"hist_vec" % stride < cap)
+      .select($"new_vec", $"hist_vec", lit(1L).as("hit"))
+    exact.join(got, Seq("new_vec", "hist_vec"), "left")
+      .agg(count(lit(1)).as("n_exact"), count($"hit").as("n_hit"))
+      .select($"n_exact", $"n_hit",
+        expr("(n_hit * 1000000L) DIV n_exact").as("recall_ppm"))
+  }
 
   /** Full-corpus recall of an arbitrary verified pair relation against
     * the brute all-pairs denominator — shared by the flat and hier

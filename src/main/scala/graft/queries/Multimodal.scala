@@ -845,6 +845,132 @@ object Multimodal {
       |  payload_sum, frame_weighted
       |FROM agg""".stripMargin
 
+  /** VIDEO PERCEPTUAL NEAR-DUP (round-13) — completes the modality
+    * dedup triple: images ([[qMmPngDedup]]) and audio ([[qMmWavDedup]])
+    * had decode → hash → banded near-dup chains; video stopped at
+    * features. Each document becomes a REAL ISO BMFF file through the
+    * SAME per-doc container variation as [[qMmMp4]] (dims, timescale,
+    * frame delta, skippable `free` box, 64-bit LARGESIZE mdat), parses
+    * through [[graft.functions.Mp4.decodeMp4]], and fingerprints from
+    * the PARSED frames: per frame, a 16-bit aHash (bit b set iff the
+    * byte at position b·len/16 >= the frame's integer mean) — 4 frames
+    * × 16 bits = one 64-bit clip fingerprint whose 4x16 bands ARE the
+    * per-frame signatures, so the shared [[bandedHamming64]] pigeonhole
+    * reads "two clips sharing one identical frame signature become
+    * candidates". Every 151st-residue-7 document is cloned in-query at
+    * +4000001 — a shift chosen to flip EVERY container knob (%2, %3,
+    * %4, %5 all change: different dims, timescale, frame rate, free
+    * box, and mdat form) while the frame bytes (text-derived) stay
+    * identical, so clone pairs at hamming 0 prove the fingerprint sees
+    * through every container layout the encoder can produce. Oracle:
+    * brute all-pairs over md5 arithmetic with the fixed frame
+    * partition (8/16/24/16) — it never sees MP4 bytes, so engine ==
+    * oracle proves encode + box walk + stsz/stco slicing + per-frame
+    * hash end to end; a mis-sliced frame boundary lands sampled bytes
+    * in the wrong frame's hash and breaks the gate. Streaming twin:
+    * [[graft.queries.StreamingGate.qStreamMp4Dedup]]. */
+  def qMmMp4Dedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = Tables.documents(s, dir).select($"doc_id", $"text")
+      .unionByName(Tables.documents(s, dir)
+        .filter($"doc_id" % 151 === 7)
+        .select(($"doc_id" + 4000001L).as("doc_id"), $"text"))
+    bandedHamming64(mp4Fingerprints(corpus))
+  }
+
+  /** The MP4 encode→parse→per-frame-aHash core over a (doc_id, text)
+    * relation — STATELESS per-row like the other codec cores, shared
+    * by the batch gate and the streaming twin. Bit layout: frame f
+    * occupies bits 16f..16f+15 (lo = frames 0–1, hi = frames 2–3), so
+    * [[bands64]]'s 4x16 split is exactly per-frame. */
+  private[queries] def mp4Fingerprints(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(col("doc_id"),
+        unhex(concat((0 until 4).map(j => md5(concat(col("text"), lit(j.toString)))): _*)).as("stream"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, stream) =>
+        val frames = Array(
+          stream.slice(0, 8), stream.slice(8, 24),
+          stream.slice(24, 48), stream.slice(48, 64))
+        val k = 1 + (id % 4).toInt
+        val video = graft.functions.Mp4.decodeMp4(
+          graft.functions.Mp4.encodeMp4(
+            width = 16 * k, height = 9 * k,
+            timescale = 1000L * (1 + id % 2),
+            frameDelta = 40L * (1 + id % 3),
+            frames = frames,
+            withFree = id % 3 == 0,
+            largesizeMdat = id % 5 == 0))
+        val (lo, hi) = mp4ClipFingerprint(video)
+        (id, lo, hi)
+      }
+      .toDF("doc_id", "lo", "hi")
+  }
+
+  /** The per-frame-aHash fold over a PARSED clip — TOTAL on anything
+    * [[graft.functions.Mp4.decodeMp4]] accepts (fuzz target
+    * `mp4-fingerprint`): a zero-length frame — legal in a sample table
+    * — contributes no bits instead of dividing by zero, and clips with
+    * fewer than 4 frames leave the missing frames' bits clear. */
+  private[graft] def mp4ClipFingerprint(
+      video: graft.functions.Mp4.Mp4Video): (Long, Long) = {
+    var lo = 0L
+    var hi = 0L
+    var f = 0
+    while (f < video.nFrames && f < 4) {
+      val fr = video.frames(f)
+      val len = fr.length
+      if (len > 0) {
+        var sum = 0L
+        var i = 0
+        while (i < len) { sum += fr(i) & 0xFF; i += 1 }
+        val mean = sum / len // sum >= 0: / == DIV == DuckDB //
+        var b = 0
+        while (b < 16) {
+          if ((fr((b * len) / 16) & 0xFF) >= mean) {
+            val bit = f * 16 + b
+            if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+          }
+          b += 1
+        }
+      }
+      f += 1
+    }
+    (lo, hi)
+  }
+
+  val qMmMp4DedupSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 4000001, text FROM documents WHERE doc_id % 151 = 7),
+      |px AS (
+      |  SELECT doc_id, i,
+      |    ('0x' || substr(md5(text || CAST(i // 16 AS VARCHAR)), 2 * (i % 16) + 1, 2))::BIGINT AS v,
+      |    CASE WHEN i < 8 THEN 0 WHEN i < 24 THEN 1 WHEN i < 48 THEN 2 ELSE 3 END AS f
+      |  FROM corpus, range(0, 64) r(i)),
+      |mn AS (SELECT doc_id, f, CAST(sum(v) // count(*) AS BIGINT) AS mean FROM px GROUP BY 1, 2),
+      |fb AS (
+      |  SELECT f, b,
+      |    CASE f WHEN 0 THEN 0 WHEN 1 THEN 8 WHEN 2 THEN 24 ELSE 48 END
+      |      + (b * (CASE f WHEN 0 THEN 8 WHEN 1 THEN 16 WHEN 2 THEN 24 ELSE 16 END)) // 16 AS idx
+      |  FROM range(0, 4) rf(f), range(0, 16) rb(b)),
+      |h AS (
+      |  SELECT px.doc_id,
+      |    CAST(sum(CASE WHEN px.v >= mn.mean AND fb.f * 16 + fb.b < 32
+      |      THEN (1::BIGINT << (fb.f * 16 + fb.b)) ELSE 0 END) AS BIGINT) AS lo,
+      |    CAST(sum(CASE WHEN px.v >= mn.mean AND fb.f * 16 + fb.b >= 32
+      |      THEN (1::BIGINT << (fb.f * 16 + fb.b - 32)) ELSE 0 END) AS BIGINT) AS hi
+      |  FROM fb JOIN px ON px.i = fb.idx AND px.f = fb.f
+      |       JOIN mn ON mn.doc_id = px.doc_id AND mn.f = fb.f
+      |  GROUP BY 1)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+      |FROM h a JOIN h b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""".stripMargin
+
   /** CONTAINER-TRUE FRAME SAMPLING (round-11): the brief's
     * "frame-sample" op against a REAL container rather than a byte
     * stride. Each doc becomes an MP4 with a VARIABLE frame count
@@ -1222,6 +1348,7 @@ object Multimodal {
     "q_mm_wav"        -> (qMmWav _),
     "q_mm_wav_forms"  -> (qMmWavForms _),
     "q_mm_wav_dedup"  -> (qMmWavDedup _),
+    "q_mm_mp4_dedup"  -> (qMmMp4Dedup _),
     "q_mm_jpeg"       -> (qMmJpeg _),
     "q_mm_png"        -> (qMmPng _),
     "q_mm_png_dedup"  -> (qMmPngDedup _),
@@ -1242,6 +1369,7 @@ object Multimodal {
     "q_mm_wav"        -> qMmWavSql,
     "q_mm_wav_forms"  -> qMmWavFormsSql,
     "q_mm_wav_dedup"  -> qMmWavDedupSql,
+    "q_mm_mp4_dedup"  -> qMmMp4DedupSql,
     "q_mm_jpeg"       -> qMmJpegSql,
     "q_mm_png"        -> qMmPngSql,
     "q_mm_png_dedup"  -> qMmPngDedupSql,

@@ -664,6 +664,80 @@ object StreamingGate {
       |  ON n.arriving = 1 AND hh.arriving = 0
       | AND bit_count(xor(n.lo, hh.lo)) + bit_count(xor(n.hi, hh.hi)) <= 3""".stripMargin
 
+  /** STREAMING VIDEO NEAR-DUP AT INGEST, gated (round-13, the video
+    * tier's streaming twin — completing the modality set next to
+    * [[qStreamWavDedup]]): arriving documents (doc_id % 5 == 0 plus
+    * injected history clones) encode→parse→fingerprint STATELESSLY per
+    * row ([[Multimodal.mp4Fingerprints]] — the same per-frame-aHash
+    * core as the batch gate, through the real ISO BMFF parse), explode
+    * into the per-frame 16-bit bands, and join the STATIC band index
+    * of the historical slice; only band-collided candidates pay the
+    * exact bit_count verify, and only verified survivors pay stateful
+    * pair-dedup (state at output scale). The clone re-key
+    * (doc_id * 5 + 4000000) flips the container knobs while the frame
+    * bytes stay text-derived — container invariance proven on the
+    * stream too. Append mode == the brute cross-slice oracle. */
+  def qStreamMp4Dedup(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val histBands = Multimodal.bands64(Multimodal.mp4Fingerprints(
+        graft.Tables.documents(s0, dir)
+          .filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"), col("text"))))
+      .withColumnRenamed("doc_id", "hist_doc")
+      .withColumnRenamed("lo", "lo_h").withColumnRenamed("hi", "hi_h")
+    val arriving = parquetStream(s, dir, "documents")
+      .select(explode(
+        when(col("doc_id") % 5 === 0,
+          array(struct(col("doc_id"), col("text"))))
+        .when(col("doc_id") % 5 =!= 0 && col("doc_id") % 151 === 7,
+          array(struct((col("doc_id") * 5 + 4000000L).as("doc_id"), col("text"))))
+        .otherwise(array())).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+    val newBands = Multimodal.bands64(Multimodal.mp4Fingerprints(arriving))
+      .withColumnRenamed("doc_id", "new_doc")
+      .withColumnRenamed("lo", "lo_n").withColumnRenamed("hi", "hi_n")
+    val pairs = newBands.join(histBands, Seq("band", "chunk"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(lo_n ^ lo_h) + bit_count(hi_n ^ hi_h) AS LONG)"))
+      .filter(col("hamming") <= 3)
+      .select(col("new_doc"), col("hist_doc"), col("hamming"))
+      .dropDuplicates("new_doc", "hist_doc")
+    runGate(pairs, "mp4dedup", "append")
+  }
+
+  val qStreamMp4DedupSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text, CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS arriving
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id * 5 + 4000000, text, 1 FROM documents
+      |  WHERE doc_id % 5 <> 0 AND doc_id % 151 = 7),
+      |px AS (
+      |  SELECT doc_id, arriving, i,
+      |    ('0x' || substr(md5(text || CAST(i // 16 AS VARCHAR)), 2 * (i % 16) + 1, 2))::BIGINT AS v,
+      |    CASE WHEN i < 8 THEN 0 WHEN i < 24 THEN 1 WHEN i < 48 THEN 2 ELSE 3 END AS f
+      |  FROM base, range(0, 64) r(i)),
+      |mn AS (SELECT doc_id, f, CAST(sum(v) // count(*) AS BIGINT) AS mean FROM px GROUP BY 1, 2),
+      |fb AS (
+      |  SELECT f, b,
+      |    CASE f WHEN 0 THEN 0 WHEN 1 THEN 8 WHEN 2 THEN 24 ELSE 48 END
+      |      + (b * (CASE f WHEN 0 THEN 8 WHEN 1 THEN 16 WHEN 2 THEN 24 ELSE 16 END)) // 16 AS idx
+      |  FROM range(0, 4) rf(f), range(0, 16) rb(b)),
+      |h AS (
+      |  SELECT px.doc_id, max(px.arriving) AS arriving,
+      |    CAST(sum(CASE WHEN px.v >= mn.mean AND fb.f * 16 + fb.b < 32
+      |      THEN (1::BIGINT << (fb.f * 16 + fb.b)) ELSE 0 END) AS BIGINT) AS lo,
+      |    CAST(sum(CASE WHEN px.v >= mn.mean AND fb.f * 16 + fb.b >= 32
+      |      THEN (1::BIGINT << (fb.f * 16 + fb.b - 32)) ELSE 0 END) AS BIGINT) AS hi
+      |  FROM fb JOIN px ON px.i = fb.idx AND px.f = fb.f
+      |       JOIN mn ON mn.doc_id = px.doc_id AND mn.f = fb.f
+      |  GROUP BY 1)
+      |SELECT n.doc_id AS new_doc, hh.doc_id AS hist_doc,
+      |  CAST(bit_count(xor(n.lo, hh.lo)) + bit_count(xor(n.hi, hh.hi)) AS BIGINT) AS hamming
+      |FROM h n JOIN h hh
+      |  ON n.arriving = 1 AND hh.arriving = 0
+      | AND bit_count(xor(n.lo, hh.lo)) + bit_count(xor(n.hi, hh.hi)) <= 3""".stripMargin
+
   /** STREAMING CONTEXT-WINDOW PACKER, gated — the second custom-state
     * (flatMapGroupsWithState) gate next to q_stream_fmgws: per-source
     * running token count carried in state, each arriving document
@@ -785,6 +859,7 @@ object StreamingGate {
     "q_stream_embeddedup" -> (qStreamEmbedDedup _),
     "q_stream_embeddedup_hier" -> (qStreamEmbedDedupHier _),
     "q_stream_wavdedup" -> (qStreamWavDedup _),
+    "q_stream_mp4dedup" -> (qStreamMp4Dedup _),
     "q_stream_clf"       -> (qStreamClf _),
     "q_stream_repetition" -> (qStreamRepetition _),
     "q_stream_verbatim"  -> (qStreamVerbatim _),
@@ -819,6 +894,7 @@ object StreamingGate {
     "q_stream_embeddedup" -> Dedup.qDedupEmbedIncrSql,
     "q_stream_embeddedup_hier" -> Dedup.qDedupEmbedIncrHierSql,
     "q_stream_wavdedup" -> qStreamWavDedupSql,
+    "q_stream_mp4dedup" -> qStreamMp4DedupSql,
     "q_stream_clf"       -> TrainingData.qClfScoreSql,
     "q_stream_repetition" -> TextAnalysis.qTextRepetitionSql,
     "q_stream_verbatim"  -> Dedup.qDedupVerbatimSql,

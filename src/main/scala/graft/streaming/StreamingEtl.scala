@@ -366,16 +366,15 @@ object StreamingEtl {
     *     level-1 centroid literal — g ≈ sqrt(k) = sqrt(n_hist/C)
     *     entries (~2.3e3 rows at 1e9 history vectors), collectible
     *     where the n/C fine-centroid set never is;
-    *  2. w1 stream-static equi-joins fetch the probed groups' PACKED
-    *     cell arrays (g static rows, each ~m·gsz cells — bounded);
-    *  3. one per-row HOF takes the global top-nprobe over the
-    *     DISTINCT union of the probed groups' cells — exactly the
-    *     batch pcand + top-nprobe cut, so stream == batch == the
-    *     shared oracle (array_distinct replaces the batch
-    *     dropDuplicates: a multi-assigned cell reachable through two
-    *     probed groups occupies one slot);
+    *  2. explode to w1 rows and ONE stream-static equi-join fetches
+    *     each probed group's PACKED cell array (disjoint groups,
+    *     ~gsz entries);
+    *  3. the per-GROUP top-t cut runs immediately in the same
+    *     projection ([[topCellsIn]] — one HOF over one group's array,
+    *     the array dropped in place), matching the batch twin's
+    *     GroupTopKAggregator cut exactly;
     *  4. stream-static join against the CONSTANT-cell-size inverted
-    *     lists (per-arrival candidates = nprobe · m_i · C, independent
+    *     lists (per-arrival candidates = w1 · t · m_i · C, independent
     *     of history size), map-side exact verify, and only verified
     *     survivors pay stateful pair-dedup (state at output scale).
     * Ingest cost per arrival is bounded by sqrt(k) + constants — flat
@@ -384,32 +383,34 @@ object StreamingEtl {
   def embedDedupHierStream(newVecs: DataFrame, groups: Seq[(Long, Seq[Double])],
                            gcellsPacked: DataFrame, histLists: DataFrame,
                            w1: Int = graft.queries.Dedup.IvfHierProbeGroups,
-                           nprobe: Int = 6): DataFrame = {
+                           t: Int = graft.queries.Dedup.IvfIncrHierCellsPerGroup)
+      : DataFrame = {
     import org.apache.spark.sql.graft.NativeExprs
     val probed = newVecs
       .select(col("vec_id").as("new_vec"),
         transform(col("embedding"),
           x => round(x.cast("double") * 1e7).cast("long").cast("double")).as("nd"))
-      .withColumn("gp", probeCells(col("nd"), groups, w1))
-    // one left equi-join per probe slot: gp(i) on a short-probe row (or
-    // a corpus with fewer than w1 groups) is NULL -> no match -> the
-    // coalesce below contributes an empty array. Each join is stream-
-    // static and stateless; the static side is g rows of packed cells.
-    val joined = (0 until w1).foldLeft(probed) { (df, i) =>
-      // get(), not apply(): a probe array shorter than w1 must read as
-      // NULL (no match), not an ANSI INVALID_ARRAY_INDEX error
-      df.join(gcellsPacked.select(col("g_id").as(s"g_$i"),
-          col("cells").as(s"cells_$i")),
-        get(col("gp"), lit(i)) === col(s"g_$i"), "left")
-    }
-    // unmatched slots coalesce to an EMPTY array, never null — flatten
-    // of an array containing null is null, which would drop the row
-    val cellType = "array<struct<c_id:bigint,cd:array<double>>>"
-    val allCells = array_distinct(flatten(array(
-      (0 until w1).map(i =>
-        coalesce(col(s"cells_$i"), array().cast(cellType))): _*)))
-    val probes = joined
-      .withColumn("c_id", explode(topCellsIn(col("nd"), allCells, nprobe)))
+      .select(col("new_vec"), col("nd"),
+        explode(probeCells(col("nd"), groups, w1)).as("g_id"))
+    // ONE stream-static equi-join delivers each probed group's packed
+    // cell array (~gsz entries with disjoint groups), and the per-group
+    // top-t cut happens IMMEDIATELY in the same projection, dropping
+    // the array — rows never accumulate more than one group's payload.
+    // (The previous shape — w1 sequential joins folding all probed
+    // groups' arrays onto one row for a global top-nprobe cut —
+    // measured 3.7x SLOWER than the flat stream at the 100x audit:
+    // each of the w1 joins recopied the row's accumulated arrays,
+    // O(w1²) payload copies per arrival. The per-group budget is the
+    // cut a stream can take with O(one group) per-row cost; the batch
+    // twin and the oracle state the same semantics, so stream == batch
+    // stays exact.)
+    // no probe-level distinct on the stream (it would hold probe-scale
+    // state): with single-assigned groups a cell is reachable through
+    // one group only, and at mg > 1 duplicate candidates collapse to
+    // identical verified rows in the output-scale dedup below
+    val probes = probed
+      .join(gcellsPacked, Seq("g_id"))
+      .withColumn("c_id", explode(topCellsIn(col("nd"), col("cells"), t)))
       .select(col("new_vec"), col("nd"), col("c_id"))
     probes
       .join(histLists.select(col("vec_id").as("hist_vec"), col("vd").as("hd"),

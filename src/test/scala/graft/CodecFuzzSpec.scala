@@ -103,6 +103,16 @@ class CodecFuzzSpec extends AnyFunSuite {
       b => Mp4.decodeMp4(b))
   }
 
+  test("MP4 fingerprint: whatever decodeMp4 accepts, the frame-hash fold must not throw") {
+    // the decode+fingerprint COMPOUND (the wav-fingerprint convention):
+    // a mutated sample table that still parses may deliver zero-length
+    // or short frames — the per-frame aHash must be total on them
+    fuzz("mp4-fingerprint", Mp4.encodeMp4(64, 36, 1000L, 40L,
+      Array(luma.take(8), luma.slice(8, 24), luma.slice(24, 48), luma.drop(48)),
+      withFree = true),
+      b => graft.queries.Multimodal.mp4ClipFingerprint(Mp4.decodeMp4(b)))
+  }
+
   test("MP4 multi-chunk: decode-or-IAE with stsc/stco tables under fire") {
     fuzz("mp4-chunks", Mp4.encodeMp4(64, 36, 1000L, 40L,
       Array(luma.take(8), luma.slice(8, 24), luma.slice(24, 48), luma.drop(48)),

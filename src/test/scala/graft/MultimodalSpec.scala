@@ -557,4 +557,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(audioFingerprint(samples.map(s => (-s).toShort)) ==
       audioFingerprint(samples))
   }
+
+  test("mp4 frame fingerprint: hand-computed bits, container-invariant through the parse") {
+    import graft.functions.Mp4
+    // per-frame 16-bit aHash from the PARSED frames: bit b of frame f
+    // set iff byte[b*len/16] >= frame integer mean — recompute one
+    // clip by hand through the public core (mp4Fingerprints runs the
+    // same arithmetic per row)
+    def fpOf(frames: Array[Array[Byte]], width: Int = 16, timescale: Long = 1000L,
+             delta: Long = 40L, free: Boolean = false, large: Boolean = false): (Long, Long) = {
+      val v = Mp4.decodeMp4(Mp4.encodeMp4(width, 9, timescale, delta, frames,
+        withFree = free, largesizeMdat = large))
+      var lo = 0L; var hi = 0L
+      (0 until math.min(v.nFrames, 4)).foreach { f =>
+        val fr = v.frames(f)
+        val mean = fr.map(_ & 0xFF).map(_.toLong).sum / fr.length
+        (0 until 16).foreach { b =>
+          if ((fr((b * fr.length) / 16) & 0xFF) >= mean) {
+            val bit = f * 16 + b
+            if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+          }
+        }
+      }
+      (lo, hi)
+    }
+    // frame 0: bytes 0,255 -> mean 127 -> sampled (b*2/16): bytes 0(x8),255(x8)
+    // -> bits 8..15 set -> lo low half = 0xFF00
+    val f0 = Array[Byte](0, -1)
+    val rest = Array.tabulate(3)(f => Array.tabulate[Byte](16)(i => (i * (f + 3)).toByte))
+    val (lo, _) = fpOf(Array(f0) ++ rest)
+    assert((lo & 0xFFFFL) == 0xFF00L, f"frame-0 signature 0x${lo & 0xFFFFL}%x != 0xff00")
+    // container invariance: identical frame bytes under every encoder
+    // knob (dims, timescale, frame rate, free box, largesize mdat)
+    // fingerprint identically — the property the +4000001 clone shift
+    // exercises at the gate
+    val frames = Array.tabulate(4)(f => Array.tabulate[Byte](Seq(8, 16, 24, 16)(f))(i =>
+      ((i * 41 + f * 17) % 256).toByte))
+    val fps = Seq(
+      fpOf(frames),
+      fpOf(frames, width = 64, timescale = 2000L, delta = 120L),
+      fpOf(frames, free = true),
+      fpOf(frames, large = true))
+    assert(fps.distinct.size == 1,
+      s"mp4 fingerprint must see through container variation: $fps")
+  }
 }

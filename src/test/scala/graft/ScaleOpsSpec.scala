@@ -117,11 +117,12 @@ class ScaleOpsSpec extends AnyFunSuite {
 
   test("hierarchical incremental dedup recovers every straddling exact pair at sf0.1") {
     // The two-level router's twin of the flat-incremental assertion
-    // above: at sf0.1 the level-1 geometry saturates (k = ceil(1600/192)
-    // = 9 constant-size cells, g = 3 groups <= w1 = 8 probed), so pcand
-    // covers every cell and a recall loss here would be an INDEX bug
-    // (seed ranking, Lloyd round, m_i=4 lists, top-nprobe cut), not a
-    // routing approximation. Also pins the probe-width contract.
+    // above: at sf0.1 every group is probed (k = ceil(1600/192) = 9
+    // constant-size cells, g = 3 disjoint groups <= w1 = 8), so the
+    // per-group top-t cut sees every group and a recall loss here
+    // would be an INDEX bug (seed ranking, Lloyd round, m_i=4 lists,
+    // per-group cut), not a routing approximation. Also pins the
+    // <= w1·t probe-width contract.
     val sfDir = "/root/testdata/sf0.1"
     val exactStraddle = queries.Dedup.qDedupEmbedLsh(spark, sfDir)
       .select("vec_a", "vec_b").collect()
@@ -131,8 +132,9 @@ class ScaleOpsSpec extends AnyFunSuite {
     val probes = queries.Dedup.embedIncrHierProbes(spark, sfDir)
     val maxProbes = probes.groupBy("new_vec").count()
       .agg(max("count")).collect()(0).getLong(0)
-    assert(maxProbes <= queries.Dedup.IvfDedupNProbe,
-      s"an arriving vector probes $maxProbes cells > nprobe")
+    assert(maxProbes <= queries.Dedup.IvfHierProbeGroups *
+        queries.Dedup.IvfIncrHierCellsPerGroup,
+      s"an arriving vector probes $maxProbes cells > w1*t")
     val incr = queries.Dedup.qDedupEmbedIncrHier(spark, sfDir)
       .select("new_vec", "hist_vec").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
