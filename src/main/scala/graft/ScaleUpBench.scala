@@ -188,9 +188,9 @@ object ScaleUpBench {
       "history-side flat assignment is n_hist*k = n_hist^2/C cosines " +
       "(the documented flat-scoring boundary - build-once, amortized " +
       "across every arriving slice; the recurring per-arrival path is " +
-      "the stream twin's line, measured 2.97x and unflagged at this " +
-      "decade) plus output pairs growing ~54x for 10x vectors " +
-      "(generator 4-sigma tail)"),
+      "the stream twin's line, measured 5.3x paired / 15.5s warm at " +
+      "the shipped t=3 and unflagged at this decade) plus output " +
+      "pairs growing ~62x for 10x vectors (generator 4-sigma tail)"),
     "q_stream_embeddedup" -> ("per-batch probes join a history index " +
       "whose cell size grows as sqrt(n_hist) (the FLAT incremental " +
       "path keeps sqrt-cells so the streaming gate's collected " +
@@ -319,6 +319,22 @@ object ScaleUpBench {
             f""""n_exact":${row.getLong(0)},"n_hit":${row.getLong(1)},""" +
             f""""recall_ppm":${row.getLong(2)},"floor_ppm":$hierFloor,"pass":$pass,""" +
             f""""wall_ms":${(System.nanoTime() - t0) / 1e6}%.0f}""")
+          // round-13 continuation: the INCREMENTAL hier router's floor —
+          // TRUE recall against the bounded exact cross-slice denominator
+          // (incrRecallOf) at the shipped knobs, so a quiet regression of
+          // the constant-cell index, the disjoint group map, or the
+          // per-group cut fails the round exactly like the pair-path
+          // floors do
+          val incrFloor = graft.queries.Dedup.IvfIncrHierRecallFloorPpm
+          val t1 = System.nanoTime()
+          val rowI = graft.queries.Dedup.incrRecallOf(s, dir,
+            graft.queries.Dedup.qDedupEmbedIncrHier(s, dir), 500L).collect()(0)
+          val passI = rowI.getLong(2) >= incrFloor
+          if (!passI) failed = true
+          println(f"""{"incr_recall":true,"variant":"hier","dir":"$dir","cap":500,""" +
+            f""""n_exact":${rowI.getLong(0)},"n_hit":${rowI.getLong(1)},""" +
+            f""""recall_ppm":${rowI.getLong(2)},"floor_ppm":$incrFloor,"pass":$passI,""" +
+            f""""wall_ms":${(System.nanoTime() - t1) / 1e6}%.0f}""")
         }
         if (failed) {
           System.err.println("FULL-CORPUS RECALL BELOW DECLARED FLOOR")
@@ -361,26 +377,40 @@ object ScaleUpBench {
             f""""per_vector":${hCand.toDouble / n}%.1f,""" +
             f""""wall_ms":${(System.nanoTime() - t1) / 1e6}%.0f}""")
         }
-      case "incrrecall" :: dir :: rest if rest.size <= 1 =>
+      case "incrrecall" :: dir :: rest if rest.size <= 2 =>
         // TRUE recall of BOTH incremental routers against the exact
         // cross-slice pair set on a bounded per-shard id slice (round
         // 13): the hierroute retention line can only compare the two
         // approximations against each other — at the 100x corpus they
         // diverge (both probe different cells), so the decisive
         // question is recall against TRUTH, which this bounded
-        // denominator affords at any corpus size.
+        // denominator affords at any corpus size. An optional t list
+        // sweeps the per-group cell budget's recall economics
+        // (candidate volume grows linearly in t; each off-default line
+        // also counts the verified pairs so cost rides the artifact).
         import graft.queries.Dedup
         val cap = rest.headOption.map(_.trim.toLong).getOrElse(500L)
+        val ts = rest.drop(1).headOption
+          .map(_.split(",").map(_.trim.toInt).toSeq)
+          .getOrElse(Seq(-1)) // -1 = shipped default
         Seq(
-          ("flat", () => Dedup.qDedupEmbedIncr(s, dir)),
-          ("hier", () => Dedup.qDedupEmbedIncrHier(s, dir))
+          ("flat", (_: Int) => Dedup.qDedupEmbedIncr(s, dir)),
+          ("hier", (t: Int) =>
+            if (t < 0) Dedup.qDedupEmbedIncrHier(s, dir)
+            else Dedup.qDedupEmbedIncrHier(s, dir, t = t))
         ).foreach { case (variant, mk) =>
-          val t0 = System.nanoTime()
-          val row = Dedup.incrRecallOf(s, dir, mk(), cap).collect()(0)
-          println(f"""{"incr_recall":true,"variant":"$variant","dir":"$dir","cap":$cap,""" +
-            f""""n_exact":${row.getLong(0)},"n_hit":${row.getLong(1)},""" +
-            f""""recall_ppm":${row.getLong(2)},""" +
-            f""""wall_ms":${(System.nanoTime() - t0) / 1e6}%.0f}""")
+          val widths = if (variant == "flat") Seq(-1) else ts
+          widths.foreach { t =>
+            val t0 = System.nanoTime()
+            val pairs = mk(t)
+            val nPairs = pairs.count()
+            val row = Dedup.incrRecallOf(s, dir, pairs, cap).collect()(0)
+            val tTag = if (t < 0) "" else s""","t":$t"""
+            println(f"""{"incr_recall":true,"variant":"$variant"$tTag,"dir":"$dir","cap":$cap,""" +
+              f""""n_exact":${row.getLong(0)},"n_hit":${row.getLong(1)},""" +
+              f""""recall_ppm":${row.getLong(2)},"out_pairs":$nPairs,""" +
+              f""""wall_ms":${(System.nanoTime() - t0) / 1e6}%.0f}""")
+          }
         }
       case "hierroute" :: dir :: Nil =>
         // LEVEL-1 ROUTING RETENTION (round 13): what fraction of the

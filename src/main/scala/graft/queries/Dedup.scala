@@ -2007,6 +2007,14 @@ object Dedup {
   def qIvfGroupBalance(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (gmap, gpr, _) = hierFront(s, dir)
+    groupBalanceOf(gmap, gpr)
+  }
+
+  /** The (gmap, gpr) -> per-group balance aggregation shared by the
+    * pair-path audit ([[qIvfGroupBalance]]) and the incremental-index
+    * audit ([[qIvfIncrBalance]]). */
+  private def groupBalanceOf(gmap: DataFrame, gpr: DataFrame): DataFrame = {
+    import gmap.sparkSession.implicits._
     val gpop = gpr.groupBy($"g_id").agg(count(lit(1)).as("n_probed"))
     val gcells = gmap.groupBy($"g_id").agg(count(lit(1)).as("n_cells"))
     // full outer: a group can hold cells nobody probes, or (tiny
@@ -2022,24 +2030,52 @@ object Dedup {
         expr("(n_probed * g * 100L) DIV t").as("skew_x100"))
   }
 
+  /** GROUP-BALANCE audit of the INCREMENTAL hierarchical index —
+    * [[qIvfGroupBalance]]'s shape over the history-trained structures:
+    * per disjoint level-1 group, the fine cells mapped into it, the
+    * ARRIVING vectors probing it (stage-1 population — what enters the
+    * per-group cut through this group), share and skew. The straggler
+    * predictor for the incremental stage-2 join, and the operational
+    * answer to "is the daily-ingest index still balanced as history
+    * grows" — a hot group means its gsz-cell array dominates every
+    * arriving row that probes it. Oracle shares the incremental hier
+    * pipeline's CTEs verbatim up to gpr. */
+  def qIvfIncrBalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, gcells, _) = embedIncrHierStatic(s, dir)
+    groupBalanceOf(gcells.select($"g_id", $"c_id"),
+      embedIncrHierGpr(s, dir, IvfHierProbeGroups, IvfIncrHierGroupAssign))
+  }
+
+  /** The gpr/gmap -> balance aggregation tail shared by both group-
+    * balance oracles (pair path and incremental). */
+  private val groupBalanceTailSql: String =
+    """gpop AS (SELECT g_id, count(*) AS n_probed FROM gpr GROUP BY 1),
+      |gcells AS (SELECT g_id, count(*) AS n_cells FROM gmap GROUP BY 1),
+      |gj AS (
+      |  SELECT coalesce(p.g_id, c.g_id) AS g_id,
+      |    coalesce(p.n_probed, 0) AS n_probed,
+      |    coalesce(c.n_cells, 0) AS n_cells
+      |  FROM gpop p FULL JOIN gcells c ON c.g_id = p.g_id),
+      |tot AS (SELECT CAST(sum(n_probed) AS BIGINT) AS t, count(*) AS g FROM gj)
+      |SELECT g_id, CAST(n_probed AS BIGINT) AS n_probed,
+      |  CAST(n_cells AS BIGINT) AS n_cells,
+      |  (n_probed * 1000000) // t AS share_ppm,
+      |  (n_probed * g * 100) // t AS skew_x100
+      |FROM gj, tot""".stripMargin
+
   /** Shares the hier pipeline's CTEs verbatim up to `gpr`, then
     * aggregates — the audit cannot drift from the routing semantics. */
   lazy val qIvfGroupBalanceSql: String = {
     val i = qDedupEmbedHierSql.indexOf("pcand AS (")
-    qDedupEmbedHierSql.substring(0, i) +
-      """gpop AS (SELECT g_id, count(*) AS n_probed FROM gpr GROUP BY 1),
-        |gcells AS (SELECT g_id, count(*) AS n_cells FROM gmap GROUP BY 1),
-        |gj AS (
-        |  SELECT coalesce(p.g_id, c.g_id) AS g_id,
-        |    coalesce(p.n_probed, 0) AS n_probed,
-        |    coalesce(c.n_cells, 0) AS n_cells
-        |  FROM gpop p FULL JOIN gcells c ON c.g_id = p.g_id),
-        |tot AS (SELECT CAST(sum(n_probed) AS BIGINT) AS t, count(*) AS g FROM gj)
-        |SELECT g_id, CAST(n_probed AS BIGINT) AS n_probed,
-        |  CAST(n_cells AS BIGINT) AS n_cells,
-        |  (n_probed * 1000000) // t AS share_ppm,
-        |  (n_probed * g * 100) // t AS skew_x100
-        |FROM gj, tot""".stripMargin
+    qDedupEmbedHierSql.substring(0, i) + groupBalanceTailSql
+  }
+
+  /** Shares the INCREMENTAL hier pipeline's CTEs verbatim up to `gpr`
+    * (its probes CTE is the per-group cut, which the audit precedes). */
+  lazy val qIvfIncrBalanceSql: String = {
+    val i = qDedupEmbedIncrHierSql.indexOf("probes AS (")
+    qDedupEmbedIncrHierSql.substring(0, i) + groupBalanceTailSql
   }
 
   /** Embedding near-dup pairs through the HIERARCHICAL router — same
@@ -2321,10 +2357,23 @@ object Dedup {
   private[graft] val IvfIncrHierGroupAssign = 1
   /** Per-probed-group cell budget of the incremental hierarchical
     * probe — probes <= w1 · t cells per arrival, each a CONSTANT-size
-    * cell. t = 2 at w1 = 8 gives up to 16 probed cells at scale
-    * (vs the flat path's 6 sqrt-size cells) and ~6 at the saturated
-    * fixture scale (3 disjoint groups x top-2). */
-  private[graft] val IvfIncrHierCellsPerGroup = 2
+    * cell (vs the flat path's 6 sqrt-size cells). Chosen by the
+    * `ScaleUpBench incrrecall` t sweep against the exact bounded
+    * cross-slice denominator (candidate volume grows linearly in t —
+    * w1·t·m_i·C per arrival):
+    *
+    *   t | 10x recall | 100x recall | 100x out_pairs
+    *   1 |   911764   |     —       |      —
+    *   2 |  1000000   |   561345    |    42502
+    *   3 |  1000000   |   654793    |    49453   <- shipped
+    *   4 |  1000000   |   716578    |    53987
+    *
+    * (flat incremental on the same denominators: 764705 / 485488.)
+    * t = 3 buys +9.3 pp at the 100x decade for 1.5x the constant
+    * candidate cost; t = 4's further +6.2 pp at 1.33x is the
+    * documented next step if an operator wants it — the knob is a
+    * parameter on every entry point. */
+  private[graft] val IvfIncrHierCellsPerGroup = 3
 
   private val embedIncrHierCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), LazyHier]()
@@ -2441,15 +2490,15 @@ object Dedup {
     * global cut was rejected by measurement). A cell reachable through
     * two probed groups (only possible at mg > 1) still occupies one
     * probe slot via the DISTINCT. */
-  private[graft] def embedIncrHierProbes(s: SparkSession, dir: String,
-      w1: Int = IvfHierProbeGroups, t: Int = IvfIncrHierCellsPerGroup,
-      mg: Int = IvfIncrHierGroupAssign): DataFrame = {
+  /** Stage 1 of the incremental hier probe: each arriving vector's
+    * top-w1 groups over the bounded level-1 centroid set — shared by
+    * the probe relation and the group-balance audit. */
+  private def embedIncrHierGpr(s: SparkSession, dir: String,
+      w1: Int, mg: Int): DataFrame = {
     import s.implicits._
-    val (l1, gcells, _) = embedIncrHierStatic(s, dir, mg)
-    val nw = embedIncrNew(s, dir)
-    // stage 1: top-w1 groups over the bounded level-1 centroid set
+    val (l1, _, _) = embedIncrHierStatic(s, dir, mg)
     val topg = new graft.functions.TopKAggregator(w1).toColumn
-    val gpr = nw.select($"vec_id", $"vd")
+    embedIncrNew(s, dir).select($"vec_id", $"vd")
       .crossJoin(broadcast(l1.select($"g_id", $"gd")))
       .select($"vec_id", cosine($"vd", $"gd").as("g_cos"), $"g_id")
       .as[(Long, Double, Long)]
@@ -2458,6 +2507,15 @@ object Dedup {
       .toDF("vec_id", "top")
       .select($"vec_id", explode($"top").as("t"))
       .select($"vec_id", $"t._2".as("g_id"))
+  }
+
+  private[graft] def embedIncrHierProbes(s: SparkSession, dir: String,
+      w1: Int = IvfHierProbeGroups, t: Int = IvfIncrHierCellsPerGroup,
+      mg: Int = IvfIncrHierGroupAssign): DataFrame = {
+    import s.implicits._
+    val (_, gcells, _) = embedIncrHierStatic(s, dir, mg)
+    val nw = embedIncrNew(s, dir)
+    val gpr = embedIncrHierGpr(s, dir, w1, mg)
     // stage 2: per-(vector, group) top-t over the probed groups' cells.
     // NO broadcast hint on gcells (mg·k rows — grows as n/C; AQE
     // broadcasts while small)
@@ -2724,6 +2782,19 @@ object Dedup {
 
   private[graft] def hierFullRecall(s: SparkSession, dir: String): DataFrame =
     fullRecallOf(s, dir, hierPairsCached(s, dir))
+
+  /** DECLARED recall floor for the HIERARCHICAL incremental router at
+    * the shipped knobs (w1 = 8 groups, t = [[IvfIncrHierCellsPerGroup]]
+    * = 2 cells per group, mg = 1), measured as TRUE recall against the
+    * exact cross-slice pair denominator on the 10x anchor corpus's
+    * bounded id slice (`ScaleUpBench incrrecall`): anchor = 34/34 =
+    * 100% (the flat incremental reads 26/34 = 76.5% on the same
+    * denominator; the t sweep reads 1/2/3/4 -> 911764 / 1000000 /
+    * 1000000 / 1000000 ppm — t=2 saturates). Floor leaves ONE
+    * borderline-pair of headroom (one pair = 29412 ppm at this anchor):
+    * losing two is a real index regression and fails the round-gate
+    * recall stage. */
+  private[graft] val IvfIncrHierRecallFloorPpm = 970000L
 
   /** Recall of an incremental (new_vec, hist_vec) pair relation against
     * the EXACT cross-slice pair set on a bounded per-shard id slice
@@ -3928,6 +3999,7 @@ object Dedup {
     // constants + sqrt(k) — the streaming-ingest scale path past the
     // flat incremental index's sqrt(n_hist) cell growth
     "q_dedup_embed_incr_hier" -> ((s: SparkSession, dir: String) => qDedupEmbedIncrHier(s, dir)),
+    "q_ivf_incr_balance" -> (qIvfIncrBalance _),
     "q_dedup_embed_keep" -> (qDedupEmbedKeep _),
     "q_ivf_balance"   -> (qIvfBalance _),
     "q_ivf_recall"    -> (qIvfRecall _),
@@ -3982,6 +4054,7 @@ object Dedup {
     "q_ivf_group_balance" -> qIvfGroupBalanceSql, // level-1 group skew over the shared hier CTEs
     "q_dedup_embed_incr" -> qDedupEmbedIncrSql, // arriving slice vs historical cell index
     "q_dedup_embed_incr_hier" -> qDedupEmbedIncrHierSql, // two-level incremental router, full pipeline in SQL
+    "q_ivf_incr_balance" -> qIvfIncrBalanceSql, // incremental-index group skew over the shared hier CTEs
     "q_dedup_embed_keep" -> qDedupEmbedKeepSql, // IVF pairs + recursive closure, min-id keep
     "q_ivf_balance"   -> qIvfBalanceSql, // cell-skew audit over the shared probe CTEs
     "q_ivf_recall"    -> qIvfRecallSql, // IVF pair recall vs bounded exact slice, integer ppm

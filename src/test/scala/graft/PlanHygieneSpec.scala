@@ -23,6 +23,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_dedup_embed_incr", // same √n-centroid broadcast cross join (history-trained cells)
     "q_dedup_embed_incr_hier", // bounded crosses: broadcast(√k level-1 groups) + the k-row Lloyd round + m_i-assignment over k constant-size cells
     "q_stream_embeddedup_hier", // static-side index build shares q_dedup_embed_incr_hier's listed cross joins; the stream side is equi-joins only
+    "q_ivf_incr_balance", // 1-row totals broadcast cross + q_dedup_embed_incr_hier's listed static-build cross joins
     "q_dedup_embed_keep", // composes q_dedup_embed_ivf (its listed n/C-centroid cross join)
     "q_ivf_balance",      // same n/C-centroid cross join + 1-row totals broadcast
     "q_ivf_recall",       // bounded-slice (≤ EmbedExactCap²) exact anchor join + the IVF pipeline's listed cross joins
