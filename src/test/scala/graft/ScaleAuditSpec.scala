@@ -72,8 +72,11 @@ class ScaleAuditSpec extends AnyFunSuite {
     }
   }
 
-  private def bcast(shape: Map[String, Int]): Int =
-    shape.filter { case (k, _) => k.contains("Broadcast") }.values.sum
+  private def bhj(shape: Map[String, Int]): Int =
+    shape.filter { case (k, _) =>
+      k.contains("Broadcast") && !k.contains("NestedLoop") }.values.sum
+  private def bnlj(shape: Map[String, Int]): Int =
+    shape.filter { case (k, _) => k.contains("BroadcastNestedLoop") }.values.sum
 
   test("10x plan-flip audit: no Broadcast-class join appears or multiplies at scale",
       SlowScaleAudit) {
@@ -88,9 +91,22 @@ class ScaleAuditSpec extends AnyFunSuite {
     assert(joinBearing.size >= 40,
       s"only ${joinBearing.size} join-bearing queries detected — detector blind?")
 
+    // BroadcastHashJoin appearing/multiplying at scale is ALWAYS the
+    // dangerous direction (a size-driven AQE decision pinning a
+    // corpus-proportional side in memory). A BroadcastNestedLoopJoin
+    // COUNT increase is only meaningful for queries OUTSIDE the
+    // audited 1-row/bounded-cross allowlist (PlanHygieneSpec
+    // .cartesianOk): for listed queries the BNLJ builds are
+    // documented-bounded crosses and the visible node count varies
+    // with exchange REUSE across memo-cache states, both directions —
+    // measured 6 -> 3 isolated vs 4 -> 6 in-suite on
+    // q_dedup_pagerank_w with identical corpora (round-13; the r12
+    // audit adjudicated the same hits benign by reading plans).
     val dangerous = joinBearing.flatMap { case (q, small) =>
       val big = shapeOf(q, bigDir)
-      if (bcast(big) > bcast(small)) Some(s"$q: $small -> $big") else None
+      val bad = bhj(big) > bhj(small) ||
+        (bnlj(big) > bnlj(small) && !PlanHygieneSpec.cartesianOk(q))
+      if (bad) Some(s"$q: $small -> $big") else None
     }
     assert(dangerous.isEmpty,
       "Broadcast-class join appeared/multiplied at 10x (corpus-proportional " +
