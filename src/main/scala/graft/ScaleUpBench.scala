@@ -78,9 +78,10 @@ object ScaleUpBench {
     }
   }
 
-  private[graft] def gen(s: SparkSession, src: String, out: String, factor: Int): Unit = {
+  private[graft] def gen(s: SparkSession, src: String, out: String, factor: Int,
+      only: Option[Set[String]] = None): Unit = {
     val dims = Set("region", "nation")
-    Tables.all.foreach { t =>
+    Tables.all.filter(t => only.forall(_.contains(t))).foreach { t =>
       val base = s.read.parquet(s"$src/$t.parquet")
       val scaled =
         if (dims(t)) base
@@ -212,6 +213,12 @@ object ScaleUpBench {
     args.toList match {
       case "gen" :: src :: out :: factor :: Nil =>
         gen(s, src, out, factor.toInt)
+      case "gen" :: src :: out :: factor :: tables :: Nil =>
+        // partial-corpus generation (round 13): deep-decade audits of
+        // one family (e.g. a 1000x embeddings corpus for candvol /
+        // incrrecall) need only that family's tables — generating the
+        // full 1000x fact set would be hours of parquet nobody reads
+        gen(s, src, out, factor.toInt, Some(tables.split(",").map(_.trim).toSet))
       case "run" :: dirA :: dirB :: names :: rest if rest.isEmpty || rest == List("--once") =>
         // "all" = the full registry — the round-9 audit shape: every
         // gated query's AQE-final plan diffed at both scales, dangerous
