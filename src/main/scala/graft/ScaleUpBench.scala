@@ -113,6 +113,34 @@ object ScaleUpBench {
     names.groupBy(identity).view.mapValues(_.size).toMap
   }
 
+  /** Rows actually broadcast on the BUILD side of every
+    * BroadcastNestedLoopJoin in the AQE-final plan (the broadcast
+    * exchange's own numOutputRows metric; -1 when the metric is
+    * missing so a renamed metric fails the audit loudly instead of
+    * passing it silently). Round-14 audit teeth (ADVICE r13): a BNLJ
+    * count increase on a PlanHygieneSpec.cartesianOk-allowlisted query
+    * is benign only while every build side MEASURES bounded — a
+    * genuinely corpus-proportional cross can no longer hide behind the
+    * allowlist. */
+  private[graft] def bnljBuildRows(df: DataFrame): Seq[Long] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case other => other.children.flatMap(flatten)
+    })
+    flatten(df.queryExecution.executedPlan).collect {
+      case j: BroadcastNestedLoopJoinExec =>
+        val build = if (j.buildSide == BuildLeft) j.left else j.right
+        flatten(build)
+          .flatMap(_.metrics.get("numOutputRows").map(_.value))
+          .headOption.getOrElse(-1L)
+    }
+  }
+
   private def timeQuery(s: SparkSession, name: String, dir: String,
       runs: Int = 3, warm: Boolean = true)
       : (Seq[Double], Long, Map[String, Int]) = {
@@ -485,7 +513,7 @@ object ScaleUpBench {
             f""""recall_ppm":${rec.getLong(2)}}""")
         }
       case _ =>
-        System.err.println("usage: gen <src> <out> <factor> | run <dirA> <dirB> <q1,q2,...> [--once] | recall <dir> [w1,w2] | nprobe <dir> <w1,w2,...> | candvol <dir1,dir2,...> | hierroute <dir> | incrrecall <dir> [cap]")
+        System.err.println("usage: gen <src> <out> <factor> [tables] | run <dirA> <dirB> <q1,q2,...> [--once] | recall <dir> [w1,w2] | nprobe <dir> <w1,w2,...> | candvol <dir1,dir2,...> | hierroute <dir> | incrrecall <dir> [cap] [t1,t2,...]")
         sys.exit(2)
     }
     s.stop()

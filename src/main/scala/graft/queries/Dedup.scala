@@ -1902,25 +1902,29 @@ object Dedup {
       w1: Int = IvfHierProbeGroups): DataFrame =
     hierFront(s, dir, w1)._3
 
-  private def hierFrontBuild(s: SparkSession, dir: String, w1: Int)
-      : (DataFrame, DataFrame, DataFrame) = {
-    import s.implicits._
-    val (v, c1) = ivfBase(s, dir)
-    // group size gsz = ceil(sqrt(k)) over the ACTUAL centroid count (the
-    // seed filter can produce fewer than ceil(n/C) cells); a 1-row count
-    // on the localCheckpointed k-row relation, mirrored by the oracle's
-    // count(*) over c1
+  /** One LEVEL-1 training pass over a fine-centroid relation
+    * (c_id, cq, cd): every gsz-th centroid in c_id-rank order seeds a
+    * group (gsz = ceil(sqrt(k)) over the ACTUAL centroid count — the
+    * seed filter can produce fewer than ceil(n/C) cells; the count is a
+    * 1-row action on a localCheckpointed k-row relation, mirrored by
+    * the oracle's count(*)), one exact-integer Lloyd round over the
+    * CENTROIDS-as-vectors refines the group means — the same
+    * assign/recenter machinery as the level below, one level up — and
+    * each fine centroid maps into its top-m nearest refined groups.
+    * The k-row single-partition rank window is bounded by construction
+    * (k = n/C). Returns (l1 group centroids, cell→group map).
+    * Factored in round 14: the pair path ([[hierFrontBuild]]) runs it
+    * once over the refined cells; the ROUTED incremental build
+    * ([[embedIncrHierStaticBuild]]) runs it twice — over the seeds
+    * (to route the Lloyd assignment) and over the refined cells. */
+  private def levelOneOf(c1: DataFrame, m: Int): (DataFrame, DataFrame) = {
+    import c1.sparkSession.implicits._
     val kc = c1.count()
     val gsz = math.max(math.ceil(math.sqrt(kc.toDouble)).toLong, 1L)
-    // every gsz-th centroid in c_id-rank order seeds a group; the k-row
-    // single-partition window is bounded by construction (k = n/C)
     val cr = c1.withColumn("rn", row_number().over(Window.orderBy($"c_id")))
     val l0 = Similarity.withDoubles(
       cr.filter(($"rn" - 1) % gsz === 0).select($"c_id".as("g_id"), $"cq".as("gq")),
       "gq", "gd")
-    // one integer-Lloyd round over the CENTROIDS-as-vectors (k rows),
-    // then each fine centroid maps to its nearest refined group — the
-    // same assign/recenter machinery as the level below, one level up
     val cv = c1.select($"c_id".as("vec_id"), $"cq".as("vq"), $"cd".as("vd"))
     val l1 = Similarity.withDoubles(
       Similarity.recenterInt(Similarity.assignInt(cv,
@@ -1928,6 +1932,65 @@ object Dedup {
         .select($"c_id".as("g_id"), $"cq".as("gq"))
         .localCheckpoint(true),
       "gq", "gd")
+    val topg = new graft.functions.TopKAggregator(m).toColumn
+    val gmap = cv.select($"vec_id", $"vd")
+      .crossJoin(broadcast(l1.select($"g_id", $"gd")))
+      .select($"vec_id", cosine($"vd", $"gd").as("g_cos"), $"g_id")
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .agg(topg.name("top"))
+      .toDF("c_id", "top")
+      .select($"c_id", explode($"top").as("t"))
+      .select($"c_id", $"t._2".as("g_id"))
+    (l1, gmap)
+  }
+
+  /** ROUTED top-m fine-cell ranking (round 14, VERDICT-r13 #1): rank
+    * each vector's nearest cells while scoring ONLY the cells of its
+    * top-w1 level-1 groups — (g + w1·gsz·|map|) cosines per vector
+    * instead of k, the same √k-bounded assignment the arriving-side
+    * probe already pays. Stage 1 is the bounded-TopK group probe;
+    * stage 2 joins the probed groups' cells (narrow (vec, cell) rows —
+    * the vector rejoins by vec_id and the cosine is computed inside
+    * the join projection, so no vector-bearing fan-out is ever
+    * shuffled) and keeps the per-vector top-m. `dedup` drops duplicate
+    * (vec, cell) candidates before scoring — required whenever the
+    * cell→group map multi-assigns (m_g > 1); skipped for disjoint maps
+    * where the join cannot duplicate. A vector whose probed groups all
+    * map no cells drops out (inner joins) — identical semantics in the
+    * oracle's CTE chain. */
+  private def routedTopM(vecs: DataFrame, l1: DataFrame, cellGroups: DataFrame,
+      cents: DataFrame, w1: Int, m: Int, dedup: Boolean): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val topg = new graft.functions.TopKAggregator(w1).toColumn
+    val gpr = vecs.select($"vec_id", $"vd")
+      .crossJoin(broadcast(l1.select($"g_id", $"gd")))
+      .select($"vec_id", cosine($"vd", $"gd").as("g_cos"), $"g_id")
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .agg(topg.name("top"))
+      .toDF("vec_id", "top")
+      .select($"vec_id", explode($"top").as("t"))
+      .select($"vec_id", $"t._2".as("g_id"))
+    val cand0 = gpr.join(cellGroups.select($"g_id", $"c_id"), Seq("g_id"))
+      .select($"vec_id", $"c_id")
+    val cand = if (dedup) cand0.dropDuplicates("vec_id", "c_id") else cand0
+    val topc = new graft.functions.TopKAggregator(m).toColumn
+    cand.join(vecs.select($"vec_id", $"vd"), Seq("vec_id"))
+      .join(cents.select($"c_id", $"cd"), Seq("c_id"))
+      .select($"vec_id", cosine($"vd", $"cd").as("c_cos"), $"c_id")
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .agg(topc.name("top"))
+      .toDF("vec_id", "top")
+      .select($"vec_id", explode($"top").as("t"))
+      .select($"vec_id", $"t._2".as("c_id"))
+  }
+
+  private def hierFrontBuild(s: SparkSession, dir: String, w1: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    val (v, c1) = ivfBase(s, dir)
     // MULTI-ASSIGNED cell->group map: each fine centroid is indexed
     // into its top-m nearest groups, not just the nearest — the same
     // straddling-boundary fix the incremental path measured (m=4
@@ -1939,16 +2002,7 @@ object Dedup {
     // set, m=2 78.8%, m=3 87.8% (and flat parity on the 10x brute
     // denominator) — sweep table at IvfHierCellAssign. Storage m·k map
     // rows; stage-2 work per vector ~m·w1·gsz, still sqrt(k)-bounded.
-    val topm = new graft.functions.TopKAggregator(IvfHierCellAssign).toColumn
-    val gmap = cv.select($"vec_id", $"vd")
-      .crossJoin(broadcast(l1.select($"g_id", $"gd")))
-      .select($"vec_id", cosine($"vd", $"gd").as("g_cos"), $"g_id")
-      .as[(Long, Double, Long)]
-      .groupByKey(_._1)
-      .agg(topm.name("top"))
-      .toDF("c_id", "top")
-      .select($"c_id", explode($"top").as("t"))
-      .select($"c_id", $"t._2".as("g_id"))
+    val (l1, gmap) = levelOneOf(c1, IvfHierCellAssign)
     // stage 1: every vector scores the g ≈ sqrt(k) group centroids and
     // keeps its top-w1 groups (bounded TopKAggregator — map-side partial
     // top-w1, never a window over the n x g score relation)
@@ -2229,7 +2283,15 @@ object Dedup {
     * vector is bounded by the probed cells' population — the property
     * that makes daily embedding-dedup ingest O(slice), not O(corpus).
     * Streaming twin: [[graft.streaming.StreamingEtl.embedDedupStream]]
-    * (gated as q_stream_embeddedup, sharing this oracle). */
+    * (gated as q_stream_embeddedup, sharing this oracle).
+    *
+    * BOUNDED-HISTORY TIER (round 14 — the simhash/simhash96
+    * convention): this flat index keeps sqrt-size cells, so per-
+    * arrival cost grows as sqrt(n_hist); [[qDedupEmbedIncrHier]] is
+    * the declared scale path (constant-size cells behind the
+    * two-level router, per-arrival cost flat), measured STRICTLY
+    * better against the exact denominator at both audit decades at
+    * lower streaming cost (`ScaleUpBench incrrecall`, r13). */
   def qDedupEmbedIncr(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (c1, lists) = embedIncrStatic(s, dir)
@@ -2334,12 +2396,24 @@ object Dedup {
     *    nprobe · m_i · C, independent of history size. The flat
     *    incremental index pays sqrt(n_hist) per probed cell instead.
     *
-    * The one-time index BUILD still scores n_hist · k cosines (flat
-    * assignment — the same documented ~1e8-vector boundary as
-    * [[qDedupEmbedIvf]]'s training stage; past it the build itself
-    * routes hierarchically like [[hierFront]]). What this geometry
-    * buys is the cost a streaming pipeline pays FOREVER: per-arrival
-    * work bounded by constants, not by history. */
+    * The one-time index BUILD is ROUTED too (round 14, VERDICT-r13
+    * #1 — the last quadratic stage in the family: flat history
+    * assignment was n_hist·k = n_hist²/C cosines, measured 16.8–19.3x
+    * wall at the 100x audit decade): a level-1 pass over the SEEDS
+    * routes the Lloyd assignment, and the refined cells' level-1 pass
+    * routes the inverted-list assignment — each history vector scores
+    * (g + w1·gsz) ≈ (1 + w1)·√k centroids per stage instead of k
+    * ([[routedTopM]], w1 = [[IvfHierProbeGroups]]). Total build cost
+    * is O(n_hist·√k) — the same asymptotic the pair path's router
+    * pays — so the build survives the 1e8+ history regime where the
+    * flat build was the wall. At corpora where the group count
+    * g ≈ √k <= w1 every group is probed and the routed build EQUALS
+    * the flat build value-for-value (the sf0.01/sf0.1 gate corpora
+    * land there: k <= 9 cells, g <= 3); the oracle states the routed
+    * semantics exactly either way, so the gate hashes real two-stage
+    * routing, not a flat approximation of it.
+    * What this geometry buys is the cost a streaming pipeline pays
+    * FOREVER: per-arrival work bounded by constants, not by history. */
   /** Groups each fine cell of the INCREMENTAL hierarchical index is
     * assigned to. SINGLE assignment (disjoint groups), unlike the pair
     * path's m=3 — deliberately: the incremental probe takes a
@@ -2405,52 +2479,37 @@ object Dedup {
     val c0 = Similarity.withDoubles(
       hist.filter($"vec_id" % step === 1L % step).select($"vec_id".as("c_id"), $"vq".as("cq")),
       "cq", "cd")
+    // ROUTED TRAINING ASSIGNMENT (round 14, VERDICT-r13 #1): a level-1
+    // pass over the SEEDS (disjoint groups — top-1, like the probe
+    // side's mg=1 convention) routes the Lloyd assignment: each history
+    // vector scores the √k seed-group centroids, keeps its top-w1
+    // groups, and takes its nearest seed among ONLY those groups'
+    // seeds — (g + w1·gsz) cosines per vector instead of k. The argmax
+    // runs over narrow (vec, seed) rows; vq rejoins by vec_id for the
+    // recenter (assignInt's own no-vector-in-the-agg-buffer shape).
+    val (sl1, sgmap) = levelOneOf(c0, 1)
+    val a1 = routedTopM(hist, sl1, sgmap, c0,
+        IvfHierProbeGroups, 1, dedup = false)
+      .join(hist.select($"vec_id", $"vq"), Seq("vec_id"))
     val c1 = Similarity.withDoubles(
-      Similarity.recenterInt(Similarity.assignInt(hist, c0)).localCheckpoint(true),
+      Similarity.recenterInt(a1).localCheckpoint(true),
       "cq", "cd")
-    // multi-assigned inverted lists (m_i = 4) — the one-sided-probing
-    // recall fix embedIncrStaticBuild measured (2/5 -> 5/5 straddling
-    // pairs); each constant-size cell's list is ~m_i * C rows
-    val topm = new graft.functions.TopKAggregator(IvfIncrIndexAssign).toColumn
-    val lists = hist.select($"vec_id", $"vd")
-      .crossJoin(broadcast(c1.select($"c_id", $"cd")))
-      .select($"vec_id", cosine($"vd", $"cd").as("c_cos"), $"c_id")
-      .as[(Long, Double, Long)]
-      .groupByKey(_._1)
-      .agg(topm.name("top"))
-      .toDF("vec_id", "top")
-      .select($"vec_id", explode($"top").as("t"))
-      .select($"vec_id", $"t._2".as("c_id"))
-      .join(hist.select($"vec_id", $"vd"), Seq("vec_id"))
-    // level-1 groups over the HISTORY-trained fine centroids — the
-    // hierFront machinery one level up: every gsz-th centroid in
-    // c_id-rank order seeds a group, one exact-integer Lloyd round
-    // refines, each cell maps into its top-m groups
-    val kc = c1.count()
-    val gsz = math.max(math.ceil(math.sqrt(kc.toDouble)).toLong, 1L)
-    val cr = c1.withColumn("rn", row_number().over(Window.orderBy($"c_id")))
-    val l0 = Similarity.withDoubles(
-      cr.filter(($"rn" - 1) % gsz === 0).select($"c_id".as("g_id"), $"cq".as("gq")),
-      "gq", "gd")
-    val cv = c1.select($"c_id".as("vec_id"), $"cq".as("vq"), $"cd".as("vd"))
-    val l1 = Similarity.withDoubles(
-      Similarity.recenterInt(Similarity.assignInt(cv,
-          l0.select($"g_id".as("c_id"), $"gq".as("cq"), $"gd".as("cd"))))
-        .select($"c_id".as("g_id"), $"cq".as("gq"))
-        .localCheckpoint(true),
-      "gq", "gd")
-    val topg = new graft.functions.TopKAggregator(mg).toColumn
-    val gmap = cv.select($"vec_id", $"vd")
-      .crossJoin(broadcast(l1.select($"g_id", $"gd")))
-      .select($"vec_id", cosine($"vd", $"gd").as("g_cos"), $"g_id")
-      .as[(Long, Double, Long)]
-      .groupByKey(_._1)
-      .agg(topg.name("top"))
-      .toDF("c_id", "top")
-      .select($"c_id", explode($"top").as("t"))
-      .select($"c_id", $"t._2".as("g_id"))
+    // level-1 groups over the REFINED fine centroids — the hierFront
+    // machinery one level up; this is the (l1, gmap) the arriving-side
+    // probe routes through (disjoint at the shipped mg = 1)
+    val (l1, gmap) = levelOneOf(c1, mg)
     val gcells = gmap.join(c1.select($"c_id", $"cd"), Seq("c_id"))
       .select($"g_id", $"c_id", $"cd")
+    // ROUTED multi-assigned inverted lists (m_i = 4 — the one-sided-
+    // probing recall fix embedIncrStaticBuild measured: 2/5 -> 5/5
+    // straddling pairs); each constant-size cell's list is ~m_i·C
+    // rows. The top-m_i cells rank over the top-w1 probed groups'
+    // cells only — the same √k-bounded routing as the training stage
+    // (dedup of duplicate (vec, cell) candidates only needed when the
+    // cell→group map multi-assigns).
+    val lists = routedTopM(hist, l1, gmap, c1,
+        IvfHierProbeGroups, IvfIncrIndexAssign, dedup = mg > 1)
+      .join(hist.select($"vec_id", $"vd"), Seq("vec_id"))
     (l1, Memo.materialize(gcells), Memo.materialize(lists))
   }
 
@@ -2549,23 +2608,70 @@ object Dedup {
       .dropDuplicates("new_vec", "hist_vec")
   }
 
-  /** Splices [[qDedupEmbedIncrSql]]: same prelude (v/hist/nw with the
-    * injected clones), the prm CTE swapped to the CONSTANT-cell-size
-    * step, the level-1 CTEs from the hier pair oracle's shape, and the
-    * identical cand/verify tail — both router levels stated in exact
-    * integer SQL so the gate hashes the full two-level pipeline. */
+  /** Splices [[qDedupEmbedIncrSql]]'s prelude (v/hist/nw with the
+    * injected clones) and verify tail, and states the FULL ROUTED
+    * pipeline between them in exact integer SQL (round 14): the
+    * constant-cell-size step, the seed set, the level-1 pass over the
+    * SEEDS (s-prefixed CTEs) routing the Lloyd assignment, the
+    * recentered cells, the level-1 pass over the CELLS, the ROUTED
+    * inverted lists (l-prefixed CTEs — top-m_i cells ranked over the
+    * top-w1 probed groups' cells only), and the arriving-side
+    * two-level probe — every routing decision the engine makes is a
+    * row_number window here, so the gate hashes the routed build, not
+    * a flat approximation of it. */
   lazy val qDedupEmbedIncrHierSql: String = {
     val ip = qDedupEmbedIncrSql.indexOf("prm AS (")
-    val ic0 = qDedupEmbedIncrSql.indexOf("c0 AS (")
-    val ipr = qDedupEmbedIncrSql.indexOf("probes AS (")
     val ica = qDedupEmbedIncrSql.indexOf("cand AS (")
     qDedupEmbedIncrSql.substring(0, ip) +
       s"""prm AS (
          |  SELECT GREATEST(count(*) // GREATEST((count(*) + ${IvfTargetCellSize - 1}) // $IvfTargetCellSize, 1), 1) AS step
          |  FROM hist),
-         |""".stripMargin +
-      qDedupEmbedIncrSql.substring(ic0, ipr) +
-      s"""gprm AS (
+         |c0 AS (SELECT vec_id AS c_id, vq AS cq FROM hist, prm WHERE vec_id % step = 1 % step),
+         |sgprm AS (
+         |  SELECT GREATEST(CAST(CEIL(SQRT(count(*))) AS BIGINT), 1) AS gsz FROM c0),
+         |scr AS (SELECT c_id, cq, row_number() OVER (ORDER BY c_id) AS rn FROM c0),
+         |sl0 AS (SELECT c_id AS g_id, cq AS gq FROM scr, sgprm WHERE (rn - 1) % gsz = 0),
+         |sga AS (
+         |  SELECT c_id, cq, g_id FROM (
+         |    SELECT scr.c_id, scr.cq, sl0.g_id,
+         |      row_number() OVER (PARTITION BY scr.c_id
+         |        ORDER BY list_cosine_similarity(scr.cq::DOUBLE[], sl0.gq::DOUBLE[]) DESC,
+         |                 sl0.g_id ASC) AS rn
+         |    FROM scr CROSS JOIN sl0) WHERE rn = 1),
+         |sl1 AS (
+         |  SELECT g_id, list(s // n ORDER BY i) AS gq FROM (
+         |    SELECT g_id, i, CAST(sum(cq[i]) AS BIGINT) AS s, count(*) AS n
+         |    FROM sga, range(1, 65) r(i) GROUP BY 1, 2) GROUP BY g_id),
+         |sgmap AS (
+         |  SELECT c_id, g_id FROM (
+         |    SELECT c0.c_id, sl1.g_id,
+         |      row_number() OVER (PARTITION BY c0.c_id
+         |        ORDER BY list_cosine_similarity(c0.cq::DOUBLE[], sl1.gq::DOUBLE[]) DESC,
+         |                 sl1.g_id ASC) AS rn
+         |    FROM c0 CROSS JOIN sl1) WHERE rn = 1),
+         |hgpr AS (
+         |  SELECT vec_id, g_id FROM (
+         |    SELECT h.vec_id, sl1.g_id,
+         |      row_number() OVER (PARTITION BY h.vec_id
+         |        ORDER BY list_cosine_similarity(h.vq::DOUBLE[], sl1.gq::DOUBLE[]) DESC,
+         |                 sl1.g_id ASC) AS pr
+         |    FROM hist h CROSS JOIN sl1) WHERE pr <= $IvfHierProbeGroups),
+         |hcand AS (
+         |  SELECT DISTINCT g.vec_id, m.c_id
+         |  FROM hgpr g JOIN sgmap m ON m.g_id = g.g_id),
+         |a1 AS (
+         |  SELECT vec_id, vq, c_id FROM (
+         |    SELECT h.vec_id, h.vq, hc.c_id,
+         |      row_number() OVER (PARTITION BY h.vec_id
+         |        ORDER BY list_cosine_similarity(h.vq::DOUBLE[], sd.cq::DOUBLE[]) DESC,
+         |                 hc.c_id ASC) AS rn
+         |    FROM hcand hc JOIN hist h ON h.vec_id = hc.vec_id
+         |         JOIN c0 sd ON sd.c_id = hc.c_id) WHERE rn = 1),
+         |c1 AS (
+         |  SELECT c_id, list(s // n ORDER BY i) AS cq FROM (
+         |    SELECT c_id, i, CAST(sum(vq[i]) AS BIGINT) AS s, count(*) AS n
+         |    FROM a1, range(1, 65) r(i) GROUP BY 1, 2) GROUP BY c_id),
+         |gprm AS (
          |  SELECT GREATEST(CAST(CEIL(SQRT(count(*))) AS BIGINT), 1) AS gsz FROM c1),
          |cr AS (SELECT c_id, cq, row_number() OVER (ORDER BY c_id) AS rn FROM c1),
          |l0 AS (SELECT c_id AS g_id, cq AS gq FROM cr, gprm WHERE (rn - 1) % gsz = 0),
@@ -2587,6 +2693,24 @@ object Dedup {
          |        ORDER BY list_cosine_similarity(c1.cq::DOUBLE[], l1.gq::DOUBLE[]) DESC,
          |                 l1.g_id ASC) AS rn
          |    FROM c1 CROSS JOIN l1) WHERE rn <= $IvfIncrHierGroupAssign),
+         |lgpr AS (
+         |  SELECT vec_id, g_id FROM (
+         |    SELECT h.vec_id, l1.g_id,
+         |      row_number() OVER (PARTITION BY h.vec_id
+         |        ORDER BY list_cosine_similarity(h.vq::DOUBLE[], l1.gq::DOUBLE[]) DESC,
+         |                 l1.g_id ASC) AS pr
+         |    FROM hist h CROSS JOIN l1) WHERE pr <= $IvfHierProbeGroups),
+         |lcand AS (
+         |  SELECT DISTINCT g.vec_id, m.c_id
+         |  FROM lgpr g JOIN gmap m ON m.g_id = g.g_id),
+         |lists AS (
+         |  SELECT vec_id, vq, c_id FROM (
+         |    SELECT h.vec_id, h.vq, lc.c_id,
+         |      row_number() OVER (PARTITION BY h.vec_id
+         |        ORDER BY list_cosine_similarity(h.vq::DOUBLE[], f.cq::DOUBLE[]) DESC,
+         |                 lc.c_id ASC) AS rn
+         |    FROM lcand lc JOIN hist h ON h.vec_id = lc.vec_id
+         |         JOIN c1 f ON f.c_id = lc.c_id) WHERE rn <= $IvfIncrIndexAssign),
          |gpr AS (
          |  SELECT vec_id, g_id FROM (
          |    SELECT n.vec_id, l1.g_id,
@@ -2785,7 +2909,7 @@ object Dedup {
 
   /** DECLARED recall floor for the HIERARCHICAL incremental router at
     * the shipped knobs (w1 = 8 groups, t = [[IvfIncrHierCellsPerGroup]]
-    * = 2 cells per group, mg = 1), measured as TRUE recall against the
+    * = 3 cells per group, mg = 1), measured as TRUE recall against the
     * exact cross-slice pair denominator on the 10x anchor corpus's
     * bounded id slice (`ScaleUpBench incrrecall`): anchor = 34/34 =
     * 100% (the flat incremental reads 26/34 = 76.5% on the same
@@ -3994,7 +4118,7 @@ object Dedup {
     "q_dedup_embed_hier" -> ((s: SparkSession, dir: String) => hierPairsCached(s, dir)),
     "q_ivf_hier_recall" -> (qIvfHierRecall _),
     "q_ivf_group_balance" -> (qIvfGroupBalance _),
-    "q_dedup_embed_incr" -> (qDedupEmbedIncr _),
+    "q_dedup_embed_incr" -> (qDedupEmbedIncr _), // BOUNDED-HISTORY tier (simhash/simhash96 convention): per-arrival cost grows as sqrt(n_hist); q_dedup_embed_incr_hier is the scale path — incrrecall measured hier strictly better against truth at BOTH audit decades at lower streaming cost (r13)
     // the TWO-LEVEL incremental router: per-arrival cost bounded by
     // constants + sqrt(k) — the streaming-ingest scale path past the
     // flat incremental index's sqrt(n_hist) cell growth

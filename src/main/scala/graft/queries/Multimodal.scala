@@ -868,7 +868,10 @@ object Multimodal {
     * oracle proves encode + box walk + stsz/stco slicing + per-frame
     * hash end to end; a mis-sliced frame boundary lands sampled bytes
     * in the wrong frame's hash and breaks the gate. Streaming twin:
-    * [[graft.queries.StreamingGate.qStreamMp4Dedup]]. */
+    * [[graft.queries.StreamingGate.qStreamMp4Dedup]]. CONTAINER-ONLY
+    * tier: the per-frame hash reads raw demuxed payload bytes —
+    * [[qMmMjpegDedup]] (round 14) is the decoded-PIXEL sibling, whose
+    * fingerprint survives any conformant re-encode of the frames. */
   def qMmMp4Dedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val corpus = Tables.documents(s, dir).select($"doc_id", $"text")
@@ -965,6 +968,140 @@ object Multimodal {
       |      THEN (1::BIGINT << (fb.f * 16 + fb.b - 32)) ELSE 0 END) AS BIGINT) AS hi
       |  FROM fb JOIN px ON px.i = fb.idx AND px.f = fb.f
       |       JOIN mn ON mn.doc_id = px.doc_id AND mn.f = fb.f
+      |  GROUP BY 1)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+      |FROM h a JOIN h b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""".stripMargin
+
+  /** DECODED-DOMAIN VIDEO NEAR-DUP (round 14, VERDICT-r13 #5 — the
+    * video fingerprint finally reads DECODED PIXELS, completing the
+    * decoded-domain parity with the image and audio tiers): MJPEG
+    * composition of two codecs this library already ships, zero new
+    * codec work. Each document's 64-byte md5 stream becomes 4 frames
+    * of 16 constant 8x8 tiles each (4x4 grid = a real 32x32 raster per
+    * frame), every frame encoded as a REAL baseline JPEG
+    * ([[graft.functions.Jpeg.encodeJpegGrayTiled]] — the exact-decode
+    * DC-only subset, per-doc restart interval doc_id % 5 putting
+    * DRI/RSTn parsing inside the video path), the 4 JPEG blobs muxed
+    * as samples of a REAL ISO BMFF container with the same per-doc
+    * container variation as [[qMmMp4Dedup]]. The fingerprint decodes
+    * BOTH layers: [[graft.functions.Mp4.decodeMp4]] slices the frames
+    * from the parsed stsz/stco tables, each frame runs the full T.81
+    * entropy decode + dequant + IDCT, and the per-frame 16-bit aHash
+    * reads the DECODED tile lumas (sampled at each block corner; bit
+    * set iff tile >= the frame's integer PIXEL mean over all 1024
+    * decoded pixels — one wrong pixel anywhere shifts the mean and
+    * breaks the gate) — 4 x 16 bits on the shared [[bandedHamming64]]
+    * pigeonhole. Clones (+4000001, every 151st-residue-7 doc) flip
+    * EVERY container knob (%2 timescale, %3 frameDelta/free, %4 dims,
+    * %5 mdat form) AND the JPEG restart-interval knob while decoded
+    * pixels stay identical, so hamming-0 clone pairs prove the
+    * fingerprint sees through codec + container re-encoding end to
+    * end — where [[qMmMp4Dedup]] hashes raw payload bytes (the
+    * declared container-only tier), this gate is invariant to ANY
+    * conformant re-encode of the same pixels. Oracle: brute all-pairs
+    * md5 arithmetic (tile b of frame f is byte 16f+b, so bit index ==
+    * byte index; frame mean = sum(v) // 16, exact because constant
+    * tiles repeat each value 64x: (64·Σv) // 1024 == Σv // 16) — it
+    * never sees JPEG or MP4 bytes. Fuzz target `mjpeg-fingerprint`
+    * (CodecFuzzSpec) pins the decode contract under mutation. */
+  def qMmMjpegDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = Tables.documents(s, dir).select($"doc_id", $"text")
+      .unionByName(Tables.documents(s, dir)
+        .filter($"doc_id" % 151 === 7)
+        .select(($"doc_id" + 4000001L).as("doc_id"), $"text"))
+    bandedHamming64(mjpegFingerprints(corpus))
+  }
+
+  /** The MJPEG encode→demux→JPEG-decode→per-frame-aHash core over a
+    * (doc_id, text) relation — STATELESS per-row like the other codec
+    * cores, shared by the batch gate and the streaming twin. Bit
+    * layout matches [[mp4Fingerprints]]: frame f occupies bits
+    * 16f..16f+15, so [[bands64]]'s 4x16 split is exactly per-frame. */
+  private[queries] def mjpegFingerprints(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(col("doc_id"),
+        unhex(concat((0 until 4).map(j => md5(concat(col("text"), lit(j.toString)))): _*)).as("stream"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, stream) =>
+        val k = 1 + (id % 4).toInt
+        val jpegFrames = Array.tabulate(4)(f =>
+          graft.functions.Jpeg.encodeJpegGrayTiled(4, 4,
+            stream.slice(16 * f, 16 * (f + 1)),
+            restartInterval = (id % 5).toInt))
+        val video = graft.functions.Mp4.decodeMp4(
+          graft.functions.Mp4.encodeMp4(
+            width = 16 * k, height = 9 * k,
+            timescale = 1000L * (1 + id % 2),
+            frameDelta = 40L * (1 + id % 3),
+            frames = jpegFrames,
+            withFree = id % 3 == 0,
+            largesizeMdat = id % 5 == 0))
+        val (lo, hi) = mjpegClipFingerprint(video)
+        (id, lo, hi)
+      }
+      .toDF("doc_id", "lo", "hi")
+  }
+
+  /** The decoded-pixel aHash fold over a parsed MJPEG clip — each
+    * frame payload must be a decodable baseline JPEG (the demuxed
+    * slices of anything [[mjpegFingerprints]] encodes are; arbitrary
+    * mdat bytes fail with Jpeg's named decode contract, pinned by the
+    * `mjpeg-fingerprint` fuzz target). Zero-length rasters and clips
+    * with fewer than 4 frames leave the missing frames' bits clear,
+    * and frames beyond 16 blocks hash only their first 16 (the 4x16
+    * band layout is fixed). */
+  private[graft] def mjpegClipFingerprint(
+      video: graft.functions.Mp4.Mp4Video): (Long, Long) = {
+    var lo = 0L
+    var hi = 0L
+    var f = 0
+    while (f < video.nFrames && f < 4) {
+      val img = graft.functions.Jpeg.decodeJpeg(video.frames(f))
+      val n = img.width * img.height
+      val bw = img.width / 8
+      val bh = img.height / 8
+      if (n > 0 && bw > 0) {
+        var sum = 0L
+        var i = 0
+        while (i < n) { sum += img.luma(i); i += 1 }
+        val mean = sum / n // n > 0; sum >= 0: / == DIV == DuckDB //
+        val nb = math.min(bw * bh, 16)
+        var b = 0
+        while (b < nb) {
+          val v = img.luma((b / bw) * 8 * img.width + (b % bw) * 8)
+          if (v >= mean) {
+            val bit = f * 16 + b
+            if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+          }
+          b += 1
+        }
+      }
+      f += 1
+    }
+    (lo, hi)
+  }
+
+  val qMmMjpegDedupSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 4000001, text FROM documents WHERE doc_id % 151 = 7),
+      |px AS (
+      |  SELECT doc_id, i,
+      |    ('0x' || substr(md5(text || CAST(i // 16 AS VARCHAR)), 2 * (i % 16) + 1, 2))::BIGINT AS v,
+      |    i // 16 AS f
+      |  FROM corpus, range(0, 64) r(i)),
+      |mn AS (SELECT doc_id, f, CAST(sum(v) // 16 AS BIGINT) AS mean FROM px GROUP BY 1, 2),
+      |h AS (
+      |  SELECT px.doc_id,
+      |    CAST(sum(CASE WHEN px.v >= mn.mean AND px.i < 32 THEN (1::BIGINT << px.i) ELSE 0 END) AS BIGINT) AS lo,
+      |    CAST(sum(CASE WHEN px.v >= mn.mean AND px.i >= 32 THEN (1::BIGINT << (px.i - 32)) ELSE 0 END) AS BIGINT) AS hi
+      |  FROM px JOIN mn ON mn.doc_id = px.doc_id AND mn.f = px.f
       |  GROUP BY 1)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
@@ -1349,6 +1486,7 @@ object Multimodal {
     "q_mm_wav_forms"  -> (qMmWavForms _),
     "q_mm_wav_dedup"  -> (qMmWavDedup _),
     "q_mm_mp4_dedup"  -> (qMmMp4Dedup _),
+    "q_mm_mjpeg_dedup" -> (qMmMjpegDedup _),
     "q_mm_jpeg"       -> (qMmJpeg _),
     "q_mm_png"        -> (qMmPng _),
     "q_mm_png_dedup"  -> (qMmPngDedup _),
@@ -1370,6 +1508,7 @@ object Multimodal {
     "q_mm_wav_forms"  -> qMmWavFormsSql,
     "q_mm_wav_dedup"  -> qMmWavDedupSql,
     "q_mm_mp4_dedup"  -> qMmMp4DedupSql,
+    "q_mm_mjpeg_dedup" -> qMmMjpegDedupSql,
     "q_mm_jpeg"       -> qMmJpegSql,
     "q_mm_png"        -> qMmPngSql,
     "q_mm_png_dedup"  -> qMmPngDedupSql,

@@ -673,10 +673,14 @@ object StreamingGate {
     * into the per-frame 16-bit bands, and join the STATIC band index
     * of the historical slice; only band-collided candidates pay the
     * exact bit_count verify, and only verified survivors pay stateful
-    * pair-dedup (state at output scale). The clone re-key
-    * (doc_id * 5 + 4000000) flips the container knobs while the frame
-    * bytes stay text-derived — container invariance proven on the
-    * stream too. Append mode == the brute cross-slice oracle. */
+    * pair-dedup (state at output scale). The clone re-key is the batch
+    * gate's own +4000001 shift — nonzero mod 2, 3, 4 and 5, so EVERY
+    * container knob (timescale %2, frameDelta/free %3, dims %4, mdat
+    * form %5) flips for every clone while the frame bytes stay
+    * text-derived — container invariance proven on the stream too
+    * (round 14: the previous *5+4000000 re-key was ≡ id mod 2 and
+    * mod 4, leaving the timescale and dims knobs unexercised).
+    * Append mode == the brute cross-slice oracle. */
   def qStreamMp4Dedup(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0)
     val histBands = Multimodal.bands64(Multimodal.mp4Fingerprints(
@@ -690,7 +694,7 @@ object StreamingGate {
         when(col("doc_id") % 5 === 0,
           array(struct(col("doc_id"), col("text"))))
         .when(col("doc_id") % 5 =!= 0 && col("doc_id") % 151 === 7,
-          array(struct((col("doc_id") * 5 + 4000000L).as("doc_id"), col("text"))))
+          array(struct((col("doc_id") + 4000001L).as("doc_id"), col("text"))))
         .otherwise(array())).as("r"))
       .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
     val newBands = Multimodal.bands64(Multimodal.mp4Fingerprints(arriving))
@@ -710,7 +714,7 @@ object StreamingGate {
       |  SELECT doc_id, text, CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS arriving
       |  FROM documents
       |  UNION ALL
-      |  SELECT doc_id * 5 + 4000000, text, 1 FROM documents
+      |  SELECT doc_id + 4000001, text, 1 FROM documents
       |  WHERE doc_id % 5 <> 0 AND doc_id % 151 = 7),
       |px AS (
       |  SELECT doc_id, arriving, i,
@@ -732,6 +736,72 @@ object StreamingGate {
       |  FROM fb JOIN px ON px.i = fb.idx AND px.f = fb.f
       |       JOIN mn ON mn.doc_id = px.doc_id AND mn.f = fb.f
       |  GROUP BY 1)
+      |SELECT n.doc_id AS new_doc, hh.doc_id AS hist_doc,
+      |  CAST(bit_count(xor(n.lo, hh.lo)) + bit_count(xor(n.hi, hh.hi)) AS BIGINT) AS hamming
+      |FROM h n JOIN h hh
+      |  ON n.arriving = 1 AND hh.arriving = 0
+      | AND bit_count(xor(n.lo, hh.lo)) + bit_count(xor(n.hi, hh.hi)) <= 3""".stripMargin
+
+  /** STREAMING DECODED-DOMAIN VIDEO NEAR-DUP AT INGEST, gated (round
+    * 14 — [[graft.queries.Multimodal.qMmMjpegDedup]]'s streaming twin,
+    * keeping the decoded-pixel video tier's per-modality pair like the
+    * container tier's [[qStreamMp4Dedup]]): arriving documents
+    * encode→demux→JPEG-decode→fingerprint STATELESSLY per row
+    * ([[Multimodal.mjpegFingerprints]] — both codec layers decoded in
+    * the stream path), explode into per-frame 16-bit bands, and join
+    * the STATIC band index of the historical slice; only band-collided
+    * candidates pay the exact bit_count verify, and only verified
+    * survivors pay stateful pair-dedup (state at output scale). Clone
+    * re-key +4000001 — flips every container knob AND the JPEG
+    * restart-interval knob (all of %2/%3/%4/%5 change). Append mode ==
+    * the brute cross-slice oracle. */
+  def qStreamMjpegDedup(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val histBands = Multimodal.bands64(Multimodal.mjpegFingerprints(
+        graft.Tables.documents(s0, dir)
+          .filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"), col("text"))))
+      .withColumnRenamed("doc_id", "hist_doc")
+      .withColumnRenamed("lo", "lo_h").withColumnRenamed("hi", "hi_h")
+    val arriving = parquetStream(s, dir, "documents")
+      .select(explode(
+        when(col("doc_id") % 5 === 0,
+          array(struct(col("doc_id"), col("text"))))
+        .when(col("doc_id") % 5 =!= 0 && col("doc_id") % 151 === 7,
+          array(struct((col("doc_id") + 4000001L).as("doc_id"), col("text"))))
+        .otherwise(array())).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+    val newBands = Multimodal.bands64(Multimodal.mjpegFingerprints(arriving))
+      .withColumnRenamed("doc_id", "new_doc")
+      .withColumnRenamed("lo", "lo_n").withColumnRenamed("hi", "hi_n")
+    val pairs = newBands.join(histBands, Seq("band", "chunk"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(lo_n ^ lo_h) + bit_count(hi_n ^ hi_h) AS LONG)"))
+      .filter(col("hamming") <= 3)
+      .select(col("new_doc"), col("hist_doc"), col("hamming"))
+      .dropDuplicates("new_doc", "hist_doc")
+    runGate(pairs, "mjpegdedup", "append")
+  }
+
+  val qStreamMjpegDedupSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text, CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS arriving
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 4000001, text, 1 FROM documents
+      |  WHERE doc_id % 5 <> 0 AND doc_id % 151 = 7),
+      |px AS (
+      |  SELECT doc_id, arriving, i,
+      |    ('0x' || substr(md5(text || CAST(i // 16 AS VARCHAR)), 2 * (i % 16) + 1, 2))::BIGINT AS v,
+      |    i // 16 AS f
+      |  FROM base, range(0, 64) r(i)),
+      |mn AS (SELECT doc_id, f, CAST(sum(v) // 16 AS BIGINT) AS mean FROM px GROUP BY 1, 2),
+      |h AS (
+      |  SELECT px.doc_id, px.arriving,
+      |    CAST(sum(CASE WHEN px.v >= mn.mean AND px.i < 32 THEN (1::BIGINT << px.i) ELSE 0 END) AS BIGINT) AS lo,
+      |    CAST(sum(CASE WHEN px.v >= mn.mean AND px.i >= 32 THEN (1::BIGINT << (px.i - 32)) ELSE 0 END) AS BIGINT) AS hi
+      |  FROM px JOIN mn ON mn.doc_id = px.doc_id AND mn.f = px.f
+      |  GROUP BY 1, 2)
       |SELECT n.doc_id AS new_doc, hh.doc_id AS hist_doc,
       |  CAST(bit_count(xor(n.lo, hh.lo)) + bit_count(xor(n.hi, hh.hi)) AS BIGINT) AS hamming
       |FROM h n JOIN h hh
@@ -860,6 +930,7 @@ object StreamingGate {
     "q_stream_embeddedup_hier" -> (qStreamEmbedDedupHier _),
     "q_stream_wavdedup" -> (qStreamWavDedup _),
     "q_stream_mp4dedup" -> (qStreamMp4Dedup _),
+    "q_stream_mjpegdedup" -> (qStreamMjpegDedup _),
     "q_stream_clf"       -> (qStreamClf _),
     "q_stream_repetition" -> (qStreamRepetition _),
     "q_stream_verbatim"  -> (qStreamVerbatim _),
@@ -895,6 +966,7 @@ object StreamingGate {
     "q_stream_embeddedup_hier" -> Dedup.qDedupEmbedIncrHierSql,
     "q_stream_wavdedup" -> qStreamWavDedupSql,
     "q_stream_mp4dedup" -> qStreamMp4DedupSql,
+    "q_stream_mjpegdedup" -> qStreamMjpegDedupSql,
     "q_stream_clf"       -> TrainingData.qClfScoreSql,
     "q_stream_repetition" -> TextAnalysis.qTextRepetitionSql,
     "q_stream_verbatim"  -> Dedup.qDedupVerbatimSql,

@@ -113,6 +113,20 @@ class CodecFuzzSpec extends AnyFunSuite {
       b => graft.queries.Multimodal.mp4ClipFingerprint(Mp4.decodeMp4(b)))
   }
 
+  test("MJPEG fingerprint: demux + per-frame JPEG decode-or-IAE under fire") {
+    // the decoded-domain video compound (round 14): a mutated container
+    // that still parses hands arbitrary frame slices to the JPEG
+    // decoder, whose own named-IAE contract must hold through the
+    // composition (zero-length or garbage frames reject by name, never
+    // escape as AIOOBE/NegativeArraySize)
+    val frames = Array.tabulate(4)(f =>
+      Jpeg.encodeJpegGrayTiled(4, 4, luma.slice(16 * f, 16 * (f + 1)),
+        restartInterval = 2))
+    fuzz("mjpeg-fingerprint", Mp4.encodeMp4(32, 32, 1000L, 40L, frames,
+      withFree = true),
+      b => graft.queries.Multimodal.mjpegClipFingerprint(Mp4.decodeMp4(b)))
+  }
+
   test("MP4 multi-chunk: decode-or-IAE with stsc/stco tables under fire") {
     fuzz("mp4-chunks", Mp4.encodeMp4(64, 36, 1000L, 40L,
       Array(luma.take(8), luma.slice(8, 24), luma.slice(24, 48), luma.drop(48)),

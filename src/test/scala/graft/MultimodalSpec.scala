@@ -601,4 +601,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fps.distinct.size == 1,
       s"mp4 fingerprint must see through container variation: $fps")
   }
+
+  test("mjpeg clip fingerprint: decoded-pixel bits, codec+container invariant") {
+    import graft.functions.{Jpeg, Mp4}
+    // the decoded-domain video tier (round 14): tile bytes travel
+    // text -> JPEG (DC-only exact subset) -> MP4 -> demux -> full T.81
+    // decode -> per-frame aHash over decoded lumas; the DC-only subset
+    // makes decoded tile == input byte, so bits are hand-computable
+    def fpOf(bytes: Array[Byte], rst: Int, width: Int = 16,
+             timescale: Long = 1000L, delta: Long = 40L,
+             free: Boolean = false, large: Boolean = false): (Long, Long) = {
+      val frames = Array.tabulate(4)(f =>
+        Jpeg.encodeJpegGrayTiled(4, 4, bytes.slice(16 * f, 16 * (f + 1)),
+          restartInterval = rst))
+      graft.queries.Multimodal.mjpegClipFingerprint(
+        Mp4.decodeMp4(Mp4.encodeMp4(width, 9, timescale, delta, frames,
+          withFree = free, largesizeMdat = large)))
+    }
+    // frame 0: tiles 0..7 = 0, tiles 8..15 = 255 -> integer pixel mean
+    // 127 -> exactly bits 8..15 of the frame-0 signature set
+    val bytes = Array.tabulate[Byte](64) { i =>
+      if (i < 8) 0 else if (i < 16) -1 else ((i * 41) % 256).toByte }
+    val (lo, _) = fpOf(bytes, rst = 0)
+    assert((lo & 0xFFFFL) == 0xFF00L,
+      f"mjpeg frame-0 signature 0x${lo & 0xFFFFL}%x != 0xff00")
+    // invariance across the JPEG restart-interval knob AND every
+    // container knob — the property the gate's +4000001 clone shift
+    // exercises (all of %2/%3/%4/%5 and the codec layout change)
+    val fps = Seq(
+      fpOf(bytes, 0),
+      fpOf(bytes, 3, width = 64, timescale = 2000L, delta = 120L),
+      fpOf(bytes, 1, free = true),
+      fpOf(bytes, 4, large = true))
+    assert(fps.distinct.size == 1,
+      s"mjpeg fingerprint must see through codec+container variation: $fps")
+  }
 }

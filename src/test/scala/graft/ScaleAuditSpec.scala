@@ -48,11 +48,14 @@ class ScaleAuditSpec extends AnyFunSuite {
     }
   }
 
-  private def shapeOf(name: String, dir: String): Map[String, Int] = {
-    def once(): Map[String, Int] = {
+  private def shapeOf(name: String, dir: String): Map[String, Int] =
+    ScaleUpBench.joinShape(execAt(name, dir))
+
+  private def execAt(name: String, dir: String): DataFrame = {
+    def once(): DataFrame = {
       val df: DataFrame = SparkEntry.queries(name)(spark, dir)
       df.collect() // AQE-final plan only exists after execution
-      ScaleUpBench.joinShape(df)
+      df
     }
     // QUERY EXECUTION is environmental (this box has bursty host-level
     // load spikes; one 224-query sweep failed under one, naming nothing)
@@ -94,19 +97,32 @@ class ScaleAuditSpec extends AnyFunSuite {
     // BroadcastHashJoin appearing/multiplying at scale is ALWAYS the
     // dangerous direction (a size-driven AQE decision pinning a
     // corpus-proportional side in memory). A BroadcastNestedLoopJoin
-    // COUNT increase is only meaningful for queries OUTSIDE the
-    // audited 1-row/bounded-cross allowlist (PlanHygieneSpec
-    // .cartesianOk): for listed queries the BNLJ builds are
-    // documented-bounded crosses and the visible node count varies
-    // with exchange REUSE across memo-cache states, both directions —
-    // measured 6 -> 3 isolated vs 4 -> 6 in-suite on
-    // q_dedup_pagerank_w with identical corpora (round-13; the r12
-    // audit adjudicated the same hits benign by reading plans).
+    // COUNT increase is treated differently for queries on the audited
+    // 1-row/bounded-cross allowlist (PlanHygieneSpec.cartesianOk):
+    // their visible node count varies with exchange REUSE across
+    // memo-cache states, both directions — measured 6 -> 3 isolated vs
+    // 4 -> 6 in-suite on q_dedup_pagerank_w with identical corpora
+    // (round-13) — so the count alone proves nothing. But the
+    // allowlist is not a blanket pass (round-14, ADVICE r13): when an
+    // allowlisted query's BNLJ count DOES grow at 10x, every BNLJ
+    // build side must MEASURE bounded (the broadcast exchange's actual
+    // numOutputRows, bound below the CI corpus's smallest fact table)
+    // — a genuinely new corpus-proportional cross fails here even
+    // behind the allowlist.
+    val BnljBoundedBuildRows = 1024L // embeddings at 10x-of-sf0.01 = 2000 rows; every documented bounded cross (1-row totals, n/192 centroid sets, PQ codebooks) is far below
     val dangerous = joinBearing.flatMap { case (q, small) =>
-      val big = shapeOf(q, bigDir)
+      val bigDf = execAt(q, bigDir)
+      val big = ScaleUpBench.joinShape(bigDf)
+      val bnljGrew = bnlj(big) > bnlj(small)
+      val unboundedBuild = bnljGrew && PlanHygieneSpec.cartesianOk(q) &&
+        ScaleUpBench.bnljBuildRows(bigDf)
+          .exists(r => r < 0 || r > BnljBoundedBuildRows)
       val bad = bhj(big) > bhj(small) ||
-        (bnlj(big) > bnlj(small) && !PlanHygieneSpec.cartesianOk(q))
-      if (bad) Some(s"$q: $small -> $big") else None
+        (bnljGrew && !PlanHygieneSpec.cartesianOk(q)) || unboundedBuild
+      if (bad) Some(s"$q: $small -> $big" +
+        (if (unboundedBuild) s" (allowlisted, but a BNLJ build side measured " +
+          s"${ScaleUpBench.bnljBuildRows(bigDf).max} rows > $BnljBoundedBuildRows)"
+         else "")) else None
     }
     assert(dangerous.isEmpty,
       "Broadcast-class join appeared/multiplied at 10x (corpus-proportional " +

@@ -58,6 +58,29 @@ def main(old_path, new_path):
         print(json.dumps({"comparable": False, "problems": env_problems}))
         return 2
 
+    # --- box-identity check (round-14, VERDICT-r13 #3) ----------------------
+    # The decode throughput metrics time pure-CPU code that bench rounds do
+    # not touch, so a UNIFORM shift across all of them is the box changing
+    # speed, not a code regression (the r13 adjudication that previously
+    # lived in NOTES prose). When every decode metric dropped by >10% in the
+    # same direction, emit environment_shift and rescale the per-query bar
+    # by the median decode shift — a query that regressed BEYOND the uniform
+    # box shift (mixed-direction) still fails.
+    decode_ratios = []
+    for key in ("decode_rec_per_s", "decode92_rec_per_s", "decode92_2m_rec_per_s"):
+        a, b = old.get(key), new.get(key)
+        if a and b:
+            decode_ratios.append(b / a)
+    env_shift = len(decode_ratios) >= 2 and (
+        all(r < 0.9 for r in decode_ratios) or all(r > 1.1 for r in decode_ratios))
+    # decode throughput ratio -> expected wall inflation is its inverse
+    decode_med = sorted(decode_ratios)[len(decode_ratios) // 2] if decode_ratios else 1.0
+    wall_scale = (1.0 / decode_med) if (env_shift and decode_med < 1.0) else 1.0
+    if env_shift:
+        print(f"ENVIRONMENT SHIFT: decode tier moved uniformly "
+              f"({', '.join(f'{r:.2f}x' for r in decode_ratios)}) — "
+              f"per-query regression bar rescaled by {wall_scale:.2f}x")
+
     # --- per-query diff -----------------------------------------------------
     qo = old.get("queries_p90") or old.get("queries") or {}
     qn = new.get("queries_p90") or new.get("queries") or {}
@@ -75,7 +98,7 @@ def main(old_path, new_path):
         ratio = b / a
         delta_ms = (b - a) * 1000.0
         ratios.append(ratio)
-        if ratio > RATIO_FLAG and delta_ms > ABS_FLAG_MS:
+        if ratio > RATIO_FLAG * wall_scale and delta_ms > ABS_FLAG_MS:
             flagged.append((q, a, b, ratio, delta_ms))
         elif ratio < 1.0 / RATIO_FLAG and -delta_ms > ABS_FLAG_MS:
             improved.append((q, a, b, ratio, delta_ms))
@@ -117,9 +140,11 @@ def main(old_path, new_path):
             ratio = b / a
             decode_table[key] = {"old": a, "new": b, "ratio": round(ratio, 3)}
             mark = ""
-            if ratio < DECODE_DROP_FLAG:
+            if ratio < DECODE_DROP_FLAG and not env_shift:
                 decode_flags.append(key)
                 mark = "  <-- REGRESSION (>25% drop)"
+            elif ratio < DECODE_DROP_FLAG:
+                mark = "  (uniform environment shift — not flagged)"
             print(f"{key:24s} {a:>12,} -> {b:>12,} rec/s ({ratio:.2f}x){mark}")
 
     result = {
@@ -133,6 +158,7 @@ def main(old_path, new_path):
         "improved": [q for q, *_ in improved],
         "decode": decode_table,
         "decode_flagged": decode_flags,
+        "environment_shift": env_shift,
     }
     print(json.dumps(result))
     return 1 if (flagged or decode_flags) else 0
