@@ -2434,20 +2434,26 @@ object Dedup {
     * cell (vs the flat path's 6 sqrt-size cells). Chosen by the
     * `ScaleUpBench incrrecall` t sweep against the exact bounded
     * cross-slice denominator (candidate volume grows linearly in t —
-    * w1·t·m_i·C per arrival):
+    * w1·t·m_i·C per arrival). Re-swept in round 14 over the ROUTED
+    * build (which itself moved the 100x line: t=3 measured 654793 ppm
+    * on the r13 flat-assigned index, 705584 on the routed one):
     *
     *   t | 10x recall | 100x recall | 100x out_pairs
-    *   1 |   911764   |     —       |      —
-    *   2 |  1000000   |   561345    |    42502
-    *   3 |  1000000   |   654793    |    49453   <- shipped
-    *   4 |  1000000   |   716578    |    53987
+    *   2 |  1000000   |   561345*   |    42502*
+    *   3 |  1000000   |   705584    |    52912
+    *   4 |  1000000   |   768909    |    57569   <- shipped
+    *   5 |  1000000   |   808927    |    60781
     *
-    * (flat incremental on the same denominators: 764705 / 485488.)
-    * t = 3 buys +9.3 pp at the 100x decade for 1.5x the constant
-    * candidate cost; t = 4's further +6.2 pp at 1.33x is the
-    * documented next step if an operator wants it — the knob is a
-    * parameter on every entry point. */
-  private[graft] val IvfIncrHierCellsPerGroup = 3
+    * (* = r13 flat-build lines, kept for the trend; flat incremental
+    * on the same denominators: 764705 / 485488.) t = 4 is the knee:
+    * +6.3 pp over t = 3 at 1.09x output pairs and 1.33x the constant
+    * candidate budget, where t = 5's further +4.0 pp costs the same
+    * budget step for less recall. Probes are MONOTONE in t (same w1
+    * groups, per-group top-t cells), so every t >= 2 keeps the 10x
+    * anchor's 34/34. The 100x line is floor-asserted at
+    * [[IvfIncrHier100xRecallFloorPpm]] by the round gate's recall100
+    * stage. */
+  private[graft] val IvfIncrHierCellsPerGroup = 4
 
   private val embedIncrHierCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), LazyHier]()
@@ -2917,8 +2923,28 @@ object Dedup {
     * 1000000 / 1000000 ppm — t=2 saturates). Floor leaves ONE
     * borderline-pair of headroom (one pair = 29412 ppm at this anchor):
     * losing two is a real index regression and fails the round-gate
-    * recall stage. */
+    * recall stage. Round 14: re-measured 34/34 on the ROUTED build at
+    * the shipped t = 4 (probes monotone in t, so the anchor holds for
+    * every t >= 2). */
   private[graft] val IvfIncrHierRecallFloorPpm = 970000L
+
+  /** DECLARED 100x-decade recall floor for the HIERARCHICAL
+    * incremental router (round 14, VERDICT-r13 #2 — the 10x-anchored
+    * floor above said nothing about the decade where routing actually
+    * bites): TRUE recall against the exact bounded cross-slice
+    * denominator on the 100x audit corpus (200k vectors, g = 32
+    * level-1 groups, w1 = 8 probed — routing genuinely approximate),
+    * measured 768909 ppm (3497/4548 pairs) at the shipped knobs
+    * (w1 = 8, t = 4, mg = 1) on the round-14 ROUTED build — the t
+    * sweep table at [[IvfIncrHierCellsPerGroup]] is the provenance;
+    * the flat incremental reads 485488 on the same denominator. Floor
+    * 765000 leaves 0.39 pp (~18 borderline pairs) of slack on a
+    * DETERMINISTIC corpus (the generator is seed-free arithmetic, so
+    * a regenerated /tmp corpus measures identically) — any quantizer,
+    * router, or budget change that loses a cell's worth of pairs
+    * fails the round gate's recall100 stage instead of drifting
+    * silently. Asserted by `ScaleUpBench recall100`. */
+  private[graft] val IvfIncrHier100xRecallFloorPpm = 765000L
 
   /** Recall of an incremental (new_vec, hist_vec) pair relation against
     * the EXACT cross-slice pair set on a bounded per-shard id slice

@@ -83,6 +83,17 @@ else
   RES[recall]=skipped
 fi
 
+# 4b. 100x-decade incremental recall floor (round 14, VERDICT-r13 #2):
+# the decade where level-1 routing genuinely bites (g > w1). Skipped
+# under --quick and when the 100x corpus is absent (regenerate it —
+# memory: /tmp corpora vanish between sessions).
+SCALE100=${SCALE100:-/tmp/scale100_r12}
+if [[ -d "$SCALE100" && $QUICK -eq 0 ]]; then
+  stage recall100 sbt -batch "runMain graft.ScaleUpBench recall100 $SCALE100"
+else
+  RES[recall100]=skipped
+fi
+
 # 5. bench artifact — only on a quiet box (bursty host-level load spikes
 # poison p90s; the committed-quiet-artifact policy, memory r11)
 RES[bench]=skipped
