@@ -304,6 +304,27 @@ object ScaleUpBench {
           s""""n_dangerous":${dangerous.size},"dangerous":${jarr(dangerous.toSeq)},""" +
           s""""n_wall_flagged":${wallFlagged.size},"wall_flagged":${jarr(wallFlagged.toSeq)},""" +
           s""""unexplained_slow":${jarr(unexplainedSlow.toSeq)}}""")
+      case "isolate" :: dir :: names :: rest if rest.size <= 1 =>
+        // Isolated per-query p50/p90 (round-14, VERDICT-r13 #4): the
+        // bench artifact measures every query inside a 238-query sweep,
+        // where a flagged 1.3x can be accumulated-JVM-state noise rather
+        // than a plan regression (r13: one paired run read 73 s where
+        // the isolated run read 15.5 s from post-batch heap state).
+        // This mode is the tie-breaker: fresh-session, one query family
+        // at a time, warm-up + N timed runs, p50/p90/min/max printed as
+        // one JSON line per query — the protocol a twice-flagged bench
+        // diff is settled against before bisecting code.
+        val reps = rest.headOption.map(_.toInt).getOrElse(9)
+        names.split(",").map(_.trim).foreach { q =>
+          val (ts, rows, _) = timeQuery(s, q, dir, runs = reps)
+          val sorted = ts.sorted
+          def pct(p: Double) =
+            sorted(math.min(sorted.size - 1, (p * sorted.size).toInt))
+          println(f"""{"isolate":"$q","dir":"$dir","runs":$reps,""" +
+            f""""p50_ms":${pct(0.5)}%.0f,"p90_ms":${pct(0.9)}%.0f,""" +
+            f""""min_ms":${sorted.head}%.0f,"max_ms":${sorted.last}%.0f,""" +
+            f""""rows":$rows}""")
+        }
       case "recall" :: dir :: rest if rest.size <= 1 =>
         // FULL-corpus IVF pair recall (round-10 VERDICT #3): the brute
         // exact denominator over the whole audit corpus vs the memoized
@@ -544,7 +565,7 @@ object ScaleUpBench {
             f""""recall_ppm":${rec.getLong(2)}}""")
         }
       case _ =>
-        System.err.println("usage: gen <src> <out> <factor> [tables] | run <dirA> <dirB> <q1,q2,...> [--once] | recall <dir> [w1,w2] | recall100 <dir> | nprobe <dir> <w1,w2,...> | candvol <dir1,dir2,...> | hierroute <dir> | incrrecall <dir> [cap] [t1,t2,...] [hieronly]")
+        System.err.println("usage: gen <src> <out> <factor> [tables] | run <dirA> <dirB> <q1,q2,...> [--once] | isolate <dir> <q1,q2,...> [reps] | recall <dir> [w1,w2] | recall100 <dir> | nprobe <dir> <w1,w2,...> | candvol <dir1,dir2,...> | hierroute <dir> | incrrecall <dir> [cap] [t1,t2,...] [hieronly]")
         sys.exit(2)
     }
     s.stop()
