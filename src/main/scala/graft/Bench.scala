@@ -243,8 +243,16 @@ object Bench {
     // rejects a still-bursty artifact as non-comparable instead of
     // shipping it into the diff chain.
     val MaxSpread = 1.15
+    // Convergence budget 3 -> 6 (round 14): on a host with multi-minute
+    // burst windows, three re-sweeps can ALL land inside one burst and
+    // the artifact is rejected even though the box reaches baseline
+    // speed between bursts (attempt totals 149.8/175.8/224.7 where the
+    // same box's quiet-window sweeps read 149-152 s — the min MATCHED
+    // the committed baseline). More tries = more chances at three
+    // genuinely comparable sweeps; the 1.15 acceptance bar is unchanged
+    // and the artifact still records every re-sweep in `resweeps`.
     var spreadTries = 0
-    while (spreadTries < 3 && {
+    while (spreadTries < 6 && {
       val t = totals(runsCpu).filter(_ > 0)
       t.nonEmpty && t.max > MaxSpread * t.min
     }) {

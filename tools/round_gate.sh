@@ -36,6 +36,7 @@ while [[ $# -gt 0 ]]; do
   case "$1" in
     --quick) QUICK=1; shift ;;
     --prev) PREV="$2"; shift 2 ;;
+    --only) ONLY="$2"; shift 2 ;;
     *) echo "unknown arg: $1" >&2; exit 2 ;;
   esac
 done
@@ -49,8 +50,19 @@ mkdir -p "$OUT"
 declare -A RES
 fail_any=0
 
+# --only <s1,s2>: re-run a subset of stages, marking the rest skipped —
+# the RE-SWEEP path for load-sensitive stages (round 14): a bench
+# artifact the spread gate rejects is non-comparable and "must be
+# re-swept, not committed"; this makes the re-sweep itself a gate run
+# (one machine-readable line, no prose adjudication). A line produced
+# this way only counts next to a same-session full-gate line covering
+# the skipped stages.
+ONLY=${ONLY:-}
+wanted() { [[ -z "$ONLY" || ",$ONLY," == *",$1,"* ]]; }
+
 stage() { # name cmd...
   local name="$1"; shift
+  if ! wanted "$name"; then RES[$name]=skipped; return; fi
   echo "=== round_gate: $name ===" >&2
   if "$@" > "$OUT/$name.log" 2>&1; then
     RES[$name]=pass
@@ -98,7 +110,7 @@ fi
 # poison p90s; the committed-quiet-artifact policy, memory r11)
 RES[bench]=skipped
 RES[benchdiff]=skipped
-if [[ $QUICK -eq 0 ]]; then
+if [[ $QUICK -eq 0 ]] && wanted bench; then
   # The gate's own earlier stages (test/verify/scaleAudit) leave the 1-min
   # loadavg elevated for a couple of minutes after they finish — an instant
   # check here would ALWAYS skip bench when the full gate runs end-to-end.
