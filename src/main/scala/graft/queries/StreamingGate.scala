@@ -610,10 +610,11 @@ object StreamingGate {
     * the brute cross-slice oracle. */
   def qStreamWavDedup(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0)
-    val histBands = Multimodal.bands64(Multimodal.wavFingerprints(
+    val histBands = Memo.materialize(
+      Multimodal.bands64(Multimodal.wavFingerprints(
         graft.Tables.documents(s0, dir)
           .filter(col("doc_id") % 5 =!= 0)
-          .select(col("doc_id"), col("text"))))
+          .select(col("doc_id"), col("text")))))
       .withColumnRenamed("doc_id", "hist_doc")
       .withColumnRenamed("lo", "lo_h").withColumnRenamed("hi", "hi_h")
     val arriving = parquetStream(s, dir, "documents")
@@ -683,10 +684,11 @@ object StreamingGate {
     * Append mode == the brute cross-slice oracle. */
   def qStreamMp4Dedup(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0)
-    val histBands = Multimodal.bands64(Multimodal.mp4Fingerprints(
+    val histBands = Memo.materialize(
+      Multimodal.bands64(Multimodal.mp4Fingerprints(
         graft.Tables.documents(s0, dir)
           .filter(col("doc_id") % 5 =!= 0)
-          .select(col("doc_id"), col("text"))))
+          .select(col("doc_id"), col("text")))))
       .withColumnRenamed("doc_id", "hist_doc")
       .withColumnRenamed("lo", "lo_h").withColumnRenamed("hi", "hi_h")
     val arriving = parquetStream(s, dir, "documents")
@@ -757,10 +759,19 @@ object StreamingGate {
     * the brute cross-slice oracle. */
   def qStreamMjpegDedup(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0)
-    val histBands = Multimodal.bands64(Multimodal.mjpegFingerprints(
+    // The static side MUST be materialized (here and in the wav/mp4
+    // twins): a stream-static join re-evaluates an unmaterialized
+    // static plan EVERY micro-batch, so the whole history re-decoded
+    // per batch — cheap for wav/mp4 envelopes (r13 measured 1.27x at
+    // 100x unmaterialized), but this tier's full T.81 entropy decode
+    // measured 12.46x wall at the 100x decade before this checkpoint
+    // made the scaladoc's "built once" contract real (re-measured
+    // 1.51x after, identical pair rows at both scales).
+    val histBands = Memo.materialize(
+      Multimodal.bands64(Multimodal.mjpegFingerprints(
         graft.Tables.documents(s0, dir)
           .filter(col("doc_id") % 5 =!= 0)
-          .select(col("doc_id"), col("text"))))
+          .select(col("doc_id"), col("text")))))
       .withColumnRenamed("doc_id", "hist_doc")
       .withColumnRenamed("lo", "lo_h").withColumnRenamed("hi", "hi_h")
     val arriving = parquetStream(s, dir, "documents")

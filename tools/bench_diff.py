@@ -28,6 +28,35 @@ RATIO_FLAG = 1.25
 ABS_FLAG_MS = 300.0
 DECODE_DROP_FLAG = 0.75  # new/old below this = >25% throughput drop
 
+# DECLARED COSTS (round 14) — the bench-diff analog of the scale audit's
+# NamedSuperlinear map: when a round SHIPS a deliberate perf-for-quality
+# trade, diffing against a baseline that predates the trade flags the
+# affected queries even though the cost was declared and bought something
+# (here: IvfIncrHierCellsPerGroup 3 -> 4 = 1.33x candidate volume for
+# +6.2 pp true recall at the 100x decade, commit 2ddd315, plus the routed
+# level-1 build's constant overhead at sf0.1's toy cell count). Entries
+# are scoped to the EXPLICIT pre-trade baselines they excuse — a future
+# diff against a baseline that already includes the trade gets no
+# exemption, so the map cannot mask a real regression going forward.
+# A declared query whose ratio exceeds its declared envelope still fails.
+DECLARED_COSTS = {
+    "q_dedup_embed_incr_hier": {
+        "max_ratio": 2.0,
+        "applies_to_baselines": ["BENCH_LOCAL_r14base.json", "BENCH_LOCAL_r13b.json", "BENCH_LOCAL_r13.json"],
+        "reason": "t=4 per-group cell budget (1.33x candidates, declared) + routed build constant overhead at sf0.1 k",
+    },
+    "q_ivf_incr_balance": {
+        "max_ratio": 2.0,
+        "applies_to_baselines": ["BENCH_LOCAL_r14base.json", "BENCH_LOCAL_r13b.json", "BENCH_LOCAL_r13.json"],
+        "reason": "audits the t=4 incremental index (shares its build + probe relations)",
+    },
+    "q_stream_embeddedup_hier": {
+        "max_ratio": 2.0,
+        "applies_to_baselines": ["BENCH_LOCAL_r14base.json", "BENCH_LOCAL_r13b.json", "BENCH_LOCAL_r13.json"],
+        "reason": "streaming twin of the t=4 incremental router",
+    },
+}
+
 
 def load(path):
     with open(path) as f:
@@ -88,7 +117,16 @@ def main(old_path, new_path):
     added = sorted(set(qn) - set(qo))
     removed = sorted(set(qo) - set(qn))
 
+    import os
+    base_name = os.path.basename(old_path)
+
+    def declared(q, ratio):
+        e = DECLARED_COSTS.get(q)
+        return bool(e) and base_name in e["applies_to_baselines"] \
+            and ratio <= e["max_ratio"] * wall_scale
+
     flagged = []
+    declared_cost = []
     improved = []
     ratios = []
     for q in shared:
@@ -99,7 +137,10 @@ def main(old_path, new_path):
         delta_ms = (b - a) * 1000.0
         ratios.append(ratio)
         if ratio > RATIO_FLAG * wall_scale and delta_ms > ABS_FLAG_MS:
-            flagged.append((q, a, b, ratio, delta_ms))
+            if declared(q, ratio):
+                declared_cost.append((q, a, b, ratio, delta_ms))
+            else:
+                flagged.append((q, a, b, ratio, delta_ms))
         elif ratio < 1.0 / RATIO_FLAG and -delta_ms > ABS_FLAG_MS:
             improved.append((q, a, b, ratio, delta_ms))
 
@@ -127,6 +168,12 @@ def main(old_path, new_path):
                   f"({r:.2f}x, +{d:.0f} ms)")
     else:
         print(f"\nno per-query regression exceeds {RATIO_FLAG}x + {ABS_FLAG_MS:.0f} ms")
+    if declared_cost:
+        print("declared costs (shipped trade vs a pre-trade baseline — "
+              "reported, not failing):")
+        for q, a, b, r, d in sorted(declared_cost, key=lambda t: -t[4]):
+            print(f"  {q:32s} {a * 1000:8.0f} ms -> {b * 1000:8.0f} ms  "
+                  f"({r:.2f}x)  [{DECLARED_COSTS[q]['reason']}]")
     if improved:
         print(f"improvements past the same bar: "
               + ", ".join(f"{q} ({r:.2f}x)" for q, _, _, r, _ in improved))
@@ -155,6 +202,7 @@ def main(old_path, new_path):
         "total_ratio": round(tot_new / tot_old, 3) if tot_old else None,
         "median_ratio": round(median_ratio, 3) if ratios else None,
         "flagged": [q for q, *_ in flagged],
+        "declared_cost": [q for q, *_ in declared_cost],
         "improved": [q for q, *_ in improved],
         "decode": decode_table,
         "decode_flagged": decode_flags,
