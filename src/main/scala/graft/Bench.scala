@@ -87,7 +87,9 @@ object Bench {
       totalsPerRun: Seq[Double], resweeps: Int, decodeResweeps: Int,
       loadavg: Seq[Double] = Seq(), cpuPerRun: Seq[Double] = Seq(),
       contended: Boolean = false,
-      spreadRatio: Double = -1.0, spreadExceeded: Boolean = false): String = {
+      spreadRatio: Double = -1.0, spreadExceeded: Boolean = false,
+      perExecP90: Map[String, Double] = Map(),
+      perSetup: Map[String, Double] = Map()): String = {
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
     def jmap(m: Map[String, Double]): String =
       names.map(n => s"\"" + n + "\":" + r3(m(n))).mkString("{", ",", "}")
@@ -97,7 +99,21 @@ object Bench {
     val qMsArr = names.map(n =>
       if (perP50(n) < 0) -1L else math.rint(perP50(n) * 1000).toLong)
       .mkString("[", ",", "]")
-    s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$NRuns,"sf":"$sfDir","env":$env,"queries_p90":${jmap(perP90)},"queries":${jmap(perP50)},"queries_ms":$qMs,"decode_rec_per_s":${decodeRate.round},"decode92_rec_per_s":${trimmedP50(decodeRuns).round},"decode92_runs":[${decodeRuns.map(_.round).mkString(",")}],"decode92_2m_rec_per_s":${trimmedP50(decode2mRuns).round},"decode92_2m_max":${decode2mRuns.max.round},"decode92_2m_runs":[${decode2mRuns.map(_.round).mkString(",")}],"totals_per_run":[${totalsPerRun.map(r3).mkString(",")}],"spread_ratio":${r3(spreadRatio)},"spread_exceeded":$spreadExceeded,"cpu_per_run":[${cpuPerRun.map(r3).mkString(",")}],"loadavg":[${loadavg.map(r3).mkString(",")}],"contended":$contended,"resweeps":$resweeps,"decode_resweeps":$decodeResweeps,"names_sha":"${namesDigest(names)}","n_queries":${names.length},"queries_ms_arr":$qMsArr}"""
+    // Harness-setup split (round 15, VERDICT-r14 #6): queries_exec_p90 is
+    // the per-query p90 with the streaming-harness constant (StreamMeter)
+    // subtracted — the number bench_diff compares when both artifacts
+    // carry it; queries_setup_ms is the p50 harness constant itself
+    // (0 for batch queries). Both ride EARLY in the line, ahead of the
+    // tail-safe payload, so the ~2000-char tail budget is untouched.
+    val execP90 = names.map(n => perExecP90.getOrElse(n, perP90.getOrElse(n, -1.0)))
+    val execMap = names.zip(execP90)
+      .map { case (n, v) => s"\"" + n + "\":" + r3(v) }.mkString("{", ",", "}")
+    val setupMs = names.map(n => s"\"" + n + "\":" + {
+      val v = perSetup.getOrElse(n, 0.0)
+      if (v < 0) -1L else math.rint(v * 1000).toLong
+    }).mkString("{", ",", "}")
+    val setupSec = r3(perSetup.values.filter(_ > 0).sum)
+    s"""{"metric":"total","value":$total,"unit":"sec","n_runs":$NRuns,"sf":"$sfDir","env":$env,"queries_exec_p90":$execMap,"queries_setup_ms":$setupMs,"stream_setup_sec":$setupSec,"queries_p90":${jmap(perP90)},"queries":${jmap(perP50)},"queries_ms":$qMs,"decode_rec_per_s":${decodeRate.round},"decode92_rec_per_s":${trimmedP50(decodeRuns).round},"decode92_runs":[${decodeRuns.map(_.round).mkString(",")}],"decode92_2m_rec_per_s":${trimmedP50(decode2mRuns).round},"decode92_2m_max":${decode2mRuns.max.round},"decode92_2m_runs":[${decode2mRuns.map(_.round).mkString(",")}],"totals_per_run":[${totalsPerRun.map(r3).mkString(",")}],"spread_ratio":${r3(spreadRatio)},"spread_exceeded":$spreadExceeded,"cpu_per_run":[${cpuPerRun.map(r3).mkString(",")}],"loadavg":[${loadavg.map(r3).mkString(",")}],"contended":$contended,"resweeps":$resweeps,"decode_resweeps":$decodeResweeps,"names_sha":"${namesDigest(names)}","n_queries":${names.length},"queries_ms_arr":$qMsArr}"""
   }
 
   /** 1-minute load average from /proc/loadavg; -1 if unreadable. */
@@ -205,19 +221,26 @@ object Bench {
     // N timed sweeps; each query's p50/p90 over them. Each sweep also
     // records the process-CPU seconds it consumed (wall >> cpu/cores with
     // a high loadavg = an externally contended measurement).
-    def sweep(): (Map[String, Double], Double) = {
+    // Each query records (wall, harness-setup) — setup is the StreamMeter
+    // delta across the invocation (0 for batch queries), so the artifact
+    // can split Trigger.AvailableNow machinery from plan execution
+    // (round 15, VERDICT-r14 #6).
+    def sweep(): (Map[String, (Double, Double)], Double) = {
       val cpu0 = processCpuSec()
       val m = SparkEntry.queries.map { case (name, fn) =>
+        val s0 = graft.streaming.StreamMeter.setupNanos
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val setup = (graft.streaming.StreamMeter.setupNanos - s0) / 1e9
+        name -> (if (ok) (wall, math.min(setup, wall)) else (-1.0, -1.0))
       }
       val cpu1 = processCpuSec()
       (m, if (cpu0 < 0 || cpu1 < 0) -1.0 else cpu1 - cpu0)
     }
-    var runsCpu: Seq[(Map[String, Double], Double)] = (1 to NRuns).map(_ => sweep())
-    def totals(rs: Seq[(Map[String, Double], Double)]): Seq[Double] =
-      rs.map(_._1.values.filter(_ >= 0).sum)
+    var runsCpu: Seq[(Map[String, (Double, Double)], Double)] = (1 to NRuns).map(_ => sweep())
+    def totals(rs: Seq[(Map[String, (Double, Double)], Double)]): Seq[Double] =
+      rs.map(_._1.values.map(_._1).filter(_ >= 0).sum)
     // Contention guard: one sweep >3x the fastest is external load (the
     // engine does not get 3x slower between back-to-back identical runs);
     // re-run it once and record that the guard fired.
@@ -265,7 +288,8 @@ object Bench {
     val spreadRatio =
       if (tsAfter.isEmpty || tsAfter.min <= 0) -1.0 else tsAfter.max / tsAfter.min
     val spreadExceeded = spreadRatio > MaxSpread
-    val runs: Seq[Map[String, Double]] = runsCpu.map(_._1)
+    val runs: Seq[Map[String, Double]] = runsCpu.map(_._1.map { case (k, v) => k -> v._1 })
+    val setupRuns: Seq[Map[String, Double]] = runsCpu.map(_._1.map { case (k, v) => k -> v._2 })
     val cpuPerRun: Seq[Double] = runsCpu.map(_._2)
     val names = SparkEntry.queries.keys.toSeq.sorted
     val perP50 = names.map { n =>
@@ -275,6 +299,16 @@ object Bench {
     val perP90 = names.map { n =>
       val xs = runs.map(_(n))
       n -> (if (xs.exists(_ < 0)) -1.0 else xs.max)
+    }.toMap
+    val perSetup = names.map { n =>
+      val xs = setupRuns.map(_(n))
+      n -> (if (xs.exists(_ < 0)) -1.0 else p50(xs))
+    }.toMap
+    // p90 of per-run EXECUTION time (wall minus that run's own harness
+    // setup) — pairing wall and setup within a run, not p90s across runs
+    val perExecP90 = names.map { n =>
+      val xs = runs.map(_(n)).zip(setupRuns.map(_(n))).map { case (w, s) => w - math.max(s, 0.0) }
+      n -> (if (runs.map(_(n)).exists(_ < 0)) -1.0 else xs.max)
     }.toMap
     val totalsPerRun = totals(runsCpu)
 
@@ -302,7 +336,8 @@ object Bench {
       decodeRuns, decode2mRuns, totalsPerRun, resweeps, decodeResweeps,
       loadavg = Seq(loadStart, loadAtDecode, loadEnd), cpuPerRun = cpuPerRun,
       contended = contended,
-      spreadRatio = spreadRatio, spreadExceeded = spreadExceeded)
+      spreadRatio = spreadRatio, spreadExceeded = spreadExceeded,
+      perExecP90 = perExecP90, perSetup = perSetup)
     // Belt and braces: the full line also lands in the repo, immune to any
     // stdout tail capture. SPARK_GRAFT_BENCH_OUT names the file so a
     // round's full artifact can be COMMITTED as BENCH_LOCAL_r{N}.json

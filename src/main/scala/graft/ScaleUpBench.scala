@@ -313,8 +313,23 @@ object ScaleUpBench {
         // This mode is the tie-breaker: fresh-session, one query family
         // at a time, warm-up + N timed runs, p50/p90/min/max printed as
         // one JSON line per query — the protocol a twice-flagged bench
-        // diff is settled against before bisecting code.
-        val reps = rest.headOption.map(_.toInt).getOrElse(9)
+        // diff is settled against before bisecting code. NOTE (ADVICE
+        // r14): a comma list shares one SparkSession+JVM across the
+        // named queries — fine for a quick sweep, but the TIE-BREAKER
+        // protocol is one name per invocation (fresh JVM each), since
+        // accumulated session state is exactly the noise being excluded.
+        val reps = rest.headOption.map { r =>
+          val n = try r.toInt catch {
+            case _: NumberFormatException =>
+              System.err.println(s"isolate: reps must be an integer >= 1, got '$r'")
+              sys.exit(2)
+          }
+          if (n < 1) {
+            System.err.println(s"isolate: reps must be >= 1, got $n")
+            sys.exit(2)
+          }
+          n
+        }.getOrElse(9)
         names.split(",").map(_.trim).foreach { q =>
           val (ts, rows, _) = timeQuery(s, q, dir, runs = reps)
           val sorted = ts.sorted

@@ -2946,6 +2946,38 @@ object Dedup {
     * silently. Asserted by `ScaleUpBench recall100`. */
   private[graft] val IvfIncrHier100xRecallFloorPpm = 765000L
 
+  /** DECLARED LEVEL-2 ROUTER BOUNDARY (round 15, VERDICT-r14 #4): the
+    * history-vector count past which the √k-routed index BUILD needs a
+    * THIRD router level (k^(1/3)-branching, the same [[levelOneOf]]
+    * shape wrapped one level up — the machinery is factored for exactly
+    * that composition).
+    *
+    * Cost model, from the shipped constants (asserted against them by
+    * ScaleAuditSpec so a knob change must revisit this boundary): the
+    * routed build scores, per history vector,
+    *
+    *   perVec(n) = g + w1·gsz·mg ≈ (1 + w1·mg)·√(n/C)
+    *
+    * cosines (g ≈ gsz ≈ √k level-1 groups / group size, k = n/C fine
+    * cells, C = [[IvfTargetCellSize]], w1 = [[IvfHierProbeGroups]],
+    * mg = [[IvfIncrHierGroupAssign]]) — Θ(n^1.5/√C) total, growing
+    * 10^1.5 ≈ 31.6x per decade vs the flat build's 100x. Measured
+    * anchors: 1.32e9 cosines at the 1000x corpus (n_hist = 1.6e6,
+    * 827/vector — SCALEUP_r14/r15), 10.1x cheaper than flat there.
+    * At the boundary below, perVec(1e8) = 9·√(1e8/192) ≈ 6.5e3 — the
+    * last decade inside [[IvfHierBuildMaxCosPerVec]]; one more decade
+    * (1e9 → perVec ≈ 2.05e4) blows the budget, and a third level
+    * (balanced k^(1/3) branching ≈ (1 + w2)·(w1 + 1)·k^(1/3)-shaped
+    * per-vector work, ~1.2e3 at 1e9) is the documented tier. Until
+    * that tier exists, running this index past the boundary is an
+    * UNDECLARED cost — the same contract as NamedSuperlinear. */
+  private[graft] val IvfHierLevel2MaxHistVectors = 1.0e8
+
+  /** Per-vector cosine budget the level-2 routed build must respect at
+    * [[IvfHierLevel2MaxHistVectors]] (see its scaladoc for the model
+    * and the measured anchors). */
+  private[graft] val IvfHierBuildMaxCosPerVec = 8192L
+
   /** Recall of an incremental (new_vec, hist_vec) pair relation against
     * the EXACT cross-slice pair set on a bounded per-shard id slice
     * (vec_id % stride < cap — the audit corpora re-key copies by a

@@ -724,6 +724,7 @@ object Multimodal {
         unhex(concat((0 until 4).map(j => md5(concat(col("text"), lit(j.toString)))): _*)).as("stream"))
       .as[(Long, Array[Byte])]
       .map { case (id, stream) =>
+        MediaProbe.inc("wav_fingerprint")
         val samples = stream.map(b => ((b & 0xFF) * 257 - 32768).toShort)
         val clip = MediaFunctions.decodeWavPcm16(
           MediaFunctions.encodeWavPcm16(
@@ -894,6 +895,7 @@ object Multimodal {
         unhex(concat((0 until 4).map(j => md5(concat(col("text"), lit(j.toString)))): _*)).as("stream"))
       .as[(Long, Array[Byte])]
       .map { case (id, stream) =>
+        MediaProbe.inc("mp4_fingerprint")
         val frames = Array(
           stream.slice(0, 8), stream.slice(8, 24),
           stream.slice(24, 48), stream.slice(48, 64))
@@ -1028,6 +1030,7 @@ object Multimodal {
         unhex(concat((0 until 4).map(j => md5(concat(col("text"), lit(j.toString)))): _*)).as("stream"))
       .as[(Long, Array[Byte])]
       .map { case (id, stream) =>
+        MediaProbe.inc("mjpeg_fingerprint")
         val k = 1 + (id % 4).toInt
         val jpegFrames = Array.tabulate(4)(f =>
           graft.functions.Jpeg.encodeJpegGrayTiled(4, 4,

@@ -60,7 +60,20 @@ object StreamingGate {
     // the fixture is one file per table, so address it as a
     // single-match glob — [t] matches only the literal file, and the
     // stream's base path resolves to `dir`.
-    s.readStream.schema(schema).parquet(s"$dir/$table.parque[t]")
+    //
+    // graft.stream.maxFilesPerTrigger (JVM system property, TEST-ONLY):
+    // forces multi-micro-batch drains when the fixture table is a
+    // directory of several part files. StreamStaticWriteOnceSpec uses it
+    // to prove the write-once stream-static contract — decode counts
+    // must not grow with batch count (the r14 12.46x bug class). The
+    // property (not session conf) because the per-gate newSession()
+    // clones do not inherit runtime conf sets. Every gated plan here is
+    // batch-count-invariant (no watermark; append dedup keys emit once),
+    // so the knob changes scheduling, never results.
+    val r = s.readStream.schema(schema)
+    sys.props.get("graft.stream.maxFilesPerTrigger")
+      .foldLeft(r)((b, n) => b.option("maxFilesPerTrigger", n))
+      .parquet(s"$dir/$table.parque[t]")
   }
 
   /** The events fixture as a stream with `ts` normalized to session-tz
@@ -681,6 +694,9 @@ object StreamingGate {
     * text-derived — container invariance proven on the stream too
     * (round 14: the previous *5+4000000 re-key was ≡ id mod 2 and
     * mod 4, leaving the timescale and dims knobs unexercised).
+    * CONTAINER-ONLY tier (the per-frame hash reads raw demuxed payload
+    * bytes) — [[qStreamMjpegDedup]] / q_mm_mjpeg_dedup is the
+    * decoded-PIXEL sibling that survives conformant re-encodes.
     * Append mode == the brute cross-slice oracle. */
   def qStreamMp4Dedup(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0)

@@ -549,6 +549,7 @@ object StreamingEtl {
     * Complete mode keeps the full result (test/inspection use). */
   def runToMemory(df: DataFrame, queryName: String, checkpoint: String,
                   outputMode: String = "complete"): Unit = {
+    val t0 = System.nanoTime()
     val q = df.writeStream
       .format("memory")
       .queryName(queryName)
@@ -557,6 +558,16 @@ object StreamingEtl {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // harness-setup accounting (see StreamMeter): wall minus the sum of
+    // the engine's own per-batch triggerExecution walls. recentProgress
+    // retains the last ~100 progress entries — far above any
+    // AvailableNow drain here (single-digit batches).
+    val wall = System.nanoTime() - t0
+    val execMs = q.recentProgress.map { p =>
+      val d = p.durationMs.get("triggerExecution")
+      if (d == null) 0L else d.longValue()
+    }.sum
+    StreamMeter.addSetup(wall - execMs * 1000000L)
   }
 
   /** Open-session state for [[sessionizeStream]]. Seconds granularity

@@ -165,4 +165,30 @@ class ScaleAuditSpec extends AnyFunSuite {
       s"full-corpus hier recall ${row.getLong(2)} ppm fell below the declared " +
         s"floor $floor ppm (${row.getLong(1)}/${row.getLong(0)} pairs)")
   }
+
+  test("level-2 router boundary constant is consistent with the shipped cost model (round-15, VERDICT-r14 #4)") {
+    // The √k-routed index build costs perVec(n) = g + w1·gsz·mg ≈
+    // (1 + w1·mg)·√(n/C) cosines per history vector (Θ(n^1.5/√C) total,
+    // 31.6x per decade). Past Dedup.IvfHierLevel2MaxHistVectors the
+    // documented next tier is a THIRD router level (k^(1/3) branching);
+    // until that tier exists, the boundary is a DECLARED limit — the
+    // NamedSuperlinear contract for the build path. This test pins the
+    // declaration to the shipped knobs: retune w1/mg/C or the budget and
+    // the boundary constant must be revisited here, not drift silently.
+    import graft.queries.Dedup
+    val c = Dedup.IvfTargetCellSize.toDouble
+    val perVec = (n: Double) =>
+      (1 + Dedup.IvfHierProbeGroups * Dedup.IvfIncrHierGroupAssign) * math.sqrt(n / c)
+    // measured anchor: SCALEUP_r14's 1000x line = 827 cosines/vector at
+    // n_hist = 1.6e6 (g=91 + 8·gsz=92); the closed form must agree
+    val anchor = perVec(1.6e6)
+    assert(math.abs(anchor - 827.0) / 827.0 < 0.02,
+      s"cost model drifted from the measured 1000x anchor: $anchor vs 827")
+    // the boundary is the LAST decade inside the per-vector budget…
+    assert(perVec(Dedup.IvfHierLevel2MaxHistVectors) <= Dedup.IvfHierBuildMaxCosPerVec,
+      "declared boundary already exceeds the build budget — move the boundary down")
+    // …and the NEXT decade blows it, so the boundary is tight, not slack
+    assert(perVec(10 * Dedup.IvfHierLevel2MaxHistVectors) > Dedup.IvfHierBuildMaxCosPerVec,
+      "budget still holds a decade past the declared boundary — boundary is stale/too conservative")
+  }
 }

@@ -111,8 +111,22 @@ def main(old_path, new_path):
               f"per-query regression bar rescaled by {wall_scale:.2f}x")
 
     # --- per-query diff -----------------------------------------------------
-    qo = old.get("queries_p90") or old.get("queries") or {}
-    qn = new.get("queries_p90") or new.get("queries") or {}
+    # Basis (round 15, VERDICT-r14 #6): when BOTH artifacts carry the
+    # harness-split execution p90s (queries_exec_p90 = wall minus the
+    # Trigger.AvailableNow setup constant measured by StreamMeter), diff
+    # THOSE — the ~1-2 s/query streaming-harness constant is ~40% of the
+    # registry wall and has repeatedly flagged phantom regressions under
+    # box-scheduler shifts. Wall p90 remains the fallback so old
+    # artifacts stay diffable.
+    basis = "exec"
+    qo = old.get("queries_exec_p90") or {}
+    qn = new.get("queries_exec_p90") or {}
+    if not (qo and qn):
+        basis = "wall"
+        qo = old.get("queries_p90") or old.get("queries") or {}
+        qn = new.get("queries_p90") or new.get("queries") or {}
+    print(f"per-query basis: {basis} p90"
+          + ("" if basis == "exec" else " (exec split absent in one artifact)"))
     shared = sorted(set(qo) & set(qn))
     added = sorted(set(qn) - set(qo))
     removed = sorted(set(qo) - set(qn))
@@ -121,9 +135,13 @@ def main(old_path, new_path):
     base_name = os.path.basename(old_path)
 
     def declared(q, ratio):
+        # the declared envelope applies to the shift-NORMALIZED ratio
+        # (ADVICE r14: multiplying the envelope by wall_scale compounded
+        # the two exemptions — a 1.25x box shift would have let a
+        # declared query regress 2.5x without failing)
         e = DECLARED_COSTS.get(q)
         return bool(e) and base_name in e["applies_to_baselines"] \
-            and ratio <= e["max_ratio"] * wall_scale
+            and ratio / wall_scale <= e["max_ratio"]
 
     flagged = []
     declared_cost = []
@@ -196,6 +214,7 @@ def main(old_path, new_path):
 
     result = {
         "comparable": True,
+        "basis": basis,
         "shared": len(shared),
         "added": added,
         "removed": removed,

@@ -58,6 +58,18 @@ fail_any=0
 # this way only counts next to a same-session full-gate line covering
 # the skipped stages.
 ONLY=${ONLY:-}
+# validate --only against the known stage list (ADVICE r14: a typo'd name
+# previously skipped every stage yet still emitted a green ROUND_GATE line)
+KNOWN_STAGES="test verify001 verify01 scaleaudit recall recall100 bench benchdiff leaks"
+if [[ -n "$ONLY" ]]; then
+  IFS=',' read -ra _only_arr <<< "$ONLY"
+  for _s in "${_only_arr[@]}"; do
+    if [[ " $KNOWN_STAGES " != *" $_s "* ]]; then
+      echo "round_gate: unknown --only stage '$_s' (known: $KNOWN_STAGES)" >&2
+      exit 2
+    fi
+  done
+fi
 wanted() { [[ -z "$ONLY" || ",$ONLY," == *",$1,"* ]]; }
 
 stage() { # name cmd...
@@ -136,7 +148,10 @@ import json, sys
 a = json.load(open('$new_bench'))
 sys.exit(1 if a.get('spread_exceeded', False) else 0)"; then
       RES[bench]=pass
-      [[ -z "$PREV" ]] && PREV=$(ls BENCH_LOCAL_r*.json 2>/dev/null | sort -V | tail -1)
+      # default baseline = latest POST-trade artifact: *base.json files are
+      # pre-trade same-box anchors whose DECLARED_COSTS exemptions must not
+      # stay active for future rounds (ADVICE r14)
+      [[ -z "$PREV" ]] && PREV=$(ls BENCH_LOCAL_r*.json 2>/dev/null | grep -v 'base\.json$' | sort -V | tail -1)
       if [[ -n "$PREV" && -f "$PREV" ]]; then
         if python3 tools/bench_diff.py "$PREV" "$new_bench" > "$OUT/benchdiff.log" 2>&1; then
           RES[benchdiff]=pass
