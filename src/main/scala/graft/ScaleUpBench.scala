@@ -213,11 +213,21 @@ object ScaleUpBench {
       "pairs also grow ~62x for 10x vectors (generator 4-sigma tail). " +
       "q_dedup_embed_incr_hier removes the sqrt growth (constant-size " +
       "cells behind a two-level router)"),
-    // q_dedup_embed_incr_hier's entry REMOVED in round 14: the named
-    // cause (flat n_hist*k build assignment) was fixed by routing the
-    // build through the level-1 router — measured 19.3x -> 3.49x at the
-    // 100x decade. If it ever re-exceeds the flag, it must land in
-    // unexplained_slow and be re-diagnosed, not auto-excused.
+    // q_dedup_embed_incr_hier's entry was REMOVED in round 14 (the
+    // flat-build cause was fixed by routing; 19.3x -> 3.49x at 100x)
+    // with the contract that any re-flag must be re-diagnosed, not
+    // auto-excused. Round 15 re-flagged it at the NEXT decade
+    // (100x -> 1000x cold: 41.6 s -> 609 s = 14.6x) and this entry is
+    // that diagnosis, with measured decomposition:
+    "q_dedup_embed_incr_hier" -> ("two DESIGNED superlinear components " +
+      "at the 1000x decade, both measured (SCALEUP_r15): OUTPUT pairs " +
+      "grow 50.1x for 10x vectors (57,569 -> 2,882,700 — the " +
+      "generator's cross-shard 4-sigma tail, the same property named " +
+      "on q_dedup_embed_ivf), and the routed index BUILD grows " +
+      "Theta(n^1.5/sqrt(C)) = 31.7x/decade on cosines (the declared " +
+      "level-2 tier; third level documented past " +
+      "IvfHierLevel2MaxHistVectors). The 14.6x total sits BELOW both " +
+      "named components; per-ARRIVAL probe cost stays flat by design"),
     "q_stream_embeddedup" -> ("per-batch probes join a history index " +
       "whose cell size grows as sqrt(n_hist) (the FLAT incremental " +
       "path keeps sqrt-cells so the streaming gate's collected " +
@@ -514,6 +524,37 @@ object ScaleUpBench {
               f""""wall_ms":${(System.nanoTime() - t0) / 1e6}%.0f}""")
           }
         }
+      case "incrsweep" :: dir :: cap :: combos :: Nil =>
+        // JOINT w1/m_i/m_g SWEEP at a deep decade (round 15, VERDICT-r14
+        // #5): w1 (probed level-1 groups), m_i (inverted-list
+        // multi-assignment) and m_g (cell->group multi-assignment) were
+        // 10x-anchored; this measures their recall economics where
+        // routing genuinely bites. Combos are `w1,mi[,mg]` triples
+        // separated by `;` (mg defaults to the shipped 1). Each line
+        // carries the arithmetic candidate-cost multiplier vs the
+        // shipped knobs ((w1*mi)/(8*4); per-arrival candidates are
+        // w1*t*mi*C-shaped, mg multiplies stage-2 map rows) plus the
+        // measured verified-pair count and wall. mi/mg change the
+        // INDEX, so those combos pay a fresh routed build; w1-only
+        // variations reuse the session-cached index.
+        import graft.queries.Dedup
+        combos.split("[;+]").map(_.trim).filter(_.nonEmpty).foreach { c =>
+          val parts = c.split(",").map(_.trim.toInt)
+          require(parts.length >= 2 && parts.length <= 3 && parts.forall(_ >= 1),
+            s"combo must be w1,mi[,mg] with all >= 1: '$c'")
+          val (w1, mi) = (parts(0), parts(1))
+          val mg = if (parts.length == 3) parts(2) else 1
+          val t0 = System.nanoTime()
+          val pairs = Dedup.qDedupEmbedIncrHier(s, dir, w1 = w1, mi = mi, mg = mg)
+          val nPairs = pairs.count()
+          val row = Dedup.incrRecallOf(s, dir, pairs, cap.toLong).collect()(0)
+          val cost = (w1 * mi) / 32.0
+          println(f"""{"incr_sweep":true,"dir":"$dir","w1":$w1,"mi":$mi,"mg":$mg,""" +
+            f""""cap":${cap.toLong},"cost_x":$cost%.3f,""" +
+            f""""n_exact":${row.getLong(0)},"n_hit":${row.getLong(1)},""" +
+            f""""recall_ppm":${row.getLong(2)},"out_pairs":$nPairs,""" +
+            f""""wall_ms":${(System.nanoTime() - t0) / 1e6}%.0f}""")
+        }
       case "hierroute" :: dir :: Nil =>
         // LEVEL-1 ROUTING RETENTION (round 13): what fraction of the
         // FLAT router's verified pair set the hierarchical router
@@ -580,7 +621,7 @@ object ScaleUpBench {
             f""""recall_ppm":${rec.getLong(2)}}""")
         }
       case _ =>
-        System.err.println("usage: gen <src> <out> <factor> [tables] | run <dirA> <dirB> <q1,q2,...> [--once] | isolate <dir> <q1,q2,...> [reps] | recall <dir> [w1,w2] | recall100 <dir> | nprobe <dir> <w1,w2,...> | candvol <dir1,dir2,...> | hierroute <dir> | incrrecall <dir> [cap] [t1,t2,...] [hieronly]")
+        System.err.println("usage: gen <src> <out> <factor> [tables] | run <dirA> <dirB> <q1,q2,...> [--once] | isolate <dir> <q1,q2,...> [reps] | recall <dir> [w1,w2] | recall100 <dir> | nprobe <dir> <w1,w2,...> | candvol <dir1,dir2,...> | hierroute <dir> | incrrecall <dir> [cap] [t1,t2,...] [hieronly] | incrsweep <dir> <cap> <w1,mi[;w1,mi...]>")
         sys.exit(2)
     }
     s.stop()

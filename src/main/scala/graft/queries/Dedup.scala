@@ -1839,6 +1839,31 @@ object Dedup {
     * linearly in stage-2 width; the knob saturates at g (every group
     * probed = flat semantics, the fixture-scale regime). */
   private[graft] val IvfHierProbeGroups = 8
+
+  /** Probe width of the INCREMENTAL router's arriving side (round 15,
+    * VERDICT-r14 #5 — split from [[IvfHierProbeGroups]], which keeps
+    * governing the pair path and the one-time index BUILD routing):
+    * w1 = 8 was 10x-anchored, and the first measured deep-decade sweeps
+    * showed it is the binding recall knob once g >> w1 (probe fraction
+    * w1/g shrinks each decade). Joint w1/m_i sweep at cap 500
+    * (`ScaleUpBench incrsweep`, SCALEUP_r15; cost_x = candidate volume
+    * vs the r14 knobs):
+    *
+    *   100x  (g = 32): w1 = 8  -> 768909 ppm  (1.0x)
+    *                   w1 = 12 -> 862576 ppm  (1.5x)   <- shipped
+    *   1000x (g = 91): w1 = 8  -> 383511 ppm  (1.0x)
+    *                   w1 = 16 -> (SCALEUP_r15 sweep line)
+    *
+    * w1 = 12 clears the verdict's 800000-ppm bar at exactly the 1.5x
+    * candidate budget; the declared cost rides bench_diff's
+    * DECLARED_COSTS against the r15base baseline. PRODUCTION GUIDANCE
+    * (measured, not hypothetical): recall at constant w1 decays with
+    * the probe fraction w1/g ~ w1/√(n/C) — a deployment crossing
+    * decades should scale w1 with g (constant fraction, per-arrival
+    * cost then grows as √k) or add the third router level documented
+    * at [[IvfHierLevel2MaxHistVectors]]. */
+  private[graft] val IvfIncrHierProbeGroups = 12
+
   /** Groups each FINE CELL is indexed into (the cell->group map is
     * multi-assigned, mirroring the incremental index's m=4) — the
     * straddling-boundary knob, swept at w1=8 against the 100x audit
@@ -2098,7 +2123,7 @@ object Dedup {
     import s.implicits._
     val (_, gcells, _) = embedIncrHierStatic(s, dir)
     groupBalanceOf(gcells.select($"g_id", $"c_id"),
-      embedIncrHierGpr(s, dir, IvfHierProbeGroups, IvfIncrHierGroupAssign))
+      embedIncrHierGpr(s, dir, IvfIncrHierProbeGroups, IvfIncrHierGroupAssign))
   }
 
   /** The gpr/gmap -> balance aggregation tail shared by both group-
@@ -2459,14 +2484,15 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), LazyHier]()
 
   private[graft] def embedIncrHierStatic(s: SparkSession, dir: String,
-      mg: Int = IvfIncrHierGroupAssign): (DataFrame, DataFrame, DataFrame) = {
+      mg: Int = IvfIncrHierGroupAssign, mi: Int = IvfIncrIndexAssign)
+      : (DataFrame, DataFrame, DataFrame) = {
     embedIncrHierCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    embedIncrHierCache.computeIfAbsent((s, dir, mg), _ =>
-      new LazyHier(() => embedIncrHierStaticBuild(s, dir, mg))).v
+    embedIncrHierCache.computeIfAbsent((s, dir, mg * 1000 + mi), _ =>
+      new LazyHier(() => embedIncrHierStaticBuild(s, dir, mg, mi))).v
   }
 
-  private def embedIncrHierStaticBuild(s: SparkSession, dir: String, mg: Int)
-      : (DataFrame, DataFrame, DataFrame) = {
+  private def embedIncrHierStaticBuild(s: SparkSession, dir: String, mg: Int,
+      mi: Int = IvfIncrIndexAssign): (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val v = Similarity.withDoubles(
       Tables.embeddings(s, dir)
@@ -2514,7 +2540,7 @@ object Dedup {
     // (dedup of duplicate (vec, cell) candidates only needed when the
     // cell→group map multi-assigns).
     val lists = routedTopM(hist, l1, gmap, c1,
-        IvfHierProbeGroups, IvfIncrIndexAssign, dedup = mg > 1)
+        IvfHierProbeGroups, mi, dedup = mg > 1)
       .join(hist.select($"vec_id", $"vd"), Seq("vec_id"))
     (l1, Memo.materialize(gcells), Memo.materialize(lists))
   }
@@ -2559,9 +2585,9 @@ object Dedup {
     * top-w1 groups over the bounded level-1 centroid set — shared by
     * the probe relation and the group-balance audit. */
   private def embedIncrHierGpr(s: SparkSession, dir: String,
-      w1: Int, mg: Int): DataFrame = {
+      w1: Int, mg: Int, mi: Int = IvfIncrIndexAssign): DataFrame = {
     import s.implicits._
-    val (l1, _, _) = embedIncrHierStatic(s, dir, mg)
+    val (l1, _, _) = embedIncrHierStatic(s, dir, mg, mi)
     val topg = new graft.functions.TopKAggregator(w1).toColumn
     embedIncrNew(s, dir).select($"vec_id", $"vd")
       .crossJoin(broadcast(l1.select($"g_id", $"gd")))
@@ -2575,12 +2601,12 @@ object Dedup {
   }
 
   private[graft] def embedIncrHierProbes(s: SparkSession, dir: String,
-      w1: Int = IvfHierProbeGroups, t: Int = IvfIncrHierCellsPerGroup,
-      mg: Int = IvfIncrHierGroupAssign): DataFrame = {
+      w1: Int = IvfIncrHierProbeGroups, t: Int = IvfIncrHierCellsPerGroup,
+      mg: Int = IvfIncrHierGroupAssign, mi: Int = IvfIncrIndexAssign): DataFrame = {
     import s.implicits._
-    val (_, gcells, _) = embedIncrHierStatic(s, dir, mg)
+    val (_, gcells, _) = embedIncrHierStatic(s, dir, mg, mi)
     val nw = embedIncrNew(s, dir)
-    val gpr = embedIncrHierGpr(s, dir, w1, mg)
+    val gpr = embedIncrHierGpr(s, dir, w1, mg, mi)
     // stage 2: per-(vector, group) top-t over the probed groups' cells.
     // NO broadcast hint on gcells (mg·k rows — grows as n/C; AQE
     // broadcasts while small)
@@ -2598,13 +2624,13 @@ object Dedup {
   }
 
   def qDedupEmbedIncrHier(s: SparkSession, dir: String,
-      w1: Int = IvfHierProbeGroups, t: Int = IvfIncrHierCellsPerGroup,
-      mg: Int = IvfIncrHierGroupAssign): DataFrame = {
+      w1: Int = IvfIncrHierProbeGroups, t: Int = IvfIncrHierCellsPerGroup,
+      mg: Int = IvfIncrHierGroupAssign, mi: Int = IvfIncrIndexAssign): DataFrame = {
     import s.implicits._
-    val (_, _, lists) = embedIncrHierStatic(s, dir, mg)
+    val (_, _, lists) = embedIncrHierStatic(s, dir, mg, mi)
     val nw = embedIncrNew(s, dir)
     // verify FIRST, dedup AFTER — qDedupEmbedIncr's inline note
-    embedIncrHierProbes(s, dir, w1, t, mg)
+    embedIncrHierProbes(s, dir, w1, t, mg, mi)
       .join(nw.select($"vec_id".as("new_vec"), $"vd".as("nd")), Seq("new_vec"))
       .join(lists.select($"vec_id".as("hist_vec"), $"vd".as("hd"), $"c_id"), Seq("c_id"))
       .select($"new_vec", $"hist_vec", cosine($"nd", $"hd").as("cos_sim"))
@@ -2723,7 +2749,7 @@ object Dedup {
          |      row_number() OVER (PARTITION BY n.vec_id
          |        ORDER BY list_cosine_similarity(n.vq::DOUBLE[], l1.gq::DOUBLE[]) DESC,
          |                 l1.g_id ASC) AS pr
-         |    FROM nw n CROSS JOIN l1) WHERE pr <= $IvfHierProbeGroups),
+         |    FROM nw n CROSS JOIN l1) WHERE pr <= $IvfIncrHierProbeGroups),
          |probes AS (
          |  SELECT DISTINCT vec_id, c_id FROM (
          |    SELECT g.vec_id, m.c_id,
@@ -2925,7 +2951,9 @@ object Dedup {
     * losing two is a real index regression and fails the round-gate
     * recall stage. Round 14: re-measured 34/34 on the ROUTED build at
     * the shipped t = 4 (probes monotone in t, so the anchor holds for
-    * every t >= 2). */
+    * every t >= 2). Round 15: probe width moved to
+    * [[IvfIncrHierProbeGroups]] = 12 — probes are monotone in w1 too,
+    * so the 34/34 anchor holds a fortiori. */
   private[graft] val IvfIncrHierRecallFloorPpm = 970000L
 
   /** DECLARED 100x-decade recall floor for the HIERARCHICAL
@@ -2934,17 +2962,18 @@ object Dedup {
     * bites): TRUE recall against the exact bounded cross-slice
     * denominator on the 100x audit corpus (200k vectors, g = 32
     * level-1 groups, w1 = 8 probed — routing genuinely approximate),
-    * measured 768909 ppm (3497/4548 pairs) at the shipped knobs
-    * (w1 = 8, t = 4, mg = 1) on the round-14 ROUTED build — the t
-    * sweep table at [[IvfIncrHierCellsPerGroup]] is the provenance;
-    * the flat incremental reads 485488 on the same denominator. Floor
-    * 765000 leaves 0.39 pp (~18 borderline pairs) of slack on a
+    * measured 862576 ppm (3923/4548 pairs) at the round-15 shipped
+    * knobs (w1 = [[IvfIncrHierProbeGroups]] = 12, t = 4, mg = 1) on
+    * the routed build — the w1 sweep table at
+    * [[IvfIncrHierProbeGroups]] is the provenance (w1 = 8 read 768909
+    * on the same denominator; the flat incremental 485488). Floor
+    * 858000 leaves ~0.46 pp (~21 borderline pairs) of slack on a
     * DETERMINISTIC corpus (the generator is seed-free arithmetic, so
     * a regenerated /tmp corpus measures identically) — any quantizer,
     * router, or budget change that loses a cell's worth of pairs
     * fails the round gate's recall100 stage instead of drifting
     * silently. Asserted by `ScaleUpBench recall100`. */
-  private[graft] val IvfIncrHier100xRecallFloorPpm = 765000L
+  private[graft] val IvfIncrHier100xRecallFloorPpm = 858000L
 
   /** DECLARED LEVEL-2 ROUTER BOUNDARY (round 15, VERDICT-r14 #4): the
     * history-vector count past which the √k-routed index BUILD needs a

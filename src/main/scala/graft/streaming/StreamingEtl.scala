@@ -382,7 +382,7 @@ object StreamingEtl {
     * curation pipeline needs. */
   def embedDedupHierStream(newVecs: DataFrame, groups: Seq[(Long, Seq[Double])],
                            gcellsPacked: DataFrame, histLists: DataFrame,
-                           w1: Int = graft.queries.Dedup.IvfHierProbeGroups,
+                           w1: Int = graft.queries.Dedup.IvfIncrHierProbeGroups,
                            t: Int = graft.queries.Dedup.IvfIncrHierCellsPerGroup)
       : DataFrame = {
     import org.apache.spark.sql.graft.NativeExprs
