@@ -132,7 +132,7 @@ class ScaleOpsSpec extends AnyFunSuite {
     val probes = queries.Dedup.embedIncrHierProbes(spark, sfDir)
     val maxProbes = probes.groupBy("new_vec").count()
       .agg(max("count")).collect()(0).getLong(0)
-    assert(maxProbes <= queries.Dedup.IvfHierProbeGroups *
+    assert(maxProbes <= queries.Dedup.IvfIncrHierProbeGroups *
         queries.Dedup.IvfIncrHierCellsPerGroup,
       s"an arriving vector probes $maxProbes cells > w1*t")
     val incr = queries.Dedup.qDedupEmbedIncrHier(spark, sfDir)
