@@ -1851,8 +1851,12 @@ object Dedup {
     *
     *   100x  (g = 32): w1 = 8  -> 768909 ppm  (1.0x)
     *                   w1 = 12 -> 862576 ppm  (1.5x)   <- shipped
+    *                   w1 = 16 -> 916226 ppm  (2.0x)
     *   1000x (g = 91): w1 = 8  -> 383511 ppm  (1.0x)
-    *                   w1 = 16 -> (SCALEUP_r15 sweep line)
+    *                   w1 = 12 -> 476750 ppm  (1.5x)   <- shipped config
+    *                   w1 = 16 -> 545393 ppm  (2.0x)
+    *                   w1 = 24 -> 640875 ppm  (3.0x)
+    *                   w1 = 34 -> 712798 ppm  (4.25x)  <- constant fraction
     *
     * w1 = 12 clears the verdict's 800000-ppm bar at exactly the 1.5x
     * candidate budget; the declared cost rides bench_diff's
@@ -1861,7 +1865,17 @@ object Dedup {
     * the probe fraction w1/g ~ w1/√(n/C) — a deployment crossing
     * decades should scale w1 with g (constant fraction, per-arrival
     * cost then grows as √k) or add the third router level documented
-    * at [[IvfHierLevel2MaxHistVectors]]. */
+    * at [[IvfHierLevel2MaxHistVectors]]. The 1000x curve above is
+    * CONCAVE — even the constant-fraction width (w1 = 34 ≈ 12/32 · g)
+    * reads 150k ppm below the same fraction's 100x recall — because
+    * with constant cell SIZE the cell volume shrinks ∝ 1/n while the
+    * cos >= 0.5 neighborhood ball is fixed-volume: the cells
+    * intersecting the ball grow ∝ n, so ANY o(n) probe schedule loses
+    * ball coverage as density grows. That is the bounded-probe IVF
+    * tradeoff itself, not a tuning failure; past the probe-fraction
+    * regime the remedies are a coarser recall target, re-ranked
+    * two-stage retrieval, or graph/tree indexes outside this
+    * operator's contract. */
   private[graft] val IvfIncrHierProbeGroups = 12
 
   /** Groups each FINE CELL is indexed into (the cell->group map is
