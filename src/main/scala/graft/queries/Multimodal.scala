@@ -137,14 +137,20 @@ object Multimodal {
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"), shiftright($"ah", 4 * b).mod(16).as("nib"))): _*)).as("bn"))
       .select($"doc_id", $"ah", $"bn.band".as("band"), $"bn.nib".as("nib"))
+    // hamming verify BEFORE the pair-dedup distinct (round-15, guide
+    // §2.3 — aggregate/filter before you shuffle): bit_count is a cheap
+    // row-local compare on the candidate stream, and the 16-bit hash's
+    // nibble bands collide densely (64 buckets over the corpus → ~3M
+    // candidate rows at sf0.1), so filtering first shrinks the distinct's
+    // exchange from candidate volume to near-dup volume. distinct∘filter
+    // ≡ filter∘distinct here: hamming is a function of the row.
     bands.as("x").join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.nib" === $"y.nib" &&
         $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
-        $"x.ah".as("ah_a"), $"y.ah".as("ah_b"))
-      .distinct()
-      .withColumn("hamming", expr("CAST(bit_count(ah_a ^ ah_b) AS LONG)"))
+        expr("CAST(bit_count(x.ah ^ y.ah) AS LONG)").as("hamming"))
       .filter($"hamming" <= 3)
+      .distinct()
       .select($"doc_a", $"doc_b", $"hamming")
   }
 

@@ -105,7 +105,7 @@ object Similarity {
     import s.implicits._
     val v = vectors(s, dir)
     val cents = centroidSeeds(v, 25)
-    val lists = ivfLists(s, dir)
+    val lists = ivfIndex(s, dir)
 
     // Queries probe their NProbe nearest centroids.
     val q = v.filter(isQuery($"vec_id")).select($"vec_id".as("q_id"), $"v".as("qv"))
@@ -147,6 +147,16 @@ object Similarity {
       .join(v, Seq("vec_id"))
       .select($"vec_id", $"v", $"c_id")
   }
+
+  /** [[ivfLists]] as the WRITE-ONCE serving index (round-15): built once
+    * per (session, corpus) and served materialized to every prober —
+    * the batch IVF retrieval and the streaming serving twin, whose
+    * scaladoc already declared a "write-once static index"; the
+    * unmemoized form re-ran the full assignment cross join + argmax
+    * inside every probing plan (for the stream, inside every
+    * micro-batch). */
+  private[graft] def ivfIndex(s: SparkSession, dir: String): DataFrame =
+    Memo.sessionCached(s, dir, "ivf_lists")(ivfLists(s, dir))
 
   /** The bounded centroid set as a driver-side array (≤40 entries at any
     * corpus size by construction) — the literal the streaming serving

@@ -518,7 +518,10 @@ object StreamingGate {
     // static sides on the PARENT session (centroid/list relations are
     // memoized per session — see qStreamLineDedup's note)
     val cents = Similarity.centroidArray(s0, dir)
-    val lists = Similarity.ivfLists(s0, dir)
+    // write-once serving index (Similarity.ivfIndex, round-15):
+    // memoized + materialized — the inline build re-ran the assignment
+    // cross join + argmax inside every micro-batch
+    val lists = Similarity.ivfIndex(s0, dir)
     val q = parquetStream(s, dir, "embeddings")
       .filter(Similarity.isQuery(col("vec_id")))
       .select(col("vec_id").as("q_id"),
@@ -535,14 +538,13 @@ object StreamingGate {
     * oracle (shares q_ev_anomaly's SQL verbatim). */
   def qStreamAnomaly(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0)
-    val hourly = graft.Tables.events(s0, dir)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-    val moments = hourly.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("nh"), sum(col("n")).as("sn"),
-        sum(col("n") * col("n")).as("ssn"))
-    runGate(StreamingEtl.anomalyStream(eventsStream(s, dir), moments),
-      "anomaly", "complete")
+    // offline-trained moments as the memoized WRITE-ONCE artifact
+    // (Events.hourlyMoments, round-15): built once on the parent
+    // session and served materialized — the unmemoized inline build
+    // re-ran the two-level events aggregation inside every
+    // micro-batch's broadcast build
+    runGate(StreamingEtl.anomalyStream(eventsStream(s, dir),
+      Events.hourlyMoments(s0, dir)), "anomaly", "complete")
   }
 
   /** STREAMING INCREMENTAL EMBEDDING DEDUP, gated — arriving vectors
@@ -623,7 +625,14 @@ object StreamingGate {
     * the brute cross-slice oracle. */
   def qStreamWavDedup(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0)
-    val histBands = Memo.materialize(
+    // session-memoized write-once index (round-15): "the write-once
+    // index a curation pipeline keeps warm" was materialized per
+    // invocation but still re-DECODED the history per invocation;
+    // Memo.sessionCached makes the warm-index contract real across
+    // probes, like the minhash band index / novelty history / embedding
+    // lists already are. StreamStaticWriteOnceSpec still holds: the
+    // first build fingerprints history exactly once.
+    val histBands = Memo.sessionCached(s0, dir, "wavdedup_hist")(
       Multimodal.bands64(Multimodal.wavFingerprints(
         graft.Tables.documents(s0, dir)
           .filter(col("doc_id") % 5 =!= 0)
@@ -700,7 +709,8 @@ object StreamingGate {
     * Append mode == the brute cross-slice oracle. */
   def qStreamMp4Dedup(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0)
-    val histBands = Memo.materialize(
+    // session-memoized write-once index (round-15; see qStreamWavDedup)
+    val histBands = Memo.sessionCached(s0, dir, "mp4dedup_hist")(
       Multimodal.bands64(Multimodal.mp4Fingerprints(
         graft.Tables.documents(s0, dir)
           .filter(col("doc_id") % 5 =!= 0)
@@ -783,7 +793,7 @@ object StreamingGate {
     // measured 12.46x wall at the 100x decade before this checkpoint
     // made the scaladoc's "built once" contract real (re-measured
     // 1.51x after, identical pair rows at both scales).
-    val histBands = Memo.materialize(
+    val histBands = Memo.sessionCached(s0, dir, "mjpegdedup_hist")(
       Multimodal.bands64(Multimodal.mjpegFingerprints(
         graft.Tables.documents(s0, dir)
           .filter(col("doc_id") % 5 =!= 0)
@@ -872,7 +882,10 @@ object StreamingGate {
     * — the oracle is shared verbatim. */
   def qStreamVerbatim(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0)
-    val idx = Dedup.shingleDfIndex(Dedup.explodedShingles(s0, dir))
+    // write-once df index (Dedup.verbatimIndex, round-15): memoized +
+    // materialized on the parent session — the inline build re-ran the
+    // corpus-wide groupBy inside every micro-batch
+    val idx = Dedup.verbatimIndex(s0, dir)
     val docs = parquetStream(s, dir, "documents").select(col("doc_id"), col("text"))
     runGate(StreamingEtl.verbatimScoreStream(docs, idx), "verbatim", "complete")
   }
@@ -885,7 +898,11 @@ object StreamingGate {
     * aggregation. Shares q_lm_score's oracle verbatim. */
   def qStreamLm(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0)
-    val lm = TrainingData.lmTop500(TrainingData.docBigrams(s0, dir))
+    // write-once trained LM (TrainingData.lmIndex, round-15): memoized +
+    // materialized on the parent session — the inline build re-ran the
+    // full bigram aggregation + top-k inside every micro-batch's
+    // broadcast build
+    val lm = TrainingData.lmIndex(s0, dir)
     val docs = parquetStream(s, dir, "documents").select(col("doc_id"), col("text"))
     runGate(StreamingEtl.lmScoreStream(docs, lm), "lm", "complete")
   }

@@ -587,14 +587,36 @@ object TextAnalysis {
       |FROM ts LEFT JOIN bs ON bs.doc_id = ts.doc_id""".stripMargin
 
   /** Per-row formulation of [[qTextRepetition]]'s metrics: every count is
-    * computed with higher-order functions over the row's own token array,
-    * no shuffle at all — so the SAME function runs unchanged on a
-    * streaming DataFrame in append mode (stateless map; StreamingSpec
-    * proves stream == batch == the shuffle form). The exploded/groupBy
-    * form stays the batch hot path (HOF lambdas are interpreted per
-    * element); this is the serving-time form, where per-doc latency
-    * beats corpus throughput. */
+    * computed over the row's own token array, no shuffle at all — so the
+    * SAME function runs unchanged on a streaming DataFrame in append mode
+    * (stateless map; StreamingSpec proves stream == batch == the shuffle
+    * form). The counting is the single-pass native
+    * [[org.apache.spark.sql.graft.NativeExprs.RepetitionStats]] (round-15
+    * optimization, guide §4): the previous HOF formulation — kept below
+    * as the executable spec [[repetitionColsPerRowHof]], equality
+    * property-checked in NativeExprsPropSpec — walked
+    * `transform(array_distinct(t), x -> size(filter(t, y -> y = x)))`,
+    * O(n_tokens²) interpreted lambda evals per document: measured
+    * 2.0–2.3 s of q_stream_repetition's 2.4 s addBatch at sf0.1. */
   def repetitionColsPerRow(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", tokens($"text").as("t"))
+      .filter(size($"t") > 0) // matches explode semantics: no tokens, no row
+      .withColumn("st", org.apache.spark.sql.graft.NativeExprs.repetitionStats($"t"))
+      .select($"doc_id",
+        size($"t").cast("long").as("n_tokens"),
+        $"st.top_tok_count".as("top_tok_count"),
+        $"st.rep_tokens".as("rep_tokens"),
+        $"st.top_bigram_count".as("top_bigram_count"))
+      .select($"doc_id", $"n_tokens", $"top_tok_count", $"rep_tokens",
+        expr("(rep_tokens * 1000000L) DIV n_tokens").as("rep_ppm"),
+        $"top_bigram_count")
+  }
+
+  /** HOF executable spec of [[repetitionColsPerRow]] (the pre-round-15
+    * form): same columns via higher-order functions only. Kept for the
+    * native-vs-HOF equality property test; NOT a gated entry. */
+  private[graft] def repetitionColsPerRowHof(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select($"doc_id", tokens($"text").as("t"))
       .filter(size($"t") > 0) // matches explode semantics: no tokens, no row

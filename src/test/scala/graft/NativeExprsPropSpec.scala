@@ -92,4 +92,45 @@ class NativeExprsPropSpec extends AnyFunSuite {
         s"shingles('$t'): want $want got $g")
     }
   }
+
+  test("RepetitionStats equals the HOF executable spec AND a plain-Scala model") {
+    import spark.implicits._
+    // collision-rich alphabet so top/rep counts are exercised hard;
+    // messy whitespace so tokenization edge cases ride along
+    val words = Vector("a", "b", "ab", "ccc", "a") // duplicate entry: extra skew
+    val rows = Seq.fill(300) {
+      val n = rnd.nextInt(12)
+      val seps = Vector(" ", "  ", "\t")
+      (rnd.nextLong().abs,
+        Seq.fill(n)(words(rnd.nextInt(words.length)))
+          .mkString(seps(rnd.nextInt(seps.length))))
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val key = (r: org.apache.spark.sql.Row) => r.getLong(0)
+    val native = graft.queries.TextAnalysis.repetitionColsPerRow(docs)
+      .collect().map(r => key(r) -> r.toSeq.drop(1)).toMap
+    val hof = graft.queries.TextAnalysis.repetitionColsPerRowHof(docs)
+      .select("doc_id", "n_tokens", "top_tok_count", "rep_tokens",
+        "rep_ppm", "top_bigram_count")
+      .collect().map(r => key(r) -> r.toSeq.drop(1)).toMap
+    assert(native.keySet == hof.keySet)
+    native.foreach { case (id, got) =>
+      assert(got == hof(id), s"doc $id: native $got vs hof ${hof(id)}")
+    }
+    // independent model (not Spark): per-doc token/bigram hash counts
+    rows.foreach { case (id, text) =>
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.nonEmpty) {
+        val tc = toks.groupBy(identity).map(_._2.length)
+        val bgs = if (toks.length >= 2)
+          toks.sliding(2).map(_.mkString(" ")).toSeq else Seq.empty
+        val bc = bgs.groupBy(identity).map(_._2.length)
+        val want = Seq(toks.length.toLong, tc.max.toLong,
+          tc.filter(_ >= 2).sum.toLong,
+          tc.filter(_ >= 2).sum.toLong * 1000000L / toks.length,
+          if (bc.isEmpty) 0L else bc.max.toLong)
+        assert(native(id) == want, s"doc $id ('$text'): native ${native(id)} vs model $want")
+      } else assert(!native.contains(id))
+    }
+  }
 }
