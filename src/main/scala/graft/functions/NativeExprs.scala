@@ -606,6 +606,65 @@ object NativeExprs {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Single-pass ASCII character-class counts over a string:
+    * struct(n_alpha, n_digit, n_ws) = the number of codepoints matching
+    * [A-Za-z], [0-9], [ \t\n\r] respectively. Replaces three full-string
+    * `regexp_replace(text, cls, "")` rewrites whose only purpose was a
+    * length delta (guide §4: the rewrites allocate three stripped copies
+    * of every document per row). Exactness: all three classes are pure
+    * ASCII, and ASCII bytes never occur inside UTF-8 multi-byte
+    * sequences, so counting matching BYTES equals counting matching
+    * CODEPOINTS — identical to char_length(text) −
+    * char_length(regexp_replace(text, cls, "")). Codegen'd: one fused
+    * byte loop per row. */
+  case class CharClassCounts(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_alpha", LongType, nullable = false),
+      StructField("n_digit", LongType, nullable = false),
+      StructField("n_ws", LongType, nullable = false)))
+    override def prettyName: String = "char_class_counts"
+
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      var a = 0L; var d = 0L; var w = 0L
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i)
+        if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) a += 1L
+        else if (b >= '0' && b <= '9') d += 1L
+        else if (b == ' ' || b == '\t' || b == '\n' || b == '\r') w += 1L
+        i += 1
+      }
+      InternalRow(a, d, w)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val bytes = ctx.freshName("bytes")
+        val i = ctx.freshName("i")
+        val b = ctx.freshName("b")
+        val a = ctx.freshName("a")
+        val d = ctx.freshName("d")
+        val w = ctx.freshName("w")
+        s"""
+          |byte[] $bytes = $c.getBytes();
+          |long $a = 0L, $d = 0L, $w = 0L;
+          |for (int $i = 0; $i < $bytes.length; $i++) {
+          |  byte $b = $bytes[$i];
+          |  if (($b >= 'A' && $b <= 'Z') || ($b >= 'a' && $b <= 'z')) $a++;
+          |  else if ($b >= '0' && $b <= '9') $d++;
+          |  else if ($b == ' ' || $b == '\\t' || $b == '\\n' || $b == '\\r') $w++;
+          |}
+          |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          |  new Object[] { $a, $d, $w });
+        """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // Column-level wrappers
 
   /** Spark's own bloom-filter sketch aggregate (the engine uses it for
@@ -631,6 +690,8 @@ object NativeExprs {
     ExpressionUtils.column(TokenShingles(ExpressionUtils.expression(text), n))
   def repetitionStats(toks: Column): Column =
     ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(toks)))
+  def charClassCounts(text: Column): Column =
+    ExpressionUtils.column(CharClassCounts(ExpressionUtils.expression(text)))
   def arrayCosine(a: Column, b: Column): Column =
     ExpressionUtils.column(ArrayCosine(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def minhashSig(sh: Column, nPerms: Int = 128): Column =

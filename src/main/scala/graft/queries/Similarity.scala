@@ -118,7 +118,14 @@ object Similarity {
 
     // Exact re-rank within the probed lists only.
     val rw = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
-    probes.join(lists, Seq("c_id"))
+    // broadcast the PROBES side (round-15, guide §3.1): the query
+    // workload is bounded by construction (isQuery: <=10 queries at any
+    // corpus, x nprobe rows), while the lists side is the corpus — the
+    // previous sort-merge join shuffled AND sorted the whole corpus on a
+    // ~25-value key (skew-prone, parallelism-capped); the broadcast
+    // probe join leaves the lists unshuffled entirely (plan diff:
+    // SortMergeJoin + 2 Exchange + 2 Sort -> BroadcastHashJoin)
+    broadcast(probes).join(lists, Seq("c_id"))
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id"), cosine($"qv", $"v").as("cos_sim"))
       .withColumn("rank", row_number().over(rw).cast("long"))
@@ -324,7 +331,14 @@ object Similarity {
       .withColumn("pr", row_number().over(pw)).filter($"pr" <= nprobe)
       .select($"q_id", $"qv", $"c_id")
     val rw = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
-    probes.join(lists, Seq("c_id"))
+    // broadcast the PROBES side (round-15, guide §3.1): the query
+    // workload is bounded by construction (isQuery: <=10 queries at any
+    // corpus, x nprobe rows), while the lists side is the corpus — the
+    // previous sort-merge join shuffled AND sorted the whole corpus on a
+    // ~25-value key (skew-prone, parallelism-capped); the broadcast
+    // probe join leaves the lists unshuffled entirely (plan diff:
+    // SortMergeJoin + 2 Exchange + 2 Sort -> BroadcastHashJoin)
+    broadcast(probes).join(lists, Seq("c_id"))
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id"), cosine($"qv", $"v").as("cos_sim"))
       .withColumn("rank", row_number().over(rw).cast("long"))
@@ -515,7 +529,14 @@ object Similarity {
       .withColumn("pr", row_number().over(pw)).filter($"pr" <= NProbe)
       .select($"q_id", $"qd", $"c_id")
     val rw = Window.partitionBy($"q_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
-    probes.join(lists, Seq("c_id"))
+    // broadcast the PROBES side (round-15, guide §3.1): the query
+    // workload is bounded by construction (isQuery: <=10 queries at any
+    // corpus, x nprobe rows), while the lists side is the corpus — the
+    // previous sort-merge join shuffled AND sorted the whole corpus on a
+    // ~25-value key (skew-prone, parallelism-capped); the broadcast
+    // probe join leaves the lists unshuffled entirely (plan diff:
+    // SortMergeJoin + 2 Exchange + 2 Sort -> BroadcastHashJoin)
+    broadcast(probes).join(lists, Seq("c_id"))
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id".as("neighbor_id"),
         cosine($"qd", $"vd").as("cos_sim"))

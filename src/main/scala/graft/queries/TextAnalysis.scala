@@ -762,10 +762,40 @@ object TextAnalysis {
     scriptmixCols(Tables.documents(s, dir))
 
   /** Shared batch/streaming core of [[qTextScriptmix]]: stateless
-    * per-row class strips + ONE aggregation, so the streaming twin is a
-    * single legal complete-mode aggregation. */
+    * per-row class COUNTS + ONE aggregation, so the streaming twin is a
+    * single legal complete-mode aggregation. Round-15 (guide §4): the
+    * counts come from the single-pass codegen'd
+    * [[org.apache.spark.sql.graft.NativeExprs.CharClassCounts]] — the
+    * previous form materialized THREE regexp-stripped copies of every
+    * document just to take length deltas; the class-strip formulation is
+    * kept as the executable spec [[scriptmixColsRegex]] (equality
+    * property-checked in NativeExprsPropSpec). */
   private[graft] def scriptmixCols(docs: DataFrame): DataFrame = {
     val d = docs
+      .select(col("source"), col("text"),
+        char_length(col("text")).cast("long").as("n_ch"))
+      .filter(col("n_ch") > 0)
+      .withColumn("cc", org.apache.spark.sql.graft.NativeExprs.charClassCounts(col("text")))
+      .select(col("source"), col("n_ch"),
+        col("cc.n_alpha").as("n_alpha"),
+        col("cc.n_digit").as("n_digit"),
+        col("cc.n_ws").as("n_ws"))
+      .withColumn("n_other", col("n_ch") - col("n_alpha") - col("n_digit") - col("n_ws"))
+      .withColumn("other_ppm", expr("(n_other * 1000000L) DIV n_ch"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ch")).as("n_chars"),
+        expr("sum(n_other * 1000000L) DIV sum(n_ch)").as("other_ppm"),
+        sum(when(col("other_ppm") > 50000L && col("other_ppm") <= 500000L, 1L)
+          .otherwise(0L)).as("n_mixed"),
+        sum(when(col("other_ppm") > 500000L, 1L).otherwise(0L)).as("n_nonlatin"))
+  }
+
+  /** Regexp class-strip executable spec of [[scriptmixCols]] (the
+    * pre-round-15 form). Kept for the native-vs-regex equality property
+    * test; NOT a gated entry. */
+  private[graft] def scriptmixColsRegex(docs: DataFrame): DataFrame = {
+    docs
       .select(col("source"), col("text"),
         char_length(col("text")).cast("long").as("n_ch"))
       .filter(col("n_ch") > 0)
@@ -775,7 +805,7 @@ object TextAnalysis {
         (col("n_ch") - char_length(regexp_replace(col("text"), "[ \t\n\r]", ""))).cast("long").as("n_ws"))
       .withColumn("n_other", col("n_ch") - col("n_alpha") - col("n_digit") - col("n_ws"))
       .withColumn("other_ppm", expr("(n_other * 1000000L) DIV n_ch"))
-    d.groupBy(col("source"))
+      .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_ch")).as("n_chars"),
         expr("sum(n_other * 1000000L) DIV sum(n_ch)").as("other_ppm"),

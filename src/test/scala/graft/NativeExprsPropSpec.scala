@@ -118,6 +118,11 @@ class NativeExprsPropSpec extends AnyFunSuite {
       assert(got == hof(id), s"doc $id: native $got vs hof ${hof(id)}")
     }
     // independent model (not Spark): per-doc token/bigram hash counts
+    checkRepetitionModel(rows, native)
+  }
+
+  private def checkRepetitionModel(rows: Seq[(Long, String)],
+      native: Map[Long, Seq[Any]]): Unit = {
     rows.foreach { case (id, text) =>
       val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
       if (toks.nonEmpty) {
@@ -132,5 +137,26 @@ class NativeExprsPropSpec extends AnyFunSuite {
         assert(native(id) == want, s"doc $id ('$text'): native ${native(id)} vs model $want")
       } else assert(!native.contains(id))
     }
+  }
+
+  test("CharClassCounts (scriptmix) equals the regexp class-strip spec on mixed unicode") {
+    import spark.implicits._
+    // codepoints outside ASCII (2- and 3-byte UTF-8) interleaved with the
+    // three counted classes: byte-level counting must still equal the
+    // codepoint-level regex length deltas
+    val pieces = Vector("a", "Z", "7", " ", "\t", "\n", "\r", "é", "ß", "中", "!", "_", "0")
+    val rows = Seq.fill(300) {
+      val n = rnd.nextInt(40) + 1
+      (s"src${rnd.nextInt(4)}",
+        Seq.fill(n)(pieces(rnd.nextInt(pieces.length))).mkString)
+    }
+    val docs = rows.toDF("source", "text")
+    def collectMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val native = collectMap(graft.queries.TextAnalysis.scriptmixCols(docs)
+      .select("source", "n_docs", "n_chars", "other_ppm", "n_mixed", "n_nonlatin"))
+    val regex = collectMap(graft.queries.TextAnalysis.scriptmixColsRegex(docs)
+      .select("source", "n_docs", "n_chars", "other_ppm", "n_mixed", "n_nonlatin"))
+    assert(native == regex, s"native $native vs regex $regex")
   }
 }
