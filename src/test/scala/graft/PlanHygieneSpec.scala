@@ -139,6 +139,12 @@ class PlanHygieneSpec extends AnyFunSuite {
     "q_ann_pq_adc",
     // bounded query set (≤10 at any scale) broadcast-nested-loop probe
     "q_ann_range",
+    // round-15 broadcast(probes): the probe side is the isQuery slice
+    // (% 100 && < 1000 → ≤10 queries at any corpus) x NProbe=3 rows —
+    // the same bound q_ann_range documents; broadcasting it is what
+    // keeps the corpus-sized inverted lists UNSHUFFLED (the previous
+    // sort-merge join shuffled the whole corpus on a ~25-value key)
+    "q_ann_kmeans",
     // composes q_ann_brute + q_ann_ivf → inherits their centroid/query
     // broadcasts (both bounded as above)
     "q_ann_recall",
