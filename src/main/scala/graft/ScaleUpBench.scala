@@ -125,11 +125,20 @@ object ScaleUpBench {
   private[graft] def bnljBuildRows(df: DataFrame): Seq[Long] = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    // ReusedExchangeExec is a LEAF that points at the original exchange
+    // via its `child` field: without resolving it, a build side that AQE
+    // served from exchange reuse has no numOutputRows anywhere in its
+    // visible subtree and the audit read -1 (= "metric missing") for a
+    // provably bounded 1-row broadcast (round-15: q_dedup_ppr flaked on
+    // exactly this, memo-cache-state-dependent). The original exchange's
+    // metric IS the reused side's row count — same broadcast relation.
     def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
       case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
       case q: QueryStageExec => flatten(q.plan)
+      case r: ReusedExchangeExec => flatten(r.child)
       case other => other.children.flatMap(flatten)
     })
     flatten(df.queryExecution.executedPlan).collect {
