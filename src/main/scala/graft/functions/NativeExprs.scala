@@ -535,6 +535,65 @@ object NativeExprs {
       copy(left = l, right = r)
   }
 
+  /** ALL token n-grams of a text column in one compiled pass, IN TOKEN
+    * ORDER and WITH multiplicity — the non-distinct sibling of
+    * [[TokenShingles]] (same byte-level tokenizer: trim → split on
+    * ASCII-whitespace runs, inner whitespace runs of a joined n-gram
+    * normalized to one space). Replaces the
+    * tokens → slice/zip_with/concat_ws HOF chain of the bigram
+    * extractor (guide §4: interpreted lambda per element); fewer than n
+    * tokens yields an empty array (explode then emits no rows, matching
+    * the previous `size(t) >= 2` filter). */
+  case class TokenNgrams(child: Expression, n: Int = 2)
+      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "token_ngrams"
+
+    private def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
+
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      val starts = new scala.collection.mutable.ArrayBuffer[Int](64)
+      val ends = new scala.collection.mutable.ArrayBuffer[Int](64)
+      var i = 0
+      while (i < bytes.length) {
+        while (i < bytes.length && isWs(bytes(i))) i += 1
+        if (i < bytes.length) {
+          starts += i
+          while (i < bytes.length && !isWs(bytes(i))) i += 1
+          ends += i
+        }
+      }
+      val nTok = starts.length
+      if (nTok < n) return new GenericArrayData(Array.empty[Any])
+      val out = new Array[Any](nTok - n + 1)
+      var t = 0
+      while (t <= nTok - n) {
+        val len = ends(t + n - 1) - starts(t)
+        val buf = new Array[Byte](len)
+        var w = 0
+        var k = starts(t)
+        var lastWs = false
+        while (k < ends(t + n - 1)) {
+          val b = bytes(k)
+          if (isWs(b)) {
+            if (!lastWs) { buf(w) = ' '; w += 1 }
+            lastWs = true
+          } else { buf(w) = b; w += 1; lastWs = false }
+          k += 1
+        }
+        out(t) = UTF8String.fromBytes(java.util.Arrays.copyOf(buf, w))
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Single-pass per-row repetition statistics over a token array:
     * struct(top_tok_count, rep_tokens, top_bigram_count) — the Gopher
     * repetition-rule numerators. Replaces the per-row HOF formulation
@@ -692,6 +751,8 @@ object NativeExprs {
     ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(toks)))
   def charClassCounts(text: Column): Column =
     ExpressionUtils.column(CharClassCounts(ExpressionUtils.expression(text)))
+  def tokenNgrams(text: Column, n: Int = 2): Column =
+    ExpressionUtils.column(TokenNgrams(ExpressionUtils.expression(text), n))
   def arrayCosine(a: Column, b: Column): Column =
     ExpressionUtils.column(ArrayCosine(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def minhashSig(sh: Column, nPerms: Int = 128): Column =

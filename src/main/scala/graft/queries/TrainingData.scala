@@ -1071,7 +1071,17 @@ object TrainingData {
   /** (doc_id, bg) — one row per bigram OCCURRENCE (duplicates kept) of any
     * (doc_id, text, …) relation; stateless per-row explode, so it runs
     * unchanged on a stream (StreamingEtl.lmScoreStream). */
-  private[graft] def bigramsOf(docs: DataFrame): DataFrame = {
+  private[graft] def bigramsOf(docs: DataFrame): DataFrame =
+    // single-pass native n-gram extraction (round-15, guide §4) — the
+    // previous tokens → slice/zip_with/concat_ws chain walked an
+    // interpreted lambda per token; the HOF form stays the executable
+    // spec ([[bigramsOfHof]], equality property-checked). < 2 tokens →
+    // empty array → explode emits no rows, matching the old filter.
+    docs.select(col("doc_id"),
+      explode(org.apache.spark.sql.graft.NativeExprs.tokenNgrams(col("text"), 2)).as("bg"))
+
+  /** HOF executable spec of [[bigramsOf]] (the pre-round-15 form). */
+  private[graft] def bigramsOfHof(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     docs.select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= 2)

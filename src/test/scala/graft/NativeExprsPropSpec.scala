@@ -139,6 +139,33 @@ class NativeExprsPropSpec extends AnyFunSuite {
     }
   }
 
+  test("TokenNgrams (bigramsOf) equals the HOF spec AND a sliding-window model") {
+    import spark.implicits._
+    val words = Vector("x", "yy", "zzz", "w")
+    val rows = Seq.fill(300) {
+      val nTok = rnd.nextInt(8)
+      val seps = Vector(" ", "  ", "\t", " \t ")
+      (rnd.nextLong().abs,
+        (if (rnd.nextBoolean()) " " else "") +
+          Seq.fill(nTok)(words(rnd.nextInt(words.length)))
+            .mkString(seps(rnd.nextInt(seps.length))))
+    }
+    val docs = rows.toDF("doc_id", "text")
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val native = collectPairs(graft.queries.TrainingData.bigramsOf(docs))
+    val hof = collectPairs(graft.queries.TrainingData.bigramsOfHof(docs))
+    assert(native == hof, s"native $native vs hof $hof")
+    rows.foreach { case (id, text) =>
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val want = if (toks.length < 2) Seq.empty
+        else toks.sliding(2).map(_.mkString(" ")).toSeq
+      assert(native.getOrElse(id, Seq.empty) == want,
+        s"doc $id ('$text'): ${native.getOrElse(id, Seq.empty)} vs model $want")
+    }
+  }
+
   test("CharClassCounts (scriptmix) equals the regexp class-strip spec on mixed unicode") {
     import spark.implicits._
     // codepoints outside ASCII (2- and 3-byte UTF-8) interleaved with the
