@@ -915,7 +915,10 @@ object Relational {
       li.groupBy(col(k).as("key")).agg(count(lit(1)).as("c"))
         .agg(count(lit(1)).as("n_keys"),
              sum($"c").as("n_rows"),
-             max(struct($"c", (-$"key").as("neg_key"))).as("hot"))
+             // round-16: hash-aggregable argmax — max(struct) forced the
+             // whole mixed aggregate (count/sum included) onto SortAggregate
+             org.apache.spark.sql.graft.ArgExtremum
+               .argmaxStruct($"c", -$"key", "c", "neg_key").as("hot"))
         .select(lit(k).as("col_name"), $"n_keys", $"n_rows",
           (-$"hot.neg_key").as("hot_key"), $"hot.c".as("hot_rows"))
     }

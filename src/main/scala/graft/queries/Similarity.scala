@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions.cosine
+import org.apache.spark.sql.graft.ArgExtremum.argmaxStruct
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (SURVEY §7 north-star extensions; absent from the reference).
@@ -149,7 +150,7 @@ object Similarity {
     v.select($"vec_id", $"v").crossJoin(broadcast(cents))
       .select($"vec_id", $"c_id", cosine($"v", $"cv").as("c_cos"))
       .groupBy($"vec_id")
-      .agg(max(struct($"c_cos", (-$"c_id").as("neg_id"))).as("best"))
+      .agg(argmaxStruct($"c_cos", -$"c_id", "c_cos", "neg_id").as("best"))
       .select($"vec_id", (-$"best.neg_id").as("c_id"))
       .join(v, Seq("vec_id"))
       .select($"vec_id", $"v", $"c_id")
@@ -284,7 +285,7 @@ object Similarity {
       val assigned = v.select($"vec_id", $"v").crossJoin(broadcast(cents))
         .select($"vec_id", $"c_id", cosine($"v", $"cv").as("c_cos"))
         .groupBy($"vec_id")
-        .agg(max(struct($"c_cos", (-$"c_id").as("neg_id"))).as("best"))
+        .agg(argmaxStruct($"c_cos", -$"c_id", "c_cos", "neg_id").as("best"))
         .select($"vec_id", (-$"best.neg_id").as("c_id"))
         .join(v, Seq("vec_id"))
         .select($"c_id", $"v")
@@ -320,7 +321,7 @@ object Similarity {
     val lists = v.select($"vec_id", $"v").crossJoin(broadcast(cents))
       .select($"vec_id", $"c_id", cosine($"v", $"cv").as("c_cos"))
       .groupBy($"vec_id")
-      .agg(max(struct($"c_cos", (-$"c_id").as("neg_id"))).as("best"))
+      .agg(argmaxStruct($"c_cos", -$"c_id", "c_cos", "neg_id").as("best"))
       .select($"vec_id", (-$"best.neg_id").as("c_id"))
       .join(v, Seq("vec_id"))
       .select($"vec_id", $"v", $"c_id")
@@ -384,16 +385,23 @@ object Similarity {
     * quantizer stays the library/recall path. */
   def qKmeansRound(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val v = Tables.embeddings(s, dir)
-      .select($"vec_id",
-        transform($"embedding", x => round(x.cast("double") * 1e7).cast("long")).as("vq"))
-    val cents = centroidSeeds(v, 25, vecCol = "vq", outCol = "cq")
-    val toD = (c: org.apache.spark.sql.Column) => transform(c, x => x.cast("double"))
-    val aw = Window.partitionBy($"vec_id").orderBy($"c_cos".desc, $"c_id".asc)
-    val assigned = v.crossJoin(broadcast(cents))
-      .select($"vec_id", $"vq", $"c_id", cosine(toD($"vq"), toD($"cq")).as("c_cos"))
-      .withColumn("rn", row_number().over(aw)).filter($"rn" === 1)
-      .select($"c_id", $"vq")
+    // round-16 (VERDICT-r15 #1): the assignment is the shared [[assignInt]]
+    // argmax aggregate, not a row_number window — the window form exchanged
+    // AND sorted the whole 25x cross product WITH the vq arrays on board
+    // (~25 x |v| x 64-long rows through one shuffle); assignInt partially
+    // aggregates the score stream map-side, exchanges v once (narrow), and
+    // the hash argmax replaces the sort. Same winner by construction
+    // (row_number (c_cos desc, c_id asc) == argmax (c_cos, -c_id) — the
+    // assignInt/assignIntWindow property test), so the declared output is
+    // unchanged (oracle-verified).
+    val v = withDoubles(
+      Tables.embeddings(s, dir)
+        .select($"vec_id",
+          transform($"embedding", x => round(x.cast("double") * 1e7).cast("long")).as("vq"))
+        .repartition($"vec_id"), // see vectors(): scoring parallelism + shuffle-free argmax
+      "vq", "vd")
+    val cents = withDoubles(centroidSeeds(v, 25, vecCol = "vq", outCol = "cq"), "cq", "cd")
+    val assigned = assignInt(v, cents).select($"c_id", $"vq")
     assigned
       .select($"c_id", posexplode($"vq"))
       .groupBy($"c_id", $"pos")
@@ -444,7 +452,7 @@ object Similarity {
     v.select($"vec_id", $"vd").crossJoin(broadcast(cents.select($"c_id", $"cd")))
       .select($"vec_id", $"c_id", cosine($"vd", $"cd").as("c_cos"))
       .groupBy($"vec_id")
-      .agg(max(struct($"c_cos", (-$"c_id").as("neg_id"))).as("best"))
+      .agg(argmaxStruct($"c_cos", -$"c_id", "c_cos", "neg_id").as("best"))
       .select($"vec_id", (-$"best.neg_id").as("c_id"))
       .join(v, Seq("vec_id"))
       .select($"vec_id", $"vq", $"vd", $"c_id")

@@ -226,13 +226,20 @@ object TextAnalysis {
     // per-source token vocabulary is ~30 — it would always take the
     // exact branch and prove nothing). Reads the memoized shingle
     // relation (Dedup.docShinglesSrc) — shingle once, fan out.
-    def sng = graft.queries.Dedup.docShinglesSrc(s, dir)
-      .select($"source", explode($"sh").as("sng"))
-    val hs = sng
+    // round-16 (VERDICT-r15 #6, guide §5): the exact-count branch and the
+    // k-minima branch previously EACH re-ran the explode + distinct over
+    // the corpus shingle stream; materialize the distinct (source, sng)
+    // relation once and derive both from it. Equivalences: per source,
+    // countDistinct(sng) over the raw stream = count(1) over the distinct
+    // relation; countDistinct(hash60) and the distinct (source, h) set
+    // are unchanged by pre-distincting on (source, sng). Oracle-gated.
+    val ss = Memo.materialize(graft.queries.Dedup.docShinglesSrc(s, dir)
+      .select($"source", explode($"sh").as("sng")).distinct())
+    val hs = ss
       .groupBy($"source")
-      .agg(countDistinct($"sng").as("n_exact"),
+      .agg(count(lit(1)).as("n_exact"),
            countDistinct(hash60($"sng")).as("n_h"))
-    val kth = sng
+    val kth = ss
       .select($"source", hash60($"sng").as("h")).distinct()
       .withColumn("rk", row_number().over(
         Window.partitionBy($"source").orderBy($"h".asc)).cast("long"))
@@ -289,9 +296,20 @@ object TextAnalysis {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val K = 256
-    val hashes = graft.queries.Dedup.docShinglesSrc(s, dir)
+    // round-16 (VERDICT-r15 #6, guide §5): direct / partials / exact each
+    // re-ran the explode + hash over the corpus shingle stream (three full
+    // passes); materialize the distinct (source, h) relation once and
+    // derive all three from it. Equivalences: distinct h over the raw
+    // stream = distinct h over the distinct (source, h) relation;
+    // partials already started from hashes.distinct(); the countDistinct
+    // aggregates are unchanged by pre-distincting. The DIRECT branch
+    // still computes the global k-minima from the full distinct hash set
+    // — NOT from the partials — so the merge-law comparison stays a
+    // genuine cross-check, not a tautology. Oracle-gated.
+    val hashes = Memo.materialize(graft.queries.Dedup.docShinglesSrc(s, dir)
       .select($"source", explode($"sh").as("sng"))
       .select($"source", hash60($"sng").as("h"))
+      .distinct())
     // exact branch mirrors qKmvDistinct: with fewer than K distinct
     // hashes the k-minima ARE the whole set — the (K-1)/h_k estimator is
     // meaningless there, the distinct count is exact
@@ -304,7 +322,7 @@ object TextAnalysis {
     // direct: global k-minima of the full distinct hash set
     val direct = estOf(hashes.select($"h").distinct().orderBy($"h".asc).limit(K))
     // merged: per-source partial sketches (k-minima), union, re-trim
-    val partials = hashes.distinct()
+    val partials = hashes
       .withColumn("rk", row_number().over(
         Window.partitionBy($"source").orderBy($"h".asc)).cast("long"))
       .filter($"rk" <= K)
