@@ -465,6 +465,38 @@ object ScaleUpBench {
             f""""per_vector":${hCand.toDouble / n}%.1f,""" +
             f""""wall_ms":${(System.nanoTime() - t1) / 1e6}%.0f}""")
         }
+      case "phashvol" :: dirs :: Nil =>
+        // q_mm_phash band-bucket candidate volume per corpus decade
+        // (round-16, VERDICT-r15 #5): the 16-bit aHash's 4x16 = 64 band
+        // buckets collide densely, so the candidate stream entering the
+        // hamming verify grows ~quadratically per bucket. Per dir: doc
+        // count, Σ_bucket C(pop, 2) (= the band-join output rows — the
+        // quantity the exchange/verify must absorb), the post-hamming
+        // match rows (what the distinct's exchange actually carries
+        // since the r15 filter-before-distinct ordering), and the final
+        // distinct pairs. One JSON line per dir; never materializes the
+        // join wider than a count.
+        import org.apache.spark.sql.functions.{col, count, expr, lit, sum}
+        dirs.split(",").foreach { dir =>
+          val n = s.read.parquet(s"$dir/documents.parquet").count()
+          val bands = graft.queries.Multimodal.phashBands(s, dir)
+            .localCheckpoint(true)
+          val t0 = System.nanoTime()
+          val pre = bands.groupBy(col("band"), col("nib"))
+            .agg(count(lit(1)).as("c"))
+            .agg(sum(expr("c * (c - 1) DIV 2")).as("p"))
+            .first().getLong(0)
+          val matches = bands.as("x").join(bands.as("y"),
+              col("x.band") === col("y.band") && col("x.nib") === col("y.nib") &&
+              col("x.doc_id") < col("y.doc_id"))
+            .filter(expr("CAST(bit_count(x.ah ^ y.ah) AS LONG)") <= 3)
+            .count()
+          val dist = graft.queries.Multimodal.qMmPhash(s, dir).count()
+          println(f"""{"phashvol":true,"dir":"$dir","n_docs":$n,""" +
+            f""""band_candidates":$pre,"hamming_matches":$matches,""" +
+            f""""distinct_pairs":$dist,"cand_per_doc":${pre.toDouble / n}%.2f,""" +
+            f""""wall_ms":${(System.nanoTime() - t0) / 1e6}%.0f}""")
+        }
       case "recall100" :: dir :: Nil =>
         // 100x-DECADE floor assert for the incremental hier router
         // (round 14, VERDICT-r13 #2): true recall at the shipped knobs

@@ -120,23 +120,7 @@ object Multimodal {
     * brute all-pairs form. */
   def qMmPhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val hashes = media(s, dir)
-      .map { m =>
-        // cap at 64 hash bits: Long shifts wrap mod 64, so bytes past 64
-        // would silently XOR-fold onto low bits (a real codec path feeds
-        // exactly 64 luma values — 8x8 — here the md5 blob gives 16)
-        val bs = m.blob.take(64).map(_ & 0xff)
-        val mean = bs.sum / bs.length
-        var h = 0L
-        var i = 0
-        while (i < bs.length) { if (bs(i) >= mean) h |= 1L << i; i += 1 }
-        (m.docId, h)
-      }
-      .toDF("doc_id", "ah")
-    val bands = hashes.select($"doc_id", $"ah",
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"), shiftright($"ah", 4 * b).mod(16).as("nib"))): _*)).as("bn"))
-      .select($"doc_id", $"ah", $"bn.band".as("band"), $"bn.nib".as("nib"))
+    val bands = phashBands(s, dir)
     // hamming verify BEFORE the pair-dedup distinct (round-15, guide
     // §2.3 — aggregate/filter before you shuffle): bit_count is a cheap
     // row-local compare on the candidate stream, and the 16-bit hash's
@@ -152,6 +136,31 @@ object Multimodal {
       .filter($"hamming" <= 3)
       .distinct()
       .select($"doc_a", $"doc_b", $"hamming")
+  }
+
+  /** The banded aHash relation of [[qMmPhash]] — factored out so the
+    * ScaleUpBench `phashvol` mode can measure the band-bucket candidate
+    * volume per corpus decade (round-16, VERDICT-r15 #5: quantify the
+    * 64-bucket candidate growth instead of claiming it). */
+  private[graft] def phashBands(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = media(s, dir)
+      .map { m =>
+        // cap at 64 hash bits: Long shifts wrap mod 64, so bytes past 64
+        // would silently XOR-fold onto low bits (a real codec path feeds
+        // exactly 64 luma values — 8x8 — here the md5 blob gives 16)
+        val bs = m.blob.take(64).map(_ & 0xff)
+        val mean = bs.sum / bs.length
+        var h = 0L
+        var i = 0
+        while (i < bs.length) { if (bs(i) >= mean) h |= 1L << i; i += 1 }
+        (m.docId, h)
+      }
+      .toDF("doc_id", "ah")
+    hashes.select($"doc_id", $"ah",
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), shiftright($"ah", 4 * b).mod(16).as("nib"))): _*)).as("bn"))
+      .select($"doc_id", $"ah", $"bn.band".as("band"), $"bn.nib".as("nib"))
   }
 
   val qMmPhashSql: String =

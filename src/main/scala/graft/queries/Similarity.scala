@@ -939,8 +939,13 @@ object Similarity {
     * separation join is (source, dim)-bounded. */
   def qEmbedSep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val flag = graft.queries.TrainingData.qualityMetrics(s, dir)
-      .select($"doc_id".as("vec_id"), $"source", $"q_pass")
+    // round-16 (guide §5): the flag relation is consumed TWICE below
+    // (dims + counts) and qualityMetrics is a full per-doc tokenize +
+    // distinct + regex pass — materialize the narrow (vec_id, source,
+    // q_pass) rows once instead of running the metrics pipeline twice.
+    val flag = Memo.materialize(
+      graft.queries.TrainingData.qualityMetrics(s, dir)
+        .select($"doc_id".as("vec_id"), $"source", $"q_pass"))
     val v = Tables.embeddings(s, dir).select($"vec_id",
       transform($"embedding", x => round(x.cast("double") * 1e7).cast("long")).as("vq"))
     val dims = v.join(flag, "vec_id")

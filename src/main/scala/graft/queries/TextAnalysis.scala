@@ -226,20 +226,19 @@ object TextAnalysis {
     // per-source token vocabulary is ~30 — it would always take the
     // exact branch and prove nothing). Reads the memoized shingle
     // relation (Dedup.docShinglesSrc) — shingle once, fan out.
-    // round-16 (VERDICT-r15 #6, guide §5): the exact-count branch and the
-    // k-minima branch previously EACH re-ran the explode + distinct over
-    // the corpus shingle stream; materialize the distinct (source, sng)
-    // relation once and derive both from it. Equivalences: per source,
-    // countDistinct(sng) over the raw stream = count(1) over the distinct
-    // relation; countDistinct(hash60) and the distinct (source, h) set
-    // are unchanged by pre-distincting on (source, sng). Oracle-gated.
-    val ss = Memo.materialize(graft.queries.Dedup.docShinglesSrc(s, dir)
-      .select($"source", explode($"sh").as("sng")).distinct())
-    val hs = ss
+    // round-16 NOTE (VERDICT-r15 #6): consolidating the two branches onto
+    // one Memo.materialize'd distinct (source, sng) relation was tried
+    // and MEASURED SLOWER at sf0.1 (1.282 -> 1.504 s p50; the blocking
+    // localCheckpoint of the distinct relation costs more than the
+    // second pass over the already-memoized docShinglesSrc input) — so
+    // the two-branch form stays; see OPTIMIZATION_r16.md.
+    def sng = graft.queries.Dedup.docShinglesSrc(s, dir)
+      .select($"source", explode($"sh").as("sng"))
+    val hs = sng
       .groupBy($"source")
-      .agg(count(lit(1)).as("n_exact"),
+      .agg(countDistinct($"sng").as("n_exact"),
            countDistinct(hash60($"sng")).as("n_h"))
-    val kth = ss
+    val kth = sng
       .select($"source", hash60($"sng").as("h")).distinct()
       .withColumn("rk", row_number().over(
         Window.partitionBy($"source").orderBy($"h".asc)).cast("long"))
@@ -296,20 +295,15 @@ object TextAnalysis {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val K = 256
-    // round-16 (VERDICT-r15 #6, guide §5): direct / partials / exact each
-    // re-ran the explode + hash over the corpus shingle stream (three full
-    // passes); materialize the distinct (source, h) relation once and
-    // derive all three from it. Equivalences: distinct h over the raw
-    // stream = distinct h over the distinct (source, h) relation;
-    // partials already started from hashes.distinct(); the countDistinct
-    // aggregates are unchanged by pre-distincting. The DIRECT branch
-    // still computes the global k-minima from the full distinct hash set
-    // — NOT from the partials — so the merge-law comparison stays a
-    // genuine cross-check, not a tautology. Oracle-gated.
-    val hashes = Memo.materialize(graft.queries.Dedup.docShinglesSrc(s, dir)
+    // round-16 NOTE (VERDICT-r15 #6): consolidating direct / partials /
+    // exact onto one Memo.materialize'd distinct (source, h) relation was
+    // tried and MEASURED SLOWER at sf0.1 (1.227 -> 1.327 s p50; the
+    // blocking localCheckpoint outweighs the saved passes over the
+    // already-memoized docShinglesSrc input) — the three-branch form
+    // stays; see OPTIMIZATION_r16.md.
+    val hashes = graft.queries.Dedup.docShinglesSrc(s, dir)
       .select($"source", explode($"sh").as("sng"))
       .select($"source", hash60($"sng").as("h"))
-      .distinct())
     // exact branch mirrors qKmvDistinct: with fewer than K distinct
     // hashes the k-minima ARE the whole set — the (K-1)/h_k estimator is
     // meaningless there, the distinct count is exact
@@ -322,7 +316,7 @@ object TextAnalysis {
     // direct: global k-minima of the full distinct hash set
     val direct = estOf(hashes.select($"h").distinct().orderBy($"h".asc).limit(K))
     // merged: per-source partial sketches (k-minima), union, re-trim
-    val partials = hashes
+    val partials = hashes.distinct()
       .withColumn("rk", row_number().over(
         Window.partitionBy($"source").orderBy($"h".asc)).cast("long"))
       .filter($"rk" <= K)
