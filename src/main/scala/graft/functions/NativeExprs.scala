@@ -10,7 +10,7 @@ import graft.functions.TextFunctions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
@@ -107,40 +107,20 @@ object NativeExprs {
     * pass per row (the HOF version walked 128 x |set| lambda evals). Base
     * hash is engine-internal (candidates are exactly verified downstream). */
   case class MinHashSig(child: Expression, nPerms: Int = 128)
-      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = child.nullable
     override def prettyName: String = "minhash_sig"
 
-    @transient private lazy val perms = TextFunctions.minhashPerms(nPerms).toArray
-    private val P = TextFunctions.MinhashP
+    // body in NativeEval (round-16): shared by interpreted eval and the
+    // generated code's one-static-call-per-row path — no CodegenFallback
+    override def nullSafeEval(input: Any): Any =
+      NativeEval.minhashSig(input.asInstanceOf[ArrayData], nPerms)
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val m = arr.numElements()
-      val sig = Array.fill(nPerms)(Long.MaxValue)
-      var j = 0
-      while (j < m) {
-        val s = arr.getUTF8String(j)
-        // splitmix-style avalanche of a 31+31 polynomial fold
-        var h = 1125899906842597L
-        val bytes = s.getBytes
-        var k = 0
-        while (k < bytes.length) { h = h * 31 + bytes(k); k += 1 }
-        h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
-        val base = java.lang.Long.remainderUnsigned(h, P)
-        var p = 0
-        while (p < nPerms) {
-          val (a, b) = perms(p)
-          val v = (a * base + b) % P
-          if (v < sig(p)) sig(p) = v
-          p += 1
-        }
-        j += 1
-      }
-      new GenericArrayData(sig)
-    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = org.apache.spark.sql.graft.NativeEval.minhashSig($c, $nPerms);")
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -149,40 +129,20 @@ object NativeExprs {
     * hash — bit-identical to the DuckDB oracle's SQL formulation (and to
     * the original HOF expression), one compiled pass per row. */
   case class SimHash60(child: Expression)
-      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
     override def dataType: DataType = LongType
     override def nullable: Boolean = child.nullable
     override def prettyName: String = "simhash60"
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val m = arr.numElements()
-      val weights = new Array[Int](60)
-      val md = MessageDigest.getInstance("MD5")
-      var j = 0
-      while (j < m) {
-        md.reset()
-        val d = md.digest(arr.getUTF8String(j).getBytes)
-        // low 60 bits of the hex digest = low nibble of byte 8 ++ bytes 9..15
-        var h = (d(8) & 0x0FL)
-        var k = 9
-        while (k < 16) { h = (h << 8) | (d(k) & 0xFFL); k += 1 }
-        var i = 0
-        while (i < 60) {
-          weights(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
-          i += 1
-        }
-        j += 1
-      }
-      var sim = 0L
-      var i = 0
-      while (i < 60) {
-        if (weights(i) > 0) sim |= 1L << i
-        i += 1
-      }
-      sim
-    }
+    // body in NativeEval (round-16): shared by interpreted eval and the
+    // generated code's one-static-call-per-row path — no CodegenFallback
+    override def nullSafeEval(input: Any): Any =
+      NativeEval.simhash60(input.asInstanceOf[ArrayData])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = org.apache.spark.sql.graft.NativeEval.simhash60($c);")
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -198,47 +158,20 @@ object NativeExprs {
     * ('0x'||substr(md5(s),1,12))::BIGINT / substr(...,13,12)
     * formulation. */
   case class SimHash96(child: Expression)
-      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = child.nullable
     override def prettyName: String = "simhash96"
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val m = arr.numElements()
-      val weights = new Array[Int](96)
-      val md = MessageDigest.getInstance("MD5")
-      var j = 0
-      while (j < m) {
-        md.reset()
-        val d = md.digest(arr.getUTF8String(j).getBytes)
-        // hex chars 1-12 = digest bytes 0-5 (hi48); 13-24 = bytes 6-11 (lo48)
-        var hi = 0L
-        var k = 0
-        while (k < 6) { hi = (hi << 8) | (d(k) & 0xFFL); k += 1 }
-        var lo = 0L
-        while (k < 12) { lo = (lo << 8) | (d(k) & 0xFFL); k += 1 }
-        // positions 0-47 vote from lo, 48-95 from hi — the exact layout
-        // the oracle's range(0,96) CASE states
-        var i = 0
-        while (i < 48) {
-          weights(i) += (if (((lo >>> i) & 1L) == 1L) 1 else -1)
-          weights(i + 48) += (if (((hi >>> i) & 1L) == 1L) 1 else -1)
-          i += 1
-        }
-        j += 1
-      }
-      var shi = 0L
-      var slo = 0L
-      var i = 0
-      while (i < 48) {
-        if (weights(i) > 0) slo |= 1L << i
-        if (weights(i + 48) > 0) shi |= 1L << i
-        i += 1
-      }
-      new GenericArrayData(Array(shi, slo))
-    }
+    // body in NativeEval (round-16): shared by interpreted eval and the
+    // generated code's one-static-call-per-row path — no CodegenFallback
+    override def nullSafeEval(input: Any): Any =
+      NativeEval.simhash96(input.asInstanceOf[ArrayData])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = org.apache.spark.sql.graft.NativeEval.simhash96($c);")
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -250,66 +183,23 @@ object NativeExprs {
     * probability (1 - θ/π)^rowsPerBand — candidates are exactly verified
     * downstream, so the signature is engine-internal. */
   case class CosineBandKeys(child: Expression, bands: Int = 32, rowsPerBand: Int = 4)
-      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = child.nullable
     override def prettyName: String = "cosine_band_keys"
 
-    private def planeSign(bit: Int, dim: Int): Double = {
-      var z = (bit.toLong << 32 | dim.toLong) + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^= z >>> 31
-      if ((z & 1L) == 0L) 1.0 else -1.0
-    }
+    // body in NativeEval (round-16): shared by interpreted eval and the
+    // generated code's one-static-call-per-row path — no CodegenFallback.
+    // The plane-matrix cache moved with it (keyed by (bands, rowsPerBand,
+    // dims) in a small concurrent map, same bit-identical planeSign
+    // derivation — see NativeEval.planesFor).
+    override def nullSafeEval(input: Any): Any =
+      NativeEval.cosineBandKeys(input.asInstanceOf[ArrayData], bands, rowsPerBand)
 
-    // The plane matrix is a pure function of (bands, rowsPerBand, dims):
-    // build it ONCE per task (expressions are serialized per-task, so no
-    // cross-thread sharing) instead of re-deriving the splitmix sign for
-    // every (bit, dim) of every row — at 128x8 bands over dim-64 vectors
-    // that is 1,024x64 hashes per ROW, ~3x the whole signature's cost.
-    // Values are bit-identical to planeSign, so signatures (and the gated
-    // LSH output) are unchanged. Cached as a SINGLE (dims, matrix) holder
-    // written by one reference assignment: even if an instance is ever
-    // evaluated from two threads (driver-side eval, a shared interpreted
-    // projection), a reader can only see a consistent pair — worst case
-    // under a race is a benign recompute, never a torn dims/matrix pair.
-    @transient private[this] var planeCache: (Int, Array[Double]) = _
-    private def planesFor(n: Int): Array[Double] = {
-      val c = planeCache
-      if (c != null && c._1 == n) c._2
-      else {
-        val nBits = bands * rowsPerBand
-        val m = new Array[Double](nBits * n)
-        var bit = 0
-        while (bit < nBits) {
-          var j = 0
-          while (j < n) { m(bit * n + j) = planeSign(bit, j); j += 1 }
-          bit += 1
-        }
-        planeCache = (n, m)
-        m
-      }
-    }
-
-    override def nullSafeEval(input: Any): Any = {
-      val v = input.asInstanceOf[ArrayData]
-      val n = v.numElements()
-      val nBits = bands * rowsPerBand
-      val planes = planesFor(n)
-      val keys = new Array[Long](bands)
-      var bit = 0
-      while (bit < nBits) {
-        val base = bit * n
-        var dot = 0.0
-        var j = 0
-        while (j < n) { dot += v.getDouble(j) * planes(base + j); j += 1 }
-        if (dot > 0) keys(bit / rowsPerBand) |= 1L << (bit % rowsPerBand)
-        bit += 1
-      }
-      new GenericArrayData(keys)
-    }
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = org.apache.spark.sql.graft.NativeEval.cosineBandKeys($c, $bands, $rowsPerBand);")
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -322,79 +212,20 @@ object NativeExprs {
     * selected hashes. */
   case class WinnowFingerprint(child: Expression, k: Int = 4, w: Int = 4,
                                prime: Long = 0L)
-      extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+      extends UnaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = child.nullable
     override def prettyName: String = "winnow_fingerprint"
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      if (n < k) return new GenericArrayData(Array.empty[Any])
-      // per-token hash, then k-gram rolling combination. prime == 0 is
-      // the production 64-bit wrapping hash; prime > 0 swaps in a mod-p
-      // codepoint polynomial (same winnowing selection loop) — the
-      // cross-engine-expressible twin the q_text_winnow gate uses,
-      // because DuckDB BIGINT arithmetic ERRORS on overflow and cannot
-      // state wrapping 64-bit multiplies
-      val tok = new Array[Long](n)
-      var i = 0
-      while (i < n) {
-        var h = if (prime > 0) 0L else 1125899906842597L
-        if (prime > 0) {
-          val s = arr.getUTF8String(i).toString
-          var ci = 0
-          while (ci < s.length) {
-            val cp = s.codePointAt(ci)
-            h = (h * 31 + cp) % prime
-            ci += Character.charCount(cp)
-          }
-        } else {
-          val bytes = arr.getUTF8String(i).getBytes
-          var j = 0
-          while (j < bytes.length) { h = h * 31 + bytes(j); j += 1 }
-          h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
-        }
-        tok(i) = h
-        i += 1
-      }
-      val nGrams = n - k + 1
-      val gram = new Array[Long](nGrams)
-      i = 0
-      while (i < nGrams) {
-        var h = 0L
-        var j = 0
-        while (j < k) {
-          h = if (prime > 0) (h * 131 + tok(i + j)) % prime
-              else h * 0x100000001B3L + tok(i + j)
-          j += 1
-        }
-        gram(i) = h
-        i += 1
-      }
-      val selected = new java.util.TreeSet[java.lang.Long]()
-      if (nGrams <= w) {
-        var min = 0
-        i = 1
-        while (i < nGrams) { if (gram(i) <= gram(min)) min = i; i += 1 }
-        selected.add(gram(min))
-      } else {
-        var start = 0
-        while (start + w <= nGrams) {
-          var min = start
-          i = start + 1
-          while (i < start + w) { if (gram(i) <= gram(min)) min = i; i += 1 }
-          selected.add(gram(min))
-          start += 1
-        }
-      }
-      val out = new Array[Any](selected.size)
-      val it = selected.iterator()
-      i = 0
-      while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
-      new GenericArrayData(out)
-    }
+    // body in NativeEval (round-16): shared by interpreted eval and the
+    // generated code's one-static-call-per-row path — no CodegenFallback
+    override def nullSafeEval(input: Any): Any =
+      NativeEval.winnowFingerprint(input.asInstanceOf[ArrayData], k, w, prime)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = org.apache.spark.sql.graft.NativeEval.winnowFingerprint($c, $k, $w, ${prime}L);")
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -402,24 +233,20 @@ object NativeExprs {
   /** Exact set-Jaccard of two string arrays (inputs assumed distinct), one
     * hash-set pass per pair instead of array_intersect + two sizes. */
   case class ArrayJaccard(left: Expression, right: Expression)
-      extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+      extends BinaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[AbstractDataType] =
       Seq(ArrayType(StringType), ArrayType(StringType))
     override def dataType: DataType = DoubleType
     override def prettyName: String = "array_jaccard"
 
-    override def nullSafeEval(a: Any, b: Any): Any = {
-      val x = a.asInstanceOf[ArrayData]
-      val y = b.asInstanceOf[ArrayData]
-      val nx = x.numElements(); val ny = y.numElements()
-      val set = new java.util.HashSet[UTF8String](nx * 2)
-      var i = 0
-      while (i < nx) { set.add(x.getUTF8String(i)); i += 1 }
-      var inter = 0
-      i = 0
-      while (i < ny) { if (set.contains(y.getUTF8String(i))) inter += 1; i += 1 }
-      inter.toDouble / (nx + ny - inter)
-    }
+    // body in NativeEval (round-16): shared by interpreted eval and the
+    // generated code's one-static-call-per-row path — no CodegenFallback
+    override def nullSafeEval(a: Any, b: Any): Any =
+      NativeEval.arrayJaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = org.apache.spark.sql.graft.NativeEval.arrayJaccard($a, $b);")
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
@@ -430,24 +257,20 @@ object NativeExprs {
     * hash-set pass per pair instead of array_intersect + size (which
     * materializes the intersection array per row on the verify hot path). */
   case class ArrayIntersectSize(left: Expression, right: Expression)
-      extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+      extends BinaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[AbstractDataType] =
       Seq(ArrayType(StringType), ArrayType(StringType))
     override def dataType: DataType = LongType
     override def prettyName: String = "array_intersect_size"
 
-    override def nullSafeEval(a: Any, b: Any): Any = {
-      val x = a.asInstanceOf[ArrayData]
-      val y = b.asInstanceOf[ArrayData]
-      val nx = x.numElements(); val ny = y.numElements()
-      val set = new java.util.HashSet[UTF8String](nx * 2)
-      var i = 0
-      while (i < nx) { set.add(x.getUTF8String(i)); i += 1 }
-      var inter = 0L
-      i = 0
-      while (i < ny) { if (set.contains(y.getUTF8String(i))) inter += 1; i += 1 }
-      inter
-    }
+    // body in NativeEval (round-16): shared by interpreted eval and the
+    // generated code's one-static-call-per-row path — no CodegenFallback
+    override def nullSafeEval(a: Any, b: Any): Any =
+      NativeEval.arrayIntersectSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = org.apache.spark.sql.graft.NativeEval.arrayIntersectSize($a, $b);")
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
@@ -810,5 +633,242 @@ object NativeEval {
       }
     }
     InternalRow(top, rep, topBg)
+  }
+
+  private val permsCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[(Long, Long)]]()
+  private def permsFor(nPerms: Int): Array[(Long, Long)] =
+    permsCache.computeIfAbsent(nPerms, n => TextFunctions.minhashPerms(n).toArray)
+
+  /** [[NativeExprs.MinHashSig]] body. */
+  def minhashSig(arr: ArrayData, nPerms: Int): ArrayData = {
+    val perms = permsFor(nPerms)
+    val P = TextFunctions.MinhashP
+    val m = arr.numElements()
+    val sig = Array.fill(nPerms)(Long.MaxValue)
+    var j = 0
+    while (j < m) {
+      val s = arr.getUTF8String(j)
+      // splitmix-style avalanche of a 31+31 polynomial fold
+      var h = 1125899906842597L
+      val bytes = s.getBytes
+      var k = 0
+      while (k < bytes.length) { h = h * 31 + bytes(k); k += 1 }
+      h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+      val base = java.lang.Long.remainderUnsigned(h, P)
+      var p = 0
+      while (p < nPerms) {
+        val (a, b) = perms(p)
+        val v = (a * base + b) % P
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** [[NativeExprs.SimHash60]] body. */
+  def simhash60(arr: ArrayData): Long = {
+    val m = arr.numElements()
+    val weights = new Array[Int](60)
+    val md = MessageDigest.getInstance("MD5")
+    var j = 0
+    while (j < m) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(j).getBytes)
+      // low 60 bits of the hex digest = low nibble of byte 8 ++ bytes 9..15
+      var h = (d(8) & 0x0FL)
+      var k = 9
+      while (k < 16) { h = (h << 8) | (d(k) & 0xFFL); k += 1 }
+      var i = 0
+      while (i < 60) {
+        weights(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
+        i += 1
+      }
+      j += 1
+    }
+    var sim = 0L
+    var i = 0
+    while (i < 60) {
+      if (weights(i) > 0) sim |= 1L << i
+      i += 1
+    }
+    sim
+  }
+
+  /** [[NativeExprs.SimHash96]] body. */
+  def simhash96(arr: ArrayData): ArrayData = {
+    val m = arr.numElements()
+    val weights = new Array[Int](96)
+    val md = MessageDigest.getInstance("MD5")
+    var j = 0
+    while (j < m) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(j).getBytes)
+      // hex chars 1-12 = digest bytes 0-5 (hi48); 13-24 = bytes 6-11 (lo48)
+      var hi = 0L
+      var k = 0
+      while (k < 6) { hi = (hi << 8) | (d(k) & 0xFFL); k += 1 }
+      var lo = 0L
+      while (k < 12) { lo = (lo << 8) | (d(k) & 0xFFL); k += 1 }
+      // positions 0-47 vote from lo, 48-95 from hi — the exact layout
+      // the oracle's range(0,96) CASE states
+      var i = 0
+      while (i < 48) {
+        weights(i) += (if (((lo >>> i) & 1L) == 1L) 1 else -1)
+        weights(i + 48) += (if (((hi >>> i) & 1L) == 1L) 1 else -1)
+        i += 1
+      }
+      j += 1
+    }
+    var shi = 0L
+    var slo = 0L
+    var i = 0
+    while (i < 48) {
+      if (weights(i) > 0) slo |= 1L << i
+      if (weights(i + 48) > 0) shi |= 1L << i
+      i += 1
+    }
+    new GenericArrayData(Array(shi, slo))
+  }
+
+  /** [[NativeExprs.WinnowFingerprint]] body. */
+  def winnowFingerprint(arr: ArrayData, k: Int, w: Int, prime: Long): ArrayData = {
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    // per-token hash, then k-gram rolling combination. prime == 0 is
+    // the production 64-bit wrapping hash; prime > 0 swaps in a mod-p
+    // codepoint polynomial (same winnowing selection loop) — the
+    // cross-engine-expressible twin the q_text_winnow gate uses,
+    // because DuckDB BIGINT arithmetic ERRORS on overflow and cannot
+    // state wrapping 64-bit multiplies
+    val tok = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = if (prime > 0) 0L else 1125899906842597L
+      if (prime > 0) {
+        val s = arr.getUTF8String(i).toString
+        var ci = 0
+        while (ci < s.length) {
+          val cp = s.codePointAt(ci)
+          h = (h * 31 + cp) % prime
+          ci += Character.charCount(cp)
+        }
+      } else {
+        val bytes = arr.getUTF8String(i).getBytes
+        var j = 0
+        while (j < bytes.length) { h = h * 31 + bytes(j); j += 1 }
+        h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+      }
+      tok(i) = h
+      i += 1
+    }
+    val nGrams = n - k + 1
+    val gram = new Array[Long](nGrams)
+    i = 0
+    while (i < nGrams) {
+      var h = 0L
+      var j = 0
+      while (j < k) {
+        h = if (prime > 0) (h * 131 + tok(i + j)) % prime
+            else h * 0x100000001B3L + tok(i + j)
+        j += 1
+      }
+      gram(i) = h
+      i += 1
+    }
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    if (nGrams <= w) {
+      var min = 0
+      i = 1
+      while (i < nGrams) { if (gram(i) <= gram(min)) min = i; i += 1 }
+      selected.add(gram(min))
+    } else {
+      var start = 0
+      while (start + w <= nGrams) {
+        var min = start
+        i = start + 1
+        while (i < start + w) { if (gram(i) <= gram(min)) min = i; i += 1 }
+        selected.add(gram(min))
+        start += 1
+      }
+    }
+    val out = new Array[Any](selected.size)
+    val it = selected.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** [[NativeExprs.ArrayJaccard]] body. */
+  def arrayJaccard(x: ArrayData, y: ArrayData): Double = {
+    val nx = x.numElements(); val ny = y.numElements()
+    val set = new java.util.HashSet[UTF8String](nx * 2)
+    var i = 0
+    while (i < nx) { set.add(x.getUTF8String(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < ny) { if (set.contains(y.getUTF8String(i))) inter += 1; i += 1 }
+    inter.toDouble / (nx + ny - inter)
+  }
+
+  /** [[NativeExprs.ArrayIntersectSize]] body. */
+  def arrayIntersectSize(x: ArrayData, y: ArrayData): Long = {
+    val nx = x.numElements(); val ny = y.numElements()
+    val set = new java.util.HashSet[UTF8String](nx * 2)
+    var i = 0
+    while (i < nx) { set.add(x.getUTF8String(i)); i += 1 }
+    var inter = 0L
+    i = 0
+    while (i < ny) { if (set.contains(y.getUTF8String(i))) inter += 1; i += 1 }
+    inter
+  }
+
+  private def planeSign(bit: Int, dim: Int): Double = {
+    var z = (bit.toLong << 32 | dim.toLong) + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= z >>> 31
+    if ((z & 1L) == 0L) 1.0 else -1.0
+  }
+
+  // The plane matrix is a pure function of (bands, rowsPerBand, dims):
+  // built once per (bands, rowsPerBand, dims) key in a concurrent map
+  // (previously once per expression instance) instead of re-deriving the
+  // splitmix sign for every (bit, dim) of every row. Values are
+  // bit-identical to planeSign, so signatures (and the gated LSH output)
+  // are unchanged.
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
+  private def planesFor(bands: Int, rowsPerBand: Int, n: Int): Array[Double] =
+    planeCache.computeIfAbsent((bands, rowsPerBand, n), key => {
+      val nBits = key._1 * key._2
+      val m = new Array[Double](nBits * n)
+      var bit = 0
+      while (bit < nBits) {
+        var j = 0
+        while (j < n) { m(bit * n + j) = planeSign(bit, j); j += 1 }
+        bit += 1
+      }
+      m
+    })
+
+  /** [[NativeExprs.CosineBandKeys]] body. */
+  def cosineBandKeys(v: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val n = v.numElements()
+    val nBits = bands * rowsPerBand
+    val planes = planesFor(bands, rowsPerBand, n)
+    val keys = new Array[Long](bands)
+    var bit = 0
+    while (bit < nBits) {
+      val base = bit * n
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += v.getDouble(j) * planes(base + j); j += 1 }
+      if (dot > 0) keys(bit / rowsPerBand) |= 1L << (bit % rowsPerBand)
+      bit += 1
+    }
+    new GenericArrayData(keys)
   }
 }
