@@ -256,12 +256,25 @@ object NativeExprs {
     * the integer-exact building block for jaccard-ppm gate outputs: one
     * hash-set pass per pair instead of array_intersect + size (which
     * materializes the intersection array per row on the verify hot path). */
-  case class ArrayIntersectSize(left: Expression, right: Expression)
+  case class ArrayIntersectSize(left: Expression, right: Expression,
+                                evalOnce: Boolean = false)
       extends BinaryExpression with ExpectsInputTypes {
     override def inputTypes: Seq[AbstractDataType] =
       Seq(ArrayType(StringType), ArrayType(StringType))
     override def dataType: DataType = LongType
     override def prettyName: String = "array_intersect_size"
+
+    // evalOnce marks the expression NON-DETERMINISTIC (guide §4.4): the
+    // value is pure — only the OPTIMIZER contract changes. Without it,
+    // the dedup verify shape `withColumn("i", ...).filter(i*5 >= u*3)`
+    // gets its filter pushed INTO the preceding join condition with the
+    // intersect substituted inline — evaluated twice per candidate pair
+    // in the join condition and a third time in the surviving project
+    // (measured: q_dedup_jaccard_prefix 1.90 -> 2.96 s when the r16
+    // codegen conversion fused that triple-eval into one WSC span).
+    // Marked once-per-row, the alias cannot be duplicated or pushed, so
+    // every candidate pays the hash-set pass exactly once.
+    override lazy val deterministic: Boolean = !evalOnce && left.deterministic && right.deterministic
 
     // body in NativeEval (round-16): shared by interpreted eval and the
     // generated code's one-static-call-per-row path — no CodegenFallback
@@ -494,6 +507,13 @@ object NativeExprs {
     ExpressionUtils.column(ArrayJaccard(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def arrayIntersectSize(a: Column, b: Column): Column =
     ExpressionUtils.column(ArrayIntersectSize(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  /** [[arrayIntersectSize]] with the once-per-row optimizer barrier —
+    * use when the result feeds BOTH a filter and a projection (the dedup
+    * verify shape), where the default lets Catalyst clone the evaluation
+    * into the join condition (guide §4.4). */
+  def arrayIntersectSizeOnce(a: Column, b: Column): Column =
+    ExpressionUtils.column(ArrayIntersectSize(ExpressionUtils.expression(a),
+      ExpressionUtils.expression(b), evalOnce = true))
   def winnowFingerprint(toks: Column, k: Int = 4, w: Int = 4,
                         prime: Long = 0L): Column =
     ExpressionUtils.column(WinnowFingerprint(ExpressionUtils.expression(toks), k, w, prime))

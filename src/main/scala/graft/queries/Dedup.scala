@@ -327,7 +327,7 @@ object Dedup {
       .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sha")), "doc_a")
       .join(sh.select($"doc_id".as("doc_b"), $"sh".as("shb")), "doc_b")
       .withColumn("i", org.apache.spark.sql.graft.NativeExprs
-        .arrayIntersectSize($"sha", $"shb"))
+        .arrayIntersectSizeOnce($"sha", $"shb")) // once-per-row barrier (guide §4.4)
       .withColumn("u", (size($"sha") + size($"shb")).cast("long") - $"i")
       .filter($"i" * 5 >= $"u" * 3)
       .select($"doc_a", $"doc_b", expr("(i * 1000000L) DIV u").as("jaccard_ppm"))
@@ -379,7 +379,7 @@ object Dedup {
       .join(sh.select($"doc_id".as("new_doc"), $"sh".as("sha")), "new_doc")
       .join(sh.select($"doc_id".as("hist_doc"), $"sh".as("shb")), "hist_doc")
       .withColumn("i", org.apache.spark.sql.graft.NativeExprs
-        .arrayIntersectSize($"sha", $"shb"))
+        .arrayIntersectSizeOnce($"sha", $"shb")) // once-per-row barrier (guide §4.4)
       .withColumn("u", (size($"sha") + size($"shb")).cast("long") - $"i")
       .filter($"i" * 5 >= $"u" * 3)
       .select($"new_doc", $"hist_doc", expr("(i * 1000000L) DIV u").as("jaccard_ppm"))
@@ -3388,7 +3388,7 @@ object Dedup {
       .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sha")), "doc_a")
       .join(sh.select($"doc_id".as("doc_b"), $"sh".as("shb")), "doc_b")
       .withColumn("i", org.apache.spark.sql.graft.NativeExprs
-        .arrayIntersectSize($"sha", $"shb"))
+        .arrayIntersectSizeOnce($"sha", $"shb")) // once-per-row barrier (guide §4.4)
       .withColumn("u", (size($"sha") + size($"shb")).cast("long") - $"i")
       .filter($"i" * 5 >= $"u" * 3) // == jaccard >= t for t = 0.6, exactly
       .select($"doc_a", $"doc_b", expr("(i * 1000000L) DIV u").as("jaccard_ppm"))
@@ -3483,7 +3483,7 @@ object Dedup {
       .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sha")), "doc_a")
       .join(sh.select($"doc_id".as("doc_b"), $"sh".as("shb")), "doc_b")
       .withColumn("i", org.apache.spark.sql.graft.NativeExprs
-        .arrayIntersectSize($"sha", $"shb").cast("long"))
+        .arrayIntersectSizeOnce($"sha", $"shb").cast("long")) // once-per-row barrier (guide §4.4)
       .withColumn("n_a", size($"sha").cast("long"))
       .filter($"i" * 10 >= $"n_a" * 9) // == containment >= t for t = 0.9, exactly
       .select($"doc_a", $"doc_b", $"n_a", $"i",

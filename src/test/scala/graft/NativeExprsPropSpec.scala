@@ -166,6 +166,36 @@ class NativeExprsPropSpec extends AnyFunSuite {
     }
   }
 
+  test("arrayIntersectSizeOnce equals the default form and stays out of join conditions") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.NativeExprs
+    val alpha = Vector("a", "b", "c", "d", "e")
+    val rows = Seq.fill(200) {
+      val mk = () => Seq.fill(rnd.nextInt(10))(alpha(rnd.nextInt(alpha.length)))
+      (mk(), mk())
+    }
+    val df = rows.toDF("a", "b")
+    val plain = df.select(NativeExprs.arrayIntersectSize($"a", $"b")).collect().map(_.getLong(0))
+    val once = df.select(NativeExprs.arrayIntersectSizeOnce($"a", $"b")).collect().map(_.getLong(0))
+    assert(plain.toSeq == once.toSeq)
+    // the whole point (guide §4.4): in the dedup verify shape the once
+    // form is computed in ONE project and never cloned into the join
+    // condition — the default form gets inlined there twice
+    val l = rows.zipWithIndex.map { case ((a, _), i) => (i.toLong, a) }.toDF("k", "sha")
+    val r = rows.zipWithIndex.map { case ((_, b), i) => (i.toLong, b) }.toDF("k", "shb")
+    val verify = l.join(r, "k")
+      .withColumn("i", NativeExprs.arrayIntersectSizeOnce($"sha", $"shb"))
+      .filter($"i" * 5 >= (size($"sha") + size($"shb")).cast("long") * 3 - $"i" * 3)
+      .select($"k", $"i")
+    val plan = verify.queryExecution.executedPlan.toString
+    val joinLines = plan.linesIterator.filter(_.contains("Join")).mkString("\n")
+    assert(!joinLines.contains("array_intersect_size"),
+      s"intersect cloned into the join condition:\n$plan")
+    assert(plan.count(_ == '\n') > 0 && "array_intersect_size".r
+      .findAllIn(plan).size <= 2, // one Project occurrence (+1 schema echo tolerance)
+      s"intersect evaluated more than once:\n$plan")
+  }
+
   test("native tokens() equals the regex/HOF spec on messy whitespace and unicode") {
     import spark.implicits._
     // every Java-\s ASCII whitespace byte, multi-byte UTF-8, empties,
